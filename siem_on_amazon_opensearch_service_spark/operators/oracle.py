@@ -1,0 +1,141 @@
+"""Frozen pure-Python/numpy reference scorer ("the Lucene stand-in").
+
+The reference's correctness oracle is OpenSearch/Lucene itself, which this
+sandbox cannot run; SURVEY.md §5.2 therefore freezes an exhaustive,
+no-skipping scorer with exactly the Lucene-default semantics the reference
+relies on (StandardAnalyzer-style tokenization, BM25 k1=1.2 b=0.75, lossy
+SmallFloat norms, score-desc / docID-asc tie-break).  The Spark engine must
+be rank- AND score-identical to this oracle on every query class the
+reference's dashboards use: term, AND, OR, NOT, phrase-within-turn,
+keyword filter, time-range filter (SURVEY.md §2.3).
+
+This module is intentionally NOT distributed — it is small-corpus ground
+truth for pytest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..functions import bm25
+from ..functions.analysis import tokenize
+from ..functions.smallfloat import encode_lengths
+from ..plans.query import And, Node, Not, Or, Phrase, Term, parse
+
+
+@dataclass
+class OracleHit:
+    docid: int
+    score: np.float32
+
+
+class LuceneOracle:
+    """Exhaustive in-memory index + scorer over a transcript DataFrame."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        # stable docID order: (conv_id, turn_idx) — BASELINE.json input_hint
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+        self.meta = pdf
+        self.n_docs = len(pdf)
+        tokens = [tokenize(t) for t in pdf["text"].tolist()]
+        self.dl = np.array([len(t) for t in tokens], dtype=np.int64)
+        self.norm_bytes = encode_lengths(self.dl)
+        self.doc_count = int((self.dl > 0).sum())
+        self.sum_dl = int(self.dl.sum())
+        self.avgdl = self.sum_dl / self.doc_count if self.doc_count else 0.0
+        self.cache = bm25.norm_inverse_cache(self.avgdl) if self.doc_count else None
+        # postings: term -> {docid: [positions]}
+        post: dict[str, dict[int, list[int]]] = {}
+        for docid, toks in enumerate(tokens):
+            for pos, term in enumerate(toks):
+                post.setdefault(term, {}).setdefault(docid, []).append(pos)
+        self.postings = post
+
+    # ---- clause evaluation: (match mask, float64 accum of float32 scores)
+
+    def _term_tf(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        entry = self.postings.get(term, {})
+        docids = np.fromiter(entry.keys(), dtype=np.int64, count=len(entry))
+        tfs = np.fromiter((len(v) for v in entry.values()), dtype=np.int64, count=len(entry))
+        return docids, tfs
+
+    def _score_clause(self, docids: np.ndarray, tfs: np.ndarray, dfs: list[int]) -> tuple[np.ndarray, np.ndarray]:
+        mask = np.zeros(self.n_docs, dtype=bool)
+        acc = np.zeros(self.n_docs, dtype=np.float64)
+        if docids.size == 0 or self.doc_count == 0:
+            return mask, acc
+        weight = bm25.clause_weight(dfs, self.doc_count)
+        s = bm25.score_tf(tfs, self.norm_bytes[docids], weight, self.cache)
+        mask[docids] = True
+        acc[docids] = s.astype(np.float64)
+        return mask, acc
+
+    def _eval(self, node: Node) -> tuple[np.ndarray, np.ndarray]:
+        if isinstance(node, Term):
+            docids, tfs = self._term_tf(node.term)
+            return self._score_clause(docids, tfs, [docids.size])
+        if isinstance(node, Phrase):
+            docids, pfs = self._phrase_freq(node.terms)
+            dfs = [len(self.postings.get(t, {})) for t in node.terms]
+            return self._score_clause(docids, pfs, dfs)
+        if isinstance(node, And):
+            masks, accs = zip(*(self._eval(c) for c in node.children))
+            mask = np.logical_and.reduce(masks)
+            return mask, np.sum(accs, axis=0)
+        if isinstance(node, Or):
+            masks, accs = zip(*(self._eval(c) for c in node.children))
+            mask = np.logical_or.reduce(masks)
+            return mask, np.sum(accs, axis=0)
+        if isinstance(node, Not):
+            m, _ = self._eval(node.child)
+            return ~m, np.zeros(self.n_docs, dtype=np.float64)
+        raise TypeError(node)
+
+    def _phrase_freq(self, terms: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
+        """Docs where terms appear at consecutive positions; freq = count."""
+        maps = [self.postings.get(t, {}) for t in terms]
+        if any(not m for m in maps):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        docids, pfs = [], []
+        for d in sorted(common):
+            base = np.asarray(maps[0][d], dtype=np.int64)
+            ok = np.ones(base.shape, dtype=bool)
+            for i, m in enumerate(maps[1:], start=1):
+                nxt = np.asarray(m[d], dtype=np.int64)
+                ok &= np.isin(base + i, nxt)
+            pf = int(ok.sum())
+            if pf:
+                docids.append(d)
+                pfs.append(pf)
+        return np.asarray(docids, dtype=np.int64), np.asarray(pfs, dtype=np.int64)
+
+    # ---- public API
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        role: str | None = None,
+        tool: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> list[OracleHit]:
+        mask, acc = self._eval(parse(query))
+        if role is not None:
+            mask &= (self.meta["role"] == role).to_numpy()
+        if tool is not None:
+            mask &= (self.meta["tool"] == tool).to_numpy()
+        if ts_min is not None:
+            mask &= (self.meta["ts"] >= ts_min).to_numpy()
+        if ts_max is not None:
+            mask &= (self.meta["ts"] <= ts_max).to_numpy()
+        docids = np.nonzero(mask)[0]
+        scores = acc[docids].astype(np.float32)
+        order = np.lexsort((docids, -scores.astype(np.float64)))[:k]
+        return [OracleHit(int(docids[i]), np.float32(scores[i])) for i in order]

@@ -1,0 +1,172 @@
+"""Unit tests for the frozen numeric core (SURVEY.md §5.2 item 1)."""
+
+import numpy as np
+import pytest
+
+from siem_on_amazon_opensearch_service_spark.functions import bm25, varint
+from siem_on_amazon_opensearch_service_spark.functions.analysis import (
+    TRUNCATE_MARK,
+    tokenize,
+    truncate_big_field,
+)
+from siem_on_amazon_opensearch_service_spark.functions.smallfloat import (
+    LENGTH_TABLE,
+    byte4_to_int,
+    decode_norms,
+    encode_lengths,
+    int_to_byte4,
+)
+from siem_on_amazon_opensearch_service_spark.plans.query import (
+    And, Not, Or, Phrase, Term, parse,
+)
+
+
+class TestSmallFloat:
+    def test_free_values_identity(self):
+        for i in range(24):
+            assert int_to_byte4(i) == i
+            assert byte4_to_int(i) == i
+
+    def test_published_lucene_values(self):
+        # Known SmallFloat.intToByte4 behavior: 4 significant bits above 24.
+        # Round-trip is idempotent and monotone, decoded <= input.
+        for i in [0, 1, 23, 24, 25, 39, 40, 41, 100, 255, 1000, 65535, 10**6]:
+            b = int_to_byte4(i)
+            assert 0 <= b <= 255
+            d = byte4_to_int(b)
+            assert d <= i
+            assert int_to_byte4(d) == b  # idempotent
+        # monotone, and max byte decodes large
+        assert byte4_to_int(255) > 10**9
+
+    def test_quantization_buckets(self):
+        # 24..31 are exactly representable (24 + values < 8)
+        for i in range(24, 32):
+            assert byte4_to_int(int_to_byte4(i)) == i
+        # 4-bit mantissa: 24 + 16..17 share a bucket? verify bucketing is
+        # the floor of the decode table
+        for i in range(0, 5000):
+            b = int_to_byte4(i)
+            assert LENGTH_TABLE[b] <= i
+            if b < 255:
+                assert i < LENGTH_TABLE[b + 1]
+
+    def test_vectorized_matches_scalar(self):
+        lens = np.array([0, 1, 23, 24, 100, 12345, 2**21, 2**30])
+        enc = encode_lengths(lens)
+        assert [int(x) for x in enc] == [int_to_byte4(int(v)) for v in lens]
+        dec = decode_norms(enc)
+        assert [int(x) for x in dec] == [byte4_to_int(int_to_byte4(int(v))) for v in lens]
+
+    def test_length_table_monotone(self):
+        assert (np.diff(LENGTH_TABLE) > 0).all()
+
+
+class TestVarint:
+    def test_roundtrip_small(self):
+        v = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**31, 2**40])
+        assert list(varint.decode(varint.encode(v))) == list(v)
+
+    def test_roundtrip_random(self):
+        rng = np.random.RandomState(7)
+        v = rng.randint(0, 2**40, size=10000).astype(np.uint64)
+        out = varint.decode(varint.encode(v))
+        np.testing.assert_array_equal(out, v)
+
+    def test_empty(self):
+        assert varint.encode(np.array([], dtype=np.uint64)) == b""
+        assert varint.decode(b"").size == 0
+
+    def test_delta_roundtrip(self):
+        docids = np.array([3, 7, 8, 100, 10**7], dtype=np.uint64)
+        buf = varint.delta_encode(docids)
+        np.testing.assert_array_equal(varint.delta_decode(buf), docids)
+        buf2 = varint.delta_encode(docids, first_base=3)
+        np.testing.assert_array_equal(varint.delta_decode(buf2, first_base=3), docids)
+
+
+class TestTokenizer:
+    def test_basic(self):
+        assert tokenize("Hello, World!") == ["hello", "world"]
+        assert tokenize("foo_bar baz-qux") == ["foo_bar", "baz", "qux"]
+        assert tokenize("a1b2 C3") == ["a1b2", "c3"]
+
+    def test_empty_and_none(self):
+        assert tokenize("") == []
+        assert tokenize(None) == []
+        assert tokenize("-") == []
+        assert tokenize("...") == []
+
+    def test_max_token_split(self):
+        long = "x" * 600
+        toks = tokenize(long)
+        assert toks == ["x" * 255, "x" * 255, "x" * 90]
+
+    def test_truncation_rule(self):
+        # reference rule: >32,766 bytes -> 32,753 bytes + marker
+        text = "word " * 10000  # 50,000 bytes
+        t = truncate_big_field(text)
+        assert t.endswith(TRUNCATE_MARK)
+        assert len(t.encode()) == 32753 + len(TRUNCATE_MARK)
+        assert truncate_big_field("short") == "short"
+        # tokenization applies truncation first
+        assert len(tokenize(text)) < 10000
+
+    def test_utf8_safe(self):
+        text = "é" * 20000  # 40,000 bytes, 2 bytes each -> cut at odd byte
+        t = truncate_big_field(text)
+        assert t.endswith(TRUNCATE_MARK)
+        t.encode("utf-8")  # must not raise
+
+
+class TestQueryParser:
+    def test_term(self):
+        assert parse("Error") == Term("error")
+
+    def test_and_or_precedence(self):
+        q = parse("a AND b OR c")
+        assert q == Or((And((Term("a"), Term("b"))), Term("c")))
+
+    def test_parens(self):
+        q = parse("a AND (b OR c)")
+        assert q == And((Term("a"), Or((Term("b"), Term("c")))))
+
+    def test_phrase(self):
+        assert parse('"connection reset"') == Phrase(("connection", "reset"))
+        assert parse('"Error"') == Term("error")
+
+    def test_not(self):
+        assert parse("a AND NOT b") == And((Term("a"), Not(Term("b"))))
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            parse("a AND")
+        with pytest.raises(ValueError):
+            parse("(a OR b")
+
+
+class TestBm25Math:
+    def test_idf_positive_decreasing(self):
+        assert bm25.idf(1, 1000) > bm25.idf(100, 1000) > bm25.idf(999, 1000) > 0
+
+    def test_score_monotone_tf(self):
+        cache = bm25.norm_inverse_cache(25.0)
+        nb = encode_lengths(np.array([25]))
+        w = np.float32(2.0)
+        s1 = bm25.score_tf(np.array([1]), nb, w, cache)
+        s2 = bm25.score_tf(np.array([5]), nb, w, cache)
+        assert 0 < s1[0] < s2[0] < w
+
+    def test_score_decreasing_doclen(self):
+        cache = bm25.norm_inverse_cache(25.0)
+        w = np.float32(2.0)
+        short = bm25.score_tf(np.array([2]), encode_lengths(np.array([10])), w, cache)
+        long = bm25.score_tf(np.array([2]), encode_lengths(np.array([100])), w, cache)
+        assert short[0] > long[0]
+
+    def test_float32_contract(self):
+        cache = bm25.norm_inverse_cache(30.0)
+        s = bm25.score_tf(np.array([3]), encode_lengths(np.array([17])), np.float32(1.7), cache)
+        assert s.dtype == np.float32
+        c = bm25.combine([s, s])
+        assert c.dtype == np.float32
