@@ -1,0 +1,257 @@
+"""Distributed inverted-index build (the reference's delegated Lucene layer,
+re-expressed Spark-first — SURVEY.md §2.12, BASELINE.json north_rule).
+
+Pipeline (all DataFrame ops; Python only inside Arrow-batched UDFs):
+
+1. **Stable dense docIDs** under (conv_id, turn_idx) order, independent of
+   parallelism: per-conversation sizes -> range-partition by conv_id ->
+   per-partition offsets from a driver-side cumulative of partition sums
+   (NB rows, not data rows) -> docid = conv_base + turn_idx (turn_idx is
+   validated dense).  Two cheap jobs over the *conversation* table; no
+   global window over the data (SURVEY.md §4.2 item 4).
+
+2. **Docs table**: docid, keyword/ts columns, text, dl (token count) and the
+   Lucene lossy norm byte; written range-partitioned + sorted by docid so
+   query-time norm/filter joins and shard pruning get parquet min/max
+   skipping.  ``shard = docid // shard_size`` — content-deterministic
+   (depends on data size, never on parallelism).
+
+3. **Per-shard postings** via applyInPandas over shard groups (partial
+   aggregation: one compressed segment row per (term, shard) — the map-side
+   combine of the term shuffle).
+
+4. **Salted repartition-by-term merge**: rows shuffle on (term, salt) where
+   salt = shard % n_salts, so a hot term ('error' appears in ~every turn)
+   is split across n_salts reducers instead of melting one task; merge is
+   byte concatenation (delta chains restart per block).  Plain
+   groupBy(term) would put the whole hot-term posting list in one task —
+   AQE skew handling does not apply to aggregation keys (SURVEY.md §4.1).
+
+5. **Dict + stats**: per-term global df/cttf; corpus N, docCount, sumdl.
+
+6. **Manifest**: one lineage row per shard (counts, bytes, status) — the
+   checkpoint-resume unit.  build_index() skips shards already complete and
+   appends only missing ones (idempotent segment commit; analogue of the
+   reference's SQS re-enqueue/DLQ redrive,
+   /root/reference/source/lambda/es_loader/index.py:527-545).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.smallfloat import encode_lengths
+from . import segments
+
+DOCS_SCHEMA = (
+    "docid long, conv_id string, turn_idx int, role string, tool string, "
+    "ts timestamp, text string, dl long, norm int, shard int"
+)
+
+
+def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True) -> tuple[DataFrame, int]:
+    """Add a dense int64 ``docid`` column under stable (conv_id, turn_idx)
+    order; returns (df_with_docid, total_rows).  Deterministic at any
+    parallelism: docid is the global rank, computed from per-conversation
+    sizes + driver-side partition offsets (never from partition iteration
+    order)."""
+    spark = df.sparkSession
+    sizes = df.groupBy("conv_id").agg(
+        F.count("*").alias("n"),
+        F.min("turn_idx").alias("mn"),
+        F.max("turn_idx").alias("mx"),
+    )
+    ranged = (
+        sizes.repartitionByRange(num_buckets, "conv_id")
+        .sortWithinPartitions("conv_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    agg = ranged.groupBy("pid").agg(
+        F.sum("n").alias("s"),
+        F.sum(F.when((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1), 1).otherwise(0)).alias("bad"),
+    ).collect()
+    if validate and sum(r["bad"] for r in agg):
+        raise ValueError("turn_idx is not dense 0-based within some conversation")
+    psums = {r["pid"]: r["s"] for r in agg}
+    bases: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(psums):
+        bases[pid] = acc
+        acc += psums[pid]
+    total = acc
+    b_bases = spark.sparkContext.broadcast(bases)
+
+    def offsets(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("conv_id", kind="mergesort")
+        base = b_bases.value[int(pdf["pid"].iloc[0])]
+        csum = pdf["n"].cumsum() - pdf["n"]
+        return pd.DataFrame({"conv_id": pdf["conv_id"], "conv_base": base + csum})
+
+    conv_base = ranged.groupBy("pid").applyInPandas(offsets, schema="conv_id string, conv_base long")
+    out = (
+        df.join(conv_base, "conv_id")
+        .withColumn("docid", F.col("conv_base") + F.col("turn_idx").cast("long"))
+        .drop("conv_base")
+    )
+    return out, total
+
+
+def _docs_stage(with_ids: DataFrame, shard_size: int) -> DataFrame:
+    """Add dl / norm / shard columns (vectorized tokenize for counting)."""
+
+    def add_len(batches):
+        for pdf in batches:
+            toks = segments.tokenize_series(pdf["text"])
+            dl = segments.doc_lengths(toks)
+            pdf = pdf.assign(
+                dl=dl,
+                norm=encode_lengths(dl).astype(np.int32),
+                shard=(pdf["docid"].to_numpy() // shard_size).astype(np.int32),
+            )
+            yield pdf[[c.split()[0] for c in DOCS_SCHEMA.split(", ")]]
+
+    cols = ["docid", "conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    return with_ids.select(*cols).mapInPandas(add_len, schema=DOCS_SCHEMA)
+
+
+def _postings_stage(docs: DataFrame, positions: bool, n_salts: int) -> DataFrame:
+    """Shard-grouped partial postings, then the salted term merge."""
+
+    def per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("docid", kind="mergesort")
+        toks = segments.tokenize_series(pdf["text"])
+        return segments.encode_shard_postings(
+            int(key[0]),
+            pdf["docid"].to_numpy(),
+            pdf["norm"].to_numpy().astype(np.uint8),
+            toks,
+            positions,
+            n_salts,
+        )
+
+    partial = docs.select("shard", "docid", "norm", "text").groupBy("shard").applyInPandas(
+        per_shard, schema=segments.SEGMENT_SCHEMA
+    )
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([segments.merge_rows(pdf)])
+
+    return partial.groupBy("term", "salt").applyInPandas(merge, schema=segments.SEGMENT_SCHEMA)
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    n_salts: int = 8,
+    positions: bool = True,
+    resume: bool = True,
+    write_partitions: int | None = None,
+) -> dict:
+    """Build (or resume) the index at ``out_dir``; returns build stats."""
+    os.makedirs(out_dir, exist_ok=True)
+    params_path = os.path.join(out_dir, "_build.json")
+    docs_path = os.path.join(out_dir, "docs")
+    stats_path = os.path.join(out_dir, "stats")
+    postings_path = os.path.join(out_dir, "postings")
+    dict_path = os.path.join(out_dir, "dict")
+    manifest_path = os.path.join(out_dir, "manifest")
+
+    params = None
+    if resume and os.path.exists(params_path):
+        with open(params_path) as f:
+            params = json.load(f)
+        n_shards = params["n_shards"]
+        n_salts = params["n_salts"]
+        positions = params["positions"]
+
+    done_shards: set[int] = set()
+    if resume and params is not None and os.path.exists(manifest_path):
+        mdf = spark.read.parquet(manifest_path).filter(F.col("status") == "complete")
+        done_shards = {r["shard"] for r in mdf.select("shard").distinct().collect()}
+
+    docs_ready = params is not None and os.path.exists(os.path.join(docs_path, "_SUCCESS"))
+    if not docs_ready:
+        with_ids, total = assign_docids(transcripts)
+        shard_size = max(1, -(-total // n_shards))  # ceil
+        docs = _docs_stage(with_ids, shard_size)
+        (
+            docs.repartitionByRange(n_shards, "docid")
+            .sortWithinPartitions("docid")
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+        docs = spark.read.parquet(docs_path)
+        stats = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("doc_count"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(stats_path)
+        params = {
+            "n_shards": n_shards,
+            "n_salts": n_salts,
+            "positions": positions,
+            "shard_size": shard_size,
+            "total_docs": total,
+        }
+        with open(params_path, "w") as f:
+            json.dump(params, f)
+        done_shards = set()
+    else:
+        docs = spark.read.parquet(docs_path)
+
+    all_shards = set(range(-(-params["total_docs"] // params["shard_size"])))
+    todo = sorted(all_shards - done_shards)
+    built = 0
+    if todo:
+        subset = docs if not done_shards else docs.filter(F.col("shard").isin(todo))
+        seg = _postings_stage(subset, positions, n_salts)
+        wp = write_partitions or max(8, spark.sparkContext.defaultParallelism)
+        (
+            seg.repartition(wp, "term", "salt")
+            .sortWithinPartitions("term", "salt", "shard_min")
+            .write.mode("append")
+            .parquet(postings_path)
+        )
+        # lineage/metrics per shard — the resume unit (north_rule)
+        manifest = (
+            subset.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").alias("n_tokens"),
+                F.min("docid").alias("min_docid"),
+                F.max("docid").alias("max_docid"),
+            )
+            .withColumn("status", F.lit("complete"))
+        )
+        manifest.write.mode("append").parquet(manifest_path)
+        built = len(todo)
+
+    # dict is derived from final postings — recomputed cheaply on any append
+    post = spark.read.parquet(postings_path)
+    (
+        post.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
+        .repartition(1)
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(dict_path)
+    )
+    st = spark.read.parquet(stats_path).collect()[0]
+    return {
+        "n_docs": st["n_docs"],
+        "doc_count": st["doc_count"],
+        "sum_dl": st["sum_dl"],
+        "shards_built": built,
+        "shards_total": len(all_shards),
+        "params": params,
+    }

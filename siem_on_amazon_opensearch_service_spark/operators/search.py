@@ -1,0 +1,551 @@
+"""BM25 query execution over the segment index.
+
+Two execution paths, both rank- and score-identical to the frozen oracle
+(operators/oracle.py — the Lucene stand-in):
+
+- ``search_df``: distributed, DataFrame-first.  Postings rows for the query
+  terms are pruned at the parquet scan (predicate pushdown on the sorted
+  ``term`` column), decoded in an Arrow-batched mapInPandas, joined with the
+  docid-sorted docs table for norms + keyword/time filters (filters push
+  into the docs scan), clause scores pivot to columns, and the boolean AST
+  evaluates as pure Spark column algebra; top-k is a global
+  ``orderBy(score desc, docid asc).limit(k)`` (TakeOrderedAndProject).
+  This mirrors the reference's scatter/gather across shards
+  (SURVEY.md §3.3) with Spark partitions as the shards.
+
+- ``LocalIndex``: driver-side numpy reader (DuckDB parquet scan, no Spark
+  job) for query-latency benchmarking, with an exhaustive vectorized
+  scorer and block-max WAND top-k (skips blocks whose upper bound
+  score(max_tf, min_norm) can't reach the running k-th threshold).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import bm25, varint
+from ..plans.query import And, Node, Not, Or, Phrase, Term, parse
+from . import segments
+
+# ---------------------------------------------------------------------------
+# shared: flatten the AST into scoring leaves
+
+
+def _leaves(node: Node) -> list[Node]:
+    out: list[Node] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, (Term, Phrase)):
+            if n not in out:
+                out.append(n)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, Not):
+            walk(n.child)
+
+    walk(node)
+    return out
+
+
+def _load_stats(index_dir: str) -> dict:
+    import duckdb
+
+    row = duckdb.sql(
+        f"SELECT * FROM read_parquet('{index_dir}/stats/*.parquet')"
+    ).fetchone()
+    n_docs, doc_count, sum_dl = int(row[0]), int(row[1]), int(row[2])
+    return {
+        "n_docs": n_docs,
+        "doc_count": doc_count,
+        "sum_dl": sum_dl,
+        "avgdl": sum_dl / doc_count if doc_count else 0.0,
+    }
+
+
+def _load_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
+    import duckdb
+
+    if not terms:
+        return {}
+    tl = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+    rows = duckdb.sql(
+        f"SELECT term, df FROM read_parquet('{index_dir}/dict/*.parquet') WHERE term IN ({tl})"
+    ).fetchall()
+    return {t: int(d) for t, d in rows}
+
+
+def _clause_weights(leaves: list[Node], dfs: dict[str, int], doc_count: int) -> list[np.float32]:
+    out = []
+    for leaf in leaves:
+        ts = [leaf.term] if isinstance(leaf, Term) else list(leaf.terms)
+        out.append(bm25.clause_weight([dfs.get(t, 0) for t in ts], doc_count))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed path
+
+_DECODE_SCHEMA = "clause int, slot int, docid long, tf long, pos array<long>"
+
+
+def _decode_postings_df(postings: DataFrame, leaves: list[Node]) -> DataFrame:
+    """Decode pruned postings rows -> flat (clause, slot, docid, tf[, pos]).
+
+    Term leaves need (docid, tf); phrase leaves additionally carry each
+    slot's in-doc positions so phrase frequency can be resolved after a
+    docid shuffle."""
+    term_clauses: dict[str, list[tuple[int, int, bool]]] = {}
+    for ci, leaf in enumerate(leaves):
+        if isinstance(leaf, Term):
+            term_clauses.setdefault(leaf.term, []).append((ci, 0, False))
+        else:
+            for slot, t in enumerate(leaf.terms):
+                term_clauses.setdefault(t, []).append((ci, slot, True))
+
+    def decode(batches):
+        for pdf in batches:
+            outs = {k: [] for k in ("clause", "slot", "docid", "tf", "pos")}
+            for _, row in pdf.iterrows():
+                docids, tfs = segments.decode_docs_tfs(row)
+                needs_pos = any(p for _, _, p in term_clauses.get(row["term"], ()))
+                pos_lists = None
+                if needs_pos and len(row["pos_bytes"]):
+                    pos, off = segments.decode_positions(row, tfs)
+                    pos_lists = [pos[off[i] : off[i + 1]] for i in range(len(docids))]
+                for ci, slot, want_pos in term_clauses.get(row["term"], ()):
+                    n = len(docids)
+                    outs["clause"].append(np.full(n, ci, dtype=np.int32))
+                    outs["slot"].append(np.full(n, slot, dtype=np.int32))
+                    outs["docid"].append(docids)
+                    outs["tf"].append(tfs)
+                    outs["pos"].append(
+                        pos_lists if (want_pos and pos_lists is not None) else [None] * n
+                    )
+            if outs["clause"]:
+                yield pd.DataFrame(
+                    {
+                        "clause": np.concatenate(outs["clause"]),
+                        "slot": np.concatenate(outs["slot"]),
+                        "docid": np.concatenate(outs["docid"]),
+                        "tf": np.concatenate(outs["tf"]),
+                        "pos": [p for lst in outs["pos"] for p in lst],
+                    }
+                )
+
+    return postings.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
+    """Resolve phrase clauses: (clause, docid, tf=phrase_freq)."""
+    n_slots = {ci: len(leaf.terms) for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)}
+    if not n_slots:
+        return None
+    b_n = n_slots
+
+    def pf(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ci = int(key[0])
+        need = b_n[ci]
+        rows_out = {"clause": [], "docid": [], "tf": []}
+        for docid, g in pdf.groupby("docid"):
+            if g["slot"].nunique() != need:
+                continue
+            base = None
+            for slot in range(need):
+                arr = g.loc[g["slot"] == slot, "pos"].iloc[0]
+                arr = np.asarray(arr, dtype=np.int64)
+                if base is None:
+                    base = arr
+                else:
+                    base = base[np.isin(base + slot, arr)]
+                if base.size == 0:
+                    break
+            if base is not None and base.size:
+                rows_out["clause"].append(ci)
+                rows_out["docid"].append(int(docid))
+                rows_out["tf"].append(int(base.size))
+        return pd.DataFrame(rows_out, columns=["clause", "docid", "tf"])
+
+    phrase_rows = decoded.filter(F.col("pos").isNotNull())
+    return phrase_rows.groupBy("clause").applyInPandas(pf, schema="clause int, docid long, tf long")
+
+
+def _score_udf(weights: list[np.float32], avgdl: float):
+    cache = bm25.norm_inverse_cache(avgdl)
+    w = np.array([np.float64(x) for x in weights])
+
+    @F.pandas_udf(T.FloatType())
+    def score(clause: pd.Series, tf: pd.Series, norm: pd.Series) -> pd.Series:
+        ninv = cache[norm.to_numpy(dtype=np.uint8)]
+        ww = w[clause.to_numpy(dtype=np.int64)]
+        s = ww - ww / (1.0 + tf.to_numpy(dtype=np.float64) * ninv)
+        return pd.Series(s.astype(np.float32))
+
+    return score
+
+
+def _mask_expr(node: Node, leaves: list[Node]):
+    if isinstance(node, (Term, Phrase)):
+        return F.col(f"c{leaves.index(node)}").isNotNull()
+    if isinstance(node, And):
+        e = _mask_expr(node.children[0], leaves)
+        for c in node.children[1:]:
+            e = e & _mask_expr(c, leaves)
+        return e
+    if isinstance(node, Or):
+        e = _mask_expr(node.children[0], leaves)
+        for c in node.children[1:]:
+            e = e | _mask_expr(c, leaves)
+        return e
+    if isinstance(node, Not):
+        return ~_mask_expr(node.child, leaves)
+    raise TypeError(node)
+
+
+def search_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    role: str | None = None,
+    tool: str | None = None,
+    ts_min=None,
+    ts_max=None,
+) -> DataFrame:
+    """Distributed BM25 top-k; returns DataFrame(docid long, score float)."""
+    ast = parse(query)
+    leaves = _leaves(ast)
+    terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
+    stats = _load_stats(index_dir)
+    dfs = _load_dfs(index_dir, terms)
+    weights = _clause_weights(leaves, dfs, stats["doc_count"])
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("term").isin(terms)
+    )
+    decoded = _decode_postings_df(postings, leaves)
+
+    term_rows = decoded.filter(F.col("pos").isNull()).select("clause", "docid", "tf")
+    parts = [term_rows]
+    ph = _phrase_freq_df(decoded, leaves)
+    if ph is not None:
+        parts.append(ph)
+    cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    for cond in (
+        (F.col("role") == role) if role is not None else None,
+        (F.col("tool") == tool) if tool is not None else None,
+        (F.col("ts") >= ts_min) if ts_min is not None else None,
+        (F.col("ts") <= ts_max) if ts_max is not None else None,
+    ):
+        if cond is not None:
+            docs = docs.filter(cond)
+    docs = docs.select("docid", "norm")
+
+    scored = cand.join(docs, "docid").withColumn(
+        "score", _score_udf(weights, stats["avgdl"])(F.col("clause"), F.col("tf"), F.col("norm"))
+    )
+
+    pivoted = (
+        scored.groupBy("docid")
+        .pivot("clause", list(range(len(leaves))))
+        .agg(F.first("score"))
+    )
+    for ci in range(len(leaves)):
+        pivoted = pivoted.withColumnRenamed(str(ci), f"c{ci}")
+
+    # float64 sum of float32 clause scores, rounded once to float32
+    total = None
+    for ci in range(len(leaves)):
+        piece = F.coalesce(F.col(f"c{ci}").cast("double"), F.lit(0.0))
+        total = piece if total is None else total + piece
+    out = (
+        pivoted.filter(_mask_expr(ast, leaves))
+        .withColumn("score", total.cast("float"))
+        .select("docid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# local path (latency bench + WAND)
+
+
+class LocalIndex:
+    """Driver-side reader: postings via DuckDB parquet pruning, norms and
+    keyword columns as docid-indexed numpy arrays."""
+
+    def __init__(self, index_dir: str):
+        import duckdb
+
+        self.dir = index_dir
+        self.stats = _load_stats(index_dir)
+        d = duckdb.sql(
+            f"SELECT docid, norm, role, tool, ts, dl FROM read_parquet('{index_dir}/docs/*.parquet') ORDER BY docid"
+        ).df()
+        assert (d["docid"].to_numpy() == np.arange(len(d))).all(), "docids must be dense"
+        self.norms = d["norm"].to_numpy().astype(np.uint8)
+        self.role = d["role"].to_numpy()
+        self.tool = d["tool"].to_numpy()
+        self.ts = d["ts"].to_numpy()
+        self.cache = bm25.norm_inverse_cache(self.stats["avgdl"])
+        self._term_cache: dict[str, list[dict]] = {}
+
+    def _term_rows(self, terms: list[str]) -> dict[str, list[dict]]:
+        import duckdb
+
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            tl = ",".join("'" + t.replace("'", "''") + "'" for t in missing)
+            df = duckdb.sql(
+                f"SELECT * FROM read_parquet('{self.dir}/postings/*.parquet') WHERE term IN ({tl})"
+            ).df()
+            for t in missing:
+                self._term_cache[t] = [r for _, r in df[df["term"] == t].iterrows()]
+        return {t: self._term_cache[t] for t in terms}
+
+    def _term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        rows = self._term_rows([term])[term]
+        if not rows:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ds, ts_ = zip(*(segments.decode_docs_tfs(r) for r in rows))
+        docids = np.concatenate(ds)
+        tfs = np.concatenate(ts_)
+        order = np.argsort(docids, kind="mergesort")
+        return docids[order], tfs[order]
+
+    def _term_positions(self, term: str):
+        """flat (docid-per-position, position) arrays for phrase eval."""
+        rows = self._term_rows([term])[term]
+        doc_flat, pos_flat = [], []
+        for r in rows:
+            docids, tfs = segments.decode_docs_tfs(r)
+            pos, off = segments.decode_positions(r, tfs)
+            doc_flat.append(np.repeat(docids, tfs))
+            pos_flat.append(pos)
+        if not doc_flat:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(doc_flat), np.concatenate(pos_flat)
+
+    # -- exhaustive vectorized eval (mirrors oracle arithmetic exactly)
+
+    def _eval(self, node: Node) -> tuple[np.ndarray, np.ndarray]:
+        n = self.stats["n_docs"]
+        if isinstance(node, (Term, Phrase)):
+            if isinstance(node, Term):
+                docids, tfs = self._term_postings(node.term)
+                dfs = [docids.size]
+            else:
+                docids, tfs = self._phrase_postings(node.terms)
+                dfs = [self._term_postings(t)[0].size for t in node.terms]
+            mask = np.zeros(n, dtype=bool)
+            acc = np.zeros(n, dtype=np.float64)
+            if docids.size and self.stats["doc_count"]:
+                w = bm25.clause_weight(dfs, self.stats["doc_count"])
+                s = bm25.score_tf(tfs, self.norms[docids], w, self.cache)
+                mask[docids] = True
+                acc[docids] = s.astype(np.float64)
+            return mask, acc
+        if isinstance(node, And):
+            ms, accs = zip(*(self._eval(c) for c in node.children))
+            return np.logical_and.reduce(ms), np.sum(accs, axis=0)
+        if isinstance(node, Or):
+            ms, accs = zip(*(self._eval(c) for c in node.children))
+            return np.logical_or.reduce(ms), np.sum(accs, axis=0)
+        if isinstance(node, Not):
+            m, _ = self._eval(node.child)
+            return ~m, np.zeros(n, dtype=np.float64)
+        raise TypeError(node)
+
+    def _phrase_postings(self, terms: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
+        SHIFT = np.int64(1) << np.int64(21)  # positions < 2^21 (dl <= 32k)
+        keys = None
+        for i, t in enumerate(terms):
+            doc_flat, pos_flat = self._term_positions(t)
+            k = doc_flat * SHIFT + (pos_flat - i)
+            keys = k if keys is None else keys[np.isin(keys, k)]
+            if keys is None or keys.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs = keys // SHIFT
+        return np.unique(docs, return_counts=True)
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        role: str | None = None,
+        tool: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> list[tuple[int, np.float32]]:
+        mask, acc = self._eval(parse(query))
+        if role is not None:
+            mask &= self.role == role
+        if tool is not None:
+            mask &= self.tool == tool
+        if ts_min is not None:
+            mask &= self.ts >= np.datetime64(ts_min)
+        if ts_max is not None:
+            mask &= self.ts <= np.datetime64(ts_max)
+        docids = np.nonzero(mask)[0]
+        scores = acc[docids].astype(np.float32)
+        order = np.lexsort((docids, -scores.astype(np.float64)))[:k]
+        return [(int(docids[i]), np.float32(scores[i])) for i in order]
+
+    # -- block-max WAND top-k for disjunctions of terms
+
+    def search_wand(self, query: str, k: int = 10) -> list[tuple[int, np.float32]]:
+        """Block-max WAND over an OR-of-terms (or single-term) query.
+        Rank/score identical to search(); skips blocks whose upper bound
+        can't beat the running threshold."""
+        ast = parse(query)
+        if isinstance(ast, Term):
+            terms = [ast.term]
+        elif isinstance(ast, Or) and all(isinstance(c, Term) for c in ast.children):
+            terms = [c.term for c in ast.children]
+        else:
+            raise ValueError("WAND path handles term / OR-of-terms queries")
+        dfs = _load_dfs(self.dir, terms)
+        its = [
+            _BlockIterator(self, t, bm25.clause_weight([dfs.get(t, 0)], self.stats["doc_count"]))
+            for t in terms
+        ]
+        its = [it for it in its if it.n_blocks]
+        heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of top-k
+
+        def threshold() -> float:
+            return heap[0][0] if len(heap) == k else -1.0
+
+        while True:
+            its = [it for it in its if not it.done]
+            if not its:
+                break
+            its.sort(key=lambda it: it.cur_doc)
+            # pivot: first iterator where cumulative ub exceeds threshold
+            ub = 0.0
+            pivot = None
+            for i, it in enumerate(its):
+                ub += it.term_ub
+                if ub > threshold():
+                    pivot = i
+                    break
+            if pivot is None:
+                break
+            pivot_doc = its[pivot].cur_doc
+            if its[0].cur_doc == pivot_doc:
+                # block-max refinement: tighter bound from current blocks
+                bub = sum(it.block_ub(pivot_doc) for it in its if it.cur_doc <= pivot_doc)
+                if bub > threshold():
+                    s = 0.0
+                    for it in its:
+                        if it.cur_doc == pivot_doc:
+                            s += float(it.score())
+                    s32 = float(np.float32(s))
+                    item = (s32, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                for it in its:
+                    if it.cur_doc == pivot_doc:
+                        it.advance(pivot_doc + 1)
+            else:
+                for i in range(pivot):
+                    its[i].advance(pivot_doc)
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(-d, np.float32(s)) for s, d in out]
+
+
+class _BlockIterator:
+    """Per-term block cursor over all (salt) rows, docid-ascending."""
+
+    def __init__(self, idx: LocalIndex, term: str, weight: np.float32):
+        self.idx = idx
+        rows = idx._term_rows([term])[term]
+        blocks = []
+        for r in rows:
+            db = np.frombuffer(r["docs_bytes"], dtype=np.uint8)
+            tb = np.frombuffer(r["tfs_bytes"], dtype=np.uint8)
+            doff = list(r["blk_doc_off"]) + [len(db)]
+            toff = list(r["blk_tf_off"]) + [len(tb)]
+            for bi in range(len(r["blk_n"])):
+                dbuf = db[doff[bi] : doff[bi + 1]]
+                first = int(varint.decode(dbuf[: _first_vbyte_len(dbuf)])[0])
+                blocks.append(
+                    {
+                        "first": first,
+                        "last": int(r["blk_last"][bi]),
+                        "max_tf": int(r["blk_max_tf"][bi]),
+                        "min_norm": int(r["blk_min_norm"][bi]),
+                        "dbuf": dbuf,
+                        "tbuf": tb[toff[bi] : toff[bi + 1]],
+                    }
+                )
+        blocks.sort(key=lambda b: b["first"])
+        self.blocks = blocks
+        self.n_blocks = len(blocks)
+        self.weight = weight
+        ubs = [
+            float(bm25.score_tf(np.array([b["max_tf"]]), np.array([b["min_norm"]]), self.weight, idx.cache)[0])
+            for b in blocks
+        ]
+        self._block_ubs = ubs
+        self.term_ub = max(ubs) if ubs else 0.0
+        self.bi = 0
+        self.done = not blocks
+        self._load_block()
+
+    def _load_block(self):
+        if self.bi >= self.n_blocks:
+            self.done = True
+            self.cur_doc = np.iinfo(np.int64).max
+            return
+        b = self.blocks[self.bi]
+        gaps = varint.decode(b["dbuf"]).astype(np.int64)
+        self._docs = np.cumsum(gaps)
+        self._tfs = varint.decode(b["tbuf"]).astype(np.int64)
+        self._pos = 0
+        self.cur_doc = int(self._docs[0])
+
+    def block_ub(self, _target: int) -> float:
+        return self._block_ubs[self.bi] if not self.done else 0.0
+
+    def score(self) -> np.float32:
+        tf = self._tfs[self._pos]
+        nb = self.idx.norms[self.cur_doc]
+        return bm25.score_tf(np.array([tf]), np.array([nb]), self.weight, self.idx.cache)[0]
+
+    def advance(self, target: int):
+        if self.done or self.cur_doc >= target:
+            return
+        moved = False
+        while self.bi < self.n_blocks and self.blocks[self.bi]["last"] < target:
+            self.bi += 1
+            moved = True
+        if self.bi >= self.n_blocks:
+            self.done = True
+            self.cur_doc = np.iinfo(np.int64).max
+            return
+        if moved:
+            self._load_block()
+        # current block's last >= target, so the match index exists
+        j = int(np.searchsorted(self._docs, target, side="left"))
+        self._pos = j
+        self.cur_doc = int(self._docs[j])
+
+
+def _first_vbyte_len(buf: np.ndarray) -> int:
+    i = 0
+    while buf[i] & 0x80:
+        i += 1
+    return i + 1

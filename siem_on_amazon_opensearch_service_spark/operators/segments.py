@@ -1,0 +1,281 @@
+"""Posting-list segment encode/decode (vectorized, Arrow-batch friendly).
+
+This is the from-scratch replacement for the index layer the reference
+delegates to Lucene (SURVEY.md §2.12).  A *segment row* holds one term's
+postings for one shard-range of docIDs:
+
+    (term, salt, shard_min, shard_max, df, cttf,
+     docs_bytes, tfs_bytes, pos_bytes,
+     blk_last[], blk_n[], blk_max_tf[], blk_min_norm[],
+     blk_doc_off[], blk_tf_off[], blk_pos_off[])
+
+- docIDs are delta-encoded VByte with the delta chain RESTARTING at every
+  128-entry block (first value of a block is the absolute docID), so rows
+  from disjoint docID ranges can be merged by pure byte concatenation —
+  no re-encode in the salted term-merge shuffle.
+- term frequencies are plain VByte, aligned with entries.
+- positions (for phrase-within-turn) are VByte gaps restarting per entry;
+  entry position counts == tf, so no extra length stream.
+- per block: last docID, entry count, max tf and min norm-byte — the
+  block-max metadata that block-max WAND uses for skipping (upper-bound
+  score = score(max_tf, min_norm) since BM25 is monotone up in tf and
+  down in doc length).
+
+All encode/decode paths are numpy-vectorized; the only Python loops are
+per-term / per-block (amortized over posting entries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions import varint
+from ..functions.analysis import (
+    MAX_TOKEN_LENGTH,
+    TOKEN_RE,
+    TRUNCATE_BYTES,
+    tokenize,
+    truncate_big_field,
+)
+
+BLOCK = 128
+
+SEGMENT_SCHEMA = (
+    "term string, salt int, shard_min int, shard_max int, df long, cttf long, "
+    "docs_bytes binary, tfs_bytes binary, pos_bytes binary, "
+    "blk_last array<long>, blk_n array<int>, blk_max_tf array<int>, "
+    "blk_min_norm array<int>, blk_doc_off array<long>, blk_tf_off array<long>, "
+    "blk_pos_off array<long>"
+)
+
+_LONG_RUN_RE = r"[A-Za-z0-9_]{" + str(MAX_TOKEN_LENGTH + 1) + ",}"
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized frozen analyzer over a pandas Series -> Series of lists.
+
+    Must agree token-for-token with analysis.tokenize (tested).  Slow-path
+    Python fallback only for the rare rows with >32,766-byte text or
+    >255-char runs.
+    """
+    s = texts.fillna("")
+    byte_len = s.str.encode("utf-8").str.len()
+    hard = (byte_len > TRUNCATE_BYTES) | s.str.contains(_LONG_RUN_RE, regex=True)
+    out = s.str.lower().str.findall(TOKEN_RE)
+    if hard.any():
+        out = out.copy()
+        out[hard] = s[hard].map(tokenize)
+    return out
+
+
+def doc_lengths(token_lists: pd.Series) -> np.ndarray:
+    return token_lists.str.len().to_numpy(dtype=np.int64)
+
+
+def explode_entries(docids: np.ndarray, token_lists: pd.Series):
+    """(docid, term, pos) arrays from per-doc token lists, sorted by
+    (term, docid, pos) — stable sort preserves doc/pos order per term."""
+    lens = token_lists.str.len().to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+            np.empty(0, dtype=np.int64),
+        )
+    ent_doc = np.repeat(np.asarray(docids, dtype=np.int64), lens)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists.to_numpy()])
+    offsets = np.repeat(np.cumsum(lens) - lens, lens)
+    ent_pos = np.arange(total, dtype=np.int64) - offsets
+    order = np.argsort(flat, kind="stable")
+    return ent_doc[order], flat[order], ent_pos[order]
+
+
+def encode_shard_postings(
+    shard: int,
+    docids: np.ndarray,
+    norm_bytes: np.ndarray,
+    token_lists: pd.Series,
+    positions: bool,
+    n_salts: int,
+) -> pd.DataFrame:
+    """One shard's docs -> segment rows, one per term (SEGMENT_SCHEMA).
+
+    ``docids`` must be ascending and contiguous-in-shard is NOT required,
+    only ascending; ``norm_bytes`` aligned with docids.
+    """
+    ent_doc, ent_term, ent_pos = explode_entries(docids, token_lists)
+    rows: list[dict] = []
+    if ent_doc.size:
+        # norm byte per entry docid (docids ascending -> searchsorted map)
+        did = np.asarray(docids, dtype=np.int64)
+        nb = np.asarray(norm_bytes, dtype=np.uint8)
+        ent_norm = nb[np.searchsorted(did, ent_doc)]
+
+        # (term, docid) entry boundaries
+        term_change = np.empty(ent_term.shape, dtype=bool)
+        term_change[0] = True
+        term_change[1:] = ent_term[1:] != ent_term[:-1]
+        key_change = term_change.copy()
+        key_change[1:] |= ent_doc[1:] != ent_doc[:-1]
+        e_start = np.nonzero(key_change)[0]
+        e_end = np.append(e_start[1:], ent_term.size)
+        e_tf = (e_end - e_start).astype(np.int64)
+        e_doc = ent_doc[e_start]
+        e_norm = ent_norm[e_start]
+
+        # position gaps: restart (absolute) at every entry
+        pos_gap = np.empty(ent_pos.shape, dtype=np.int64)
+        pos_gap[1:] = ent_pos[1:] - ent_pos[:-1]
+        pos_gap[e_start] = ent_pos[e_start]
+
+        # per-term ranges over entries
+        t_first_ent = np.nonzero(term_change)[0]
+        t_start = np.searchsorted(e_start, t_first_ent)
+        t_end = np.append(t_start[1:], e_start.size)
+        terms = ent_term[t_first_ent]
+
+        for ti in range(terms.size):
+            a, b = int(t_start[ti]), int(t_end[ti])
+            rows.append(
+                _encode_term(
+                    str(terms[ti]), shard, n_salts,
+                    e_doc[a:b], e_tf[a:b], e_norm[a:b],
+                    pos_gap[int(e_start[a]) : int(e_end[b - 1])] if positions else None,
+                    e_start[a:b] - e_start[a],
+                )
+            )
+    return pd.DataFrame(rows, columns=[c.split()[0] for c in SEGMENT_SCHEMA.split(", ")])
+
+
+def _encode_term(
+    term: str,
+    shard: int,
+    n_salts: int,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    pos_gaps: np.ndarray | None,
+    ent_pos_start: np.ndarray,
+) -> dict:
+    n = docs.size
+    docs_parts, tfs_parts, pos_parts = [], [], []
+    blk_last, blk_n, blk_max_tf, blk_min_norm = [], [], [], []
+    blk_doc_off, blk_tf_off, blk_pos_off = [], [], []
+    d_off = t_off = p_off = 0
+    for a in range(0, n, BLOCK):
+        b = min(a + BLOCK, n)
+        dbuf = varint.delta_encode(docs[a:b], first_base=0)
+        tbuf = varint.encode(tfs[a:b])
+        blk_doc_off.append(d_off)
+        blk_tf_off.append(t_off)
+        blk_pos_off.append(p_off)
+        d_off += len(dbuf)
+        t_off += len(tbuf)
+        docs_parts.append(dbuf)
+        tfs_parts.append(tbuf)
+        if pos_gaps is not None:
+            lo = int(ent_pos_start[a])
+            hi = int(ent_pos_start[b - 1] + tfs[b - 1])
+            pbuf = varint.encode(pos_gaps[lo:hi])
+            pos_parts.append(pbuf)
+            p_off += len(pbuf)
+        blk_last.append(int(docs[b - 1]))
+        blk_n.append(b - a)
+        blk_max_tf.append(int(tfs[a:b].max()))
+        blk_min_norm.append(int(norms[a:b].min()))
+    return {
+        "term": term,
+        "salt": shard % n_salts,
+        "shard_min": shard,
+        "shard_max": shard,
+        "df": int(n),
+        "cttf": int(tfs.sum()),
+        "docs_bytes": b"".join(docs_parts),
+        "tfs_bytes": b"".join(tfs_parts),
+        "pos_bytes": b"".join(pos_parts),
+        "blk_last": blk_last,
+        "blk_n": blk_n,
+        "blk_max_tf": blk_max_tf,
+        "blk_min_norm": blk_min_norm,
+        "blk_doc_off": blk_doc_off,
+        "blk_tf_off": blk_tf_off,
+        "blk_pos_off": blk_pos_off,
+    }
+
+
+def merge_rows(rows: pd.DataFrame) -> dict:
+    """Merge same-(term,salt) segment rows from disjoint shard ranges by
+    byte concatenation + offset shift (the 'final' stage of the salted
+    term shuffle).  Rows must be sorted by shard_min ascending."""
+    rows = rows.sort_values("shard_min", kind="mergesort")
+    d_lens = rows["docs_bytes"].str.len().to_numpy()
+    t_lens = rows["tfs_bytes"].str.len().to_numpy()
+    p_lens = rows["pos_bytes"].str.len().to_numpy()
+    d_base = np.cumsum(d_lens) - d_lens
+    t_base = np.cumsum(t_lens) - t_lens
+    p_base = np.cumsum(p_lens) - p_lens
+
+    def shift(col: str, base: np.ndarray) -> list:
+        out = []
+        for i, arr in enumerate(rows[col]):
+            out.extend(int(x) + int(base[i]) for x in arr)
+        return out
+
+    def cat(col: str) -> list:
+        out = []
+        for arr in rows[col]:
+            out.extend(int(x) for x in arr)
+        return out
+
+    return {
+        "term": rows["term"].iloc[0],
+        "salt": int(rows["salt"].iloc[0]),
+        "shard_min": int(rows["shard_min"].min()),
+        "shard_max": int(rows["shard_max"].max()),
+        "df": int(rows["df"].sum()),
+        "cttf": int(rows["cttf"].sum()),
+        "docs_bytes": b"".join(rows["docs_bytes"]),
+        "tfs_bytes": b"".join(rows["tfs_bytes"]),
+        "pos_bytes": b"".join(rows["pos_bytes"]),
+        "blk_last": cat("blk_last"),
+        "blk_n": cat("blk_n"),
+        "blk_max_tf": cat("blk_max_tf"),
+        "blk_min_norm": cat("blk_min_norm"),
+        "blk_doc_off": shift("blk_doc_off", d_base),
+        "blk_tf_off": shift("blk_tf_off", t_base),
+        "blk_pos_off": shift("blk_pos_off", p_base),
+    }
+
+
+# ---- decode -----------------------------------------------------------------
+
+def decode_docs_tfs(row) -> tuple[np.ndarray, np.ndarray]:
+    """Full-row decode -> (docids int64, tfs int64), ascending docids."""
+    gaps = varint.decode(row["docs_bytes"]).astype(np.int64)
+    tfs = varint.decode(row["tfs_bytes"]).astype(np.int64)
+    blk_n = np.asarray(row["blk_n"], dtype=np.int64)
+    docids = _segmented_cumsum(gaps, blk_n)
+    return docids, tfs
+
+
+def decode_positions(row, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """-> (flat positions int64, entry offsets int64[n+1]); positions of
+    entry i are flat[off[i]:off[i+1]] (ascending within entry)."""
+    pgaps = varint.decode(row["pos_bytes"]).astype(np.int64)
+    off = np.concatenate(([0], np.cumsum(tfs)))
+    pos = _segmented_cumsum(pgaps, tfs)
+    return pos, off
+
+
+def _segmented_cumsum(vals: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Cumsum restarting at each segment (first value absolute)."""
+    if vals.size == 0:
+        return vals
+    seg_lens = seg_lens[seg_lens > 0]
+    c = np.cumsum(vals)
+    starts = np.cumsum(seg_lens) - seg_lens
+    base = np.zeros(starts.size, dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, seg_lens)

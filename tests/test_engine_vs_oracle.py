@@ -1,0 +1,111 @@
+"""Rank-identity gate: Spark engine (distributed + local + WAND) must match
+the frozen Lucene-semantics oracle exactly — docids AND float32 scores —
+on every query class the reference's dashboards use (SURVEY.md §5.2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from siem_on_amazon_opensearch_service_spark.operators.oracle import LuceneOracle
+from siem_on_amazon_opensearch_service_spark.operators.search import LocalIndex, search_df
+
+QUERIES = [
+    "error",
+    "timeout",
+    "assistant",
+    "w00042",
+    "nonexistentterm",
+    "error AND timeout",
+    "error AND w00100",
+    "error OR refused",
+    "timeout OR refused OR denied",
+    '"connection reset"',
+    "error AND NOT timeout",
+    '(error OR timeout) AND connection',
+    '"connection reset" OR timeout',
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus_pdf):
+    return LuceneOracle(tiny_corpus_pdf)
+
+
+@pytest.fixture(scope="module")
+def local(tiny_index):
+    return LocalIndex(tiny_index[0])
+
+
+def _assert_hits_equal(got, expect, label):
+    got = [(int(d), np.float32(s)) for d, s in got]
+    exp = [(h.docid, h.score) for h in expect]
+    assert [g[0] for g in got] == [e[0] for e in exp], f"{label}: docids differ"
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == es, f"{label}: score mismatch doc {gd}: {gs!r} != {es!r}"
+
+
+class TestStatsParity:
+    def test_corpus_stats(self, tiny_index, oracle):
+        _, stats = tiny_index
+        assert stats["n_docs"] == oracle.n_docs
+        assert stats["doc_count"] == oracle.doc_count
+        assert stats["sum_dl"] == oracle.sum_dl
+
+
+class TestLocalVsOracle:
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_rank_identity(self, local, oracle, q):
+        _assert_hits_equal(local.search(q, k=20), oracle.search(q, k=20), q)
+
+    def test_keyword_filters(self, local, oracle):
+        for kw in [{"role": "assistant"}, {"role": "user"}, {"tool": "bash"}]:
+            got = local.search("error", k=15, **kw)
+            exp = oracle.search("error", k=15, **kw)
+            _assert_hits_equal(got, exp, f"error+{kw}")
+
+    def test_time_range_filter(self, local, oracle, tiny_corpus_pdf):
+        mid = tiny_corpus_pdf["ts"].quantile(0.5)
+        got = local.search("error", k=15, ts_max=mid)
+        exp = oracle.search("error", k=15, ts_max=mid)
+        _assert_hits_equal(got, exp, "error+ts_max")
+
+
+class TestWandVsOracle:
+    @pytest.mark.parametrize("q", ["error", "timeout OR refused OR denied", "error OR refused", "w00042"])
+    def test_wand_rank_identity(self, local, oracle, q):
+        _assert_hits_equal(local.search_wand(q, k=10), oracle.search(q, k=10), f"wand:{q}")
+
+    def test_wand_matches_exhaustive_many(self, local):
+        for q in ["error OR timeout", "assistant OR w00007 OR w00123", "connection OR reset"]:
+            assert local.search_wand(q, k=25) == local.search(q, k=25)
+
+
+class TestDistributedVsOracle:
+    @pytest.mark.parametrize("q", ["error", "error AND timeout", "error OR refused", '"connection reset"'])
+    def test_rank_identity(self, spark, tiny_index, oracle, q):
+        rows = search_df(spark, tiny_index[0], q, k=10).collect()
+        got = [(r["docid"], np.float32(r["score"])) for r in rows]
+        _assert_hits_equal(got, oracle.search(q, k=10), f"df:{q}")
+
+    def test_filters(self, spark, tiny_index, oracle):
+        rows = search_df(spark, tiny_index[0], "error", k=10, role="assistant").collect()
+        got = [(r["docid"], np.float32(r["score"])) for r in rows]
+        _assert_hits_equal(got, oracle.search("error", k=10, role="assistant"), "df:filter")
+
+
+class TestPerTurnInvariant:
+    def test_text_equality_under_stable_order(self, tiny_index, tiny_corpus_pdf):
+        """BASELINE.json per-row invariant: per-turn text equality under
+        stable (conv_id, turn_idx) ordering between ingest input and the
+        stored docs table."""
+        import duckdb
+
+        docs = duckdb.sql(
+            f"SELECT conv_id, turn_idx, text FROM read_parquet('{tiny_index[0]}/docs/*.parquet') ORDER BY docid"
+        ).df()
+        src = (
+            tiny_corpus_pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)[["conv_id", "turn_idx", "text"]]
+        )
+        src["turn_idx"] = src["turn_idx"].astype(docs["turn_idx"].dtype)
+        pd.testing.assert_frame_equal(docs, src)
