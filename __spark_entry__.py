@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark) runs the flagship BM25 investigation query over the sf0.001
+synthetic transcript corpus; queries()/oracle_sql() expose every
+implemented operator from SURVEY.md §2 with DuckDB oracles (see
+siem_on_amazon_opensearch_service_spark/entry.py for the registry).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, SparkSession
 
+from siem_on_amazon_opensearch_service_spark import entry as _registry
+
+# the DuckDB oracles over the synthetic transcript corpus need the parquet
+# to exist before the driver runs the SQL side — generate eagerly (cheap,
+# deterministic, pandas path; ~seconds at sf<=0.01)
+for _label in ("0.001", _registry.ORACLE_SF):
+    try:
+        _registry.ensure_corpus(_label)
+    except Exception:  # pragma: no cover - generation failure surfaces later
+        pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on the sf0.001 transcript corpus (rows > 0)."""
+    return _registry.flagship(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries_map()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracle_sql_map()

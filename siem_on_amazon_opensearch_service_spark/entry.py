@@ -1,0 +1,596 @@
+"""Driver-contract registry: queries() + oracle_sql() (repo __spark_entry__).
+
+Every implemented operator from SURVEY.md §2 gets a (spark, sf_dir) ->
+DataFrame entry here plus, where SQL-expressible, a DuckDB oracle statement
+over the same tables.  BM25 queries run over the deterministic synthetic
+transcript corpus (BASELINE.json input_hint) generated under
+``/root/repo/_generated`` and indexed once per scale factor; relational /
+dedup / similarity operators run over the driver's parquet tables.
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL (driver hashes values under sorted column
+names).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.analysis import SQL_SPLIT_RE
+from .operators import aggs, dedup, search, similarity, sqloracle, textstats
+from .operators.build import build_index
+from .sources import transcripts as tsrc
+
+GEN_ROOT = "/root/repo/_generated"
+ORACLE_SF = "0.01"  # the driver's correctness scale
+
+
+# ---------------------------------------------------------------------------
+# corpus / index management
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else ORACLE_SF
+
+
+def transcripts_path(label: str) -> str:
+    return f"{GEN_ROOT}/transcripts_sf{label}.parquet"
+
+
+def index_dir(label: str) -> str:
+    return f"{GEN_ROOT}/index_sf{label}"
+
+
+def ensure_corpus(label: str, spark: SparkSession | None = None) -> str:
+    os.makedirs(GEN_ROOT, exist_ok=True)
+    return tsrc.ensure_parquet(transcripts_path(label), float(label), spark=spark)
+
+
+def ensure_index(spark: SparkSession, label: str) -> str:
+    out = index_dir(label)
+    if not os.path.exists(os.path.join(out, "postings", "_SUCCESS")):
+        path = ensure_corpus(label, spark)
+        df = spark.read.parquet(path)
+        build_index(spark, df, out, n_shards=32, n_salts=8)
+    return out
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# BM25 query wrappers
+
+def _bm25(query: str, k: int = 10, **filt):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        idx = ensure_index(spark, _sf_label(sf_dir))
+        out = search.search_df(spark, idx, query, k=k, **filt)
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+        )
+
+    return run
+
+
+def _bm25_count(query: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        idx = ensure_index(spark, _sf_label(sf_dir))
+        return search.match_count_df(spark, idx, query)
+
+    return run
+
+
+BM25_QUERIES: dict[str, dict] = {
+    "bm25_term": {"query": "error", "k": 10},
+    "bm25_term_rare": {"query": "w00042", "k": 10},
+    "bm25_bool_and": {"query": "error AND timeout", "k": 10},
+    "bm25_bool_or": {"query": "timeout OR refused OR denied", "k": 10},
+    "bm25_bool_not": {"query": "error AND NOT timeout", "k": 10},
+    "bm25_phrase": {"query": '"connection reset"', "k": 10},
+    "bm25_filter_role": {"query": "error", "k": 10, "role": "assistant"},
+    "bm25_filter_tool": {"query": "file", "k": 10, "tool": "bash"},
+    "bm25_time_range": {
+        "query": "error",
+        "k": 10,
+        "ts_min": "2025-06-05 00:00:00",
+        "ts_max": "2025-06-20 00:00:00",
+    },
+}
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the driver tables
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_events_terms_topn(spark, sf_dir):
+    return aggs.terms_topn(_events(spark, sf_dir), "event_type", n=4)
+
+
+def q_events_date_histogram(spark, sf_dir):
+    return aggs.date_histogram(
+        _events(spark, sf_dir),
+        "ts",
+        "hour",
+        [F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value_r")],
+    )
+
+
+def q_events_cardinality_exact(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def q_events_filters_agg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return aggs.filters_agg(
+        ev,
+        {
+            "error_events": F.col("event_type") == "error",
+            "big_value": F.col("value") > 90,
+            "purchase": F.col("event_type") == "purchase",
+        },
+    )
+
+
+def q_events_top_hits(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", "ts")
+        .orderBy("event_type")
+    )
+
+
+def q_events_pipeline_max_bucket(spark, sf_dir):
+    return aggs.pipeline_bucket(
+        _events(spark, sf_dir), "event_type", F.date_trunc("hour", F.col("ts")), "max"
+    )
+
+
+def q_events_percentiles(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.round(F.percentile(F.col("value"), 0.5), 4).alias("p50"),
+        F.round(F.percentile(F.col("value"), 0.95), 4).alias("p95"),
+    )
+
+
+def q_events_metrics_by_type(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_r"),
+            F.round(F.avg("value"), 4).alias("avg_r"),
+            F.round(F.max("value"), 4).alias("max_r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_approx_cardinality(spark, sf_dir):
+    # HLL approx — no SQL oracle (algorithms differ); rows-only check
+    return aggs.cardinality(_events(spark, sf_dir), "user_id", exact=False)
+
+
+def q_events_range_join(spark, sf_dir):
+    """Broadcast range join (the reference's IOC/GeoIP lookup shape,
+    SURVEY.md §2.4): user_id buckets as (lo, hi) intervals."""
+    ev = _events(spark, sf_dir)
+    ranges = spark.range(0, 10).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 100).alias("lo"),
+        (F.col("id") * 100 + 49).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(ranges), (F.col("user_id") >= F.col("lo")) & (F.col("user_id") <= F.col("hi")))
+        .groupBy("bucket_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket_id")
+    )
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_segment_revenue(spark, sf_dir):
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity operators
+
+def _docs_doubled(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+def q_doc_exact_dups(spark, sf_dir):
+    return dedup.exact_duplicates(_docs_doubled(spark, sf_dir))
+
+
+def q_doc_jaccard_pairs_stats(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=2, jaccard_min=0.6
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"), F.round(F.avg("jaccard"), 6).alias("avg_jaccard_r")
+    )
+
+
+def q_doc_minhash_pairs_stats(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=2, jaccard_min=0.35
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"), F.round(F.avg("jaccard"), 6).alias("avg_jaccard_r")
+    )
+
+
+def q_doc_simhash_pairs_stats(spark, sf_dir):
+    pairs = dedup.simhash_pairs(_docs(spark, sf_dir).select("doc_id", "text"), max_hamming=8)
+    return pairs.agg(F.count("*").alias("n_pairs"), F.min("hamming").alias("min_hamming"))
+
+
+def q_doc_text_metrics(spark, sf_dir):
+    return textstats.text_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_doc_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), [0, 1, 2], k=5)
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    # ANN (LSH-bucketed) — approximate by design; rows-only check
+    return similarity.lsh_bucket_topk(_emb(spark, sf_dir), [0, 1, 2], k=5, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders for the non-BM25 entries
+
+_TOKS = (
+    f"list_filter(string_split_regex(lower(coalesce(text, '')), '{SQL_SPLIT_RE}'), x -> x <> '')"
+)
+_H48 = "CAST(concat('0x', substr(md5({0}), 1, 12)) AS BIGINT)"
+_TOKVAL = "(length({0})*131 + ascii(substr({0},1,1))*7 + ascii(substr({0},length({0}),1)))"
+
+
+def _sql_shingles(k: int = 2) -> str:
+    """DuckDB expression producing the same k-shingles as dedup.shingles_col."""
+    assert k == 2
+    return (
+        "CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+
+
+def _docs_doubled_sql() -> str:
+    return (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents"
+    )
+
+
+def _jaccard_pairs_sql(jmin: float) -> str:
+    return f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT id, unnest({_sql_shingles(2)}) AS s FROM t),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+j AS (
+  SELECT id_a, id_b,
+         round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.id = inter.id_a
+  JOIN sizes nb ON nb.id = inter.id_b
+)
+"""
+
+
+ORACLE_TRANSCRIPTS = transcripts_path(ORACLE_SF)
+
+
+def _mh_exprs() -> str:
+    return ", ".join(
+        f"min(({a} * x + {b}) % {dedup.MERSENNE61}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(dedup.MINHASH_A, dedup.MINHASH_B))
+    )
+
+
+def oracle_sql_map() -> dict[str, str]:
+    bm = {}
+    for name, spec in BM25_QUERIES.items():
+        kw = {k: v for k, v in spec.items() if k not in ("query", "k")}
+        bm[name] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, spec["query"], k=spec["k"], **kw)
+    bm["bm25_match_count"] = sqloracle.match_count_sql(ORACLE_TRANSCRIPTS, "error AND timeout")
+
+    rel = {
+        "events_terms_topn": (
+            "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type "
+            "ORDER BY cnt DESC, event_type ASC LIMIT 4"
+        ),
+        "events_date_histogram": (
+            "SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt, "
+            "round(sum(value), 4) AS sum_value_r FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "events_cardinality_exact": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_filters_agg": (
+            "SELECT 'big_value' AS bucket, count(*) FILTER (WHERE value > 90) AS cnt FROM events "
+            "UNION ALL SELECT 'error_events', count(*) FILTER (WHERE event_type = 'error') FROM events "
+            "UNION ALL SELECT 'purchase', count(*) FILTER (WHERE event_type = 'purchase') FROM events "
+            "ORDER BY bucket"
+        ),
+        "events_top_hits": (
+            "SELECT event_type, event_id, ts FROM ("
+            "  SELECT event_type, event_id, ts, row_number() OVER ("
+            "    PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events"
+            ") WHERE rn = 1 ORDER BY event_type"
+        ),
+        "events_pipeline_max_bucket": (
+            "SELECT event_type, max(m) AS max_bucket FROM ("
+            "  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS m "
+            "  FROM events GROUP BY 1, 2"
+            ") GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_percentiles": (
+            "SELECT round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.95), 4) AS p95 FROM events"
+        ),
+        "events_metrics_by_type": (
+            "SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_r, "
+            "round(avg(value), 4) AS avg_r, round(max(value), 4) AS max_r "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_range_join": (
+            "SELECT r.bucket_id, count(*) AS cnt FROM events e JOIN ("
+            "  SELECT i AS bucket_id, i*100 AS lo, i*100+49 AS hi FROM range(0, 10) t(i)"
+            ") r ON e.user_id >= r.lo AND e.user_id <= r.hi "
+            "GROUP BY r.bucket_id ORDER BY r.bucket_id"
+        ),
+        "tpch_q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS cnt "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "segment_revenue": (
+            "SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+    }
+
+    docs = {
+        "doc_exact_dups": (
+            f"SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_id, "
+            f"max(doc_id) AS max_id FROM ({_docs_doubled_sql()}) "
+            "GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_md5"
+        ),
+        "doc_jaccard_pairs_stats": (
+            _jaccard_pairs_sql(0.6)
+            + "SELECT count(*) AS n_pairs, round(avg(jaccard), 6) AS avg_jaccard_r "
+            "FROM j WHERE jaccard >= 0.6"
+        ),
+        "doc_minhash_pairs_stats": (
+            f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+shx AS (SELECT DISTINCT id, {_H48.format('s')} AS x FROM (
+  SELECT id, unnest({_sql_shingles(2)}) AS s FROM t)),
+sig AS (SELECT id, {_mh_exprs()} FROM shx GROUP BY id),
+banded AS (
+  {' UNION ALL '.join(
+      f"SELECT id, {b} AS band, concat(mh{2*b}, '_', mh{2*b+1}) AS key FROM sig"
+      for b in range(dedup.N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+),
+sh AS (SELECT DISTINCT id, unnest({_sql_shingles(2)}) AS s FROM t),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6) AS jaccard
+  FROM cand c
+  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.id = c.id_a JOIN sizes nb ON nb.id = c.id_b
+)
+SELECT count(*) AS n_pairs, round(avg(jaccard), 6) AS avg_jaccard_r
+FROM verified WHERE jaccard >= 0.35"""
+        ),
+        "doc_simhash_pairs_stats": (
+            f"""
+WITH toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents),
+hashed AS (SELECT id, {_H48.format('t')} AS x FROM toks),
+bits AS (
+  SELECT id, b, sum(((x >> b) & 1) * 2 - 1) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, 47)) AS b)
+  GROUP BY id, b
+),
+sh AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  FROM bits GROUP BY id
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sh a JOIN sh b ON a.id < b.id
+)
+SELECT count(*) AS n_pairs, min(hamming) AS min_hamming FROM pairs WHERE hamming <= 8"""
+        ),
+        "doc_text_metrics": (
+            f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks, length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z0-9_ ]', '', 'g')) AS alnum
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens, n_chars,
+         CASE WHEN n_chars > 0 THEN round(CAST(n_chars - alnum AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, x -> list_contains({textstats.STOPWORDS_EN}, x))) AS DOUBLE) / len(toks), 6) ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars, punct_ratio, stopword_ratio,
+       round(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * least(stopword_ratio * 4.0, 1.0), 6) AS quality
+FROM m ORDER BY doc_id"""
+        ),
+        "doc_lang_id": (
+            f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains({textstats.STOPWORDS_EN}, x))) AS en,
+         len(list_filter(toks, x -> list_contains({textstats.STOPWORDS_DE}, x))) AS de,
+         len(list_filter(toks, x -> list_contains({textstats.STOPWORDS_ES}, x))) AS es,
+         len(list_filter(toks, x -> list_contains({textstats.STOPWORDS_FR}, x))) AS fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+            WHEN en = greatest(en, de, es, fr) THEN 'en'
+            WHEN de = greatest(en, de, es, fr) THEN 'de'
+            WHEN es = greatest(en, de, es, fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits ORDER BY doc_id"""
+        ),
+        "doc_fingerprint": (
+            f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform({_TOKS}, t -> CAST({_TOKVAL.format('t')} AS BIGINT))),
+         (a, b) -> (a * 31 + b) % {textstats.FINGERPRINT_MOD}
+       ) AS fingerprint
+FROM documents ORDER BY doc_id"""
+        ),
+        "emb_cosine_topk": (
+            """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+                    i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+           6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+ORDER BY query_id, cos DESC, vec_id"""
+        ),
+    }
+    return {**bm, **rel, **docs}
+
+
+def queries_map() -> dict:
+    q = {}
+    for name, spec in BM25_QUERIES.items():
+        kw = {k: v for k, v in spec.items() if k not in ("query", "k")}
+        q[name] = _bm25(spec["query"], spec["k"], **kw)
+    q["bm25_match_count"] = _bm25_count("error AND timeout")
+    q.update(
+        {
+            "events_terms_topn": q_events_terms_topn,
+            "events_date_histogram": q_events_date_histogram,
+            "events_cardinality_exact": q_events_cardinality_exact,
+            "events_filters_agg": q_events_filters_agg,
+            "events_top_hits": q_events_top_hits,
+            "events_pipeline_max_bucket": q_events_pipeline_max_bucket,
+            "events_percentiles": q_events_percentiles,
+            "events_metrics_by_type": q_events_metrics_by_type,
+            "events_approx_cardinality": q_events_approx_cardinality,
+            "events_range_join": q_events_range_join,
+            "tpch_q1_pricing": q_tpch_q1_pricing,
+            "segment_revenue": q_segment_revenue,
+            "doc_exact_dups": q_doc_exact_dups,
+            "doc_jaccard_pairs_stats": q_doc_jaccard_pairs_stats,
+            "doc_minhash_pairs_stats": q_doc_minhash_pairs_stats,
+            "doc_simhash_pairs_stats": q_doc_simhash_pairs_stats,
+            "doc_text_metrics": q_doc_text_metrics,
+            "doc_lang_id": q_doc_lang_id,
+            "doc_fingerprint": q_doc_fingerprint,
+            "emb_cosine_topk": q_emb_cosine_topk,
+            "emb_lsh_topk": q_emb_lsh_topk,
+        }
+    )
+    return q
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Flagship: BM25 investigation query over the sf0.001 corpus."""
+    _prep(spark)
+    idx = ensure_index(spark, "0.001")
+    out = search.search_df(spark, idx, "error AND timeout", k=10)
+    return out.select("docid", F.round(F.col("score").cast("double"), 3).alias("score_r"))

@@ -33,8 +33,11 @@ B = 0.75
 
 
 def idf(df: int, doc_count: int) -> float:
-    """float64 idf; callers round to float32 when forming a clause weight."""
-    return float(np.log1p((doc_count - df + 0.5) / (df + 0.5)))
+    """float64 idf; callers round to float32 when forming a clause weight.
+
+    Computed as log(1 + x) — NOT log1p(x) — to match Lucene's
+    ``Math.log(1 + ...)`` and SQL ``ln(1 + ...)`` bit-for-bit."""
+    return float(np.log(1.0 + (doc_count - df + 0.5) / (df + 0.5)))
 
 
 def clause_weight(dfs: list[int], doc_count: int) -> np.float32:

@@ -1,0 +1,93 @@
+"""Dashboard aggregation operators (SURVEY.md §2.5).
+
+These re-express, as DataFrame transforms, every aggregation the
+reference's saved dashboards run through OpenSearch (extracted from
+/root/reference/source/saved_objects/**/*.ndjson ``visState.aggs``):
+terms-top-N (323×), count (220×), cardinality (32×), date_histogram (34×),
+sum/max/avg, top_hits (32×), percentiles, filters-agg (45×) and the
+bucket pipeline aggs (max/avg/sum/min_bucket).
+
+All are pure built-in-function compositions — no UDFs — so Catalyst gives
+partial aggregation, pushdown and whole-stage codegen for free; results are
+deterministically ordered (metric desc, key asc) to mirror the OpenSearch
+terms-agg tie-break and keep oracle comparisons stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def terms_topn(df: DataFrame, field: str, n: int = 10, metric: Column | None = None, metric_name: str = "cnt") -> DataFrame:
+    """OpenSearch ``terms`` bucket agg: top-N keys by metric (default doc
+    count), OpenSearch tie-break (metric desc, key asc)."""
+    metric = metric if metric is not None else F.count("*")
+    return (
+        df.groupBy(field)
+        .agg(metric.alias(metric_name))
+        .orderBy(F.col(metric_name).desc(), F.col(field).asc())
+        .limit(n)
+    )
+
+
+def date_histogram(df: DataFrame, ts: str = "ts", interval: str = "hour", metrics: list[Column] | None = None) -> DataFrame:
+    """OpenSearch ``date_histogram``: tumbling event-time buckets."""
+    metrics = metrics or [F.count("*").alias("cnt")]
+    return (
+        df.groupBy(F.date_trunc(interval, F.col(ts)).alias("bucket"))
+        .agg(*metrics)
+        .orderBy("bucket")
+    )
+
+
+def cardinality(df: DataFrame, field: str, exact: bool = False) -> DataFrame:
+    """OpenSearch ``cardinality`` (HLL approx; exact variant for oracles)."""
+    agg = F.count_distinct(F.col(field)) if exact else F.approx_count_distinct(field)
+    return df.agg(agg.alias("cardinality"))
+
+
+def filters_agg(df: DataFrame, buckets: dict[str, Column]) -> DataFrame:
+    """OpenSearch ``filters`` agg: named predicate buckets -> counts.
+    One pass, conditional counts, unpivoted to (bucket, cnt) rows."""
+    aggs = [F.count(F.when(cond, 1)).alias(name) for name, cond in buckets.items()]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n in buckets)
+    return wide.selectExpr(f"stack({len(buckets)}, {stack}) as (bucket, cnt)").orderBy("bucket")
+
+
+def top_hits(df: DataFrame, bucket: str, order_by: str, desc: bool = True, n_per_bucket: int = 1) -> DataFrame:
+    """OpenSearch ``top_hits``: latest/first doc per bucket
+    (row_number over an in-bucket sort)."""
+    oc = F.col(order_by).desc() if desc else F.col(order_by).asc()
+    w = Window.partitionBy(bucket).orderBy(oc)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_per_bucket)
+        .drop("rn")
+        .orderBy(bucket)
+    )
+
+
+def pipeline_bucket(df: DataFrame, outer: str, inner: Column, how: str = "max", metric: Column | None = None) -> DataFrame:
+    """OpenSearch pipeline aggs (``max_bucket``/``min_bucket``/``avg_bucket``
+    /``sum_bucket``): aggregate over sibling buckets' results.
+    Two-level groupBy: inner buckets per outer key, then ``how`` over the
+    inner metric."""
+    metric = metric if metric is not None else F.count("*")
+    per_bucket = df.groupBy(F.col(outer), inner.alias("inner_bucket")).agg(metric.alias("m"))
+    outer_agg = {
+        "max": F.max("m"),
+        "min": F.min("m"),
+        "avg": F.avg("m"),
+        "sum": F.sum("m"),
+    }[how]
+    return per_bucket.groupBy(outer).agg(outer_agg.alias(f"{how}_bucket")).orderBy(outer)
+
+
+def percentiles(df: DataFrame, field: str, qs: list[float]) -> DataFrame:
+    """OpenSearch ``percentiles`` — exact interpolated percentile (matches
+    SQL quantile_cont); approx variant is percentile_approx."""
+    aggs = [F.percentile(F.col(field), q).alias(f"p{int(q*100)}") for q in qs]
+    return df.agg(*aggs)

@@ -121,8 +121,9 @@ def _docs_stage(with_ids: DataFrame, shard_size: int) -> DataFrame:
     return with_ids.select(*cols).mapInPandas(add_len, schema=DOCS_SCHEMA)
 
 
-def _postings_stage(docs: DataFrame, positions: bool, n_salts: int) -> DataFrame:
-    """Shard-grouped partial postings, then the salted term merge."""
+def _partials_stage(docs: DataFrame, positions: bool, n_salts: int) -> DataFrame:
+    """Shard-grouped partial postings (map-side combine of the term shuffle):
+    one compressed segment row per (term, shard)."""
 
     def per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("docid", kind="mergesort")
@@ -136,14 +137,19 @@ def _postings_stage(docs: DataFrame, positions: bool, n_salts: int) -> DataFrame
             n_salts,
         )
 
-    partial = docs.select("shard", "docid", "norm", "text").groupBy("shard").applyInPandas(
+    return docs.select("shard", "docid", "norm", "text").groupBy("shard").applyInPandas(
         per_shard, schema=segments.SEGMENT_SCHEMA
     )
+
+
+def _merge_stage(partials: DataFrame) -> DataFrame:
+    """Salted repartition-by-term merge: shuffle on (term, salt) so hot terms
+    split across n_salts reducers; byte-concat merge (no re-encode)."""
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame([segments.merge_rows(pdf)])
 
-    return partial.groupBy("term", "salt").applyInPandas(merge, schema=segments.SEGMENT_SCHEMA)
+    return partials.groupBy("term", "salt").applyInPandas(merge, schema=segments.SEGMENT_SCHEMA)
 
 
 def build_index(
@@ -209,18 +215,19 @@ def build_index(
     else:
         docs = spark.read.parquet(docs_path)
 
+    partials_path = os.path.join(out_dir, "partials")
     all_shards = set(range(-(-params["total_docs"] // params["shard_size"])))
     todo = sorted(all_shards - done_shards)
     built = 0
     if todo:
+        # checkpoint unit = shard: the expensive tokenize+encode stage is
+        # persisted per shard; a resumed build appends only missing shards.
         subset = docs if not done_shards else docs.filter(F.col("shard").isin(todo))
-        seg = _postings_stage(subset, positions, n_salts)
-        wp = write_partitions or max(8, spark.sparkContext.defaultParallelism)
+        seg = _partials_stage(subset, positions, n_salts)
         (
-            seg.repartition(wp, "term", "salt")
-            .sortWithinPartitions("term", "salt", "shard_min")
+            seg.repartition(max(8, spark.sparkContext.defaultParallelism), "term", "salt")
             .write.mode("append")
-            .parquet(postings_path)
+            .parquet(partials_path)
         )
         # lineage/metrics per shard — the resume unit (north_rule)
         manifest = (
@@ -236,16 +243,29 @@ def build_index(
         manifest.write.mode("append").parquet(manifest_path)
         built = len(todo)
 
-    # dict is derived from final postings — recomputed cheaply on any append
-    post = spark.read.parquet(postings_path)
-    (
-        post.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
-        .repartition(1)
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(dict_path)
-    )
+    if todo or not os.path.exists(os.path.join(postings_path, "_SUCCESS")):
+        # idempotent final merge over ALL partials: output is independent of
+        # how many resume passes produced them (byte-identical segments,
+        # SURVEY.md §5.2 item 5); cost is a shuffle of already-compressed
+        # blobs, far below the tokenize stage it avoids repeating.
+        merged = _merge_stage(spark.read.parquet(partials_path))
+        wp = write_partitions or max(8, spark.sparkContext.defaultParallelism)
+        (
+            merged.repartition(wp, "term", "salt")
+            .sortWithinPartitions("term", "salt", "shard_min")
+            .write.mode("overwrite")
+            .parquet(postings_path)
+        )
+        # term dictionary (global df/cttf) — derived from final postings
+        post = spark.read.parquet(postings_path)
+        (
+            post.groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
+            .repartition(1)
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(dict_path)
+        )
     st = spark.read.parquet(stats_path).collect()[0]
     return {
         "n_docs": st["n_docs"],

@@ -1,0 +1,183 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash (hamming pairs via xor + bit_count), and n-gram Jaccard
+near-dup.  All are pure DataFrame/SQL compositions (no Python UDFs) so they
+scale the way any Spark groupBy/join does; hot work is the shingle
+explosion, which partial-aggregates map-side before the shuffle.
+
+Portable hashing contract (engine == DuckDB oracle): a string hashes to the
+first 12 hex chars of its md5 read as an int (48 bits, exact in int64 and
+in SQL `CAST('0x'||substr(md5(s),1,12) AS BIGINT)`).  MinHash permutations
+are h_i(x) = (a_i * x + b_i) mod (2^61 - 1) with small fixed a_i so the
+product stays in int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import SQL_SPLIT_RE
+
+MERSENNE61 = (1 << 61) - 1
+# fixed, public-knowledge-style permutation constants (a < 2^12 keeps
+# a*x < 2^60 for x < 2^48 — no int64 overflow engine- or oracle-side)
+MINHASH_A = [1223, 2741, 919, 3469, 1597, 2063, 3907, 1151]
+MINHASH_B = [101, 20249, 4099, 900001, 7333, 31337, 65447, 271]
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+
+
+def h48(col: Column) -> Column:
+    """48-bit integer hash of a string (md5-prefix; portable to DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    """Frozen-analyzer tokens as an array column (split + lowercase +
+    drop-empties) — same token stream as the index tokenizer for ASCII."""
+    return F.filter(F.split(F.lower(text), SQL_SPLIT_RE), lambda x: x != "")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-shingles (space-joined) of the token stream."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: md5(text) -> (hash, n_dups, keeper=min id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("text_md5")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: explode shingles, hash, min per
+    permutation (map-side partial min before the shuffle)."""
+    sh = df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("shingle"))
+    sh = sh.select(id_col, h48(F.col("shingle")).alias("x")).distinct()
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    jaccard_min: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding (2 rows/band, 4 bands) with
+    exact shingle-Jaccard verification: (id_a, id_b, jaccard) with
+    jaccard >= jaccard_min, id_a < id_b."""
+    sig = minhash_signatures(df, id_col, text_col, k)
+    bands = []
+    for b in range(N_BANDS):
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("key"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    j = ngram_jaccard(df, id_col, text_col, k)
+    return (
+        cand.join(j, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= jaccard_min)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing >=1 shingle:
+    (id_a, id_b, jaccard).  |A∩B| from a self-join on distinct shingles,
+    |A∪B| = |A| + |B| - |A∩B|."""
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), k)).alias("s")).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, jaccard_min: float = 0.5) -> DataFrame:
+    return ngram_jaccard(df, id_col, text_col, k).filter(F.col("jaccard") >= jaccard_min).orderBy("id_a", "id_b")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48) -> DataFrame:
+    """Per-doc SimHash over token hashes: bit b set iff more (distinct-kept,
+    frequency-weighted) tokens have bit b set than not.  Declarative
+    formulation: explode tokens -> hash -> explode bit positions ->
+    conditional sum -> reassemble."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("t"))
+    hashed = toks.select("id", h48(F.col("t")).alias("x"))
+    bit = hashed.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("x"),
+    ).select(
+        "id", "b",
+        (F.shiftright(F.col("x"), F.col("b").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
+    )
+    per_bit = bit.groupBy("id", "b").agg(F.sum("v").alias("s"))
+    return (
+        per_bit.groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int"))).otherwise(0)
+            ).alias("simhash")
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    (Bucketed-by-prefix at scale; all-pairs xor at oracle scale.)"""
+    s = simhash(df, id_col, text_col)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -277,6 +277,53 @@ def search_df(
     return out
 
 
+def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
+    """Boolean match count (no scoring): posting-set algebra as DataFrame
+    set ops — intersect = inner join, union = distinct union, NOT =
+    left_anti (SURVEY.md §2.3 bool query)."""
+    ast = parse(query)
+    leaves = _leaves(ast)
+    terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
+    postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("term").isin(terms)
+    )
+    decoded = _decode_postings_df(postings, leaves)
+    clause_docs: dict[int, DataFrame] = {}
+    for ci, leaf in enumerate(leaves):
+        if isinstance(leaf, Term):
+            clause_docs[ci] = (
+                decoded.filter((F.col("clause") == ci) & F.col("pos").isNull())
+                .select("docid")
+                .distinct()
+            )
+    ph = _phrase_freq_df(decoded, leaves)
+    if ph is not None:
+        for ci, leaf in enumerate(leaves):
+            if isinstance(leaf, Phrase):
+                clause_docs[ci] = ph.filter(F.col("clause") == ci).select("docid").distinct()
+
+    def combine(node: Node) -> DataFrame:
+        if isinstance(node, (Term, Phrase)):
+            return clause_docs[leaves.index(node)]
+        if isinstance(node, And):
+            pos = [c for c in node.children if not isinstance(c, Not)]
+            neg = [c.child for c in node.children if isinstance(c, Not)]
+            out = combine(pos[0])
+            for c in pos[1:]:
+                out = out.join(combine(c), "docid")
+            for c in neg:
+                out = out.join(combine(c), "docid", "left_anti")
+            return out
+        if isinstance(node, Or):
+            out = combine(node.children[0])
+            for c in node.children[1:]:
+                out = out.unionByName(combine(c))
+            return out.distinct()
+        raise TypeError(node)
+
+    return combine(ast).agg(F.count("*").alias("n_matches"))
+
+
 # ---------------------------------------------------------------------------
 # local path (latency bench + WAND)
 

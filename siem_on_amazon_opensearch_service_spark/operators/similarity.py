@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k per query vector — the exact
+  baseline.  The dot product stays JVM-side (zip_with + aggregate in
+  float64); queries are a broadcast-joined tiny dimension, so the plan is
+  scan -> broadcast nested-loop -> per-query window top-k: one shuffle of
+  only (n_queries x k) survivors at scale.
+
+- ``lsh_bucket_topk``: the scale path — sign-random-projection LSH.
+  Hyperplane weights are a *deterministic arithmetic formula* of
+  (bit, dim) (Knuth multiplicative hash), so executors regenerate them for
+  free (no broadcast of weight matrices) and results are reproducible at
+  any parallelism.  Candidates = same-bucket rows; exact cosine re-rank
+  inside buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_BITS = 8
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, cos) — exact top-k by cosine per query vector,
+    tie-break ascending vec_id, self-match excluded."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = emb.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select("query_id", id_col, cosine(F.col("qvec"), F.col(vec_col)).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos")
+        .orderBy("query_id", F.col("cos").desc(), id_col)
+    )
+
+
+def hyperplane_weight(bit: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random weight in [-0.5, 0.5): Knuth hash of
+    (bit * 1009 + dim) scaled — identical on any executor, no state."""
+    h = ((bit * 1009 + dim) * _KNUTH) % _M32
+    return h / F.lit(float(_M32)) - 0.5
+
+
+def lsh_bucket(vec: Column, dim: int, n_bits: int = N_BITS) -> Column:
+    """Sign-random-projection bucket id (n_bits-bit integer)."""
+    bits = []
+    for b in range(n_bits):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda v, d: v.cast("double") * hyperplane_weight(F.lit(b), d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding", n_bits: int = N_BITS) -> DataFrame:
+    """ANN: candidates share the query's LSH bucket; exact cosine re-rank.
+    At scale the bucket equi-join replaces the all-pairs nested loop."""
+    withb = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, n_bits))
+    q = withb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    joined = withb.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id"))
+    )
+    scored = joined.select("query_id", id_col, cosine(F.col("qvec"), F.col(vec_col)).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos")
+        .orderBy("query_id", F.col("cos").desc(), id_col)
+    )

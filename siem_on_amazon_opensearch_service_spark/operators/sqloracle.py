@@ -1,0 +1,179 @@
+"""DuckDB-SQL oracle generator for BM25 queries.
+
+Renders the entire frozen scoring pipeline — stable docIDs, analyzer,
+lossy norms, Lucene BM25, tie-break — as one ANSI-ish SQL statement DuckDB
+can run directly against the transcript parquet.  This is the driver-facing
+correctness oracle (``__spark_entry__.oracle_sql``); the same arithmetic is
+unit-tested bit-exact against the engine in tests/.
+"""
+
+from __future__ import annotations
+
+from ..functions.analysis import SQL_SPLIT_RE, sql_truncate_expr
+from ..functions.bm25 import sql_idf_expr, sql_score_expr
+from ..functions.smallfloat import sql_decode_case
+from ..plans.query import And, Node, Not, Or, Phrase, Term, parse
+
+
+def _base_ctes(path: str) -> str:
+    trunc = sql_truncate_expr("text")
+    return f"""
+raw AS (
+  SELECT conv_id, turn_idx, role, tool, ts, {trunc} AS text
+  FROM read_parquet('{path}')
+),
+d AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+         conv_id, turn_idx, role, tool, ts, text
+  FROM raw
+),
+tok0 AS (
+  SELECT docid,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '{SQL_SPLIT_RE}'),
+                     x -> x <> '') AS toks
+  FROM d
+),
+dl AS (SELECT docid, len(toks) AS dl FROM tok0),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         CAST(sum(dl) AS DOUBLE) / count(*) FILTER (WHERE dl > 0) AS avgdl
+  FROM dl
+),
+dln AS (SELECT docid, {sql_decode_case('dl')} AS dl_dec FROM dl),
+tok AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY pre_pos) - 1 AS pos
+  FROM (
+    SELECT docid, unnest(toks) AS term, generate_subscripts(toks, 1) AS pre_pos
+    FROM tok0
+  )
+)"""
+
+
+def _q(t: str) -> str:
+    return "'" + t.replace("'", "''") + "'"
+
+
+def _leaf_ctes(leaves: list[Node]) -> str:
+    parts = []
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, Term):
+            parts.append(
+                f"tf_{i} AS (SELECT docid, count(*) AS tf FROM tok WHERE term = {_q(leaf.term)} GROUP BY docid)"
+            )
+            weight = sql_idf_expr(f"(SELECT count(*) FROM tf_{i})", "(SELECT doc_count FROM stats)")
+        else:  # Phrase: adjacency self-joins on positions
+            joins = "tok t0"
+            conds = [f"t0.term = {_q(leaf.terms[0])}"]
+            for j, t in enumerate(leaf.terms[1:], start=1):
+                joins += f" JOIN tok t{j} ON t{j}.docid = t0.docid AND t{j}.pos = t0.pos + {j}"
+                conds.append(f"t{j}.term = {_q(t)}")
+            parts.append(
+                f"tf_{i} AS (SELECT t0.docid, count(*) AS tf FROM {joins} WHERE {' AND '.join(conds)} GROUP BY t0.docid)"
+            )
+            idf_sum = " + ".join(
+                f"ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "
+                f"(SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5) / "
+                f"((SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5))"
+                for t in leaf.terms
+            )
+            weight = f"CAST({idf_sum} AS FLOAT)"
+        score = sql_score_expr("f.tf", "n.dl_dec", weight, "(SELECT avgdl FROM stats)")
+        parts.append(
+            f"s_{i} AS (SELECT f.docid, {score} AS s FROM tf_{i} f JOIN dln n USING (docid))"
+        )
+    return ",\n".join(parts)
+
+
+def _combine_sql(ast: Node, leaves: list[Node]) -> str:
+    def idx(n: Node) -> int:
+        return leaves.index(n)
+
+    if isinstance(ast, (Term, Phrase)):
+        return f"SELECT docid, s FROM s_{idx(ast)}"
+    if isinstance(ast, Or):
+        assert all(isinstance(c, (Term, Phrase)) for c in ast.children)
+        union = " UNION ALL ".join(f"SELECT docid, s FROM s_{idx(c)}" for c in ast.children)
+        return f"SELECT docid, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS s FROM ({union}) GROUP BY docid"
+    if isinstance(ast, And):
+        pos = [c for c in ast.children if not isinstance(c, Not)]
+        neg = [c.child for c in ast.children if isinstance(c, Not)]
+        assert pos and all(isinstance(c, (Term, Phrase)) for c in pos + neg)
+        first = f"s_{idx(pos[0])}"
+        joins = "".join(f" JOIN s_{idx(c)} USING (docid)" for c in pos[1:])
+        total = " + ".join(f"CAST(s_{idx(c)}.s AS DOUBLE)" for c in pos)
+        where = "".join(
+            f" AND docid NOT IN (SELECT docid FROM tf_{idx(c)})" for c in neg
+        )
+        return (
+            f"SELECT docid, CAST({total} AS FLOAT) AS s FROM {first}{joins} WHERE TRUE{where}"
+        )
+    raise ValueError(f"oracle SQL supports term/and/or/phrase, got {ast}")
+
+
+def match_count_sql(path: str, query: str) -> str:
+    """DuckDB statement: single row (n_matches BIGINT) for a boolean query."""
+    ast = parse(query)
+    leaves: list[Node] = []
+
+    def collect(n: Node) -> None:
+        if isinstance(n, (Term, Phrase)):
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                collect(c)
+        elif isinstance(n, Not):
+            collect(n.child)
+
+    collect(ast)
+    return f"""WITH {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)})
+SELECT count(*) AS n_matches FROM combined"""
+
+
+def bm25_sql(
+    path: str,
+    query: str,
+    k: int = 10,
+    role: str | None = None,
+    tool: str | None = None,
+    ts_min: str | None = None,
+    ts_max: str | None = None,
+) -> str:
+    """Full DuckDB statement: (docid BIGINT, score_r DOUBLE) top-k."""
+    ast = parse(query)
+    leaves: list[Node] = []
+
+    def collect(n: Node) -> None:
+        if isinstance(n, (Term, Phrase)):
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                collect(c)
+        elif isinstance(n, Not):
+            collect(n.child)
+
+    collect(ast)
+    filters = []
+    if role is not None:
+        filters.append(f"d.role = {_q(role)}")
+    if tool is not None:
+        filters.append(f"d.tool = {_q(tool)}")
+    if ts_min is not None:
+        filters.append(f"d.ts >= TIMESTAMP '{ts_min}'")
+    if ts_max is not None:
+        filters.append(f"d.ts <= TIMESTAMP '{ts_max}'")
+    fsql = (" WHERE " + " AND ".join(filters)) if filters else ""
+    return f"""WITH {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)})
+SELECT docid, round(CAST(s AS DOUBLE), 3) AS score_r
+FROM (
+  SELECT c.docid, c.s
+  FROM combined c JOIN d USING (docid){fsql}
+  ORDER BY c.s DESC, c.docid ASC
+  LIMIT {k}
+)"""

@@ -1,0 +1,92 @@
+"""Pre-verification of the driver contract: every queries() entry that has
+an oracle_sql() is run through Spark AND DuckDB at sf0.01 and compared the
+way the driver does (row count + schema-insensitive sorted-value match).
+This is the local mirror of CORRECTNESS_r{N}.json."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind in "fc":
+            df[c] = s.astype(np.float64)
+        elif s.dtype.kind in "iu":
+            df[c] = s.astype(np.int64)
+        elif s.dtype.kind == "M":
+            df[c] = s.astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _cells_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) < 1e-12
+    return a == b
+
+
+ORACLE_KEYS = None
+
+
+def _oracle_keys():
+    import __spark_entry__ as m
+
+    return sorted(m.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_keys())
+def test_query_matches_oracle(name, entrymod, ddb, spark):
+    qfn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = qfn(spark, SF_DIR).toPandas()
+    exp = ddb.sql(sql).df()
+    ga, ea = _canon(got), _canon(exp)
+    assert list(ga.columns) == list(ea.columns), f"{name}: columns {list(ga.columns)} != {list(ea.columns)}"
+    assert len(ga) == len(ea), f"{name}: row count {len(ga)} != {len(ea)}"
+    for col in ga.columns:
+        for i, (a, b) in enumerate(zip(ga[col], ea[col])):
+            assert _cells_equal(a, b), f"{name}: col {col} row {i}: {a!r} != {b!r}"
+
+
+def test_rows_only_queries_run(entrymod, spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in set(qs) - set(oracles):
+        n = qs[name](spark, SF_DIR).count()
+        assert n >= 0, name
+
+
+def test_entry_smoke(entrymod, spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"docid", "score_r"}
