@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract: one JSON line on stdout).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+- index-build throughput over the synthetic transcript corpus at the same
+  scale factor (turns/sec — the BASELINE.json headline metric),
+- BM25 query latency p50 per reference query class (term, AND, OR, phrase)
+  on the local reader (the latency path) and one distributed run,
+- a relational/dedup sample over the driver tables.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py -> BENCH/BASELINE.md (it spawns separate JVMs via
+spark-submit; a single process can't host two masters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BM25_QUERIES = {
+    "bm25_term": "error",
+    "bm25_and": "error AND timeout",
+    "bm25_or": "timeout OR refused OR denied",
+    "bm25_phrase": '"connection reset"',
+}
+
+
+def main() -> None:
+    from siem_on_amazon_opensearch_service_spark import entry as reg
+    from siem_on_amazon_opensearch_service_spark.operators.build import build_index
+    from siem_on_amazon_opensearch_service_spark.operators.search import LocalIndex, search_df
+    from siem_on_amazon_opensearch_service_spark.session import get_spark
+
+    label = reg._sf_label(SF_DIR)
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    queries: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    # corpus (cached across rounds; generation is not part of the metric)
+    corpus = reg.ensure_corpus(label, spark)
+    tdf = spark.read.parquet(corpus)
+    n_turns = tdf.count()
+
+    # 1) index build (fresh)
+    idx_dir = os.path.join(reg.GEN_ROOT, f"bench_index_sf{label}_c{CPUS}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(spark, tdf, idx_dir, n_shards=max(32, CPUS * 2), n_salts=8)
+    build_sec = time.perf_counter() - t0
+    queries["index_build"] = round(build_sec, 3)
+    turns_per_sec = n_turns / build_sec
+
+    # 2) BM25 latency p50 (local reader; first call warms segment cache)
+    local = LocalIndex(idx_dir)
+    for name, q in BM25_QUERIES.items():
+        local.search(q, k=10)  # warm
+        times = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            local.search(q, k=10)
+            times.append(time.perf_counter() - t0)
+        queries[name + "_p50"] = round(statistics.median(times), 4)
+
+    # WAND latency on the disjunction
+    local.search_wand("timeout OR refused OR denied", k=10)
+    t0 = time.perf_counter()
+    local.search_wand("timeout OR refused OR denied", k=10)
+    queries["bm25_or_wand_p50"] = round(time.perf_counter() - t0, 4)
+
+    # one distributed search (scatter/gather shape)
+    t0 = time.perf_counter()
+    search_df(spark, idx_dir, "error AND timeout", k=10).collect()
+    queries["bm25_and_distributed"] = round(time.perf_counter() - t0, 3)
+
+    # 3) relational / dedup sample over driver tables
+    qmap = reg.queries_map()
+    for name in ["tpch_q1_pricing", "events_date_histogram", "events_terms_topn", "doc_minhash_pairs_stats"]:
+        t0 = time.perf_counter()
+        qmap[name](spark, SF_DIR).collect()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = time.perf_counter() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+bm25_query_suite",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(label),
+                "n_turns": n_turns,
+                "turns_per_sec": round(turns_per_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Scalar ingest functions (SURVEY.md §2.9) — Spark-column re-expressions of
+the reference's per-row normalization helpers.
+
+Each function cites the reference behavior it reproduces
+(/root/reference/source/lambda/es_loader/...); all are column expressions
+(JVM-side, codegen) except IPv6 int-encoding, which needs Python's
+``ipaddress`` and is an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def epoch_to_timestamp(col: Column) -> Column:
+    """Auto-ranging epoch parse (siem/utils.py:348-365): seconds / millis /
+    micros chosen by magnitude (10 / 13 / 16 digits)."""
+    c = col.cast("double")
+    secs = (
+        F.when(c >= 1e15, c / 1e6)
+        .when(c >= 1e12, c / 1e3)
+        .otherwise(c)
+    )
+    return F.timestamp_seconds(secs)
+
+
+def timestamp_nano_truncate(col: Column) -> Column:
+    """ISO8601 strings with nanosecond fractions truncated to micros before
+    parse (siem/utils.py:307-314) — Spark TimestampType is µs anyway."""
+    trimmed = F.regexp_replace(col, r"(\.\d{6})\d+", r"$1")
+    return F.to_timestamp(trimmed)
+
+
+def with_fixed_tz(ts: Column, tz_offset: str) -> Column:
+    """Fixed-offset timezone per logtype (siem/__init__.py:512-517;
+    aws.ini timestamp_tz): interpret naive ts in tz, convert to UTC."""
+    return F.to_utc_timestamp(ts, tz_offset)
+
+
+def ipv4_to_int(col: Column) -> Column:
+    """Pure-SQL IPv4 -> int (the reference int-encodes IPs for range
+    joins, siem/ioc.py:186-190)."""
+    p = F.split(col, r"\.")
+    return (
+        p.getItem(0).cast("long") * F.lit(16777216)
+        + p.getItem(1).cast("long") * F.lit(65536)
+        + p.getItem(2).cast("long") * F.lit(256)
+        + p.getItem(3).cast("long")
+    )
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("hi", T.LongType()),
+    T.StructField("mid", T.LongType()),
+    T.StructField("lo", T.LongType()),
+]))
+def ipv6_to_int3(s: pd.Series) -> pd.DataFrame:
+    """IPv6 -> 3-way int split (upper48/mid48/low32) exactly like the
+    reference's IOC database encoding (ioc_database/lambda_function.py:
+    296-315) so conjunctive band range-joins stay in int64."""
+    his, mids, los = [], [], []
+    for v in s:
+        try:
+            n = int(ipaddress.IPv6Address(v))
+        except (ValueError, TypeError):
+            his.append(None); mids.append(None); los.append(None)
+            continue
+        his.append((n >> 80) & ((1 << 48) - 1))
+        mids.append((n >> 32) & ((1 << 48) - 1))
+        los.append(n & ((1 << 32) - 1))
+    return pd.DataFrame({"hi": his, "mid": mids, "lo": los})
+
+
+def is_valid_ipv4(col: Column) -> Column:
+    """Syntactic IP validation (siem/utils.py:194-203)."""
+    return col.rlike(r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$")
+
+
+def url_decompose(col: Column) -> Column:
+    """method/path decompose analogue (siem/utils.py:206-288): struct of
+    url parts via parse_url + regexp."""
+    return F.struct(
+        col.alias("original"),
+        F.parse_url(col, F.lit("HOST")).alias("domain"),
+        F.parse_url(col, F.lit("PATH")).alias("path"),
+        F.parse_url(col, F.lit("QUERY")).alias("query"),
+        F.regexp_extract(col, r"^(\w+):", 1).alias("scheme"),
+        F.regexp_extract(col, r"\.([A-Za-z0-9]+)(?:\?|$)", 1).alias("extension"),
+    )
+
+
+def doc_id_md5(*cols: Column) -> Column:
+    """Content-derived doc id: MD5 over message (+ discriminators)
+    (siem/__init__.py:683-706)."""
+    return F.md5(F.concat_ws("\x00", *cols))
+
+
+def del_none_value(col: Column) -> Column:
+    """The reference drops empty/'-'/'null' leaves before indexing
+    (siem/__init__.py:1103-1121 del_none); column analogue -> NULL."""
+    return F.when(col.isin("", "-", "null", "NULL"), F.lit(None)).otherwise(col)
+
+
+def safe_field_names(df):
+    """'-' -> '_' in all column names (siem/utils.py:1008-1025)."""
+    out = df
+    for c in df.columns:
+        if "-" in c:
+            out = out.withColumnRenamed(c, c.replace("-", "_"))
+    return out
+
+
+def protocol_name(col: Column) -> Column:
+    """IANA protocol number -> name (sf_vpcflowlogs.py:24-42 exemplar of the
+    sf_ transform family)."""
+    m = F.create_map(
+        F.lit(1), F.lit("icmp"), F.lit(6), F.lit("tcp"),
+        F.lit(17), F.lit("udp"), F.lit(41), F.lit("ipv6"),
+        F.lit(47), F.lit("gre"), F.lit(50), F.lit("esp"),
+    )
+    return F.coalesce(F.element_at(m, col.cast("int")), col.cast("string"))
+
+
+def action_outcome(col: Column) -> Column:
+    """ACCEPT/REJECT -> event.outcome (sf_vpcflowlogs.py:16-22)."""
+    return (
+        F.when(col == "ACCEPT", "success")
+        .when(col == "REJECT", "failure")
+        .otherwise("unknown")
+    )

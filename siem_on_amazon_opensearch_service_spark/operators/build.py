@@ -55,12 +55,12 @@ DOCS_SCHEMA = (
 )
 
 
-def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True) -> tuple[DataFrame, int]:
+def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True, base: int = 0) -> tuple[DataFrame, int]:
     """Add a dense int64 ``docid`` column under stable (conv_id, turn_idx)
-    order; returns (df_with_docid, total_rows).  Deterministic at any
-    parallelism: docid is the global rank, computed from per-conversation
-    sizes + driver-side partition offsets (never from partition iteration
-    order)."""
+    order; returns (df_with_docid, base + n_rows).  Deterministic at any
+    parallelism: docid is the global rank (+ ``base`` for incremental
+    appends), computed from per-conversation sizes + driver-side partition
+    offsets (never from partition iteration order)."""
     spark = df.sparkSession
     sizes = df.groupBy("conv_id").agg(
         F.count("*").alias("n"),
@@ -81,7 +81,7 @@ def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True) -
         raise ValueError("turn_idx is not dense 0-based within some conversation")
     psums = {r["pid"]: r["s"] for r in agg}
     bases: dict[int, int] = {}
-    acc = 0
+    acc = base
     for pid in sorted(psums):
         bases[pid] = acc
         acc += psums[pid]

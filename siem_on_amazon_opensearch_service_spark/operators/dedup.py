@@ -152,14 +152,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         F.col("x"),
     ).select(
         "id", "b",
-        (F.shiftright(F.col("x"), F.col("b").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
+        # shiftright with a column shift amount needs the SQL form
+        (F.expr("shiftright(x, cast(b as int)) & 1") * 2 - 1).alias("v"),
     )
     per_bit = bit.groupBy("id", "b").agg(F.sum("v").alias("s"))
     return (
         per_bit.groupBy("id")
         .agg(
             F.sum(
-                F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int"))).otherwise(0)
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(F.lit(0))
             ).alias("simhash")
         )
         .withColumnRenamed("id", id_col)

@@ -1,0 +1,158 @@
+"""Ingest-parity tests: file-format scans (SURVEY.md §2.1) and scalar
+normalization functions (§2.9) against reference-documented behaviors."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.functions import scalars
+from siem_on_amazon_opensearch_service_spark.sources import formats
+
+
+@pytest.fixture(scope="module")
+def tdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("fmt")
+
+
+class TestScalars:
+    def test_epoch_auto_ranging(self, spark):
+        # reference siem/utils.py:348-365: 10/13/16-digit auto-ranging
+        df = spark.createDataFrame(
+            [(1, 1717200000), (2, 1717200000123), (3, 1717200000123456)], "id int, e long"
+        )
+        out = {r["id"]: r["ts"] for r in df.select("id", scalars.epoch_to_timestamp(F.col("e")).alias("ts")).collect()}
+        assert out[1] == dt.datetime(2024, 6, 1, 0, 0, 0)
+        assert out[2] == dt.datetime(2024, 6, 1, 0, 0, 0, 123000)
+        assert out[3] == dt.datetime(2024, 6, 1, 0, 0, 0, 123456)
+
+    def test_nano_truncation(self, spark):
+        # siem/utils.py:307-314: nanos truncated to micros
+        df = spark.createDataFrame([("2024-06-01 10:20:30.123456789",)], "s string")
+        r = df.select(scalars.timestamp_nano_truncate(F.col("s")).alias("ts")).collect()[0]
+        assert r["ts"] == dt.datetime(2024, 6, 1, 10, 20, 30, 123456)
+
+    def test_ipv4_int_and_validation(self, spark):
+        df = spark.createDataFrame([("10.0.0.1",), ("256.1.1.1",), ("1.2.3.4",)], "ip string")
+        out = df.select(
+            "ip",
+            scalars.ipv4_to_int(F.col("ip")).alias("n"),
+            scalars.is_valid_ipv4(F.col("ip")).alias("ok"),
+        ).collect()
+        byip = {r["ip"]: r for r in out}
+        assert byip["10.0.0.1"]["n"] == 10 * 16777216 + 1
+        assert byip["1.2.3.4"]["n"] == 16909060
+        assert byip["256.1.1.1"]["ok"] is False
+        assert byip["10.0.0.1"]["ok"] is True
+
+    def test_ipv6_three_way_split(self, spark):
+        # ioc_database/lambda_function.py:296-315 3-way split
+        df = spark.createDataFrame([("2001:db8::1",)], "ip string")
+        r = df.select(scalars.ipv6_to_int3(F.col("ip")).alias("s")).collect()[0]["s"]
+        n = int.from_bytes(__import__("ipaddress").IPv6Address("2001:db8::1").packed, "big")
+        assert r["hi"] == (n >> 80) & ((1 << 48) - 1)
+        assert r["mid"] == (n >> 32) & ((1 << 48) - 1)
+        assert r["lo"] == n & ((1 << 32) - 1)
+
+    def test_protocol_and_outcome(self, spark):
+        df = spark.createDataFrame([(6, "ACCEPT"), (17, "REJECT"), (99, "X")], "p int, a string")
+        out = df.select(
+            scalars.protocol_name(F.col("p")).alias("proto"),
+            scalars.action_outcome(F.col("a")).alias("outcome"),
+        ).collect()
+        assert [(r["proto"], r["outcome"]) for r in out] == [
+            ("tcp", "success"), ("udp", "failure"), ("99", "unknown"),
+        ]
+
+    def test_del_none_and_safe_names(self, spark):
+        df = spark.createDataFrame([("-", 1), ("x", 2)], ["a-b", "n"])
+        df2 = scalars.safe_field_names(df)
+        assert "a_b" in df2.columns
+        vals = [r["v"] for r in df2.select(scalars.del_none_value(F.col("a_b")).alias("v")).collect()]
+        assert vals == [None, "x"]
+
+    def test_doc_id_md5(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([("msg", "key")], "m string, k string")
+        r = df.select(scalars.doc_id_md5(F.col("m"), F.col("k")).alias("id")).collect()[0]
+        assert r["id"] == hashlib.md5(b"msg\x00key").hexdigest()
+
+
+class TestFormats:
+    def test_text_regex_named_groups(self, spark, tdir):
+        p = os.path.join(str(tdir), "alb.log")
+        with open(p, "w") as f:
+            f.write("GET 200 1.5\nPOST 404 0.2\n")
+        df = formats.read_text_regex(
+            spark, p, r"(?P<method>\w+) (?P<status>\d+) (?P<dur>[\d.]+)"
+        )
+        rows = sorted((r["method"], r["status"], r["dur"]) for r in df.collect())
+        assert rows == [("GET", "200", "1.5"), ("POST", "404", "0.2")]
+
+    def test_csv_header_rename(self, spark, tdir):
+        p = os.path.join(str(tdir), "x.csv")
+        with open(p, "w") as f:
+            f.write("user-name,bytes-sent\nalice,10\n")
+        df = formats.read_csv_logs(spark, p)
+        assert set(df.columns) == {"user_name", "bytes_sent"}
+
+    def test_json_records_envelope(self, spark, tdir):
+        p = os.path.join(str(tdir), "trail.json")
+        with open(p, "w") as f:
+            f.write(json.dumps({"Records": [{"eventName": "A"}, {"eventName": "B"}]}) + "\n")
+        df = formats.read_json_records(spark, p)
+        assert sorted(r["eventName"] for r in df.collect()) == ["A", "B"]
+
+    def test_cloudwatch_envelope(self, spark, tdir):
+        p = os.path.join(str(tdir), "cwl.json")
+        rec = {
+            "messageType": "DATA_MESSAGE",
+            "owner": "123", "logGroup": "g", "logStream": "s",
+            "logEvents": [
+                {"id": "1", "timestamp": 1717200000000, "message": "hello"},
+                {"id": "2", "timestamp": 1717200001000, "message": "world"},
+            ],
+        }
+        with open(p, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.write(json.dumps({**rec, "messageType": "CONTROL_MESSAGE"}) + "\n")
+        df = formats.unwrap_cloudwatch_logs(formats.read_ndjson(spark, p))
+        rows = df.collect()
+        assert len(rows) == 2  # control message dropped
+        assert sorted(r["message"] for r in rows) == ["hello", "world"]
+
+    def test_multiline_grouping(self, spark, tdir):
+        p = os.path.join(str(tdir), "multi.log")
+        with open(p, "w") as f:
+            f.write("2024-06-01 ERROR boom\n  at line1\n  at line2\n2024-06-01 INFO ok\n")
+        df = formats.read_multiline(
+            spark, p, r"^\d{4}-\d{2}-\d{2}", r"(?P<date>\d{4}-\d{2}-\d{2}) (?P<level>\w+) (?P<rest>[\s\S]*)"
+        )
+        rows = {r["level"]: r["rest"] for r in df.collect()}
+        assert "line2" in rows["ERROR"]
+        assert rows["INFO"] == "ok"
+
+    def test_cef(self, spark, tdir):
+        p = os.path.join(str(tdir), "x.cef")
+        with open(p, "w") as f:
+            f.write("CEF:0|Vendor|Product|1.0|42|Name|5|src=10.0.0.1 dst=10.0.0.2 msg=hi there\n")
+        df = formats.read_cef(spark, p)
+        r = df.collect()[0]
+        assert r["device_vendor"] == "Vendor"
+        assert r["extensions"]["src"] == "10.0.0.1"
+        assert r["extensions"]["msg"] == "hi there"
+
+    def test_logtype_dispatch_and_key_ignore(self, spark):
+        df = spark.createDataFrame(
+            [("AWSLogs/123/CloudTrail/x.json.gz",), ("AWSLogs/123/vpcflowlogs/y.gz",), ("tmp/z",)],
+            "s3key string",
+        )
+        rules = [(r"CloudTrail", "cloudtrail"), (r"vpcflowlogs", "vpcflowlogs")]
+        out = df.select("s3key", formats.logtype_from_key(F.col("s3key"), rules).alias("lt"))
+        got = {r["s3key"].split("/")[-1]: r["lt"] for r in out.collect()}
+        assert got == {"x.json.gz": "cloudtrail", "y.gz": "vpcflowlogs", "z": "unknown"}
+        kept = formats.s3_key_ignored(df, r"^tmp/").count()
+        assert kept == 2
