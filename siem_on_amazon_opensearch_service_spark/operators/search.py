@@ -110,6 +110,10 @@ def _decode_postings_df(postings: DataFrame, leaves: list[Node]) -> DataFrame:
             for slot, t in enumerate(leaf.terms):
                 term_clauses.setdefault(t, []).append((ci, slot, True))
 
+    any_phrase = any(isinstance(lf, Phrase) for lf in leaves)
+    cols = ["term", "docs_bytes", "tfs_bytes", "blk_n"] + (["pos_bytes"] if any_phrase else [])
+    postings = postings.select(*cols)  # column-prune the parquet scan
+
     def decode(batches):
         for pdf in batches:
             outs = {k: [] for k in ("clause", "slot", "docid", "tf", "pos")}

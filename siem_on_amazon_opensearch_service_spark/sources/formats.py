@@ -93,7 +93,7 @@ def read_cef(spark: SparkSession, path: str) -> DataFrame:
     hdr = F.split(F.col("value"), r"(?<!\\)\|")
     ext = F.element_at(hdr, 8)
     pairs = F.expr(
-        r"map_from_entries(transform(regexp_extract_all(ext, '(\\\\w+)=([^=]*?)(?=\\\\s+\\\\w+=|$)', 0), "
+        r"map_from_entries(transform(regexp_extract_all(ext, '(\\w+)=([^=]*?)(?=\\s+\\w+=|$)', 0), "
         r"p -> struct(split(p, '=', 2)[0] as k, split(p, '=', 2)[1] as v)))"
     )
     return raw.select(

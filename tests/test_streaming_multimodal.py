@@ -93,7 +93,9 @@ class TestMultimodal:
             [(i, f"payload text {i} " * (i + 1)) for i in range(9)], "doc_id long, text string"
         )
         media = mm.synthetic_media(spark, docs)
-        assert media.schema == mm.MEDIA_SCHEMA
+        got = [(f.name, f.dataType.simpleString()) for f in media.schema.fields]
+        exp = [(f.name, f.dataType.simpleString()) for f in mm.MEDIA_SCHEMA.fields]
+        assert got == exp  # nullability is representation detail
         feats = mm.extract_features(media, fake=True).collect()
         assert len(feats) == 9
         assert all(len(r["feature"]) == mm.FEATURE_DIM for r in feats)
