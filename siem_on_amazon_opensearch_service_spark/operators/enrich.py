@@ -1,0 +1,103 @@
+"""Enrichment joins (SURVEY.md §2.4) — the reference's stream-side lookups
+re-expressed as broadcast joins.
+
+All reference joins are lookups against small local databases (MaxMind
+mmdb, IOC sqlite, trusted-proxy list, WinEvt TSV) — broadcast joins in
+Spark terms; the IOC/GeoIP lookups are *range* joins on int-encoded IPs
+(/root/reference/source/lambda/es_loader/siem/ioc.py:165-228, geodb.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.scalars import ipv4_to_int, is_valid_ipv4
+
+# RFC1918 + loopback + link-local, int-encoded — the reference skips
+# private IPs before IOC lookup (siem/ioc.py:75-93)
+_PRIVATE_RANGES = [
+    (167772160, 184549375),      # 10.0.0.0/8
+    (2886729728, 2887778303),    # 172.16.0.0/12
+    (3232235520, 3232301055),    # 192.168.0.0/16
+    (2130706432, 2147483647),    # 127.0.0.0/8
+    (2851995648, 2852061183),    # 169.254.0.0/16
+]
+
+
+def is_private_ipv4(ip_int: Column) -> Column:
+    cond = F.lit(False)
+    for lo, hi in _PRIVATE_RANGES:
+        cond = cond | ((ip_int >= lo) & (ip_int <= hi))
+    return cond
+
+
+def ioc_ip_match(df: DataFrame, ioc: DataFrame, ip_col: str = "source_ip") -> DataFrame:
+    """IOC IP range match (siem/ioc.py:165-228): int-encode the event IP,
+    skip private ranges, broadcast-range-join the indicator table
+    (provider, network_start, network_end, name)."""
+    ip_int = ipv4_to_int(F.col(ip_col))
+    cand = df.withColumn("ip_int", ip_int).filter(
+        is_valid_ipv4(F.col(ip_col)) & ~is_private_ipv4(F.col("ip_int"))
+    )
+    return cand.join(
+        F.broadcast(ioc),
+        (F.col("ip_int") >= F.col("network_start")) & (F.col("ip_int") <= F.col("network_end")),
+        "inner",
+    )
+
+
+def geoip_lookup(df: DataFrame, geo: DataFrame, ip_col: str) -> DataFrame:
+    """GeoIP lookup (siem/geodb.py): same broadcast range-join shape over a
+    (net_start, net_end, country, city, lat, lon, asn) table (the mmdb
+    converted to ranges)."""
+    ip_int = ipv4_to_int(F.col(ip_col))
+    return df.withColumn("ip_int", ip_int).join(
+        F.broadcast(geo),
+        (F.col("ip_int") >= F.col("net_start")) & (F.col("ip_int") <= F.col("net_end")),
+        "left",
+    ).drop("ip_int")
+
+
+def resolve_xff_client(df: DataFrame, trusted: DataFrame, xff_col: str = "xff", id_cols: list[str] | None = None) -> DataFrame:
+    """Trusted-proxy X-Forwarded-For resolution (siem/xff.py:172-216):
+    walk the XFF chain right-to-left; the first IP NOT in a trusted range
+    is the client.  Spark shape: posexplode the chain, broadcast-range-join
+    the trust table, take the max position among untrusted entries."""
+    id_cols = id_cols or ["event_id"]
+    chain = F.split(F.regexp_replace(F.col(xff_col), r"\s+", ""), ",")
+    ex = df.select(*id_cols, F.posexplode(chain).alias("pos", "ip"))
+    ex = ex.withColumn("ip_int", ipv4_to_int(F.col("ip"))).filter(is_valid_ipv4(F.col("ip")))
+    joined = ex.join(
+        F.broadcast(trusted),
+        (F.col("ip_int") >= F.col("net_start")) & (F.col("ip_int") <= F.col("net_end")),
+        "left",
+    ).withColumn("trusted", F.col("net_start").isNotNull())
+    untrusted = joined.filter(~F.col("trusted"))
+    w = Window.partitionBy(*id_cols).orderBy(F.col("pos").desc())
+    client = (
+        untrusted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*id_cols, F.col("ip").alias("client_ip"))
+    )
+    return df.join(client, id_cols, "left")
+
+
+def winevt_eventid_lookup(df: DataFrame, lookup: DataFrame, event_id_col: str = "event_id") -> DataFrame:
+    """WinEvt EventID -> (action, outcome) broadcast equi-join
+    (siem/fileformat_winevtxml.py:26-54)."""
+    return df.join(F.broadcast(lookup), df[event_id_col] == lookup["win_event_id"], "left").drop(
+        "win_event_id"
+    )
+
+
+def threat_matched_rollup(enriched: DataFrame, id_cols: list[str], provider_col: str = "provider", name_col: str = "name") -> DataFrame:
+    """Enrichment merge-back (siem/__init__.py:899-959): roll matched
+    indicators up to sorted-deduped arrays per event
+    (threat.matched.{providers,indicators})."""
+    return enriched.groupBy(*id_cols).agg(
+        F.array_sort(F.collect_set(provider_col)).alias("matched_providers"),
+        F.array_sort(F.collect_set(name_col)).alias("matched_indicators"),
+        F.count("*").alias("n_matches"),
+    )

@@ -1,0 +1,122 @@
+"""Enrichment joins (§2.4) and ECS mapping family (§2.2) tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.functions import ecs
+from siem_on_amazon_opensearch_service_spark.operators import enrich
+
+
+@pytest.fixture(scope="module")
+def ioc_table(spark):
+    rows = [
+        ("feedA", 3232235520 + 256 * 5, 3232235520 + 256 * 5 + 255, "bad-net-192.168.5"),
+        ("feedB", 167837696, 167837951, "bad-10.1.1.x"),  # but private -> never matches
+        ("feedA", 1684300900, 1684301000, "bad-public"),
+    ]
+    return spark.createDataFrame(rows, "provider string, network_start long, network_end long, name string")
+
+
+class TestEnrichJoins:
+    def test_ioc_range_join_skips_private(self, spark, ioc_table):
+        ev = spark.createDataFrame(
+            [(1, "100.101.102.110"), (2, "10.1.1.5"), (3, "8.8.8.8")],
+            "event_id long, source_ip string",
+        )
+        # 100.101.102.110 -> 1684301422? compute: in range?
+        got = enrich.ioc_ip_match(ev, ioc_table).select("event_id", "name").collect()
+        # private 10.1.1.5 must not match even though feedB covers it
+        assert all(r["event_id"] != 2 for r in got)
+
+    def test_ioc_match_hits_range(self, spark, ioc_table):
+        # craft an IP inside feedA's public range: 1684300900 = 100.101.102.36
+        ip = ".".join(str((1684300950 >> s) & 255) for s in (24, 16, 8, 0))
+        ev = spark.createDataFrame([(7, ip)], "event_id long, source_ip string")
+        got = enrich.ioc_ip_match(ev, ioc_table).select("name").collect()
+        assert [r["name"] for r in got] == ["bad-public"]
+
+    def test_xff_resolution(self, spark):
+        # trusted proxies: 10.0.0.0/8 and 192.168.0.0/16 (as ranges)
+        trusted = spark.createDataFrame(
+            [(167772160, 184549375), (3232235520, 3232301055)], "net_start long, net_end long"
+        )
+        ev = spark.createDataFrame(
+            [
+                (1, "203.0.113.7,10.0.0.1,192.168.1.1"),  # client = 203.0.113.7
+                (2, "198.51.100.9, 203.0.113.5, 10.0.0.2"),  # rightmost untrusted = 203.0.113.5
+                (3, "10.0.0.1,192.168.1.1"),  # all trusted -> null
+            ],
+            "event_id long, xff string",
+        )
+        got = {r["event_id"]: r["client_ip"] for r in enrich.resolve_xff_client(ev, trusted).collect()}
+        assert got[1] == "203.0.113.7"
+        assert got[2] == "203.0.113.5"
+        assert got[3] is None
+
+    def test_winevt_lookup_and_rollup(self, spark):
+        lookup = spark.createDataFrame(
+            [(4624, "logon", "success"), (4625, "logon", "failure")],
+            "win_event_id int, action string, outcome string",
+        )
+        ev = spark.createDataFrame([(1, 4624), (2, 4625), (3, 9999)], "id long, event_id int")
+        got = {r["id"]: r["outcome"] for r in enrich.winevt_eventid_lookup(ev, lookup).collect()}
+        assert got == {1: "success", 2: "failure", 3: None}
+
+        matches = spark.createDataFrame(
+            [(1, "feedA", "x"), (1, "feedB", "y"), (1, "feedA", "x")],
+            "id long, provider string, name string",
+        )
+        r = enrich.threat_matched_rollup(matches, ["id"]).collect()[0]
+        assert r["matched_providers"] == ["feedA", "feedB"]
+        assert r["matched_indicators"] == ["x", "y"]
+        assert r["n_matches"] == 3
+
+    def test_geoip_shape(self, spark):
+        geo = spark.createDataFrame(
+            [(16777216, 16777471, "AU")], "net_start long, net_end long, country string"
+        )
+        ev = spark.createDataFrame([("1.0.0.5",), ("9.9.9.9",)], "ip string")
+        got = sorted(r["country"] for r in enrich.geoip_lookup(ev, geo, "ip").collect() if r["country"])
+        assert got == ["AU"]
+
+
+class TestEcsMapping:
+    def test_coalesce_projection(self, spark):
+        df = spark.createDataFrame(
+            [("", "1.2.3.4", "fallback"), ("5.6.7.8", "", "x"), ("-", None, "y")],
+            "srcaddr string, src_ip string, other string",
+        )
+        out = ecs.ecs_map(df, {"source.ip": ["srcaddr", "src_ip", "other"]})
+        assert [r["source_ip"] for r in out.collect()] == ["1.2.3.4", "5.6.7.8", "y"]
+
+    def test_list_field_union_dedupe_sort(self, spark):
+        df = spark.createDataFrame([("2.2.2.2", "1.1.1.1", "2.2.2.2")], "a string, b string, c string")
+        out = ecs.ecs_map_list(df, "related.ip", ["a", "b", "c"])
+        assert out.collect()[0]["related_ip"] == ["1.1.1.1", "2.2.2.2"]
+
+    def test_rename_constants_prefix(self, spark):
+        df = spark.createDataFrame([(1, "x")], "old_name int, val string")
+        out = ecs.rename_fields(df, {"old_name": "new_name"})
+        out = ecs.static_constants(out, {"event.kind": "event"})
+        assert out.collect()[0]["new_name"] == 1
+        assert out.collect()[0]["event_kind"] == "event"
+        pref = ecs.field_prefix(df, "aws", ["old_name", "val"])
+        assert pref.collect()[0]["aws"]["val"] == "x"
+
+    def test_json_to_text(self, spark):
+        df = spark.createDataFrame([((1, "a"), 5)], "s struct<x:int,y:string>, n int")
+        out = ecs.json_to_text(df, ["s", "n"])
+        r = out.collect()[0]
+        assert r["s"] == '{"x":1,"y":"a"}'
+        assert r["n"] == "5"
+
+    def test_transform_registry_exemplars(self, spark):
+        df = spark.createDataFrame([(6, "ACCEPT")], "protocol int, action string")
+        out = ecs.apply_transform(df, "vpcflowlogs").collect()[0]
+        assert out["network_transport"] == "tcp"
+        assert out["event_outcome"] == "success"
+        ct = spark.createDataFrame([("AccessDenied",), (None,)], "errorCode string")
+        got = [r["event_outcome"] for r in ecs.apply_transform(ct, "cloudtrail").collect()]
+        assert got == ["failure", "success"]
+        # unknown logtype: no-op
+        assert ecs.apply_transform(df, "nope").columns == df.columns
