@@ -142,14 +142,28 @@ def _partials_stage(docs: DataFrame, positions: bool, n_salts: int) -> DataFrame
     )
 
 
-def _merge_stage(partials: DataFrame) -> DataFrame:
+def _merge_stage(partials: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Salted repartition-by-term merge: shuffle on (term, salt) so hot terms
-    split across n_salts reducers; byte-concat merge (no re-encode)."""
+    split across n_salts reducers; byte-concat merge (no re-encode).
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([segments.merge_rows(pdf)])
+    Implemented as repartition + one vectorized pandas pass per partition
+    (segments.merge_partition) rather than groupBy().applyInPandas — with
+    millions of (term, salt) groups the per-group Arrow round-trip dominates
+    (measured 29s -> ~4s at sf0.1); the shuffle itself is identical."""
+    np_ = num_partitions or max(8, partials.sparkSession.sparkContext.defaultParallelism)
 
-    return partials.groupBy("term", "salt").applyInPandas(merge, schema=segments.SEGMENT_SCHEMA)
+    def merge(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        if len(pdf):
+            yield segments.merge_partition(pdf)
+
+    return (
+        partials.repartition(np_, "term", "salt")
+        .mapInPandas(merge, schema=segments.SEGMENT_SCHEMA)
+    )
 
 
 def build_index(
@@ -248,11 +262,13 @@ def build_index(
         # how many resume passes produced them (byte-identical segments,
         # SURVEY.md §5.2 item 5); cost is a shuffle of already-compressed
         # blobs, far below the tokenize stage it avoids repeating.
-        merged = _merge_stage(spark.read.parquet(partials_path))
         wp = write_partitions or max(8, spark.sparkContext.defaultParallelism)
+        merged = _merge_stage(spark.read.parquet(partials_path), wp)
+        # merge output is already hash-partitioned on (term, salt); an
+        # in-partition sort gives term-clustered files (parquet min/max
+        # row-group skipping at query time) without a second shuffle
         (
-            merged.repartition(wp, "term", "salt")
-            .sortWithinPartitions("term", "salt", "shard_min")
+            merged.sortWithinPartitions("term", "salt", "shard_min")
             .write.mode("overwrite")
             .parquet(postings_path)
         )

@@ -89,30 +89,47 @@ def minhash_lsh_pairs(
     exact shingle-Jaccard verification: (id_a, id_b, jaccard) with
     jaccard >= jaccard_min, id_a < id_b."""
     sig = minhash_signatures(df, id_col, text_col, k)
-    bands = []
-    for b in range(N_BANDS):
-        bands.append(
-            sig.select(
-                F.col(id_col),
+    # one-pass banding: explode an inline array of (band, key) structs —
+    # a per-band select+union would re-run the whole signature pipeline
+    # N_BANDS times (no implicit caching of a reused DataFrame)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws("_", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("key"),
             )
-        )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    j = ngram_jaccard(df, id_col, text_col, k)
-    return (
-        cand.join(j, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= jaccard_min)
-        .orderBy("id_a", "id_b")
+    # exact-Jaccard verification on CANDIDATE pairs only (never all-pairs:
+    # at scale the shared-shingle self-join explodes quadratically on
+    # common shingles; LSH exists precisely to avoid it)
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), k)).alias("s")).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a_sh = sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b_sh = sh.select(F.col("id").alias("idb2"), F.col("s").alias("sb"))
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, (F.col("id_b") == F.col("idb2")) & (F.col("sa") == F.col("sb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
+    verified = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_min).orderBy("id_a", "id_b")
 
 
 def ngram_jaccard(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:

@@ -21,7 +21,6 @@ Two execution paths, both rank- and score-identical to the frozen oracle
 
 from __future__ import annotations
 
-import heapq
 import os
 
 import numpy as np
@@ -456,9 +455,16 @@ class LocalIndex:
     # -- block-max WAND top-k for disjunctions of terms
 
     def search_wand(self, query: str, k: int = 10) -> list[tuple[int, np.float32]]:
-        """Block-max WAND over an OR-of-terms (or single-term) query.
-        Rank/score identical to search(); skips blocks whose upper bound
-        can't beat the running threshold."""
+        """Block-max WAND over a term / OR-of-terms query, rank- and
+        score-identical to search().
+
+        Document-at-a-time over 128-entry blocks, vectorized: the pivot is
+        chosen with term-level upper bounds (WAND), then the candidate
+        docid range [cursor..range_end] is either skipped wholesale when
+        the sum of the overlapping blocks' bounds is STRICTLY below the
+        running k-th score (strictness keeps equal-score/docid tie-breaks
+        exact) or scored exactly with numpy.  A global cursor guarantees
+        each doc is scored at most once."""
         ast = parse(query)
         if isinstance(ast, Term):
             terms = [ast.term]
@@ -467,132 +473,161 @@ class LocalIndex:
         else:
             raise ValueError("WAND path handles term / OR-of-terms queries")
         dfs = _load_dfs(self.dir, terms)
-        its = [
-            _BlockIterator(self, t, bm25.clause_weight([dfs.get(t, 0)], self.stats["doc_count"]))
+        tbs = [
+            _TermBlocks(self, t, bm25.clause_weight([dfs.get(t, 0)], self.stats["doc_count"]))
             for t in terms
         ]
-        its = [it for it in its if it.n_blocks]
-        heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of top-k
-
-        def threshold() -> float:
-            return heap[0][0] if len(heap) == k else -1.0
+        tbs = [t for t in tbs if t.n_blocks]
+        top_d = np.empty(0, dtype=np.int64)
+        top_s = np.empty(0, dtype=np.float32)
+        cursor = 0
+        MAXID = np.iinfo(np.int64).max
 
         while True:
-            its = [it for it in its if not it.done]
-            if not its:
+            active = [t for t in tbs if not t.exhausted]
+            if not active:
                 break
-            its.sort(key=lambda it: it.cur_doc)
-            # pivot: first iterator where cumulative ub exceeds threshold
-            ub = 0.0
-            pivot = None
-            for i, it in enumerate(its):
-                ub += it.term_ub
-                if ub > threshold():
+            active.sort(key=lambda t: t.cur_first)
+            full = top_d.size >= k
+            theta = float(top_s[-1]) if full else -np.inf
+
+            cum, pivot = 0.0, None
+            for i, t in enumerate(active):
+                cum += t.term_ub
+                if not full or cum >= theta:
                     pivot = i
                     break
             if pivot is None:
-                break
-            pivot_doc = its[pivot].cur_doc
-            if its[0].cur_doc == pivot_doc:
-                # block-max refinement: tighter bound from current blocks
-                bub = sum(it.block_ub(pivot_doc) for it in its if it.cur_doc <= pivot_doc)
-                if bub > threshold():
-                    s = 0.0
-                    for it in its:
-                        if it.cur_doc == pivot_doc:
-                            s += float(it.score())
-                    s32 = float(np.float32(s))
-                    item = (s32, -pivot_doc)
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
-                for it in its:
-                    if it.cur_doc == pivot_doc:
-                        it.advance(pivot_doc + 1)
-            else:
-                for i in range(pivot):
-                    its[i].advance(pivot_doc)
-        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
-        return [(-d, np.float32(s)) for s, d in out]
+                break  # even all terms together fall strictly below theta
+
+            pivot_first = max(active[pivot].cur_first, cursor)
+            moved = False
+            for t in active[: pivot + 1]:
+                if t.cur_last < pivot_first:
+                    t.advance_to(pivot_first)
+                    moved = True
+            if moved:
+                continue
+            cursor = max(cursor, pivot_first)
+
+            # stable candidate range: shrink until every involved term's
+            # current block covers it entirely
+            range_end = active[pivot].cur_last
+            while True:
+                involved = [t for t in active if t.cur_first <= range_end and not t.exhausted]
+                new_end = min((t.cur_last for t in involved), default=range_end)
+                if new_end == range_end:
+                    break
+                range_end = new_end
+            if not involved:
+                cursor = range_end + 1
+                continue
+
+            bound = sum(t.cur_ub for t in involved)
+            if full and bound < theta:
+                cursor = range_end + 1
+                for t in involved:
+                    t.advance_to(cursor)
+                continue
+
+            parts_d, parts_s = [], []
+            for t in involved:
+                d, tf = t.block_entries()
+                j0 = int(np.searchsorted(d, cursor, side="left"))
+                j1 = int(np.searchsorted(d, range_end, side="right"))
+                if j1 > j0:
+                    dd = d[j0:j1]
+                    ss = bm25.score_tf(tf[j0:j1], self.norms[dd], t.weight, self.cache)
+                    parts_d.append(dd)
+                    parts_s.append(ss.astype(np.float64))
+            if parts_d:
+                alld = np.concatenate(parts_d)
+                alls = np.concatenate(parts_s)
+                ud, inv = np.unique(alld, return_inverse=True)
+                tot = np.zeros(ud.size, dtype=np.float64)
+                np.add.at(tot, inv, alls)
+                md = np.concatenate([top_d, ud])
+                ms = np.concatenate([top_s, tot.astype(np.float32)])
+                order = np.lexsort((md, -ms.astype(np.float64)))[:k]
+                top_d, top_s = md[order], ms[order]
+
+            cursor = range_end + 1
+            for t in involved:
+                t.advance_to(cursor)
+
+        return [(int(d), np.float32(s)) for d, s in zip(top_d, top_s)]
 
 
-class _BlockIterator:
-    """Per-term block cursor over all (salt) rows, docid-ascending."""
+class _TermBlocks:
+    """Per-term block cursor over all (salt) segment rows of a term.
+    Blocks are docid-disjoint across rows (each doc lives in one shard),
+    so sorting by first docid yields a single ascending block sequence."""
 
     def __init__(self, idx: LocalIndex, term: str, weight: np.float32):
         self.idx = idx
-        rows = idx._term_rows([term])[term]
-        blocks = []
-        for r in rows:
+        self.weight = weight
+        firsts, lasts, ubs, bufs = [], [], [], []
+        for r in idx._term_rows([term])[term]:
             db = np.frombuffer(r["docs_bytes"], dtype=np.uint8)
             tb = np.frombuffer(r["tfs_bytes"], dtype=np.uint8)
             doff = list(r["blk_doc_off"]) + [len(db)]
             toff = list(r["blk_tf_off"]) + [len(tb)]
             for bi in range(len(r["blk_n"])):
                 dbuf = db[doff[bi] : doff[bi + 1]]
-                first = int(varint.decode(dbuf[: _first_vbyte_len(dbuf)])[0])
-                blocks.append(
-                    {
-                        "first": first,
-                        "last": int(r["blk_last"][bi]),
-                        "max_tf": int(r["blk_max_tf"][bi]),
-                        "min_norm": int(r["blk_min_norm"][bi]),
-                        "dbuf": dbuf,
-                        "tbuf": tb[toff[bi] : toff[bi + 1]],
-                    }
-                )
-        blocks.sort(key=lambda b: b["first"])
-        self.blocks = blocks
-        self.n_blocks = len(blocks)
-        self.weight = weight
-        ubs = [
-            float(bm25.score_tf(np.array([b["max_tf"]]), np.array([b["min_norm"]]), self.weight, idx.cache)[0])
-            for b in blocks
-        ]
-        self._block_ubs = ubs
-        self.term_ub = max(ubs) if ubs else 0.0
+                firsts.append(int(varint.decode(dbuf[: _first_vbyte_len(dbuf)])[0]))
+                lasts.append(int(r["blk_last"][bi]))
+                ub = bm25.score_tf(
+                    np.array([int(r["blk_max_tf"][bi])]),
+                    np.array([int(r["blk_min_norm"][bi])]),
+                    weight,
+                    idx.cache,
+                )[0]
+                ubs.append(float(ub))
+                bufs.append((dbuf, tb[toff[bi] : toff[bi + 1]]))
+        order = np.argsort(np.asarray(firsts, dtype=np.int64), kind="mergesort")
+        self.firsts = np.asarray(firsts, dtype=np.int64)[order]
+        self.lasts = np.asarray(lasts, dtype=np.int64)[order]
+        self.ubs = np.asarray(ubs, dtype=np.float64)[order]
+        self.bufs = [bufs[i] for i in order]
+        self.n_blocks = len(self.bufs)
+        self.term_ub = float(self.ubs.max()) if self.n_blocks else 0.0
         self.bi = 0
-        self.done = not blocks
-        self._load_block()
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    def _load_block(self):
-        if self.bi >= self.n_blocks:
-            self.done = True
-            self.cur_doc = np.iinfo(np.int64).max
+    @property
+    def exhausted(self) -> bool:
+        return self.bi >= self.n_blocks
+
+    @property
+    def cur_first(self) -> int:
+        return int(self.firsts[self.bi]) if not self.exhausted else np.iinfo(np.int64).max
+
+    @property
+    def cur_last(self) -> int:
+        return int(self.lasts[self.bi]) if not self.exhausted else np.iinfo(np.int64).max
+
+    @property
+    def cur_ub(self) -> float:
+        return float(self.ubs[self.bi]) if not self.exhausted else 0.0
+
+    def advance_to(self, target: int) -> None:
+        """Move to the first block whose last docid >= target (lasts are
+        ascending because blocks are disjoint + sorted)."""
+        if self.exhausted:
             return
-        b = self.blocks[self.bi]
-        gaps = varint.decode(b["dbuf"]).astype(np.int64)
-        self._docs = np.cumsum(gaps)
-        self._tfs = varint.decode(b["tbuf"]).astype(np.int64)
-        self._pos = 0
-        self.cur_doc = int(self._docs[0])
+        j = int(np.searchsorted(self.lasts, target, side="left"))
+        self.bi = max(self.bi, j)
 
-    def block_ub(self, _target: int) -> float:
-        return self._block_ubs[self.bi] if not self.done else 0.0
-
-    def score(self) -> np.float32:
-        tf = self._tfs[self._pos]
-        nb = self.idx.norms[self.cur_doc]
-        return bm25.score_tf(np.array([tf]), np.array([nb]), self.weight, self.idx.cache)[0]
-
-    def advance(self, target: int):
-        if self.done or self.cur_doc >= target:
-            return
-        moved = False
-        while self.bi < self.n_blocks and self.blocks[self.bi]["last"] < target:
-            self.bi += 1
-            moved = True
-        if self.bi >= self.n_blocks:
-            self.done = True
-            self.cur_doc = np.iinfo(np.int64).max
-            return
-        if moved:
-            self._load_block()
-        # current block's last >= target, so the match index exists
-        j = int(np.searchsorted(self._docs, target, side="left"))
-        self._pos = j
-        self.cur_doc = int(self._docs[j])
+    def block_entries(self) -> tuple[np.ndarray, np.ndarray]:
+        bi = self.bi
+        hit = self._cache.get(bi)
+        if hit is None:
+            dbuf, tbuf = self.bufs[bi]
+            docids = np.cumsum(varint.decode(dbuf).astype(np.int64))
+            tfs = varint.decode(tbuf).astype(np.int64)
+            hit = (docids, tfs)
+            self._cache[bi] = hit
+        return hit
 
 
 def _first_vbyte_len(buf: np.ndarray) -> int:

@@ -249,6 +249,55 @@ def merge_rows(rows: pd.DataFrame) -> dict:
     }
 
 
+def merge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized multi-group merge: same result as merge_rows() applied to
+    every (term, salt) group of ``pdf``, but one pandas/numpy pass over the
+    whole partition (no per-group Arrow round-trips)."""
+    pdf = pdf.sort_values(["term", "salt", "shard_min"], kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    gid = (
+        (pdf["term"] != pdf["term"].shift()) | (pdf["salt"] != pdf["salt"].shift())
+    ).cumsum().to_numpy() - 1
+    first = np.nonzero(np.diff(gid, prepend=-1))[0]
+    counts = np.diff(np.append(first, n))
+    g = pdf.groupby(gid, sort=False)
+
+    out: dict[str, object] = {
+        "term": pdf["term"].to_numpy()[first],
+        "salt": pdf["salt"].to_numpy()[first],
+        "shard_min": g["shard_min"].min().to_numpy(),
+        "shard_max": g["shard_max"].max().to_numpy(),
+        "df": g["df"].sum().to_numpy(),
+        "cttf": g["cttf"].sum().to_numpy(),
+    }
+    for col in ("docs_bytes", "tfs_bytes", "pos_bytes"):
+        out[col] = g[col].agg(lambda s: b"".join(s)).to_numpy()
+
+    def split_by_group(flat: np.ndarray, per_row_lens: np.ndarray) -> list:
+        per_group = np.zeros(first.size, dtype=np.int64)
+        np.add.at(per_group, gid, per_row_lens)
+        return np.split(flat, np.cumsum(per_group)[:-1])
+
+    for col in ("blk_last", "blk_n", "blk_max_tf", "blk_min_norm"):
+        arrs = [np.asarray(a, dtype=np.int64) for a in pdf[col]]
+        lens = np.array([a.size for a in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+        out[col] = split_by_group(flat, lens)
+
+    for col, bcol in (("blk_doc_off", "docs_bytes"), ("blk_tf_off", "tfs_bytes"), ("blk_pos_off", "pos_bytes")):
+        blens = pdf[bcol].str.len().to_numpy(dtype=np.int64)
+        c = np.cumsum(blens)
+        group_start_base = (c - blens)[first]
+        base = (c - blens) - np.repeat(group_start_base, counts)  # within-group excl. cumsum
+        arrs = [np.asarray(a, dtype=np.int64) for a in pdf[col]]
+        lens = np.array([a.size for a in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+        shifted = flat + np.repeat(base, lens)
+        out[col] = split_by_group(shifted, lens)
+
+    return pd.DataFrame(out, columns=[c.split()[0] for c in SEGMENT_SCHEMA.split(", ")])
+
+
 # ---- decode -----------------------------------------------------------------
 
 def decode_docs_tfs(row) -> tuple[np.ndarray, np.ndarray]:

@@ -91,10 +91,8 @@ def append_batch(
 
     # idempotent salted merge + dict refresh (same as the batch builder)
     merged = b._merge_stage(spark.read.parquet(os.path.join(out_dir, "partials")))
-    wp = max(8, spark.sparkContext.defaultParallelism)
     (
-        merged.repartition(wp, "term", "salt")
-        .sortWithinPartitions("term", "salt", "shard_min")
+        merged.sortWithinPartitions("term", "salt", "shard_min")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "postings"))
     )

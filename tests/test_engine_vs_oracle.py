@@ -109,3 +109,20 @@ class TestPerTurnInvariant:
         )
         src["turn_idx"] = src["turn_idx"].astype(docs["turn_idx"].dtype)
         pd.testing.assert_frame_equal(docs, src)
+
+
+class TestWandStress:
+    def test_wand_equals_exhaustive_random_disjunctions(self, local):
+        """Block-max WAND must equal the exhaustive path on a broad random
+        battery (hot + tail terms, several k values)."""
+        import random
+
+        rng = random.Random(7)
+        vocab = ["error", "timeout", "refused", "denied", "connection",
+                 "assistant", "file", "request"] + [f"w{rng.randrange(3000):05d}" for _ in range(40)]
+        for trial in range(40):
+            nt = rng.choice([1, 2, 3, 4])
+            terms = rng.sample(vocab, nt)
+            q = " OR ".join(terms)
+            k = rng.choice([1, 5, 10, 50])
+            assert local.search_wand(q, k=k) == local.search(q, k=k), (q, k)
