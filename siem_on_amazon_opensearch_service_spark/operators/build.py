@@ -108,8 +108,7 @@ def _docs_stage(with_ids: DataFrame, shard_size: int) -> DataFrame:
 
     def add_len(batches):
         for pdf in batches:
-            toks = segments.tokenize_series(pdf["text"])
-            dl = segments.doc_lengths(toks)
+            dl = segments.token_counts(pdf["text"])
             pdf = pdf.assign(
                 dl=dl,
                 norm=encode_lengths(dl).astype(np.int32),

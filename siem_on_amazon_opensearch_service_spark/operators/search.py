@@ -129,21 +129,25 @@ def _decode_postings_df(postings: DataFrame, leaves: list[Node]) -> DataFrame:
                     outs["slot"].append(np.full(n, slot, dtype=np.int32))
                     outs["docid"].append(docids)
                     outs["tf"].append(tfs)
-                    outs["pos"].append(
-                        pos_lists if (want_pos and pos_lists is not None) else [None] * n
-                    )
+                    if any_phrase:
+                        outs["pos"].append(
+                            pos_lists if (want_pos and pos_lists is not None) else [None] * n
+                        )
             if outs["clause"]:
-                yield pd.DataFrame(
-                    {
-                        "clause": np.concatenate(outs["clause"]),
-                        "slot": np.concatenate(outs["slot"]),
-                        "docid": np.concatenate(outs["docid"]),
-                        "tf": np.concatenate(outs["tf"]),
-                        "pos": [p for lst in outs["pos"] for p in lst],
-                    }
-                )
+                data = {
+                    "clause": np.concatenate(outs["clause"]),
+                    "slot": np.concatenate(outs["slot"]),
+                    "docid": np.concatenate(outs["docid"]),
+                    "tf": np.concatenate(outs["tf"]),
+                }
+                if any_phrase:
+                    data["pos"] = [p for lst in outs["pos"] for p in lst]
+                yield pd.DataFrame(data)
 
-    return postings.mapInPandas(decode, schema=_DECODE_SCHEMA)
+    # phrase-free queries skip the pos column entirely: serializing
+    # hot-term-sized all-null arrays through Arrow costs real seconds
+    schema = _DECODE_SCHEMA if any_phrase else "clause int, slot int, docid long, tf long"
+    return postings.mapInPandas(decode, schema=schema), any_phrase
 
 
 def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
@@ -233,9 +237,11 @@ def search_df(
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("term").isin(terms)
     )
-    decoded = _decode_postings_df(postings, leaves)
+    decoded, has_phrase = _decode_postings_df(postings, leaves)
 
-    term_rows = decoded.filter(F.col("pos").isNull()).select("clause", "docid", "tf")
+    term_rows = (
+        decoded.filter(F.col("pos").isNull()) if has_phrase else decoded
+    ).select("clause", "docid", "tf")
     parts = [term_rows]
     ph = _phrase_freq_df(decoded, leaves)
     if ph is not None:
@@ -290,15 +296,14 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("term").isin(terms)
     )
-    decoded = _decode_postings_df(postings, leaves)
+    decoded, has_phrase = _decode_postings_df(postings, leaves)
     clause_docs: dict[int, DataFrame] = {}
     for ci, leaf in enumerate(leaves):
         if isinstance(leaf, Term):
-            clause_docs[ci] = (
-                decoded.filter((F.col("clause") == ci) & F.col("pos").isNull())
-                .select("docid")
-                .distinct()
-            )
+            rows = decoded.filter(F.col("clause") == ci)
+            if has_phrase:
+                rows = rows.filter(F.col("pos").isNull())
+            clause_docs[ci] = rows.select("docid").distinct()
     ph = _phrase_freq_df(decoded, leaves)
     if ph is not None:
         for ci, leaf in enumerate(leaves):

@@ -73,6 +73,21 @@ def doc_lengths(token_lists: pd.Series) -> np.ndarray:
     return token_lists.str.len().to_numpy(dtype=np.int64)
 
 
+def token_counts(texts: pd.Series) -> np.ndarray:
+    """Doc lengths without materializing token lists: a regex COUNT pass for
+    ordinary rows (≈2× cheaper than findall), the exact tokenizer only for
+    the rare truncation/255-char rows.  Must equal len(tokenize(text))."""
+    s = texts.fillna("")
+    byte_len = s.str.encode("utf-8").str.len()
+    hard = (byte_len > TRUNCATE_BYTES) | s.str.contains(_LONG_RUN_RE, regex=True)
+    out = s.str.count(TOKEN_RE).to_numpy(dtype=np.int64)
+    if hard.any():
+        idx = np.nonzero(hard.to_numpy())[0]
+        vals = s.iloc[idx].map(lambda t: len(tokenize(t)))
+        out[idx] = vals.to_numpy(dtype=np.int64)
+    return out
+
+
 def explode_entries(docids: np.ndarray, token_lists: pd.Series):
     """(docid, term, pos) arrays from per-doc token lists, sorted by
     (term, docid, pos) — stable sort preserves doc/pos order per term."""

@@ -170,3 +170,18 @@ class TestBm25Math:
         assert s.dtype == np.float32
         c = bm25.combine([s, s])
         assert c.dtype == np.float32
+
+
+class TestTokenCountsFastPath:
+    def test_matches_tokenize(self):
+        import pandas as pd
+        from siem_on_amazon_opensearch_service_spark.operators.segments import token_counts
+
+        texts = pd.Series([
+            "hello world", "", None, "-", "a_b c-d", "x" * 600,
+            "word " * 10000,  # truncation row
+            "tok " * 3 + "y" * 300,  # long-run row
+        ])
+        got = list(token_counts(texts))
+        exp = [len(tokenize(t)) for t in texts.fillna("")]
+        assert got == exp
