@@ -83,9 +83,10 @@ def run_level(cores: int, label: str, pyz: str, runs: int = 2) -> dict:
 
 def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     pyz = make_pyfiles_zip()
-    r8 = run_level(8, label, pyz)
-    r32 = run_level(32, label, pyz)
+    r8 = run_level(8, label, pyz, runs)
+    r32 = run_level(32, label, pyz, runs)
     eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / (32 / 8)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -95,7 +96,7 @@ def main() -> None:
         "Sandbox stand-in for the north_rule's N vs 4N executors: identical",
         "`spark-submit --py-files` build job, same input, two parallelism levels.",
         "",
-        f"corpus: synthetic transcripts sf{label} ({r8['n_turns']} turns), fresh index each run, best of 2",
+        f"corpus: synthetic transcripts sf{label} ({r8['n_turns']} turns), fresh index each run, best of {runs}",
         "",
         "| parallelism | build sec | turns/sec |",
         "|---|---|---|",
