@@ -115,6 +115,72 @@ def safe_field_names(df):
     return out
 
 
+def syslog_timestamp(col: Column, ref_year: int, ref_month: int = 12) -> Column:
+    """Syslog 'MMM d HH:mm:ss' parse with year inference
+    (siem/utils.py:380-412): no year in the format, so the reference picks
+    the ingest year unless that would land the event in the future
+    (a December log seen in January belongs to the previous year).
+    ``ref_year``/``ref_month`` are the ingest-time reference (passed in —
+    never wall-clock — so results are deterministic/testable).  The
+    reference's Feb-29 leap case resolves to the previous leap year."""
+    norm = F.regexp_replace(F.trim(col), r"\s+", " ")
+    month = F.substring(norm, 1, 3)
+    month_num = F.element_at(
+        F.create_map(*[
+            x
+            for i, m in enumerate(
+                ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+            )
+            for x in (F.lit(m), F.lit(i + 1))
+        ]),
+        month,
+    )
+    year = F.when(month_num > ref_month, F.lit(ref_year - 1)).otherwise(F.lit(ref_year))
+    # Feb 29 in a non-leap inferred year -> previous leap year (reference
+    # walks back; one 4-year step covers the practical window)
+    is_feb29 = norm.rlike(r"^Feb 29 ")
+    leap = (year % 4 == 0) & ((year % 100 != 0) | (year % 400 == 0))
+    year = F.when(is_feb29 & ~leap, year - F.when((year - 1) % 4 == 0, 1).when((year - 2) % 4 == 0, 2).otherwise(3)).otherwise(year)
+    return F.to_timestamp(F.concat_ws(" ", year.cast("string"), norm), "yyyy MMM d HH:mm:ss")
+
+
+_UA_BROWSERS = [
+    ("Edg(?:e|A|iOS)?/([\\d.]+)", "Edge"),
+    ("OPR/([\\d.]+)", "Opera"),
+    ("Chrome/([\\d.]+)", "Chrome"),
+    ("Version/([\\d.]+).*Safari", "Safari"),
+    ("Firefox/([\\d.]+)", "Firefox"),
+    ("MSIE ([\\d.]+)", "IE"),
+    ("aws-sdk|Boto3|aws-cli", "AWS-SDK"),
+    ("curl/([\\d.]+)", "curl"),
+]
+_UA_OS = [
+    ("Windows NT 10", "Windows 10"),
+    ("Windows NT", "Windows"),
+    ("Android ([\\d.]+)", "Android"),
+    ("iPhone OS ([\\d_]+)", "iOS"),
+    ("Mac OS X", "macOS"),
+    ("Linux", "Linux"),
+]
+
+
+def user_agent_parse(col: Column) -> Column:
+    """Lite user-agent decompose (siem/user_agent.py:22-54 re-expression;
+    ua-parser is unavailable in this environment, so a regex family table
+    covers the common families + the reference's AWS-internal special case)
+    -> struct(name, version, os)."""
+    name = F.lit("Other")
+    version = F.lit(None).cast("string")
+    for pat, label in reversed(_UA_BROWSERS):
+        hit = col.rlike(pat)
+        name = F.when(hit, label).otherwise(name)
+        version = F.when(hit, F.regexp_extract(col, pat, 1)).otherwise(version)
+    osname = F.lit("Other")
+    for pat, label in reversed(_UA_OS):
+        osname = F.when(col.rlike(pat), label).otherwise(osname)
+    return F.struct(name.alias("name"), version.alias("version"), osname.alias("os"))
+
+
 def protocol_name(col: Column) -> Column:
     """IANA protocol number -> name (sf_vpcflowlogs.py:24-42 exemplar of the
     sf_ transform family)."""

@@ -15,16 +15,23 @@ from __future__ import annotations
 import numpy as np
 
 
-def encode(values: np.ndarray) -> bytes:
-    """VByte-encode a non-negative int array -> bytes."""
+def encoded_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value VByte byte count (vectorized)."""
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
     nbytes = np.ones(v.shape, dtype=np.int64)
     x = v >> np.uint64(7)
     while x.any():
         nbytes[x > 0] += 1
         x >>= np.uint64(7)
+    return nbytes
+
+
+def encode(values: np.ndarray) -> bytes:
+    """VByte-encode a non-negative int array -> bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = encoded_lengths(v)
     offs = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.empty(int(offs[-1]), dtype=np.uint8)
     cur = v.copy()

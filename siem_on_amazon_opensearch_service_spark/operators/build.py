@@ -175,7 +175,36 @@ def build_index(
     resume: bool = True,
     write_partitions: int | None = None,
 ) -> dict:
-    """Build (or resume) the index at ``out_dir``; returns build stats."""
+    """Build (or resume) the index at ``out_dir``; returns build stats.
+
+    AQE partition coalescing is disabled for the duration: it sizes
+    partitions by shuffle BYTES, but the shard/merge stages carry small
+    bytes with huge per-row UDF cost, so coalescing collapses them to a
+    handful of tasks and the build stops scaling with cores (measured:
+    partials stage flat 31-35s from 8 to 32 cores before; CPU-bound after).
+    """
+    spark_conf = spark.conf
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark_conf.get(coalesce_key, "true")
+    spark_conf.set(coalesce_key, "false")
+    try:
+        return _build_index_inner(
+            spark, transcripts, out_dir, n_shards, n_salts, positions, resume, write_partitions
+        )
+    finally:
+        spark_conf.set(coalesce_key, prev_coalesce)
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    n_salts: int,
+    positions: bool,
+    resume: bool,
+    write_partitions: int | None,
+) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     params_path = os.path.join(out_dir, "_build.json")
     docs_path = os.path.join(out_dir, "docs")

@@ -89,8 +89,15 @@ def token_counts(texts: pd.Series) -> np.ndarray:
 
 
 def explode_entries(docids: np.ndarray, token_lists: pd.Series):
-    """(docid, term, pos) arrays from per-doc token lists, sorted by
-    (term, docid, pos) — stable sort preserves doc/pos order per term."""
+    """(docid, term, pos) arrays from per-doc token lists, grouped by term
+    (docid/pos order preserved within each term).
+
+    Terms are factorized to int codes and the sort runs on the codes —
+    an object-string argsort over the position stream costs ~3x the whole
+    rest of the encode.  Term groups come out in first-appearance order,
+    not lexicographic, which nothing downstream depends on."""
+    from itertools import chain
+
     lens = token_lists.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
@@ -100,10 +107,11 @@ def explode_entries(docids: np.ndarray, token_lists: pd.Series):
             np.empty(0, dtype=np.int64),
         )
     ent_doc = np.repeat(np.asarray(docids, dtype=np.int64), lens)
-    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists.to_numpy()])
+    flat = np.fromiter(chain.from_iterable(token_lists.to_numpy()), dtype=object, count=total)
     offsets = np.repeat(np.cumsum(lens) - lens, lens)
     ent_pos = np.arange(total, dtype=np.int64) - offsets
-    order = np.argsort(flat, kind="stable")
+    codes, _ = pd.factorize(flat, use_na_sentinel=False)
+    order = np.argsort(codes, kind="stable")
     return ent_doc[order], flat[order], ent_pos[order]
 
 
@@ -117,107 +125,113 @@ def encode_shard_postings(
 ) -> pd.DataFrame:
     """One shard's docs -> segment rows, one per term (SEGMENT_SCHEMA).
 
-    ``docids`` must be ascending and contiguous-in-shard is NOT required,
-    only ascending; ``norm_bytes`` aligned with docids.
-    """
+    ``docids`` must be ascending (contiguity not required); ``norm_bytes``
+    aligned with docids.
+
+    Whole-shard vectorized: the entire entry stream is VByte-encoded with
+    ONE call per stream (docid gaps restart at block boundaries, so each
+    term's bytes are a contiguous slice of the shared buffer) and block
+    metadata comes from ``np.maximum/minimum.reduceat`` — the per-term
+    Python work is just slicing (a per-term numpy-encode loop measured
+    4.1s/shard at sf0.5; this path ~0.3s)."""
     ent_doc, ent_term, ent_pos = explode_entries(docids, token_lists)
-    rows: list[dict] = []
-    if ent_doc.size:
-        # norm byte per entry docid (docids ascending -> searchsorted map)
-        did = np.asarray(docids, dtype=np.int64)
-        nb = np.asarray(norm_bytes, dtype=np.uint8)
-        ent_norm = nb[np.searchsorted(did, ent_doc)]
+    cols = [c.split()[0] for c in SEGMENT_SCHEMA.split(", ")]
+    if not ent_doc.size:
+        return pd.DataFrame([], columns=cols)
 
-        # (term, docid) entry boundaries
-        term_change = np.empty(ent_term.shape, dtype=bool)
-        term_change[0] = True
-        term_change[1:] = ent_term[1:] != ent_term[:-1]
-        key_change = term_change.copy()
-        key_change[1:] |= ent_doc[1:] != ent_doc[:-1]
-        e_start = np.nonzero(key_change)[0]
-        e_end = np.append(e_start[1:], ent_term.size)
-        e_tf = (e_end - e_start).astype(np.int64)
-        e_doc = ent_doc[e_start]
-        e_norm = ent_norm[e_start]
+    # norm byte per entry docid (docids ascending -> searchsorted map)
+    did = np.asarray(docids, dtype=np.int64)
+    nb = np.asarray(norm_bytes, dtype=np.uint8)
+    ent_norm = nb[np.searchsorted(did, ent_doc)]
 
-        # position gaps: restart (absolute) at every entry
+    # (term, docid) entry boundaries over the position-level stream
+    term_change = np.empty(ent_term.shape, dtype=bool)
+    term_change[0] = True
+    term_change[1:] = ent_term[1:] != ent_term[:-1]
+    key_change = term_change.copy()
+    key_change[1:] |= ent_doc[1:] != ent_doc[:-1]
+    e_start = np.nonzero(key_change)[0]          # entry -> first ent row
+    e_end = np.append(e_start[1:], ent_term.size)
+    e_tf = (e_end - e_start).astype(np.int64)
+    e_doc = ent_doc[e_start]
+    e_norm = ent_norm[e_start]
+    n_entries = e_start.size
+
+    # per-term entry ranges
+    t_first_ent = np.nonzero(term_change)[0]
+    t_start = np.searchsorted(e_start, t_first_ent)  # entry index
+    t_end = np.append(t_start[1:], n_entries)
+    terms = ent_term[t_first_ent]
+    t_sizes = t_end - t_start
+
+    # block starts: every 128th entry within each term (entry indices)
+    in_term = np.arange(n_entries, dtype=np.int64) - np.repeat(t_start, t_sizes)
+    blk_start = np.nonzero(in_term % BLOCK == 0)[0]
+    blk_bounds = np.append(blk_start, n_entries)
+    blk_n_all = np.diff(blk_bounds)
+    blk_last_all = e_doc[blk_bounds[1:] - 1]
+    blk_max_tf_all = np.maximum.reduceat(e_tf, blk_start)
+    blk_min_norm_all = np.minimum.reduceat(e_norm, blk_start)
+    # block index range per term
+    t_blk_start = np.searchsorted(blk_start, t_start)
+    t_blk_end = np.append(t_blk_start[1:], blk_start.size)
+
+    # docid gaps restart absolute at every block start — one encode call
+    dgap = np.empty(n_entries, dtype=np.int64)
+    dgap[1:] = e_doc[1:] - e_doc[:-1]
+    dgap[blk_start] = e_doc[blk_start]
+    dbuf = varint.encode(dgap)
+    dcum = np.concatenate(([0], np.cumsum(varint.encoded_lengths(dgap))))
+
+    tbuf = varint.encode(e_tf)
+    tcum = np.concatenate(([0], np.cumsum(varint.encoded_lengths(e_tf))))
+
+    if positions:
         pos_gap = np.empty(ent_pos.shape, dtype=np.int64)
         pos_gap[1:] = ent_pos[1:] - ent_pos[:-1]
         pos_gap[e_start] = ent_pos[e_start]
+        pbuf = varint.encode(pos_gap)
+        pcum_ent = np.concatenate(([0], np.cumsum(varint.encoded_lengths(pos_gap))))
+        # byte offset of each ENTRY's positions = offset of its first ent row
+        p_entry_off = pcum_ent[e_start]
+        p_entry_end = pcum_ent[e_end - 1] + np.diff(pcum_ent)[e_end - 1]
+    # cttf per term = sum of tfs over the term's entries
+    cttf_all = np.add.reduceat(e_tf, t_start)
 
-        # per-term ranges over entries
-        t_first_ent = np.nonzero(term_change)[0]
-        t_start = np.searchsorted(e_start, t_first_ent)
-        t_end = np.append(t_start[1:], e_start.size)
-        terms = ent_term[t_first_ent]
-
-        for ti in range(terms.size):
-            a, b = int(t_start[ti]), int(t_end[ti])
-            rows.append(
-                _encode_term(
-                    str(terms[ti]), shard, n_salts,
-                    e_doc[a:b], e_tf[a:b], e_norm[a:b],
-                    pos_gap[int(e_start[a]) : int(e_end[b - 1])] if positions else None,
-                    e_start[a:b] - e_start[a],
-                )
-            )
-    return pd.DataFrame(rows, columns=[c.split()[0] for c in SEGMENT_SCHEMA.split(", ")])
-
-
-def _encode_term(
-    term: str,
-    shard: int,
-    n_salts: int,
-    docs: np.ndarray,
-    tfs: np.ndarray,
-    norms: np.ndarray,
-    pos_gaps: np.ndarray | None,
-    ent_pos_start: np.ndarray,
-) -> dict:
-    n = docs.size
-    docs_parts, tfs_parts, pos_parts = [], [], []
-    blk_last, blk_n, blk_max_tf, blk_min_norm = [], [], [], []
-    blk_doc_off, blk_tf_off, blk_pos_off = [], [], []
-    d_off = t_off = p_off = 0
-    for a in range(0, n, BLOCK):
-        b = min(a + BLOCK, n)
-        dbuf = varint.delta_encode(docs[a:b], first_base=0)
-        tbuf = varint.encode(tfs[a:b])
-        blk_doc_off.append(d_off)
-        blk_tf_off.append(t_off)
-        blk_pos_off.append(p_off)
-        d_off += len(dbuf)
-        t_off += len(tbuf)
-        docs_parts.append(dbuf)
-        tfs_parts.append(tbuf)
-        if pos_gaps is not None:
-            lo = int(ent_pos_start[a])
-            hi = int(ent_pos_start[b - 1] + tfs[b - 1])
-            pbuf = varint.encode(pos_gaps[lo:hi])
-            pos_parts.append(pbuf)
-            p_off += len(pbuf)
-        blk_last.append(int(docs[b - 1]))
-        blk_n.append(b - a)
-        blk_max_tf.append(int(tfs[a:b].max()))
-        blk_min_norm.append(int(norms[a:b].min()))
-    return {
-        "term": term,
-        "salt": shard % n_salts,
-        "shard_min": shard,
-        "shard_max": shard,
-        "df": int(n),
-        "cttf": int(tfs.sum()),
-        "docs_bytes": b"".join(docs_parts),
-        "tfs_bytes": b"".join(tfs_parts),
-        "pos_bytes": b"".join(pos_parts),
-        "blk_last": blk_last,
-        "blk_n": blk_n,
-        "blk_max_tf": blk_max_tf,
-        "blk_min_norm": blk_min_norm,
-        "blk_doc_off": blk_doc_off,
-        "blk_tf_off": blk_tf_off,
-        "blk_pos_off": blk_pos_off,
-    }
+    dview, tview = memoryview(dbuf), memoryview(tbuf)
+    pview = memoryview(pbuf) if positions else None
+    salt = shard % n_salts
+    rows: list[dict] = []
+    for ti in range(terms.size):
+        ea, eb = int(t_start[ti]), int(t_end[ti])
+        ba, bb = int(t_blk_start[ti]), int(t_blk_end[ti])
+        d0 = int(dcum[ea])
+        t0 = int(tcum[ea])
+        row = {
+            "term": str(terms[ti]),
+            "salt": salt,
+            "shard_min": shard,
+            "shard_max": shard,
+            "df": eb - ea,
+            "cttf": int(cttf_all[ti]),
+            "docs_bytes": bytes(dview[d0 : int(dcum[eb])]),
+            "tfs_bytes": bytes(tview[t0 : int(tcum[eb])]),
+            "blk_last": blk_last_all[ba:bb],
+            "blk_n": blk_n_all[ba:bb],
+            "blk_max_tf": blk_max_tf_all[ba:bb],
+            "blk_min_norm": blk_min_norm_all[ba:bb],
+            "blk_doc_off": dcum[blk_start[ba:bb]] - d0,
+            "blk_tf_off": tcum[blk_start[ba:bb]] - t0,
+        }
+        if positions:
+            p0 = int(p_entry_off[ea])
+            row["pos_bytes"] = bytes(pview[p0 : int(p_entry_end[eb - 1])])
+            row["blk_pos_off"] = p_entry_off[blk_start[ba:bb]] - p0
+        else:
+            row["pos_bytes"] = b""
+            row["blk_pos_off"] = np.zeros(bb - ba, dtype=np.int64)
+        rows.append(row)
+    return pd.DataFrame(rows, columns=cols)
 
 
 def merge_rows(rows: pd.DataFrame) -> dict:
