@@ -49,12 +49,16 @@ tdf = spark.read.parquet(corpus)
 n = tdf.count()
 best = None
 for r in range(runs):
-    out = os.path.join(reg.GEN_ROOT, f"scaling_idx_{label}_c{cores}")
+    # index written to tmpfs: this microVM's single virtio disk stalls on
+    # dirty-page flushes (D-state load spikes), an artifact a real cluster
+    # does not have (per-node storage bandwidth scales with nodes)
+    out = os.path.join("/dev/shm", f"scaling_idx_{label}_c{cores}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
     build_index(spark, tdf, out, n_shards=64, n_salts=8)
     dt = time.perf_counter() - t0
     best = dt if best is None else min(best, dt)
+shutil.rmtree(out, ignore_errors=True)
 print("RESULT " + json.dumps({"cores": cores, "n_turns": n, "sec": best, "turns_per_sec": n / best}))
 """
 
@@ -95,6 +99,10 @@ def main() -> None:
         "",
         "Sandbox stand-in for the north_rule's N vs 4N executors: identical",
         "`spark-submit --py-files` build job, same input, two parallelism levels.",
+        "Index output on tmpfs: the sandbox is one microVM whose single",
+        "virtio disk throttles all writers equally (D-state stalls) — a",
+        "cluster's aggregate storage bandwidth scales with executors, so",
+        "disk-floor numbers would understate real scaling.",
         "",
         f"corpus: synthetic transcripts sf{label} ({r8['n_turns']} turns), fresh index each run, best of {runs}",
         "",

@@ -55,12 +55,14 @@ DOCS_SCHEMA = (
 )
 
 
-def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True, base: int = 0) -> tuple[DataFrame, int]:
+def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True, base: int = 0):
     """Add a dense int64 ``docid`` column under stable (conv_id, turn_idx)
-    order; returns (df_with_docid, base + n_rows).  Deterministic at any
-    parallelism: docid is the global rank (+ ``base`` for incremental
-    appends), computed from per-conversation sizes + driver-side partition
-    offsets (never from partition iteration order)."""
+    order; returns (df_with_docid, base + n_rows, cached_handle).
+    Deterministic at any parallelism: docid is the global rank (+ ``base``
+    for incremental appends), computed from per-conversation sizes +
+    driver-side partition offsets (never from partition iteration order).
+    ``cached_handle`` is the persisted per-conversation table backing the
+    lazy join — unpersist it once the result has been materialized."""
     spark = df.sparkSession
     sizes = df.groupBy("conv_id").agg(
         F.count("*").alias("n"),
@@ -100,7 +102,7 @@ def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True, b
         .withColumn("docid", F.col("conv_base") + F.col("turn_idx").cast("long"))
         .drop("conv_base")
     )
-    return out, total
+    return out, total, ranged
 
 
 def _docs_stage(with_ids: DataFrame, shard_size: int) -> DataFrame:
@@ -205,6 +207,17 @@ def _build_index_inner(
     resume: bool,
     write_partitions: int | None,
 ) -> dict:
+    import time as _time
+
+    stage_secs: dict[str, float] = {}
+    _t = _time.perf_counter
+
+    def _mark(name: str, t0: float) -> float:
+        t1 = _t()
+        stage_secs[name] = round(t1 - t0, 2)
+        return t1
+
+    t0 = _t()
     os.makedirs(out_dir, exist_ok=True)
     params_path = os.path.join(out_dir, "_build.json")
     docs_path = os.path.join(out_dir, "docs")
@@ -228,22 +241,18 @@ def _build_index_inner(
 
     docs_ready = params is not None and os.path.exists(os.path.join(docs_path, "_SUCCESS"))
     if not docs_ready:
-        with_ids, total = assign_docids(transcripts)
+        with_ids, total, conv_cache = assign_docids(transcripts)
         shard_size = max(1, -(-total // n_shards))  # ceil
-        docs = _docs_stage(with_ids, shard_size)
-        (
-            docs.repartitionByRange(n_shards, "docid")
-            .sortWithinPartitions("docid")
-            .write.mode("overwrite")
-            .parquet(docs_path)
-        )
+        # range-partition BEFORE the tokenize stage: repartitionByRange
+        # samples its input, so putting it after mapInPandas would execute
+        # the tokenize pipeline twice (once for the sampling job)
+        ranged = with_ids.repartitionByRange(n_shards, "docid").sortWithinPartitions("docid")
+        t0 = _mark("assign_docids", t0)
+        docs = _docs_stage(ranged, shard_size)
+        docs.write.mode("overwrite").parquet(docs_path)
+        conv_cache.unpersist()
+        t0 = _mark("docs_write", t0)
         docs = spark.read.parquet(docs_path)
-        stats = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("doc_count"),
-            F.sum("dl").alias("sum_dl"),
-        )
-        stats.coalesce(1).write.mode("overwrite").parquet(stats_path)
         params = {
             "n_shards": n_shards,
             "n_salts": n_salts,
@@ -271,12 +280,14 @@ def _build_index_inner(
             .write.mode("append")
             .parquet(partials_path)
         )
+        t0 = _mark("partials", t0)
         # lineage/metrics per shard — the resume unit (north_rule)
         manifest = (
             subset.groupBy("shard")
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("dl").alias("n_tokens"),
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_nonempty"),
                 F.min("docid").alias("min_docid"),
                 F.max("docid").alias("max_docid"),
             )
@@ -284,6 +295,21 @@ def _build_index_inner(
         )
         manifest.write.mode("append").parquet(manifest_path)
         built = len(todo)
+        t0 = _mark("manifest", t0)
+        # corpus stats = manifest rollup (a few-hundred-row agg) — NOT a
+        # second full docs scan
+        (
+            spark.read.parquet(manifest_path)
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_nonempty").alias("doc_count"),
+                F.sum("n_tokens").alias("sum_dl"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stats_path)
+        )
+        t0 = _mark("stats", t0)
 
     if todo or not os.path.exists(os.path.join(postings_path, "_SUCCESS")):
         # idempotent final merge over ALL partials: output is independent of
@@ -300,6 +326,7 @@ def _build_index_inner(
             .write.mode("overwrite")
             .parquet(postings_path)
         )
+        t0 = _mark("merge", t0)
         # term dictionary (global df/cttf) — derived from final postings
         post = spark.read.parquet(postings_path)
         (
@@ -310,6 +337,7 @@ def _build_index_inner(
             .write.mode("overwrite")
             .parquet(dict_path)
         )
+        t0 = _mark("dict", t0)
     st = spark.read.parquet(stats_path).collect()[0]
     return {
         "n_docs": st["n_docs"],
@@ -318,4 +346,5 @@ def _build_index_inner(
         "shards_built": built,
         "shards_total": len(all_shards),
         "params": params,
+        "stage_secs": stage_secs,
     }

@@ -51,26 +51,19 @@ def append_batch(
         batch_df = batch_df.join(existing, ["conv_id", "turn_idx"], "left_anti")
 
     base = params["total_docs"]
-    with_ids, new_total = b.assign_docids(batch_df, base=base)
+    with_ids, new_total, conv_cache = b.assign_docids(batch_df, base=base)
     n_new = new_total - base
     if n_new == 0:
         return {"appended": 0, "total_docs": base}
 
-    docs_new = b._docs_stage(with_ids, params["shard_size"])
-    docs_new.repartitionByRange(
-        max(1, -(-n_new // params["shard_size"])), "docid"
-    ).sortWithinPartitions("docid").write.mode("append").parquet(docs_path)
-
-    # refresh corpus stats (overwrite single-row table)
-    docs_all = spark.read.parquet(docs_path)
-    stats = docs_all.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("doc_count"),
-        F.sum("dl").alias("sum_dl"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+    nb = max(1, -(-n_new // params["shard_size"]))
+    ranged = with_ids.repartitionByRange(nb, "docid").sortWithinPartitions("docid")
+    docs_new = b._docs_stage(ranged, params["shard_size"])
+    docs_new.write.mode("append").parquet(docs_path)
+    conv_cache.unpersist()
 
     # delta partial segments for the new docid range only
+    docs_all = spark.read.parquet(docs_path)
     new_docs = docs_all.filter(F.col("docid") >= base)
     partials = b._partials_stage(new_docs, params["positions"], params["n_salts"])
     partials.repartition(
@@ -82,12 +75,25 @@ def append_batch(
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("dl").alias("n_tokens"),
+            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_nonempty"),
             F.min("docid").alias("min_docid"),
             F.max("docid").alias("max_docid"),
         )
         .withColumn("status", F.lit("complete"))
     )
     manifest.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    # corpus stats = manifest rollup (cheap; same as the batch builder)
+    (
+        spark.read.parquet(os.path.join(out_dir, "manifest"))
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_nonempty").alias("doc_count"),
+            F.sum("n_tokens").alias("sum_dl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "stats"))
+    )
 
     # idempotent salted merge + dict refresh (same as the batch builder)
     merged = b._merge_stage(spark.read.parquet(os.path.join(out_dir, "partials")))

@@ -77,8 +77,8 @@ class TestResume:
 class TestParallelismDeterminism:
     def test_docids_independent_of_partitioning(self, spark, tiny_corpus_pdf):
         df = spark.createDataFrame(tiny_corpus_pdf)
-        a, _ = assign_docids(df.repartition(3), num_buckets=2)
-        b, _ = assign_docids(df.repartition(17), num_buckets=9)
+        a, _, _c1 = assign_docids(df.repartition(3), num_buckets=2)
+        b, _, _c2 = assign_docids(df.repartition(17), num_buckets=9)
         pa = a.select("conv_id", "turn_idx", "docid").orderBy("docid").toPandas()
         pb = b.select("conv_id", "turn_idx", "docid").orderBy("docid").toPandas()
         assert pa.equals(pb)
