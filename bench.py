@@ -59,7 +59,7 @@ def main() -> None:
     idx_dir = os.path.join(reg.GEN_ROOT, f"bench_index_sf{label}_c{CPUS}")
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    build_index(spark, tdf, idx_dir, n_shards=max(32, CPUS * 2), n_salts=8)
+    build_index(spark, tdf, idx_dir, n_salts=8)
     build_sec = time.perf_counter() - t0
     queries["index_build"] = round(build_sec, 3)
     turns_per_sec = n_turns / build_sec

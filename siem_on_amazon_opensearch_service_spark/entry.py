@@ -55,7 +55,7 @@ def ensure_index(spark: SparkSession, label: str) -> str:
     if not os.path.exists(os.path.join(out, "postings", "_SUCCESS")):
         path = ensure_corpus(label, spark)
         df = spark.read.parquet(path)
-        build_index(spark, df, out, n_shards=32, n_salts=8)
+        build_index(spark, df, out, n_salts=8)
     return out
 
 

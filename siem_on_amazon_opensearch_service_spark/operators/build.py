@@ -167,11 +167,14 @@ def _merge_stage(partials: DataFrame, num_partitions: int | None = None) -> Data
     )
 
 
+DEFAULT_SHARD_DOCS = 32768
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
     out_dir: str,
-    n_shards: int = 64,
+    n_shards: int | None = None,
     n_salts: int = 8,
     positions: bool = True,
     resume: bool = True,
@@ -201,7 +204,7 @@ def _build_index_inner(
     spark: SparkSession,
     transcripts: DataFrame,
     out_dir: str,
-    n_shards: int,
+    n_shards: int | None,
     n_salts: int,
     positions: bool,
     resume: bool,
@@ -242,6 +245,13 @@ def _build_index_inner(
     docs_ready = params is not None and os.path.exists(os.path.join(docs_path, "_SUCCESS"))
     if not docs_ready:
         with_ids, total, conv_cache = assign_docids(transcripts)
+        if n_shards is None:
+            # data-driven shard count: ~32k docs per shard.  Fixed by DATA
+            # SIZE (content-deterministic across cluster sizes); small
+            # enough that a shard's Arrow group + exploded token stream
+            # stays cache/memory-friendly (155k-doc groups measured 4x
+            # slower per doc under 32-way concurrency than 16-32k groups)
+            n_shards = max(8, -(-total // DEFAULT_SHARD_DOCS))
         shard_size = max(1, -(-total // n_shards))  # ceil
         # range-partition BEFORE the tokenize stage: repartitionByRange
         # samples its input, so putting it after mapInPandas would execute

@@ -299,8 +299,17 @@ def merge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         "df": g["df"].sum().to_numpy(),
         "cttf": g["cttf"].sum().to_numpy(),
     }
+    # bytes per group = contiguous slice of the whole-column concatenation
+    # (rows are sorted by group) — one join + memoryview slices instead of
+    # a per-group Python lambda
     for col in ("docs_bytes", "tfs_bytes", "pos_bytes"):
-        out[col] = g[col].agg(lambda s: b"".join(s)).to_numpy()
+        vals = pdf[col].to_numpy()
+        lens = np.fromiter((len(b) for b in vals), dtype=np.int64, count=n)
+        ends = np.cumsum(lens)
+        grp_end = ends[np.append(first[1:] - 1, n - 1)]
+        grp_start = np.concatenate(([0], grp_end[:-1]))
+        full = memoryview(b"".join(vals))
+        out[col] = [bytes(full[int(a) : int(b)]) for a, b in zip(grp_start, grp_end)]
 
     def split_by_group(flat: np.ndarray, per_row_lens: np.ndarray) -> list:
         per_group = np.zeros(first.size, dtype=np.int64)

@@ -156,3 +156,46 @@ class TestFormats:
         assert got == {"x.json.gz": "cloudtrail", "y.gz": "vpcflowlogs", "z": "unknown"}
         kept = formats.s3_key_ignored(df, r"^tmp/").count()
         assert kept == 2
+
+
+class TestSyslogAndUA:
+    def test_syslog_year_inference(self, spark):
+        # reference siem/utils.py:380-412: year chosen so the event is not
+        # in the future relative to ingest (ref_year/ref_month injected)
+        df = spark.createDataFrame(
+            [(1, "Jun  1 10:20:30"), (2, "Dec 31 23:59:59"), (3, "Jan  2 00:00:01")],
+            "id int, s string",
+        )
+        out = {
+            r["id"]: r["ts"]
+            for r in df.select(
+                "id", scalars.syslog_timestamp(F.col("s"), ref_year=2024, ref_month=3).alias("ts")
+            ).collect()
+        }
+        # month > ref_month -> event is from the previous year
+        assert out[1].year == 2023 and out[1].month == 6
+        assert out[2].year == 2023
+        assert out[3].year == 2024
+
+    def test_syslog_feb29(self, spark):
+        df = spark.createDataFrame([("Feb 29 12:00:00",)], "s string")
+        r = df.select(scalars.syslog_timestamp(F.col("s"), ref_year=2025, ref_month=6).alias("ts")).collect()[0]
+        assert r["ts"].year == 2024 and r["ts"].month == 2 and r["ts"].day == 29
+
+    def test_user_agent_parse(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",),
+                ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",),
+                ("curl/8.4.0",),
+                ("aws-sdk-go/1.44.0 (go1.19; linux; amd64)",),
+                ("weird-bot/0.1",),
+            ],
+            "ua string",
+        )
+        got = [r["p"] for r in df.select(scalars.user_agent_parse(F.col("ua")).alias("p")).collect()]
+        assert got[0]["name"] == "Chrome" and got[0]["version"].startswith("120") and got[0]["os"] == "Windows 10"
+        assert got[1]["name"] == "Safari" and got[1]["os"] == "macOS"
+        assert got[2]["name"] == "curl"
+        assert got[3]["name"] == "AWS-SDK" and got[3]["os"] == "Linux"
+        assert got[4]["name"] == "Other"
