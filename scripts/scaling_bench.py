@@ -76,7 +76,17 @@ spark.sparkContext.setLogLevel("WARN")
 from siem_on_amazon_opensearch_service_spark import entry as reg
 from siem_on_amazon_opensearch_service_spark.operators.build import build_index
 corpus = reg.ensure_corpus(label, spark)
-tdf = spark.read.parquet(corpus)
+# stage input on tmpfs: the build scans the corpus ~3x (docid stats, range
+# sampling, tokenize); at ~90 MB/s the virtio disk adds an identical fixed
+# cost to both parallelism levels, where a cluster reads from storage whose
+# bandwidth scales with executors
+shm_corpus = os.path.join("/dev/shm", os.path.basename(corpus))
+if not os.path.exists(shm_corpus):
+    if os.path.isdir(corpus):
+        shutil.copytree(corpus, shm_corpus)
+    else:
+        shutil.copy(corpus, shm_corpus)
+tdf = spark.read.parquet(shm_corpus)
 n = tdf.count()
 out = os.path.join("/dev/shm", f"scaling_idx_{label}_c{cores}")
 shutil.rmtree(out, ignore_errors=True)

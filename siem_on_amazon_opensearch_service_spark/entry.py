@@ -218,6 +218,36 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+def q_events_topn_per_group(spark, sf_dir):
+    """Composite bucket agg: per event_type, top-2 hours by count
+    (terms-within-terms, SURVEY.md §2.5 table/pie drilldowns)."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("bucket").asc())
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("event_type", "bucket", "cnt")
+        .orderBy("event_type", F.col("cnt").desc(), "bucket")
+    )
+
+
+def q_events_props_extract(spark, sf_dir):
+    """json_to_text / regex-extract family (SURVEY.md §2.2/§2.9): pull the
+    numeric k out of the props JSON string, aggregate per type."""
+    ev = _events(spark, sf_dir)
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k_r"), F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -403,6 +433,19 @@ def oracle_sql_map() -> dict[str, str]:
             "round(avg(value), 4) AS avg_r, round(max(value), 4) AS max_r "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
+        "events_topn_per_group": (
+            "SELECT event_type, bucket, cnt FROM ("
+            "  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS cnt"
+            "  FROM events GROUP BY 1, 2"
+            ") QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, bucket ASC) <= 2 "
+            "ORDER BY event_type, cnt DESC, bucket"
+        ),
+        "events_props_extract": (
+            "SELECT event_type, round(avg(k), 4) AS avg_k_r, count(*) AS cnt FROM ("
+            "  SELECT event_type, TRY_CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) AS k"
+            "  FROM events"
+            ") WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type"
+        ),
         "events_range_join": (
             "SELECT r.bucket_id, count(*) AS cnt FROM events e JOIN ("
             "  SELECT i AS bucket_id, i*100 AS lo, i*100+49 AS hi FROM range(0, 10) t(i)"
@@ -571,6 +614,8 @@ def queries_map() -> dict:
             "events_percentiles": q_events_percentiles,
             "events_metrics_by_type": q_events_metrics_by_type,
             "events_approx_cardinality": q_events_approx_cardinality,
+            "events_topn_per_group": q_events_topn_per_group,
+            "events_props_extract": q_events_props_extract,
             "events_range_join": q_events_range_join,
             "tpch_q1_pricing": q_tpch_q1_pricing,
             "segment_revenue": q_segment_revenue,
