@@ -199,3 +199,14 @@ class TestSyslogAndUA:
         assert got[2]["name"] == "curl"
         assert got[3]["name"] == "AWS-SDK" and got[3]["os"] == "Linux"
         assert got[4]["name"] == "Other"
+
+
+class TestCompression:
+    def test_gzip_text(self, spark, tdir):
+        import gzip
+
+        p = os.path.join(str(tdir), "x.log.gz")
+        with gzip.open(p, "wt") as f:
+            f.write("GET 200\nPOST 404\n")
+        df = formats.read_text_regex(spark, p, r"(?P<method>\w+) (?P<status>\d+)")
+        assert sorted(r["method"] for r in df.collect()) == ["GET", "POST"]
