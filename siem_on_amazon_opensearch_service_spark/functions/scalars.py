@@ -174,7 +174,10 @@ def user_agent_parse(col: Column) -> Column:
     for pat, label in reversed(_UA_BROWSERS):
         hit = col.rlike(pat)
         name = F.when(hit, label).otherwise(name)
-        version = F.when(hit, F.regexp_extract(col, pat, 1)).otherwise(version)
+        if "(" in pat:  # group-less family patterns have no version
+            version = F.when(hit, F.regexp_extract(col, pat, 1)).otherwise(version)
+        else:
+            version = F.when(hit, F.lit(None).cast("string")).otherwise(version)
     osname = F.lit("Other")
     for pat, label in reversed(_UA_OS):
         osname = F.when(col.rlike(pat), label).otherwise(osname)
