@@ -160,7 +160,7 @@ _UA_OS = [
     ("Android ([\\d.]+)", "Android"),
     ("iPhone OS ([\\d_]+)", "iOS"),
     ("Mac OS X", "macOS"),
-    ("Linux", "Linux"),
+    ("(?i)linux", "Linux"),
 ]
 
 
