@@ -84,6 +84,16 @@ def resolve_xff_client(df: DataFrame, trusted: DataFrame, xff_col: str = "xff", 
     return df.join(client, id_cols, "left")
 
 
+def ioc_domain_match(df: DataFrame, ioc_domains: DataFrame, domain_col: str = "domain") -> DataFrame:
+    """IOC domain match — exact broadcast equi-join (siem/ioc.py:230-255):
+    event domain against the indicator table (domain, provider, name)."""
+    return df.join(
+        F.broadcast(ioc_domains),
+        df[domain_col] == ioc_domains["ioc_domain"],
+        "left",
+    ).drop("ioc_domain")
+
+
 def winevt_eventid_lookup(df: DataFrame, lookup: DataFrame, event_id_col: str = "event_id") -> DataFrame:
     """WinEvt EventID -> (action, outcome) broadcast equi-join
     (siem/fileformat_winevtxml.py:26-54)."""

@@ -120,3 +120,16 @@ class TestEcsMapping:
         assert got == ["failure", "success"]
         # unknown logtype: no-op
         assert ecs.apply_transform(df, "nope").columns == df.columns
+
+
+class TestIocDomain:
+    def test_domain_equi_join(self, spark):
+        ioc = spark.createDataFrame(
+            [("evil.example", "feedA", "bad-domain")],
+            "ioc_domain string, provider string, name string",
+        )
+        ev = spark.createDataFrame(
+            [(1, "evil.example"), (2, "good.example")], "id long, domain string"
+        )
+        got = {r["id"]: r["name"] for r in enrich.ioc_domain_match(ev, ioc).collect()}
+        assert got == {1: "bad-domain", 2: None}
