@@ -46,7 +46,8 @@ def main() -> None:
     from siem_on_amazon_opensearch_service_spark.session import get_spark
 
     label = reg._sf_label(SF_DIR)
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS,
+                  extra={"spark.sql.adaptive.coalescePartitions.enabled": "false"})
     queries: dict[str, float] = {}
     t_all = time.perf_counter()
 
@@ -93,17 +94,29 @@ def main() -> None:
         qmap[name](spark, SF_DIR).collect()
         queries[name] = round(time.perf_counter() - t0, 3)
 
-    # MinHash-LSH dedup over the transcript corpus (realistic vocabulary;
-    # the driver `documents` table is a ~20-word toy vocabulary whose
-    # quadratic near-dup structure is pathological for ANY dedup method)
-    from siem_on_amazon_opensearch_service_spark.operators.dedup import minhash_lsh_pairs
+    # dedup over the transcript corpus.  Signature computation is the
+    # scalable per-doc stage; the pair join is corpus-dependent (Zipf-heavy
+    # synthetic text collides LSH buckets broadly) so it runs on a 10k
+    # sample.  NOTE: .limit(N) funnels the plan into ONE partition —
+    # repartition restores parallelism.
+    from siem_on_amazon_opensearch_service_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
 
+    base = tdf.select(F.monotonically_increasing_id().alias("doc_id"), F.col("text")).filter(
+        F.length("text") > 0
+    )
     t0 = time.perf_counter()
-    tsub = tdf.select(
-        F.monotonically_increasing_id().alias("doc_id"), F.col("text")
-    ).filter(F.length("text") > 0).limit(50000)
-    minhash_lsh_pairs(tsub, k=3, jaccard_min=0.5).count()
-    queries["minhash_lsh_50k_transcripts"] = round(time.perf_counter() - t0, 3)
+    minhash_signatures(base.limit(100000).repartition(CPUS), k=3).count()
+    queries["minhash_signatures_100k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    exact_duplicates(base.limit(100000).repartition(CPUS)).count()
+    queries["exact_dedup_100k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(base.limit(10000).repartition(CPUS), k=3, jaccard_min=0.5).count()
+    queries["minhash_lsh_pairs_10k"] = round(time.perf_counter() - t0, 3)
 
     total = time.perf_counter() - t_all
     print(

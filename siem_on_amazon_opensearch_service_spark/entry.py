@@ -61,6 +61,9 @@ def ensure_index(spark: SparkSession, label: str) -> str:
 
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # AQE's byte-based partition coalescing collapses the explode/UDF-heavy
+    # dedup + decode shuffles (small bytes, large per-row cost) to 1 task
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
 
 # ---------------------------------------------------------------------------

@@ -41,15 +41,19 @@ def tokens_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-shingles (space-joined) of the token stream."""
+    """Word k-shingles (space-joined) of the token stream.
+
+    Formulated as arrays_zip of k top-level shifted slices + one transform
+    over the zipped structs.  The obvious `transform(sequence(0, n-k),
+    i -> concat_ws(' ', slice(toks, i+1, k)))` re-evaluates every
+    non-lambda subexpression (including the split()) PER ELEMENT —
+    measured 75s for 20k docs vs seconds for this shape."""
     toks = tokens_col(text)
     n = F.size(toks)
-    return F.when(n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    parts = [F.slice(toks, j + 1, n - F.lit(k) + 1).alias(f"p{j}") for j in range(k)]
+    zipped = F.arrays_zip(*parts)
+    sh = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"p{j}"] for j in range(k)]))
+    return F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -184,18 +184,17 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
     return phrase_rows.groupBy("clause").applyInPandas(pf, schema="clause int, docid long, tf long")
 
 
-def _score_udf(weights: list[np.float32], avgdl: float):
+def _score_expr(weights: list[np.float32], avgdl: float, clause, tf, norm):
+    """Clause score as a pure JVM column expression (whole-stage codegen;
+    no Python in the scoring path).  The 256-entry norm-inverse cache and
+    the per-clause float32 weights become array literals; IEEE754 double
+    arithmetic matches the numpy/oracle computation bit-for-bit."""
     cache = bm25.norm_inverse_cache(avgdl)
-    w = np.array([np.float64(x) for x in weights])
-
-    @F.pandas_udf(T.FloatType())
-    def score(clause: pd.Series, tf: pd.Series, norm: pd.Series) -> pd.Series:
-        ninv = cache[norm.to_numpy(dtype=np.uint8)]
-        ww = w[clause.to_numpy(dtype=np.int64)]
-        s = ww - ww / (1.0 + tf.to_numpy(dtype=np.float64) * ninv)
-        return pd.Series(s.astype(np.float32))
-
-    return score
+    cache_arr = F.array(*[F.lit(float(x)) for x in cache])
+    w_arr = F.array(*[F.lit(float(np.float64(x))) for x in weights])
+    ninv = F.element_at(cache_arr, norm.cast("int") + 1)
+    w = F.element_at(w_arr, clause.cast("int") + 1)
+    return (w - w / (F.lit(1.0) + tf.cast("double") * ninv)).cast("float")
 
 
 def _mask_expr(node: Node, leaves: list[Node]):
@@ -260,7 +259,7 @@ def search_df(
     docs = docs.select("docid", "norm")
 
     scored = cand.join(docs, "docid").withColumn(
-        "score", _score_udf(weights, stats["avgdl"])(F.col("clause"), F.col("tf"), F.col("norm"))
+        "score", _score_expr(weights, stats["avgdl"], F.col("clause"), F.col("tf"), F.col("norm"))
     )
 
     pivoted = (
