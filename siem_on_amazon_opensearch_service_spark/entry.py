@@ -251,6 +251,24 @@ def q_events_props_extract(spark, sf_dir):
     )
 
 
+def q_transcripts_role_topn(spark, sf_dir):
+    """terms agg over the SIEM corpus itself (role = keyword field)."""
+    _prep(spark)
+    t = spark.read.parquet(ensure_corpus(_sf_label(sf_dir), spark))
+    return aggs.terms_topn(t, "role", n=4)
+
+
+def q_transcripts_daily_histogram(spark, sf_dir):
+    """date_histogram over the corpus: daily turn counts + distinct convs."""
+    _prep(spark)
+    t = spark.read.parquet(ensure_corpus(_sf_label(sf_dir), spark))
+    return (
+        t.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("cnt"), F.count_distinct("conv_id").alias("n_convs"))
+        .orderBy("bucket")
+    )
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -455,6 +473,15 @@ def oracle_sql_map() -> dict[str, str]:
             ") r ON e.user_id >= r.lo AND e.user_id <= r.hi "
             "GROUP BY r.bucket_id ORDER BY r.bucket_id"
         ),
+        "transcripts_role_topn": (
+            f"SELECT role, count(*) AS cnt FROM read_parquet('{ORACLE_TRANSCRIPTS}') "
+            "GROUP BY role ORDER BY cnt DESC, role ASC LIMIT 4"
+        ),
+        "transcripts_daily_histogram": (
+            f"SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt, "
+            f"count(DISTINCT conv_id) AS n_convs FROM read_parquet('{ORACLE_TRANSCRIPTS}') "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "tpch_q1_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
             "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS cnt "
@@ -620,6 +647,8 @@ def queries_map() -> dict:
             "events_topn_per_group": q_events_topn_per_group,
             "events_props_extract": q_events_props_extract,
             "events_range_join": q_events_range_join,
+            "transcripts_role_topn": q_transcripts_role_topn,
+            "transcripts_daily_histogram": q_transcripts_daily_histogram,
             "tpch_q1_pricing": q_tpch_q1_pricing,
             "segment_revenue": q_segment_revenue,
             "doc_exact_dups": q_doc_exact_dups,
