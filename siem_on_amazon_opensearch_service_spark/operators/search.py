@@ -81,6 +81,26 @@ def _load_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
     return {t: int(d) for t, d in rows}
 
 
+def _check_positions(index_dir: str, leaves: list[Node]) -> None:
+    """Phrase queries need positional postings; fail loudly (not silently
+    empty) on an index built with positions=False (positions are optional
+    per SURVEY.md §7 — they cost ~2-3x index size)."""
+    if not any(isinstance(lf, Phrase) for lf in leaves):
+        return
+    import json
+
+    try:
+        with open(os.path.join(index_dir, "_build.json")) as f:
+            params = json.load(f)
+    except OSError:
+        return
+    if not params.get("positions", True):
+        raise ValueError(
+            "phrase query requires positional postings; this index was built "
+            "with positions=False"
+        )
+
+
 def _clause_weights(leaves: list[Node], dfs: dict[str, int], doc_count: int) -> list[np.float32]:
     out = []
     for leaf in leaves:
@@ -228,6 +248,7 @@ def search_df(
     """Distributed BM25 top-k; returns DataFrame(docid long, score float)."""
     ast = parse(query)
     leaves = _leaves(ast)
+    _check_positions(index_dir, leaves)
     terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
     stats = _load_stats(index_dir)
     dfs = _load_dfs(index_dir, terms)
@@ -442,7 +463,9 @@ class LocalIndex:
         ts_min=None,
         ts_max=None,
     ) -> list[tuple[int, np.float32]]:
-        mask, acc = self._eval(parse(query))
+        ast = parse(query)
+        _check_positions(self.dir, _leaves(ast))
+        mask, acc = self._eval(ast)
         if role is not None:
             mask &= self.role == role
         if tool is not None:

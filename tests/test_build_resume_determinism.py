@@ -117,3 +117,33 @@ class TestGeneratorSparkParity:
         assert got["role"].tolist() == exp["role"].tolist()
         assert list(got["ts"]) == list(exp["ts"])
         assert got["tool"].fillna("·").tolist() == exp["tool"].fillna("·").tolist()
+
+
+class TestPositionsOptional:
+    def test_positionless_index_smaller_and_guarded(self, spark, tiny_corpus_pdf, tmp_path):
+        """positions=False: term/bool queries identical, phrase rejected,
+        index smaller (SURVEY.md §7 watchlist: positions ~2-3x size)."""
+        import pytest as _pytest
+
+        from siem_on_amazon_opensearch_service_spark.operators.build import build_index
+
+        df = spark.createDataFrame(tiny_corpus_pdf)
+        with_pos = str(tmp_path / "withpos")
+        no_pos = str(tmp_path / "nopos")
+        build_index(spark, df, with_pos, n_shards=4, n_salts=2, positions=True)
+        build_index(spark, df, no_pos, n_shards=4, n_salts=2, positions=False)
+
+        a, b = LocalIndex(with_pos), LocalIndex(no_pos)
+        for q in ["error", "error AND timeout", "timeout OR refused"]:
+            assert a.search(q, k=15) == b.search(q, k=15)
+        with _pytest.raises(ValueError, match="positional"):
+            b.search('"connection reset"', k=5)
+
+        def psize(d):
+            return sum(
+                os.path.getsize(os.path.join(d, "postings", f))
+                for f in os.listdir(os.path.join(d, "postings"))
+                if f.endswith(".parquet")
+            )
+
+        assert psize(no_pos) < psize(with_pos)
