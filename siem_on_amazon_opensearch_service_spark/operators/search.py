@@ -54,6 +54,52 @@ def _leaves(node: Node) -> list[Node]:
     return out
 
 
+def _positive_leaves(node: Node) -> list[Node]:
+    """Leaves reachable through at least one Not-free path.  Only these
+    contribute score: the frozen oracle's ``Not`` evaluates to zero
+    accumulation (oracle.py _eval), so a term that appears exclusively
+    under NOT must not add its BM25 score even when the doc matches via
+    another branch (e.g. '(a AND NOT b) OR c' on a doc matching b and c)."""
+    out: list[Node] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, (Term, Phrase)):
+            if n not in out:
+                out.append(n)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c)
+        # Not: do not descend — its subtree never contributes score
+
+    walk(node)
+    return out
+
+
+def _covered_by_positive(node: Node) -> bool:
+    """True iff every matching doc must match >=1 positive-path leaf.
+    The distributed path builds candidates from postings rows only, so
+    queries whose match set includes docs matching NO positive clause
+    (pure 'NOT a', 'a OR NOT b') cannot be answered from postings alone."""
+    if isinstance(node, (Term, Phrase)):
+        return True
+    if isinstance(node, And):
+        return any(_covered_by_positive(c) for c in node.children)
+    if isinstance(node, Or):
+        return all(_covered_by_positive(c) for c in node.children)
+    if isinstance(node, Not):
+        return False
+    raise TypeError(node)
+
+
+def _require_positive_coverage(ast: Node, where: str) -> None:
+    if not _covered_by_positive(ast):
+        raise ValueError(
+            f"{where} supports NOT only where every match still requires a "
+            "positive term (e.g. 'a AND NOT b'); pure-negative / OR-NOT "
+            "queries need a full docs scan — use LocalIndex.search"
+        )
+
+
 def _load_stats(index_dir: str) -> dict:
     import duckdb
 
@@ -247,6 +293,7 @@ def search_df(
 ) -> DataFrame:
     """Distributed BM25 top-k; returns DataFrame(docid long, score float)."""
     ast = parse(query)
+    _require_positive_coverage(ast, "search_df")
     leaves = _leaves(ast)
     _check_positions(index_dir, leaves)
     terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
@@ -283,6 +330,15 @@ def search_df(
         "score", _score_expr(weights, stats["avgdl"], F.col("clause"), F.col("tf"), F.col("norm"))
     )
 
+    if len(leaves) == 1 and isinstance(ast, (Term, Phrase)):
+        # single-clause queries (most dashboard searches): one row per
+        # docid already — skip the pivot shuffle entirely
+        return (
+            scored.select("docid", F.col("score").cast("double").cast("float").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(k)
+        )
+
     pivoted = (
         scored.groupBy("docid")
         .pivot("clause", list(range(len(leaves))))
@@ -291,11 +347,13 @@ def search_df(
     for ci in range(len(leaves)):
         pivoted = pivoted.withColumnRenamed(str(ci), f"c{ci}")
 
-    # float64 sum of float32 clause scores, rounded once to float32
-    total = None
-    for ci in range(len(leaves)):
-        piece = F.coalesce(F.col(f"c{ci}").cast("double"), F.lit(0.0))
-        total = piece if total is None else total + piece
+    # float64 sum of float32 clause scores (POSITIVE-path leaves only:
+    # leaves under NOT filter but never score), rounded once to float32
+    positive = _positive_leaves(ast)
+    total = F.lit(0.0)
+    for ci, leaf in enumerate(leaves):
+        if leaf in positive:
+            total = total + F.coalesce(F.col(f"c{ci}").cast("double"), F.lit(0.0))
     out = (
         pivoted.filter(_mask_expr(ast, leaves))
         .withColumn("score", total.cast("float"))
@@ -309,8 +367,28 @@ def search_df(
 def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
     """Boolean match count (no scoring): posting-set algebra as DataFrame
     set ops — intersect = inner join, union = distinct union, NOT =
-    left_anti (SURVEY.md §2.3 bool query)."""
+    left_anti (SURVEY.md §2.3 bool query).  NOT is supported as a direct
+    child of AND (the 'a AND NOT b' filter shape); other NOT placements
+    need a complement scan — rejected with ValueError."""
     ast = parse(query)
+    _require_positive_coverage(ast, "match_count_df")
+
+    def check_not_shape(n: Node, parent_is_and: bool = False) -> None:
+        if isinstance(n, Not):
+            if not parent_is_and:
+                raise ValueError(
+                    "match_count_df supports NOT only as a direct child of "
+                    "AND ('a AND NOT b'); rewrite the query or use LocalIndex"
+                )
+            check_not_shape(n.child, False)
+        elif isinstance(n, And):
+            for c in n.children:
+                check_not_shape(c, True)
+        elif isinstance(n, Or):
+            for c in n.children:
+                check_not_shape(c, False)
+
+    check_not_shape(ast)
     leaves = _leaves(ast)
     terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(

@@ -56,12 +56,19 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     """Vectorized frozen analyzer over a pandas Series -> Series of lists.
 
     Must agree token-for-token with analysis.tokenize (tested).  Slow-path
-    Python fallback only for the rare rows with >32,766-byte text or
-    >255-char runs.
+    Python fallback only for the rare rows with >32,766-byte text,
+    >255-char runs, or non-ASCII bytes: the fast path lowercases BEFORE
+    findall, and a few non-ASCII chars lower() into ASCII ('İ' -> 'i' +
+    combining dot, 'K' -> 'k'), which would mint tokens the frozen
+    findall-then-lower tokenizer never emits.
     """
     s = texts.fillna("")
     byte_len = s.str.encode("utf-8").str.len()
-    hard = (byte_len > TRUNCATE_BYTES) | s.str.contains(_LONG_RUN_RE, regex=True)
+    hard = (
+        (byte_len > TRUNCATE_BYTES)
+        | (byte_len != s.str.len())  # any non-ASCII byte
+        | s.str.contains(_LONG_RUN_RE, regex=True)
+    )
     out = s.str.lower().str.findall(TOKEN_RE)
     if hard.any():
         out = out.copy()

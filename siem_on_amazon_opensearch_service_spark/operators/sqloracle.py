@@ -85,30 +85,59 @@ def _leaf_ctes(leaves: list[Node]) -> str:
     return ",\n".join(parts)
 
 
-def _combine_sql(ast: Node, leaves: list[Node]) -> str:
+def _positive_leaves(node: Node) -> list[Node]:
+    """Leaves reachable through a Not-free path — the only score
+    contributors (Lucene bool semantics: must_not filters, never scores).
+    Mirrors operators/search._positive_leaves and oracle.LuceneOracle._eval
+    (Not returns zero accumulation)."""
+    out: list[Node] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, (Term, Phrase)):
+            if n not in out:
+                out.append(n)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c)
+
+    walk(node)
+    return out
+
+
+def _match_sql(ast: Node, leaves: list[Node]) -> str:
+    """Boolean match set as SQL set algebra (INTERSECT/UNION/EXCEPT); fully
+    general, including pure-negative queries (complement against ``d``)."""
     def idx(n: Node) -> int:
         return leaves.index(n)
 
     if isinstance(ast, (Term, Phrase)):
-        return f"SELECT docid, s FROM s_{idx(ast)}"
-    if isinstance(ast, Or):
-        assert all(isinstance(c, (Term, Phrase)) for c in ast.children)
-        union = " UNION ALL ".join(f"SELECT docid, s FROM s_{idx(c)}" for c in ast.children)
-        return f"SELECT docid, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS s FROM ({union}) GROUP BY docid"
+        return f"SELECT docid FROM tf_{idx(ast)}"
     if isinstance(ast, And):
-        pos = [c for c in ast.children if not isinstance(c, Not)]
-        neg = [c.child for c in ast.children if isinstance(c, Not)]
-        assert pos and all(isinstance(c, (Term, Phrase)) for c in pos + neg)
-        first = f"s_{idx(pos[0])}"
-        joins = "".join(f" JOIN s_{idx(c)} USING (docid)" for c in pos[1:])
-        total = " + ".join(f"CAST(s_{idx(c)}.s AS DOUBLE)" for c in pos)
-        where = "".join(
-            f" AND docid NOT IN (SELECT docid FROM tf_{idx(c)})" for c in neg
-        )
-        return (
-            f"SELECT docid, CAST({total} AS FLOAT) AS s FROM {first}{joins} WHERE TRUE{where}"
-        )
-    raise ValueError(f"oracle SQL supports term/and/or/phrase, got {ast}")
+        return " INTERSECT ".join(f"({_match_sql(c, leaves)})" for c in ast.children)
+    if isinstance(ast, Or):
+        return " UNION ".join(f"({_match_sql(c, leaves)})" for c in ast.children)
+    if isinstance(ast, Not):
+        return f"SELECT docid FROM d EXCEPT ({_match_sql(ast.child, leaves)})"
+    raise TypeError(ast)
+
+
+def _combine_sql(ast: Node, leaves: list[Node]) -> str:
+    """(docid, s) for the full tree: docids from the match-set algebra,
+    score = float32(float64 sum of the doc's POSITIVE-path leaf scores) —
+    identical semantics to the engine and the frozen Python oracle for any
+    And/Or/Not tree."""
+    positive = _positive_leaves(ast)
+    pos_idx = [i for i, lf in enumerate(leaves) if lf in positive]
+    match = _match_sql(ast, leaves)
+    if not pos_idx:
+        return f"SELECT docid, CAST(0.0 AS FLOAT) AS s FROM ({match})"
+    union = " UNION ALL ".join(f"SELECT docid, s FROM s_{i}" for i in pos_idx)
+    return (
+        f"SELECT m.docid, CAST(COALESCE(t.s, 0.0) AS FLOAT) AS s "
+        f"FROM ({match}) m LEFT JOIN ("
+        f"SELECT docid, SUM(CAST(s AS DOUBLE)) AS s FROM ({union}) GROUP BY docid"
+        f") t USING (docid)"
+    )
 
 
 def match_count_sql(path: str, query: str) -> str:

@@ -23,6 +23,10 @@ QUERIES = [
     "error AND NOT timeout",
     '(error OR timeout) AND connection',
     '"connection reset" OR timeout',
+    "(error AND NOT timeout) OR refused",
+    "connection AND (error OR NOT timeout)",
+    "NOT error",
+    "error OR NOT timeout",
 ]
 
 
@@ -81,11 +85,41 @@ class TestWandVsOracle:
 
 
 class TestDistributedVsOracle:
-    @pytest.mark.parametrize("q", ["error", "error AND timeout", "error OR refused", '"connection reset"'])
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "error",
+            "error AND timeout",
+            "error OR refused",
+            '"connection reset"',
+            # NOT mixed with OR: the negated term must NOT contribute score
+            # to docs matching via the other branch (ADVICE r1)
+            "(error AND NOT timeout) OR refused",
+            "(refused AND NOT error) OR timeout",
+            "connection AND (error OR NOT timeout)",
+        ],
+    )
     def test_rank_identity(self, spark, tiny_index, oracle, q):
         rows = search_df(spark, tiny_index[0], q, k=10).collect()
         got = [(r["docid"], np.float32(r["score"])) for r in rows]
         _assert_hits_equal(got, oracle.search(q, k=10), f"df:{q}")
+
+    @pytest.mark.parametrize("q", ["NOT error", "error OR NOT timeout"])
+    def test_uncovered_negative_rejected(self, spark, tiny_index, q):
+        """Queries whose match set is not covered by positive terms can't be
+        answered from postings; both distributed entry points fail loudly."""
+        from siem_on_amazon_opensearch_service_spark.operators.search import match_count_df
+
+        with pytest.raises(ValueError, match="positive"):
+            search_df(spark, tiny_index[0], q, k=10)
+        with pytest.raises(ValueError, match="positive"):
+            match_count_df(spark, tiny_index[0], q)
+
+    def test_match_count_not_shape_rejected(self, spark, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.search import match_count_df
+
+        with pytest.raises(ValueError, match="direct child of"):
+            match_count_df(spark, tiny_index[0], "connection AND (error OR NOT timeout)")
 
     def test_filters(self, spark, tiny_index, oracle):
         rows = search_df(spark, tiny_index[0], "error", k=10, role="assistant").collect()

@@ -72,6 +72,26 @@ def test_tokenize_series_matches_scalar(text):
     assert int(segments.token_counts(pd.Series([text]))[0]) == len(tokenize(text))
 
 
+def test_tokenize_series_nonascii_matches_scalar():
+    """Non-ASCII chars whose lower() maps INTO ascii ('İ' -> 'i'+combining,
+    'K' Kelvin -> 'k') must not mint tokens the frozen findall-then-lower
+    tokenizer never emits (ADVICE r1: engine/oracle desync on real text)."""
+    tricky = [
+        "İstanbul error",          # U+0130: lower() -> 'i' + U+0307
+        "temp 300K today",    # U+212A Kelvin sign: lower() -> 'k'
+        "straße connection",       # ß stays non-ascii
+        "日本語 timeout mixed",      # CJK
+        "café ACCENT é",           # accented latin
+        "plain ascii Control",
+    ]
+    got = segments.tokenize_series(pd.Series(tricky))
+    for s, toks in zip(tricky, got):
+        assert list(toks) == tokenize(s), s
+    counts = segments.token_counts(pd.Series(tricky))
+    for s, n in zip(tricky, counts):
+        assert int(n) == len(tokenize(s)), s
+
+
 @given(
     st.dictionaries(
         st.integers(min_value=0, max_value=5000),  # docid
