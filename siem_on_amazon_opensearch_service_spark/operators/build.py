@@ -150,7 +150,15 @@ def _merge_stage(partials: DataFrame, num_partitions: int | None = None) -> Data
     Implemented as repartition + one vectorized pandas pass per partition
     (segments.merge_partition) rather than groupBy().applyInPandas — with
     millions of (term, salt) groups the per-group Arrow round-trip dominates
-    (measured 29s -> ~4s at sf0.1); the shuffle itself is identical."""
+    (measured 29s -> ~4s at sf0.1); the shuffle itself is identical.
+
+    Replay-idempotent: a crash between the partials append and the manifest
+    commit leaves the next resume re-running those shards, appending
+    byte-identical partial rows a second time.  Same-key duplicates are
+    dropped here (same (term, salt, shard_min) AND same docs_bytes — a
+    legitimate cross-batch row sharing a boundary shard id has different
+    absolute docids, hence different bytes), so a replayed shard can never
+    double df/tf/postings."""
     np_ = num_partitions or max(8, partials.sparkSession.sparkContext.defaultParallelism)
 
     def merge(batches):
@@ -158,6 +166,7 @@ def _merge_stage(partials: DataFrame, num_partitions: int | None = None) -> Data
         if not pdfs:
             return
         pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.drop_duplicates(subset=["term", "salt", "shard_min", "docs_bytes"])
         if len(pdf):
             yield segments.merge_partition(pdf)
 
@@ -306,8 +315,12 @@ def _build_index_inner(
         manifest.write.mode("append").parquet(manifest_path)
         built = len(todo)
         t0 = _mark("manifest", t0)
+
+    if todo or not os.path.exists(os.path.join(stats_path, "_SUCCESS")):
         # corpus stats = manifest rollup (a few-hundred-row agg) — NOT a
-        # second full docs scan
+        # second full docs scan.  Also recomputed when missing: a crash
+        # between the manifest commit and this write leaves all shards
+        # complete but no stats; the resume pass must still produce them.
         (
             spark.read.parquet(manifest_path)
             .agg(

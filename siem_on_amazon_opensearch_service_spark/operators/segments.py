@@ -241,11 +241,33 @@ def encode_shard_postings(
     return pd.DataFrame(rows, columns=cols)
 
 
+def first_docid(docs_bytes: bytes) -> int:
+    """Absolute first docID of a segment row (delta chains restart at block
+    boundaries, so the first VByte value is the absolute docID)."""
+    x, shift = 0, 0
+    for byte in docs_bytes:
+        x |= (byte & 0x7F) << shift
+        if not (byte & 0x80):
+            return x
+        shift += 7
+    return x
+
+
+def first_docids(docs_bytes: pd.Series) -> np.ndarray:
+    return np.fromiter(
+        (first_docid(b) for b in docs_bytes), dtype=np.int64, count=len(docs_bytes)
+    )
+
+
 def merge_rows(rows: pd.DataFrame) -> dict:
     """Merge same-(term,salt) segment rows from disjoint shard ranges by
     byte concatenation + offset shift (the 'final' stage of the salted
-    term shuffle).  Rows must be sorted by shard_min ascending."""
-    rows = rows.sort_values("shard_min", kind="mergesort")
+    term shuffle).  Rows are sorted by (shard_min, first docid) — the
+    docid tiebreak keeps the output deterministic when incremental appends
+    put two disjoint docid ranges into the same boundary shard id."""
+    rows = rows.assign(_fd=first_docids(rows["docs_bytes"])).sort_values(
+        ["shard_min", "_fd"], kind="mergesort"
+    )
     d_lens = rows["docs_bytes"].str.len().to_numpy()
     t_lens = rows["tfs_bytes"].str.len().to_numpy()
     p_lens = rows["pos_bytes"].str.len().to_numpy()
@@ -288,8 +310,15 @@ def merge_rows(rows: pd.DataFrame) -> dict:
 def merge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized multi-group merge: same result as merge_rows() applied to
     every (term, salt) group of ``pdf``, but one pandas/numpy pass over the
-    whole partition (no per-group Arrow round-trips)."""
-    pdf = pdf.sort_values(["term", "salt", "shard_min"], kind="mergesort").reset_index(drop=True)
+    whole partition (no per-group Arrow round-trips).  Sort includes the
+    first-docid tiebreak (see merge_rows) for determinism under
+    incremental boundary-shard collisions."""
+    pdf = (
+        pdf.assign(_fd=first_docids(pdf["docs_bytes"]))
+        .sort_values(["term", "salt", "shard_min", "_fd"], kind="mergesort")
+        .drop(columns="_fd")
+        .reset_index(drop=True)
+    )
     n = len(pdf)
     gid = (
         (pdf["term"] != pdf["term"].shift()) | (pdf["salt"] != pdf["salt"].shift())

@@ -9,6 +9,18 @@ re-expression: Structured Streaming over an arriving-files source with
 batch builder writes — new docIDs continue from the current total, new
 partial segment rows join the salted merge, stats/dict are refreshed.
 
+Scale + exactly-once properties (r2, after VERDICT/ADVICE r1):
+
+- **Affected-groups-only merge**: an append re-merges ONLY the (term, salt)
+  groups present in the batch's partials; untouched postings rows are
+  carried over verbatim, and the dict is an arithmetic upsert (df/cttf are
+  additive over partials).  Per-batch cost is O(batch terms), not O(index).
+- **Idempotent under foreachBatch at-least-once replay**: applied batch ids
+  are recorded in ``_build.json`` (written atomically LAST); a replayed
+  batch id is a no-op.  A crash mid-append leaves orphan docids >= the
+  committed total; the next append detects and removes them (docs /
+  partials / manifest) and rebuilds derived artifacts before proceeding.
+
 Query correctness is layout-independent (scores depend only on postings
 content + corpus stats), so an incrementally-grown index answers queries
 identically to a one-shot build over the same rows (tested).
@@ -18,11 +30,114 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import build as b
+from ..operators import segments
+
+
+def _write_params(params_path: str, params: dict) -> None:
+    """Atomic commit point of an append: tmp + rename."""
+    tmp = params_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, params_path)
+
+
+def _swap_write(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` to a sibling tmp dir, then swap it into ``path``
+    (never overwrite a directory that feeds the plan being written)."""
+    tmp = path + "_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+
+
+def _first_docid_udf():
+    # built lazily: decorating at import time needs an active SparkSession
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def fd(docs_bytes: pd.Series) -> pd.Series:
+        return pd.Series(segments.first_docids(docs_bytes))
+
+    return fd
+
+
+def _refresh_postings_dict_full(spark: SparkSession, out_dir: str) -> None:
+    """Crash-recovery slow path: rebuild postings + dict from all partials."""
+    merged = b._merge_stage(spark.read.parquet(os.path.join(out_dir, "partials")))
+    _swap_write(
+        merged.sortWithinPartitions("term", "salt", "shard_min"),
+        os.path.join(out_dir, "postings"),
+    )
+    post = spark.read.parquet(os.path.join(out_dir, "postings"))
+    _swap_write(
+        post.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
+        .repartition(1)
+        .sortWithinPartitions("term"),
+        os.path.join(out_dir, "dict"),
+    )
+    open(os.path.join(out_dir, "postings", "_SUCCESS"), "a").close()
+    open(os.path.join(out_dir, "dict", "_SUCCESS"), "a").close()
+
+
+def _write_stats_from_manifest(spark: SparkSession, out_dir: str) -> None:
+    (
+        spark.read.parquet(os.path.join(out_dir, "manifest"))
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_nonempty").alias("doc_count"),
+            F.sum("n_tokens").alias("sum_dl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "stats"))
+    )
+
+
+def recover_orphans(spark: SparkSession, out_dir: str, params: dict) -> bool:
+    """Remove artifacts of a crashed (uncommitted) append.
+
+    The commit point is the ``_build.json`` write; anything with
+    docid >= params['total_docs'] is from an append that never committed.
+    Docs/manifest filter directly; partial segment rows are orphans when
+    their shard id is past the committed range, or — for the boundary
+    shard shared between batches — when their first absolute docid is past
+    the committed total.  Derived artifacts (postings/dict/stats) are then
+    rebuilt from the cleaned inputs.  Returns True if recovery ran."""
+    total = params["total_docs"]
+    ssz = params["shard_size"]
+    docs_path = os.path.join(out_dir, "docs")
+    docs = spark.read.parquet(docs_path)
+    mx = docs.agg(F.max("docid")).first()[0]
+    if mx is None or mx < total:
+        return False
+    b0 = (total - 1) // ssz  # last committed shard id (may be shared)
+    _swap_write(docs.filter(F.col("docid") < total), docs_path)
+    open(os.path.join(docs_path, "_SUCCESS"), "a").close()
+
+    partials_path = os.path.join(out_dir, "partials")
+    partials = spark.read.parquet(partials_path)
+    keep = (F.col("shard_min") < b0) | (
+        (F.col("shard_min") == b0) & (_first_docid_udf()(F.col("docs_bytes")) < total)
+    )
+    _swap_write(partials.filter(keep), partials_path)
+
+    manifest_path = os.path.join(out_dir, "manifest")
+    _swap_write(
+        spark.read.parquet(manifest_path).filter(F.col("min_docid") < total),
+        manifest_path,
+    )
+    _write_stats_from_manifest(spark, out_dir)
+    _refresh_postings_dict_full(spark, out_dir)
+    return True
 
 
 def append_batch(
@@ -31,17 +146,30 @@ def append_batch(
     out_dir: str,
     dedupe_within: bool = True,
     dedupe_existing: bool = False,
+    batch_id: int | str | None = None,
 ) -> dict:
     """Append one micro-batch of transcript turns to an existing index
-    (creates it when absent).  Idempotency knobs mirror the reference's
-    at-least-once handling: drop duplicate (conv_id, turn_idx) within the
-    batch; optionally anti-join against already-indexed turns."""
+    (creates it when absent).  At-least-once handling mirrors the
+    reference's doc-id dedup: duplicate (conv_id, turn_idx) within the
+    batch dropped; ``batch_id`` (foreachBatch epoch) makes replays of an
+    already-committed batch a no-op; a crashed (uncommitted) append is
+    rolled back before the new one applies."""
     params_path = os.path.join(out_dir, "_build.json")
     if not os.path.exists(params_path):
-        return b.build_index(spark, batch_df, out_dir)
+        st = b.build_index(spark, batch_df, out_dir)
+        if batch_id is not None:
+            st["params"]["applied_batches"] = [str(batch_id)]
+            _write_params(params_path, st["params"])
+        return st
 
     with open(params_path) as f:
         params = json.load(f)
+
+    applied = params.get("applied_batches", [])
+    if batch_id is not None and str(batch_id) in applied:
+        return {"appended": 0, "total_docs": params["total_docs"], "skipped_replay": True}
+
+    recovered = recover_orphans(spark, out_dir, params)
 
     if dedupe_within:
         batch_df = batch_df.dropDuplicates(["conv_id", "turn_idx"])
@@ -54,7 +182,10 @@ def append_batch(
     with_ids, new_total, conv_cache = b.assign_docids(batch_df, base=base)
     n_new = new_total - base
     if n_new == 0:
-        return {"appended": 0, "total_docs": base}
+        if batch_id is not None:
+            params.setdefault("applied_batches", []).append(str(batch_id))
+            _write_params(params_path, params)
+        return {"appended": 0, "total_docs": base, "recovered": recovered}
 
     nb = max(1, -(-n_new // params["shard_size"]))
     ranged = with_ids.repartitionByRange(nb, "docid").sortWithinPartitions("docid")
@@ -63,12 +194,13 @@ def append_batch(
     conv_cache.unpersist()
 
     # delta partial segments for the new docid range only
-    docs_all = spark.read.parquet(docs_path)
-    new_docs = docs_all.filter(F.col("docid") >= base)
-    partials = b._partials_stage(new_docs, params["positions"], params["n_salts"])
-    partials.repartition(
+    new_docs = spark.read.parquet(docs_path).filter(F.col("docid") >= base)
+    partials_path = os.path.join(out_dir, "partials")
+    new_partials = b._partials_stage(new_docs, params["positions"], params["n_salts"])
+    new_partials = new_partials.repartition(
         max(8, spark.sparkContext.defaultParallelism), "term", "salt"
-    ).write.mode("append").parquet(os.path.join(out_dir, "partials"))
+    ).persist()
+    new_partials.write.mode("append").parquet(partials_path)
 
     manifest = (
         new_docs.groupBy("shard")
@@ -82,39 +214,57 @@ def append_batch(
         .withColumn("status", F.lit("complete"))
     )
     manifest.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
-    # corpus stats = manifest rollup (cheap; same as the batch builder)
-    (
-        spark.read.parquet(os.path.join(out_dir, "manifest"))
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("n_nonempty").alias("doc_count"),
-            F.sum("n_tokens").alias("sum_dl"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "stats"))
-    )
+    _write_stats_from_manifest(spark, out_dir)
 
-    # idempotent salted merge + dict refresh (same as the batch builder)
-    merged = b._merge_stage(spark.read.parquet(os.path.join(out_dir, "partials")))
-    (
-        merged.sortWithinPartitions("term", "salt", "shard_min")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "postings"))
+    # ---- affected-groups-only merge: untouched (term, salt) postings rows
+    # carry over verbatim; only groups present in this batch re-merge.
+    # Postings rows ARE valid segment rows (same schema), so the re-merge
+    # input is (old rows of touched groups) ∪ (new partial rows).
+    postings_path = os.path.join(out_dir, "postings")
+    touched = new_partials.select("term", "salt").distinct()
+    old_post = spark.read.parquet(postings_path)
+    untouched = old_post.join(F.broadcast(touched), ["term", "salt"], "left_anti")
+    touched_old = old_post.join(F.broadcast(touched), ["term", "salt"], "left_semi")
+    re_merged = b._merge_stage(touched_old.unionByName(new_partials))
+    _swap_write(
+        untouched.unionByName(re_merged.sortWithinPartitions("term", "salt", "shard_min")),
+        postings_path,
     )
-    post = spark.read.parquet(os.path.join(out_dir, "postings"))
-    (
-        post.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
+    open(os.path.join(postings_path, "_SUCCESS"), "a").close()
+
+    # ---- dict upsert: df/cttf are additive over partials, so the new
+    # dict = old dict ⊕ per-term sums of just this batch's partials
+    dict_path = os.path.join(out_dir, "dict")
+    delta = new_partials.groupBy("term").agg(
+        F.sum("df").alias("d_df"), F.sum("cttf").alias("d_cttf")
+    )
+    old_dict = spark.read.parquet(dict_path)
+    upserted = (
+        old_dict.join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("d_df"), F.lit(0))).alias("df"),
+            (F.coalesce(F.col("cttf"), F.lit(0)) + F.coalesce(F.col("d_cttf"), F.lit(0))).alias("cttf"),
+        )
         .repartition(1)
         .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "dict"))
     )
+    _swap_write(upserted, dict_path)
+    open(os.path.join(dict_path, "_SUCCESS"), "a").close()
+
+    n_touched = touched.count()
+    new_partials.unpersist()
+
     params["total_docs"] = new_total
-    with open(params_path, "w") as f:
-        json.dump(params, f)
-    return {"appended": n_new, "total_docs": new_total}
+    if batch_id is not None:
+        params.setdefault("applied_batches", []).append(str(batch_id))
+    _write_params(params_path, params)  # the commit point
+    return {
+        "appended": n_new,
+        "total_docs": new_total,
+        "merged_groups": n_touched,
+        "recovered": recovered,
+    }
 
 
 def incremental_index_stream(
@@ -125,14 +275,17 @@ def incremental_index_stream(
     checkpoint: str,
 ):
     """Structured Streaming driver: new parquet files under ``input_path``
-    are indexed as they arrive (exactly-once per file via the streaming
-    checkpoint; late data is fine — docs route by content, not arrival,
-    like the reference's event-time index routing, aws.ini:111-125)."""
+    are indexed as they arrive.  Exactly-once per batch: the streaming
+    checkpoint dedups file *discovery*, and append_batch's recorded
+    batch ids + orphan rollback make the foreachBatch body idempotent
+    under at-least-once replay (late data is fine — docs route by
+    content, not arrival, like the reference's event-time index routing,
+    aws.ini:111-125)."""
     stream = spark.readStream.schema(schema).parquet(input_path)
     return (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(lambda df, epoch: append_batch(spark, df, out_dir))
+        .foreachBatch(lambda df, epoch: append_batch(spark, df, out_dir, batch_id=epoch))
         .trigger(availableNow=True)
         .start()
     )

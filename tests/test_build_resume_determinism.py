@@ -66,6 +66,51 @@ class TestResume:
         for q in ["error", "error AND timeout", '"connection reset"']:
             assert la.search(q, k=20) == lb.search(q, k=20)
 
+    def test_resume_crash_between_partials_and_manifest(self, spark, tiny_corpus_pdf, tmp_path):
+        """ADVICE r1 crash window: partials are appended BEFORE the manifest
+        marks shards complete.  Simulate a crash between the two commits —
+        partials contain shards 4-7 but the manifest doesn't — so the resume
+        re-runs those shards and appends their partials a SECOND time.  The
+        merged postings must still be identical to a clean build (replayed
+        byte-identical partial rows deduped in the merge)."""
+        a = str(tmp_path / "clean")
+        b = str(tmp_path / "crashed")
+        df = spark.createDataFrame(tiny_corpus_pdf)
+        build_index(spark, df, a, n_shards=8, n_salts=4)
+        shutil.copytree(a, b)
+
+        # trim ONLY the manifest (partials keep all 8 shards)
+        _filter_parquet_dir(os.path.join(b, "manifest"), "shard < 4")
+        os.remove(os.path.join(b, "postings", "_SUCCESS"))
+
+        stats = build_index(spark, df, b, resume=True)
+        assert stats["shards_built"] == 4
+        # the replay really did append duplicates upstream of the merge
+        n_dup = duckdb.sql(
+            f"SELECT count(*) FROM (SELECT term, salt, shard_min, docs_bytes, count(*) AS c "
+            f"FROM read_parquet('{b}/partials/*.parquet') GROUP BY ALL HAVING c > 1)"
+        ).fetchone()[0]
+        assert n_dup > 0
+
+        _assert_frames_equal(_postings_df(a), _postings_df(b))
+        la, lb = LocalIndex(a), LocalIndex(b)
+        for q in ["error", "error AND timeout", '"connection reset"']:
+            assert la.search(q, k=20) == lb.search(q, k=20)
+
+    def test_resume_crash_before_stats(self, spark, tiny_corpus_pdf, tmp_path):
+        """Crash after the manifest commit but before the stats write: all
+        shards complete, stats dir missing.  Resume must still produce
+        stats (and a queryable index)."""
+        out = str(tmp_path / "idx")
+        df = spark.createDataFrame(tiny_corpus_pdf)
+        build_index(spark, df, out, n_shards=4, n_salts=2)
+        shutil.rmtree(os.path.join(out, "stats"))
+        os.remove(os.path.join(out, "postings", "_SUCCESS"))
+        stats = build_index(spark, df, out, resume=True)
+        assert stats["shards_built"] == 0
+        assert stats["n_docs"] == len(tiny_corpus_pdf)
+        LocalIndex(out).search("error", k=5)
+
     def test_noop_resume(self, spark, tiny_corpus_pdf, tmp_path):
         out = str(tmp_path / "idx")
         df = spark.createDataFrame(tiny_corpus_pdf)
