@@ -136,11 +136,31 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= jaccard_min).orderBy("id_a", "id_b")
 
 
-def ngram_jaccard(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+def ngram_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >=1 shingle:
     (id_a, id_b, jaccard).  |A∩B| from a self-join on distinct shingles,
-    |A∪B| = |A| + |B| - |A∩B|."""
+    |A∪B| = |A| + |B| - |A∩B|.
+
+    This is the exact ORACLE BASELINE — the self-join is quadratic in the
+    document frequency of shared shingles, so at scale it must never be
+    the production path (that's minhash_lsh_pairs).  ``max_shingle_df``
+    bounds the blowup: shingles appearing in more than that many docs are
+    dropped from the shingle universe BEFORE the join (self-consistently —
+    both the intersection and the set sizes use the filtered universe, so
+    results are identical to exact whenever no shingle exceeds the cap,
+    and a well-defined restricted-universe Jaccard otherwise)."""
     sh = df.select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), k)).alias("s")).distinct()
+    if max_shingle_df is not None:
+        rare = sh.groupBy("s").agg(F.count("*").alias("sdf")).filter(
+            F.col("sdf") <= max_shingle_df
+        ).select("s")
+        sh = sh.join(rare, "s", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -156,8 +176,19 @@ def ngram_jaccard(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, jaccard_min: float = 0.5) -> DataFrame:
-    return ngram_jaccard(df, id_col, text_col, k).filter(F.col("jaccard") >= jaccard_min).orderBy("id_a", "id_b")
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    jaccard_min: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    return (
+        ngram_jaccard(df, id_col, text_col, k, max_shingle_df)
+        .filter(F.col("jaccard") >= jaccard_min)
+        .orderBy("id_a", "id_b")
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48) -> DataFrame:
@@ -188,10 +219,69 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     )
 
 
-def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 6) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
-    (Bucketed-by-prefix at scale; all-pairs xor at oracle scale.)"""
-    s = simhash(df, id_col, text_col)
+def _simhash_bands(max_hamming: int, bits: int = 48) -> list[tuple[int, int]]:
+    """(offset, width) of the max_hamming+1 pigeonhole bands: a pair with
+    hamming <= max_hamming differs in <= max_hamming bits, so with
+    max_hamming+1 disjoint bands at least ONE band is bit-identical —
+    candidate generation by band equi-join has guaranteed recall 1.0."""
+    nb = max_hamming + 1
+    if nb > bits:
+        raise ValueError(f"max_hamming+1={nb} bands need <= {bits} bits")
+    w, rem = divmod(bits, nb)
+    out, off = [], 0
+    for i in range(nb):
+        width = w + (1 if i < rem else 0)
+        out.append((off, width))
+        off += width
+    return out
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 6, bits: int = 48) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming —
+    (id_a, id_b, hamming).
+
+    Banded candidate generation (no all-pairs join anywhere): the
+    ``bits``-bit simhash splits into max_hamming+1 disjoint bands; by
+    pigeonhole every qualifying pair shares >=1 exact band, so candidates
+    come from a band-key equi-join (same shape as the MinHash banding
+    above) and only candidates pay the exact xor+bit_count verification.
+    Verified equal to the all-pairs formulation on the oracle corpus
+    (tests) — banding is lossless for the hamming predicate."""
+    s = simhash(df, id_col, text_col, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"shiftright(simhash, {off}) & {(1 << width) - 1}").alias("key"),
+            )
+            for i, (off, width) in enumerate(_simhash_bands(max_hamming, bits))
+        ]
+    )
+    banded = s.select(F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bk")).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
+
+
+def simhash_pairs_allpairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 6, bits: int = 48) -> DataFrame:
+    """All-pairs xor formulation — O(n^2) TEST BASELINE for simhash_pairs;
+    never the scale path."""
+    s = simhash(df, id_col, text_col, bits)
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

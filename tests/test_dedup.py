@@ -1,0 +1,54 @@
+"""Dedup operator gates: banded SimHash must equal the all-pairs baseline
+(pigeonhole banding is lossless for the hamming predicate), and the
+ngram-Jaccard shingle-DF cap must be a no-op below the cap."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.operators import dedup
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).select("doc_id", "text")
+
+
+class TestSimhashBanding:
+    def test_band_layout(self):
+        for h in (0, 3, 6, 8, 12):
+            bands = dedup._simhash_bands(h, 48)
+            assert len(bands) == h + 1
+            assert all(w > 0 for _, w in bands)
+            covered = [(off, off + w) for off, w in bands]
+            assert covered[0][0] == 0 and covered[-1][1] == 48
+            for (a0, a1), (b0, _) in zip(covered, covered[1:]):
+                assert a1 == b0  # contiguous, disjoint
+
+    def test_too_many_bands_rejected(self):
+        with pytest.raises(ValueError):
+            dedup._simhash_bands(48, 48)
+
+    @pytest.mark.parametrize("h", [4, 8])
+    def test_banded_equals_allpairs(self, spark, docs, h):
+        banded = dedup.simhash_pairs(docs, max_hamming=h).toPandas()
+        allp = dedup.simhash_pairs_allpairs(docs, max_hamming=h).toPandas()
+        assert banded.values.tolist() == allp.values.tolist()
+        assert len(banded) > 0  # corpus has near-dups; the test is non-vacuous
+
+
+class TestJaccardCap:
+    def test_cap_noop_below_threshold(self, spark, docs):
+        exact = dedup.ngram_jaccard_pairs(docs, k=2, jaccard_min=0.6).toPandas()
+        capped = dedup.ngram_jaccard_pairs(
+            docs, k=2, jaccard_min=0.6, max_shingle_df=10**6
+        ).toPandas()
+        assert exact.values.tolist() == capped.values.tolist()
+        assert len(exact) > 0
+
+    def test_small_cap_restricts_universe(self, spark, docs):
+        out = dedup.ngram_jaccard_pairs(docs, k=2, jaccard_min=0.0, max_shingle_df=2)
+        pdf = out.limit(50).toPandas()
+        assert list(pdf.columns) == ["id_a", "id_b", "jaccard"]
+        assert (pdf["jaccard"] <= 1.0).all()
