@@ -75,6 +75,24 @@ def _positive_leaves(node: Node) -> list[Node]:
     return out
 
 
+def _positive_multiplicity(node: Node) -> dict[Node, int]:
+    """Not-free occurrence count per leaf.  Lucene scores each bool clause
+    independently, so a leaf appearing twice on positive paths contributes
+    its score TWICE (the frozen oracle's per-occurrence _eval reproduces
+    this); deduped execution paths must weight by multiplicity."""
+    counts: dict[Node, int] = {}
+
+    def walk(n: Node) -> None:
+        if isinstance(n, (Term, Phrase)):
+            counts[n] = counts.get(n, 0) + 1
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c)
+
+    walk(node)
+    return counts
+
+
 def _covered_by_positive(node: Node) -> bool:
     """True iff every matching doc must match >=1 positive-path leaf.
     The distributed path builds candidates from postings rows only, so
@@ -182,7 +200,10 @@ def _decode_postings_df(postings: DataFrame, leaves: list[Node]) -> DataFrame:
     def decode(batches):
         for pdf in batches:
             outs = {k: [] for k in ("clause", "slot", "docid", "tf", "pos")}
-            for _, row in pdf.iterrows():
+            # dict records, not iterrows(): one row per (term, salt) segment
+            # (bounded by query terms x n_salts after the merge), but hot
+            # terms x many shards pre-merge make Series-per-cell cost real
+            for row in pdf.to_dict("records"):
                 docids, tfs = segments.decode_docs_tfs(row)
                 needs_pos = any(p for _, _, p in term_clauses.get(row["term"], ()))
                 pos_lists = None
@@ -216,35 +237,45 @@ def _decode_postings_df(postings: DataFrame, leaves: list[Node]) -> DataFrame:
     return postings.mapInPandas(decode, schema=schema), any_phrase
 
 
+_POS_SHIFT = np.int64(1) << np.int64(21)  # positions < 2^15 (dl <= 32,766
+# bytes), slots <= 255, so per-doc keys span [d*2^21 - 255, d*2^21 + 2^15]
+# and can never collide across docids
+
+
 def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
-    """Resolve phrase clauses: (clause, docid, tf=phrase_freq)."""
+    """Resolve phrase clauses: (clause, docid, tf=phrase_freq).
+
+    Vectorized key-intersection (same formulation as
+    LocalIndex._phrase_postings): per slot, flatten (docid, position) to
+    docid*2^21 + (pos - slot) keys, intersect across slots with np.isin —
+    no per-docid Python loop inside the applyInPandas."""
     n_slots = {ci: len(leaf.terms) for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)}
     if not n_slots:
         return None
     b_n = n_slots
+    empty = pd.DataFrame({"clause": [], "docid": [], "tf": []}).astype(
+        {"clause": "int32", "docid": "int64", "tf": "int64"}
+    )
 
     def pf(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ci = int(key[0])
-        need = b_n[ci]
-        rows_out = {"clause": [], "docid": [], "tf": []}
-        for docid, g in pdf.groupby("docid"):
-            if g["slot"].nunique() != need:
-                continue
-            base = None
-            for slot in range(need):
-                arr = g.loc[g["slot"] == slot, "pos"].iloc[0]
-                arr = np.asarray(arr, dtype=np.int64)
-                if base is None:
-                    base = arr
-                else:
-                    base = base[np.isin(base + slot, arr)]
-                if base.size == 0:
-                    break
-            if base is not None and base.size:
-                rows_out["clause"].append(ci)
-                rows_out["docid"].append(int(docid))
-                rows_out["tf"].append(int(base.size))
-        return pd.DataFrame(rows_out, columns=["clause", "docid", "tf"])
+        keys = None
+        for slot in range(b_n[ci]):
+            g = pdf[pdf["slot"] == slot]
+            if not len(g):
+                return empty
+            pos_arrs = [np.asarray(p, dtype=np.int64) for p in g["pos"]]
+            lens = np.fromiter((a.size for a in pos_arrs), dtype=np.int64, count=len(pos_arrs))
+            doc_flat = np.repeat(g["docid"].to_numpy(dtype=np.int64), lens)
+            pos_flat = (
+                np.concatenate(pos_arrs) if pos_arrs else np.empty(0, dtype=np.int64)
+            )
+            kk = doc_flat * _POS_SHIFT + (pos_flat - slot)
+            keys = kk if keys is None else keys[np.isin(keys, kk)]
+            if keys.size == 0:
+                return empty
+        docs, counts = np.unique(keys // _POS_SHIFT, return_counts=True)
+        return pd.DataFrame({"clause": ci, "docid": docs, "tf": counts})
 
     phrase_rows = decoded.filter(F.col("pos").isNotNull())
     return phrase_rows.groupBy("clause").applyInPandas(pf, schema="clause int, docid long, tf long")
@@ -347,13 +378,16 @@ def search_df(
     for ci in range(len(leaves)):
         pivoted = pivoted.withColumnRenamed(str(ci), f"c{ci}")
 
-    # float64 sum of float32 clause scores (POSITIVE-path leaves only:
-    # leaves under NOT filter but never score), rounded once to float32
-    positive = _positive_leaves(ast)
+    # float64 sum of float32 clause scores (POSITIVE-path leaves only,
+    # weighted by occurrence count: Lucene scores each bool clause
+    # independently), rounded once to float32
+    mult = _positive_multiplicity(ast)
     total = F.lit(0.0)
     for ci, leaf in enumerate(leaves):
-        if leaf in positive:
-            total = total + F.coalesce(F.col(f"c{ci}").cast("double"), F.lit(0.0))
+        m = mult.get(leaf, 0)
+        if m:
+            piece = F.coalesce(F.col(f"c{ci}").cast("double"), F.lit(0.0))
+            total = total + (piece if m == 1 else F.lit(float(m)) * piece)
     out = (
         pivoted.filter(_mask_expr(ast, leaves))
         .withColumn("score", total.cast("float"))
@@ -464,7 +498,7 @@ class LocalIndex:
                 f"SELECT * FROM read_parquet('{self.dir}/postings/*.parquet') WHERE term IN ({tl})"
             ).df()
             for t in missing:
-                self._term_cache[t] = [r for _, r in df[df["term"] == t].iterrows()]
+                self._term_cache[t] = df[df["term"] == t].to_dict("records")
         return {t: self._term_cache[t] for t in terms}
 
     def _term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
@@ -560,8 +594,23 @@ class LocalIndex:
     # -- block-max WAND top-k for disjunctions of terms
 
     def search_wand(self, query: str, k: int = 10) -> list[tuple[int, np.float32]]:
-        """Block-max WAND over a term / OR-of-terms query, rank- and
-        score-identical to search().
+        """Block-max WAND top-k, rank- and score-identical to search(),
+        for any And/Or/Not tree of terms (phrases -> search()).
+
+        Term / OR-of-terms queries take the classic pivot-jumping path
+        (_wand_or_terms); other trees take the general block-range
+        evaluator (_wand_tree), which skips candidate ranges whose summed
+        positive block upper bounds can't beat the running k-th score or
+        where the boolean tree is structurally unmatchable in the range."""
+        ast = parse(query)
+        if isinstance(ast, Term):
+            return self._wand_or_terms([ast.term], k)
+        if isinstance(ast, Or) and all(isinstance(c, Term) for c in ast.children):
+            return self._wand_or_terms([c.term for c in ast.children], k)
+        return self._wand_tree(ast, k)
+
+    def _wand_or_terms(self, terms: list[str], k: int) -> list[tuple[int, np.float32]]:
+        """Classic block-max WAND over a disjunction of terms.
 
         Document-at-a-time over 128-entry blocks, vectorized: the pivot is
         chosen with term-level upper bounds (WAND), then the candidate
@@ -570,13 +619,6 @@ class LocalIndex:
         running k-th score (strictness keeps equal-score/docid tie-breaks
         exact) or scored exactly with numpy.  A global cursor guarantees
         each doc is scored at most once."""
-        ast = parse(query)
-        if isinstance(ast, Term):
-            terms = [ast.term]
-        elif isinstance(ast, Or) and all(isinstance(c, Term) for c in ast.children):
-            terms = [c.term for c in ast.children]
-        else:
-            raise ValueError("WAND path handles term / OR-of-terms queries")
         dfs = _load_dfs(self.dir, terms)
         tbs = [
             _TermBlocks(self, t, bm25.clause_weight([dfs.get(t, 0)], self.stats["doc_count"]))
@@ -659,6 +701,155 @@ class LocalIndex:
             cursor = range_end + 1
             for t in involved:
                 t.advance_to(cursor)
+
+        return [(int(d), np.float32(s)) for d, s in zip(top_d, top_s)]
+
+    def _wand_tree(self, ast: Node, k: int) -> list[tuple[int, np.float32]]:
+        """General block-max evaluator for And/Or/Not trees of Terms.
+
+        Per iteration: (1) a tree-structural lower bound on the next
+        possible matching docid (And = max over required children, Or =
+        min, Not = anywhere) jumps the cursor; (2) the candidate range
+        shrinks until every overlapping term's current block covers it;
+        (3) the range is skipped when the tree is unmatchable there or the
+        summed positive block upper bounds fall STRICTLY below the running
+        k-th score; (4) otherwise all overlapping blocks decode once and
+        the tree evaluates vectorized over the range's candidate docids
+        (candidates = union of positive-term postings — valid because
+        _require_positive_coverage holds).  Scores = float64 sum of the
+        positive-path term float32 scores, like every other path."""
+        leaves = _leaves(ast)
+        if any(isinstance(lf, Phrase) for lf in leaves):
+            raise ValueError("WAND handles term trees; phrases use search()")
+        _require_positive_coverage(ast, "search_wand")
+        # positive occurrence count per term (a repeated clause scores
+        # repeatedly in Lucene bool semantics)
+        positive: dict[str, int] = {
+            lf.term: m for lf, m in _positive_multiplicity(ast).items()
+        }
+        terms = [lf.term for lf in leaves]
+        dfs = _load_dfs(self.dir, terms)
+        tbs: dict[str, _TermBlocks] = {}
+        for t in terms:
+            tb = _TermBlocks(self, t, bm25.clause_weight([dfs.get(t, 0)], self.stats["doc_count"]))
+            if tb.n_blocks:
+                tbs[t] = tb
+        INF = np.iinfo(np.int64).max
+
+        def next_candidate(n: Node, cursor: int) -> int:
+            if isinstance(n, Term):
+                tb = tbs.get(n.term)
+                return INF if tb is None or tb.exhausted else max(cursor, tb.cur_first)
+            if isinstance(n, Not):
+                return cursor  # complement can match anywhere
+            if isinstance(n, And):
+                return max(next_candidate(c, cursor) for c in n.children)
+            if isinstance(n, Or):
+                return min(next_candidate(c, cursor) for c in n.children)
+            raise TypeError(n)
+
+        def matchable(n: Node, range_end: int) -> bool:
+            if isinstance(n, Term):
+                tb = tbs.get(n.term)
+                return tb is not None and not tb.exhausted and tb.cur_first <= range_end
+            if isinstance(n, Not):
+                return True
+            if isinstance(n, And):
+                return all(matchable(c, range_end) for c in n.children)
+            if isinstance(n, Or):
+                return any(matchable(c, range_end) for c in n.children)
+            raise TypeError(n)
+
+        top_d = np.empty(0, dtype=np.int64)
+        top_s = np.empty(0, dtype=np.float32)
+        cursor = 0
+        while True:
+            nd = next_candidate(ast, cursor)
+            if nd >= INF:
+                break
+            for tb in tbs.values():
+                tb.advance_to(nd)
+            active = [tb for tb in tbs.values() if not tb.exhausted]
+            # stable candidate range: every term whose current block
+            # overlaps it must cover it entirely
+            range_end = min(
+                (tb.cur_last for tb in active if tb.cur_first <= nd), default=INF
+            )
+            if range_end >= INF:
+                range_end = min((tb.cur_first for tb in active), default=INF)
+                if range_end >= INF:
+                    break
+            while True:
+                involved = [tb for tb in active if tb.cur_first <= range_end]
+                new_end = min((tb.cur_last for tb in involved), default=range_end)
+                if new_end == range_end:
+                    break
+                range_end = new_end
+            if not involved:
+                cursor = nd + 1
+                continue
+
+            full = top_d.size >= k
+            theta = float(top_s[-1]) if full else -np.inf
+            bound = sum(
+                positive[t] * tb.cur_ub
+                for t, tb in tbs.items()
+                if t in positive and not tb.exhausted and tb.cur_first <= range_end
+            )
+            if not matchable(ast, range_end) or (full and bound < theta):
+                cursor = range_end + 1
+                for tb in involved:
+                    tb.advance_to(cursor)
+                continue
+
+            # exact eval over [nd, range_end]
+            in_range: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for t, tb in tbs.items():
+                if tb.exhausted or tb.cur_first > range_end:
+                    continue
+                d, tf = tb.block_entries()
+                j0 = int(np.searchsorted(d, nd, side="left"))
+                j1 = int(np.searchsorted(d, range_end, side="right"))
+                if j1 > j0:
+                    in_range[t] = (d[j0:j1], tf[j0:j1])
+            pos_parts = [in_range[t][0] for t in in_range if t in positive]
+            if pos_parts:
+                ud = np.unique(np.concatenate(pos_parts))
+                acc = np.zeros(ud.size, dtype=np.float64)
+                present: dict[str, np.ndarray] = {}
+                for t, (dd, tf) in in_range.items():
+                    idx = np.searchsorted(ud, dd)
+                    # negative-only terms may carry docids outside the
+                    # positive-union candidate set — keep only hits
+                    ok = (idx < ud.size) & (ud[np.minimum(idx, ud.size - 1)] == dd)
+                    m = np.zeros(ud.size, dtype=bool)
+                    m[idx[ok]] = True
+                    present[t] = m
+                    if t in positive:
+                        s = bm25.score_tf(tf, self.norms[dd], tbs[t].weight, self.cache)
+                        acc[idx] += positive[t] * s.astype(np.float64)
+
+                def ev(n: Node) -> np.ndarray:
+                    if isinstance(n, Term):
+                        return present.get(n.term, np.zeros(ud.size, dtype=bool))
+                    if isinstance(n, Not):
+                        return ~ev(n.child)
+                    if isinstance(n, And):
+                        return np.logical_and.reduce([ev(c) for c in n.children])
+                    if isinstance(n, Or):
+                        return np.logical_or.reduce([ev(c) for c in n.children])
+                    raise TypeError(n)
+
+                sel = ev(ast)
+                if sel.any():
+                    md = np.concatenate([top_d, ud[sel]])
+                    ms = np.concatenate([top_s, acc[sel].astype(np.float32)])
+                    order = np.lexsort((md, -ms.astype(np.float64)))[:k]
+                    top_d, top_s = md[order], ms[order]
+
+            cursor = range_end + 1
+            for tb in involved:
+                tb.advance_to(cursor)
 
         return [(int(d), np.float32(s)) for d, s in zip(top_d, top_s)]
 

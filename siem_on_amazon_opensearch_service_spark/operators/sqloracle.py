@@ -85,23 +85,22 @@ def _leaf_ctes(leaves: list[Node]) -> str:
     return ",\n".join(parts)
 
 
-def _positive_leaves(node: Node) -> list[Node]:
-    """Leaves reachable through a Not-free path — the only score
-    contributors (Lucene bool semantics: must_not filters, never scores).
-    Mirrors operators/search._positive_leaves and oracle.LuceneOracle._eval
-    (Not returns zero accumulation)."""
-    out: list[Node] = []
+def _positive_multiplicity(node: Node) -> dict[Node, int]:
+    """Not-free occurrence count per leaf — the only score contributors
+    (Lucene bool semantics: must_not filters, never scores; a clause
+    appearing twice scores twice).  Mirrors operators/search and
+    oracle.LuceneOracle._eval (per-occurrence accumulation, Not = zero)."""
+    counts: dict[Node, int] = {}
 
     def walk(n: Node) -> None:
         if isinstance(n, (Term, Phrase)):
-            if n not in out:
-                out.append(n)
+            counts[n] = counts.get(n, 0) + 1
         elif isinstance(n, (And, Or)):
             for c in n.children:
                 walk(c)
 
     walk(node)
-    return out
+    return counts
 
 
 def _match_sql(ast: Node, leaves: list[Node]) -> str:
@@ -126,16 +125,18 @@ def _combine_sql(ast: Node, leaves: list[Node]) -> str:
     score = float32(float64 sum of the doc's POSITIVE-path leaf scores) —
     identical semantics to the engine and the frozen Python oracle for any
     And/Or/Not tree."""
-    positive = _positive_leaves(ast)
-    pos_idx = [i for i, lf in enumerate(leaves) if lf in positive]
+    mult = _positive_multiplicity(ast)
+    pos = [(i, mult[lf]) for i, lf in enumerate(leaves) if mult.get(lf)]
     match = _match_sql(ast, leaves)
-    if not pos_idx:
+    if not pos:
         return f"SELECT docid, CAST(0.0 AS FLOAT) AS s FROM ({match})"
-    union = " UNION ALL ".join(f"SELECT docid, s FROM s_{i}" for i in pos_idx)
+    union = " UNION ALL ".join(
+        f"SELECT docid, {m} * CAST(s AS DOUBLE) AS s FROM s_{i}" for i, m in pos
+    )
     return (
         f"SELECT m.docid, CAST(COALESCE(t.s, 0.0) AS FLOAT) AS s "
         f"FROM ({match}) m LEFT JOIN ("
-        f"SELECT docid, SUM(CAST(s AS DOUBLE)) AS s FROM ({union}) GROUP BY docid"
+        f"SELECT docid, SUM(s) AS s FROM ({union}) GROUP BY docid"
         f") t USING (docid)"
     )
 

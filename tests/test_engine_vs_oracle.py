@@ -75,13 +75,35 @@ class TestLocalVsOracle:
 
 
 class TestWandVsOracle:
-    @pytest.mark.parametrize("q", ["error", "timeout OR refused OR denied", "error OR refused", "w00042"])
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "error",
+            "timeout OR refused OR denied",
+            "error OR refused",
+            "w00042",
+            # general-tree path (r2): AND / mixed / NOT shapes
+            "error AND timeout",
+            "error AND connection AND timeout",
+            "error AND NOT timeout",
+            "(error AND NOT timeout) OR refused",
+            "(error OR timeout) AND connection",
+            "connection AND (error OR NOT timeout)",
+            "error AND nonexistentterm",
+        ],
+    )
     def test_wand_rank_identity(self, local, oracle, q):
         _assert_hits_equal(local.search_wand(q, k=10), oracle.search(q, k=10), f"wand:{q}")
 
     def test_wand_matches_exhaustive_many(self, local):
         for q in ["error OR timeout", "assistant OR w00007 OR w00123", "connection OR reset"]:
             assert local.search_wand(q, k=25) == local.search(q, k=25)
+
+    def test_wand_rejects_uncovered_and_phrase(self, local):
+        with pytest.raises(ValueError, match="positive"):
+            local.search_wand("NOT error")
+        with pytest.raises(ValueError, match="phrase"):
+            local.search_wand('"connection reset" AND error')
 
 
 class TestDistributedVsOracle:
@@ -97,12 +119,28 @@ class TestDistributedVsOracle:
             "(error AND NOT timeout) OR refused",
             "(refused AND NOT error) OR timeout",
             "connection AND (error OR NOT timeout)",
+            # repeated leaf: Lucene scores each clause occurrence
+            "timeout OR (error AND timeout)",
         ],
     )
     def test_rank_identity(self, spark, tiny_index, oracle, q):
         rows = search_df(spark, tiny_index[0], q, k=10).collect()
         got = [(r["docid"], np.float32(r["score"])) for r in rows]
         _assert_hits_equal(got, oracle.search(q, k=10), f"df:{q}")
+
+    def test_sql_oracle_repeated_leaf(self, tmp_path, tiny_corpus_pdf, oracle):
+        """The DuckDB SQL oracle must weight repeated positive clauses by
+        multiplicity, like every other implementation."""
+        import duckdb
+
+        from siem_on_amazon_opensearch_service_spark.operators.sqloracle import bm25_sql
+
+        p = str(tmp_path / "corpus.parquet")
+        tiny_corpus_pdf.to_parquet(p)
+        q = "timeout OR (error AND timeout)"
+        got = duckdb.sql(bm25_sql(p, q, k=10)).fetchall()
+        exp = [(h.docid, round(float(h.score), 3)) for h in oracle.search(q, k=10)]
+        assert [(int(d), float(s)) for d, s in got] == exp
 
     @pytest.mark.parametrize("q", ["NOT error", "error OR NOT timeout"])
     def test_uncovered_negative_rejected(self, spark, tiny_index, q):
@@ -158,5 +196,32 @@ class TestWandStress:
             nt = rng.choice([1, 2, 3, 4])
             terms = rng.sample(vocab, nt)
             q = " OR ".join(terms)
+            k = rng.choice([1, 5, 10, 50])
+            assert local.search_wand(q, k=k) == local.search(q, k=k), (q, k)
+
+    def test_wand_equals_exhaustive_random_trees(self, local):
+        """General-tree WAND battery: random And/Or trees with occasional
+        NOT leaves (kept coverage-valid: NOT only inside AND beside a
+        positive term)."""
+        import random
+
+        rng = random.Random(23)
+        vocab = ["error", "timeout", "refused", "denied", "connection",
+                 "assistant", "file", "request", "reset"] + [
+            f"w{rng.randrange(3000):05d}" for _ in range(30)
+        ]
+
+        def rand_tree(depth: int) -> str:
+            if depth == 0 or rng.random() < 0.4:
+                return rng.choice(vocab)
+            op = rng.choice(["AND", "OR"])
+            n = rng.choice([2, 3])
+            parts = [rand_tree(depth - 1) for _ in range(n)]
+            if op == "AND" and rng.random() < 0.4:
+                parts.append("NOT " + rng.choice(vocab))
+            return "(" + f" {op} ".join(parts) + ")"
+
+        for trial in range(40):
+            q = rand_tree(2)
             k = rng.choice([1, 5, 10, 50])
             assert local.search_wand(q, k=k) == local.search(q, k=k), (q, k)
