@@ -76,16 +76,28 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         queries[name + "_p50"] = round(statistics.median(times), 4)
 
-    # WAND latency on the disjunction
-    local.search_wand("timeout OR refused OR denied", k=10)
-    t0 = time.perf_counter()
-    local.search_wand("timeout OR refused OR denied", k=10)
-    queries["bm25_or_wand_p50"] = round(time.perf_counter() - t0, 4)
+    # WAND latency: classic OR path + the r2 general-tree path (AND/NOT)
+    for name, q in {
+        "bm25_or_wand_p50": "timeout OR refused OR denied",
+        "bm25_and_wand_p50": "error AND timeout",
+        "bm25_mixed_wand_p50": "(error AND NOT timeout) OR refused",
+    }.items():
+        local.search_wand(q, k=10)
+        t0 = time.perf_counter()
+        local.search_wand(q, k=10)
+        queries[name] = round(time.perf_counter() - t0, 4)
 
-    # one distributed search (scatter/gather shape)
+    # distributed searches (scatter/gather shape): AND via the pivot path,
+    # single hot term via the pruned + pivot-free path
     t0 = time.perf_counter()
     search_df(spark, idx_dir, "error AND timeout", k=10).collect()
     queries["bm25_and_distributed"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    search_df(spark, idx_dir, "error", k=10).collect()
+    queries["bm25_term_distributed"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    search_df(spark, idx_dir, '"connection reset"', k=10).collect()
+    queries["bm25_phrase_distributed"] = round(time.perf_counter() - t0, 3)
 
     # 3) relational / dedup sample over driver tables
     qmap = reg.queries_map()

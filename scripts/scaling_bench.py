@@ -70,7 +70,43 @@ JOB = """
 import json, os, shutil, sys, time
 from pyspark.sql import SparkSession
 
+
+def tree_cpu_seconds(root_pid: int) -> float:
+    # utime+stime of root_pid and every descendant (java driver/executors +
+    # python workers), in seconds — the work-conservation measure: total
+    # CPU spent by the job, independent of how many cores ran it
+    import os
+
+    hz = os.sysconf("SC_CLK_TCK")
+    children = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            ppid = int(parts[1])
+            children.setdefault(ppid, []).append(int(p))
+        except OSError:
+            continue
+    total, stack, seen = 0.0, [root_pid], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            total += (int(parts[11]) + int(parts[12])) / hz
+        except OSError:
+            continue
+        stack.extend(children.get(pid, []))
+    return total
+
+
 cores = int(sys.argv[1]); label = sys.argv[2]
+ROOT = os.getppid()  # the spark-submit JVM that spawned this script
 spark = SparkSession.builder.getOrCreate()
 spark.sparkContext.setLogLevel("WARN")
 from siem_on_amazon_opensearch_service_spark import entry as reg
@@ -90,12 +126,15 @@ tdf = spark.read.parquet(shm_corpus)
 n = tdf.count()
 out = os.path.join("/dev/shm", f"scaling_idx_{label}_c{cores}")
 shutil.rmtree(out, ignore_errors=True)
+cpu0 = tree_cpu_seconds(ROOT)
 t0 = time.perf_counter()
 st = build_index(spark, tdf, out, n_salts=8)
 dt = time.perf_counter() - t0
+cpu = tree_cpu_seconds(ROOT) - cpu0
 shutil.rmtree(out, ignore_errors=True)
 print("RESULT " + json.dumps({"cores": cores, "n_turns": n, "sec": dt,
-                              "turns_per_sec": n / dt, "stages": st["stage_secs"]}))
+                              "turns_per_sec": n / dt, "cpu_sec": round(cpu, 1),
+                              "stages": st["stage_secs"]}))
 """
 
 
@@ -158,13 +197,14 @@ def main() -> None:
         "",
         f"corpus: synthetic transcripts sf{label} ({rlo['n_turns']} turns), fresh index per run, best of {rounds} interleaved rounds",
         "",
-        "| round | parallelism | probe (matmuls/3s) | build sec | turns/sec |",
-        "|---|---|---|---|---|",
+        "| round | parallelism | probe (matmuls/3s) | build sec | turns/sec | job CPU sec |",
+        "|---|---|---|---|---|---|",
     ]
     for x in runs:
         lines.append(
-            f"| {x['round']} | local[{x['cores']}] | {x['probe_matmuls']} | {x['sec']:.2f} | {x['turns_per_sec']:.0f} |"
+            f"| {x['round']} | local[{x['cores']}] | {x['probe_matmuls']} | {x['sec']:.2f} | {x['turns_per_sec']:.0f} | {x.get('cpu_sec', 0):.0f} |"
         )
+    cons = (rlo.get("cpu_sec") or 0) / max(rhi.get("cpu_sec") or 1, 1)
     lines += [
         "",
         f"best local[{lo}]: {rlo['sec']:.2f}s ({rlo['turns_per_sec']:.0f} turns/s); "
@@ -172,6 +212,13 @@ def main() -> None:
         "",
         f"**Scaling efficiency = ({rhi['turns_per_sec']:.0f} / {rlo['turns_per_sec']:.0f}) / ({hi}/{lo}) = {eff:.3f}**"
         + ("  (>= 0.8 target met)" if eff >= 0.8 else "  (below 0.8 — bounded by host core availability; see probes)"),
+        "",
+        f"**Work conservation (secondary criterion): job CPU {rlo.get('cpu_sec', 0):.0f}s at "
+        f"local[{lo}] vs {rhi.get('cpu_sec', 0):.0f}s at local[{hi}] — ratio {cons:.2f}** "
+        "(1.0 = the job does the same total work regardless of parallelism; "
+        "with skew-free shuffle keys this is the property that yields linear "
+        "scaling when cores are real — measured as utime+stime of the whole "
+        "spark-submit process tree)",
         "",
         f"best-run stage seconds local[{lo}]: {json.dumps(rlo['stages'])}",
         f"best-run stage seconds local[{hi}]: {json.dumps(rhi['stages'])}",

@@ -46,7 +46,14 @@ SEGMENT_SCHEMA = (
     "docs_bytes binary, tfs_bytes binary, pos_bytes binary, "
     "blk_last array<long>, blk_n array<int>, blk_max_tf array<int>, "
     "blk_min_norm array<int>, blk_doc_off array<long>, blk_tf_off array<long>, "
-    "blk_pos_off array<long>"
+    "blk_pos_off array<long>, "
+    # per-block pareto-optimal (tf, norm) impact pairs (flattened +
+    # per-block counts): score(max_tf, min_norm) pairs the best tf with
+    # the best norm of DIFFERENT docs and is hopelessly loose on hot
+    # terms (measured: bound 0.305 vs 0.247 best achieved -> zero block
+    # skipping); the pareto front bounds by max over real co-occurring
+    # pairs for ANY avgdl, the same idea as Lucene's per-block impacts
+    "blk_pareto_n array<int>, blk_pareto_tf array<long>, blk_pareto_norm array<int>"
 )
 
 _LONG_RUN_RE = r"[A-Za-z0-9_]{" + str(MAX_TOKEN_LENGTH + 1) + ",}"
@@ -183,6 +190,28 @@ def encode_shard_postings(
     t_blk_start = np.searchsorted(blk_start, t_start)
     t_blk_end = np.append(t_blk_start[1:], blk_start.size)
 
+    # pareto (tf, norm) impact pairs per block, fully vectorized: sort
+    # entries by (block, norm asc, tf desc); an entry is pareto iff its tf
+    # beats the running max of smaller-norm entries in the same block
+    # (segmented running max via the block-offset trick)
+    bidx = np.repeat(np.arange(blk_start.size, dtype=np.int64), blk_n_all)
+    ordp = np.lexsort((-e_tf, e_norm, bidx))
+    bt, bn, pb = e_tf[ordp], e_norm[ordp], bidx[ordp]
+    LARGE = np.int64(1) << 40  # > any tf
+    shifted = bt + pb * LARGE
+    cm = np.maximum.accumulate(shifted)
+    prev = np.empty_like(cm)
+    prev[0] = np.iinfo(np.int64).min
+    prev[1:] = cm[:-1]
+    blk_first_ent = np.empty(pb.shape, dtype=bool)
+    blk_first_ent[0] = True
+    blk_first_ent[1:] = pb[1:] != pb[:-1]
+    keep_p = blk_first_ent | (shifted > prev)
+    p_tf_all = bt[keep_p]
+    p_norm_all = bn[keep_p]
+    p_counts = np.bincount(pb[keep_p], minlength=blk_start.size).astype(np.int64)
+    p_off = np.concatenate(([0], np.cumsum(p_counts)))
+
     # docid gaps restart absolute at every block start — one encode call
     dgap = np.empty(n_entries, dtype=np.int64)
     dgap[1:] = e_doc[1:] - e_doc[:-1]
@@ -229,6 +258,9 @@ def encode_shard_postings(
             "blk_min_norm": blk_min_norm_all[ba:bb],
             "blk_doc_off": dcum[blk_start[ba:bb]] - d0,
             "blk_tf_off": tcum[blk_start[ba:bb]] - t0,
+            "blk_pareto_n": p_counts[ba:bb],
+            "blk_pareto_tf": p_tf_all[p_off[ba] : p_off[bb]],
+            "blk_pareto_norm": p_norm_all[p_off[ba] : p_off[bb]],
         }
         if positions:
             p0 = int(p_entry_off[ea])
@@ -304,6 +336,9 @@ def merge_rows(rows: pd.DataFrame) -> dict:
         "blk_doc_off": shift("blk_doc_off", d_base),
         "blk_tf_off": shift("blk_tf_off", t_base),
         "blk_pos_off": shift("blk_pos_off", p_base),
+        "blk_pareto_n": cat("blk_pareto_n"),
+        "blk_pareto_tf": cat("blk_pareto_tf"),
+        "blk_pareto_norm": cat("blk_pareto_norm"),
     }
 
 
@@ -352,7 +387,8 @@ def merge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         np.add.at(per_group, gid, per_row_lens)
         return np.split(flat, np.cumsum(per_group)[:-1])
 
-    for col in ("blk_last", "blk_n", "blk_max_tf", "blk_min_norm"):
+    for col in ("blk_last", "blk_n", "blk_max_tf", "blk_min_norm",
+                "blk_pareto_n", "blk_pareto_tf", "blk_pareto_norm"):
         arrs = [np.asarray(a, dtype=np.int64) for a in pdf[col]]
         lens = np.array([a.size for a in arrs], dtype=np.int64)
         flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
@@ -373,6 +409,29 @@ def merge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 # ---- decode -----------------------------------------------------------------
+
+def decode_docs_tfs_blocks(row, keep: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the blocks selected by boolean mask ``keep`` — legal
+    because delta chains restart absolute at every block boundary, so
+    dropping whole blocks never breaks the cumsum.  This is the unit of
+    block-max pruning in the distributed query path."""
+    if keep.all():
+        return decode_docs_tfs(row)
+    blk_n = np.asarray(row["blk_n"], dtype=np.int64)
+    if not keep.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    doff = np.asarray(row["blk_doc_off"], dtype=np.int64)
+    toff = np.asarray(row["blk_tf_off"], dtype=np.int64)
+    d_ends = np.append(doff[1:], len(row["docs_bytes"]))
+    t_ends = np.append(toff[1:], len(row["tfs_bytes"]))
+    idx = np.nonzero(keep)[0]
+    dbuf = b"".join(row["docs_bytes"][doff[i] : d_ends[i]] for i in idx)
+    tbuf = b"".join(row["tfs_bytes"][toff[i] : t_ends[i]] for i in idx)
+    gaps = varint.decode(dbuf).astype(np.int64)
+    tfs = varint.decode(tbuf).astype(np.int64)
+    docids = _segmented_cumsum(gaps, blk_n[keep])
+    return docids, tfs
+
 
 def decode_docs_tfs(row) -> tuple[np.ndarray, np.ndarray]:
     """Full-row decode -> (docids int64, tfs int64), ascending docids."""

@@ -1,0 +1,82 @@
+"""Distributed block-max pruning gate: the plan must actually fire on the
+sf0.01 corpus (tight pareto impact bounds), and the pruned distributed
+path must stay rank- and score-identical to the unpruned local scorer."""
+
+import numpy as np
+import pytest
+
+from siem_on_amazon_opensearch_service_spark import entry as ent
+from siem_on_amazon_opensearch_service_spark.operators import search
+from siem_on_amazon_opensearch_service_spark.plans.query import parse
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    return ent.ensure_index(spark, "0.01")
+
+
+class TestPrunePlan:
+    def test_plan_fires_and_drops_ranges(self, idx):
+        stats = search._load_stats(idx)
+        ast = parse("error")
+        leaves = search._leaves(ast)
+        dfs = search._load_dfs(idx, ["error"])
+        plan = search._plan_block_prune(idx, ast, leaves, dfs, stats, 10)
+        assert plan is not None, "prune plan should fire for a hot term at sf0.01"
+        covered = int((plan["hi"] - plan["lo"] + 1).sum())
+        assert covered < 0.9 * stats["n_docs"]
+        assert (plan["lo"] <= plan["hi"]).all()
+        assert (plan["lo"][1:] > plan["hi"][:-1]).all()  # disjoint ascending
+
+    def test_plan_skipped_with_filters_and_phrases(self, idx):
+        stats = search._load_stats(idx)
+        ast = parse('"connection reset"')
+        assert (
+            search._plan_block_prune(idx, ast, search._leaves(ast), {}, stats, 10) is None
+        )
+
+    @pytest.mark.parametrize("q,k", [("error", 10), ("w00042", 10), ("error OR w00042", 10)])
+    def test_pruned_equals_local(self, spark, idx, q, k):
+        li = search.LocalIndex(idx)
+        exp = li.search(q, k=k)
+        rows = search.search_df(spark, idx, q, k=k).collect()
+        got = [(int(r["docid"]), np.float32(r["score"])) for r in rows]
+        assert got == [(d, np.float32(s)) for d, s in exp], q
+
+
+class TestTightBounds:
+    def test_pareto_ub_bounds_all_achieved_scores(self, idx):
+        """Per-block pareto upper bounds must dominate every achieved score
+        in the block (validity) and be no looser than the legacy
+        (max_tf, min_norm) bound (tightness)."""
+        import duckdb
+
+        from siem_on_amazon_opensearch_service_spark.functions import bm25
+        from siem_on_amazon_opensearch_service_spark.operators import segments
+
+        stats = search._load_stats(idx)
+        dfs = search._load_dfs(idx, ["error"])
+        cache = bm25.norm_inverse_cache(stats["avgdl"])
+        w = bm25.clause_weight([dfs["error"]], stats["doc_count"])
+        rows = duckdb.sql(
+            f"SELECT * FROM read_parquet('{idx}/postings/*.parquet') WHERE term = 'error'"
+        ).df().to_dict("records")
+        norms = duckdb.sql(
+            f"SELECT norm FROM read_parquet('{idx}/docs/*.parquet') ORDER BY docid"
+        ).df()["norm"].to_numpy()
+        checked = 0
+        for r in rows:
+            ubs = search._row_block_ubs(r, w, cache)
+            loose = bm25.score_tf(
+                np.asarray(r["blk_max_tf"], dtype=np.int64),
+                np.asarray(r["blk_min_norm"], dtype=np.int64),
+                w,
+                cache,
+            ).astype(np.float64)
+            assert (ubs <= loose + 1e-12).all()
+            docids, tfs = segments.decode_docs_tfs(r)
+            sc = bm25.score_tf(tfs, norms[docids].astype(np.int64), w, cache).astype(np.float64)
+            bounds = np.repeat(ubs, np.asarray(r["blk_n"], dtype=np.int64))
+            assert (sc <= bounds + 1e-12).all()
+            checked += len(docids)
+        assert checked > 1000
