@@ -79,13 +79,175 @@ def field_prefix(df: DataFrame, prefix: str, cols: list[str]) -> DataFrame:
     return df.select(*keep, F.struct(*[F.col(c) for c in cols]).alias(prefix))
 
 
+#: GuardDuty finding-type decomposition
+#: (sf_guardduty.py:14-18 RE_GD_TYPE): ThreatPurpose:ResourceTypeAffected/
+#: ThreatFamilyName[.DetectionMechanism][!Artifact]
+GD_TYPE_RE = (
+    r"^(\w*):(\w*)/([\w&]*)(?:\.(\w*))?(?:!(\w*))?"
+)
+#: SecurityHub ASFF finding-type decomposition (sf_securityhub.py:18-21
+#: RE_GD_MACIE_TYPE): namespace[/category]/[ThreatPurpose:]Resource(sep)Family...
+ASFF_TYPE_RE = (
+    r"^([^/]*)(?:/([^/]*))?/(?:(\w*):)?(\w*)(?:/|-|\.)([\w&]*)(?:\.(\w*))?(?:!(\w*))?"
+)
+
+
+def _severity_label(sev) -> Column:
+    """GuardDuty numeric severity -> label (sf_guardduty.py:23-28; the
+    reference leaves >8.9 unset because GuardDuty caps at 8.9 — mapped to
+    'critical' here so the column is total)."""
+    return (
+        F.when(sev <= 3.9, "low")
+        .when(sev <= 6.9, "medium")
+        .when(sev <= 8.9, "high")
+        .otherwise("critical")
+    )
+
+
+def sf_guardduty(df: DataFrame) -> DataFrame:
+    """GuardDuty finding normalization (sf_guardduty.py:21-62), column
+    re-expression over flat fields: rule_name, severity, type,
+    action_type, connection_direction, source_ip, destination_ip."""
+    out = df
+    if "rule_name" in out.columns:
+        out = out.withColumn("rule_name", F.regexp_replace(F.trim("rule_name"), r"\.+$", ""))
+    if "severity" in out.columns:
+        out = out.withColumn("severitylabel", _severity_label(F.col("severity")))
+    for i, name in enumerate(
+        ["ThreatPurpose", "ResourceTypeAffected", "ThreatFamilyName", "DetectionMechanism", "Artifact"],
+        start=1,
+    ):
+        out = out.withColumn(name, F.regexp_extract(F.col("type"), GD_TYPE_RE, i))
+    is_file = F.col("ThreatFamilyName").isin("SuspiciousFile", "MaliciousFile")
+    direction = (
+        F.when(F.col("action_type") == "NETWORK_CONNECTION", F.col("connection_direction"))
+        .when(F.col("action_type") == "DNS_REQUEST", F.lit("OUTBOUND"))
+        .when(is_file, F.lit(None).cast("string"))
+        .otherwise(F.lit("INBOUND"))
+    )
+    out = out.withColumn("network_direction", F.lower(direction))
+    # OUTBOUND findings swap source/destination (sf_guardduty.py:50-56)
+    if "source_ip" in out.columns and "destination_ip" in out.columns:
+        outb = F.col("network_direction") == "outbound"
+        src, dst = F.col("source_ip"), F.col("destination_ip")
+        # simultaneous swap: sequential withColumn would read the already-
+        # overwritten source for the destination expression
+        out = out.withColumns(
+            {
+                "source_ip": F.when(outb, dst).otherwise(src),
+                "destination_ip": F.when(outb, src).otherwise(dst),
+            }
+        )
+    malware = F.col("ThreatPurpose").isin("Backdoor", "CryptoCurrency", "Trojan") | is_file
+    return out.withColumn("event_category", F.when(malware, "malware"))
+
+
+def sf_securityhub(df: DataFrame) -> DataFrame:
+    """SecurityHub ASFF type split (sf_securityhub.py:35-63): the two-regex
+    fallback (new ASFF style, else the legacy GuardDuty-style type) and
+    the ThreatPurpose <- category(spaces removed) fallback."""
+    t = F.col("type")
+    new_style = t.rlike(ASFF_TYPE_RE)
+    ns = F.regexp_extract(t, ASFF_TYPE_RE, 1)
+    cat = F.regexp_extract(t, ASFF_TYPE_RE, 2)
+    tp = F.regexp_extract(t, ASFF_TYPE_RE, 3)
+    out = df.withColumn(
+        "asff_type_namespace", F.when(new_style, F.when(ns != "", ns))
+    )
+    # category falls back to ThreatPurpose; legacy style has no namespace
+    legacy_tp = F.regexp_extract(t, GD_TYPE_RE, 1)
+    out = out.withColumn(
+        "asff_type_category",
+        F.when(new_style, F.coalesce(F.when(cat != "", cat), F.when(tp != "", tp))).otherwise(
+            F.when(legacy_tp != "", legacy_tp)
+        ),
+    )
+    out = out.withColumn(
+        "ThreatPurpose",
+        F.when(new_style & (tp != ""), tp).otherwise(
+            F.when(new_style, F.regexp_replace(F.col("asff_type_category"), " ", "")).otherwise(legacy_tp)
+        ),
+    )
+    for i, name in enumerate(
+        ["ResourceTypeAffected", "ThreatFamilyName", "DetectionMechanism", "Artifact"], start=4
+    ):
+        out = out.withColumn(
+            name,
+            F.when(new_style, F.regexp_extract(t, ASFF_TYPE_RE, i)).otherwise(
+                F.regexp_extract(t, GD_TYPE_RE, i - 2)
+            ),
+        )
+    if "severity" in df.columns:
+        out = out.withColumn("severitylabel", _severity_label(F.col("severity")))
+    return out
+
+
+def sf_alb(df: DataFrame) -> DataFrame:
+    """ALB access log: url.full = 2nd token of the request line
+    (sf_alb.py:12-13)."""
+    return df.withColumn("url_full", F.split(F.col("request"), " ").getItem(1))
+
+
+def sf_waf(df: DataFrame) -> DataFrame:
+    """WAF log normalization (sf_waf.py:12-44): header array -> lowered
+    underscore map (authorization dropped), host/user-agent/referer
+    promotion, WAFv2-vs-v1 webaclId decomposition, http version."""
+    hdrs = F.filter(
+        F.transform(
+            F.col("headers"),
+            lambda h: F.struct(
+                F.lower(F.regexp_replace(h["name"], "-", "_")).alias("key"),
+                h["value"].alias("value"),
+            ),
+        ),
+        lambda h: h["key"] != "authorization",
+    )
+    out = df.withColumn("http_request_header", F.map_from_entries(hdrs))
+    out = (
+        out.withColumn("url_domain", F.try_element_at(F.col("http_request_header"), F.lit("host")))
+        .withColumn(
+            "user_agent_original",
+            F.try_element_at(F.col("http_request_header"), F.lit("user_agent")),
+        )
+        .withColumn(
+            "http_request_referrer",
+            F.try_element_at(F.col("http_request_header"), F.lit("referer")),
+        )
+    )
+    parts = F.split(F.col("webaclId"), ":")
+    is_v2 = F.size(F.split(F.col("webaclId"), "/")) >= 3
+    out = out.withColumn(
+        "rule_ruleset",
+        F.when(is_v2, F.split(F.col("webaclId"), "/").getItem(2)).otherwise(F.col("webaclId")),
+    )
+    region_type = F.split(parts.getItem(5), "/").getItem(0)
+    out = out.withColumn(
+        "cloud_region",
+        F.when(is_v2, F.when(region_type == "global", "global").otherwise(parts.getItem(3))),
+    ).withColumn("cloud_account_id", F.when(is_v2, parts.getItem(4)))
+    return out.withColumn("http_version", F.split(F.col("httpVersion"), "/").getItem(1))
+
+
+def sf_route53resolver(df: DataFrame) -> DataFrame:
+    """Route53 resolver: strip trailing dots off DNS names/answers
+    (sf_route53resolver.py:12-21)."""
+    out = df
+    for c in ("dns_question_name", "dns_answers_data"):
+        if c in out.columns:
+            out = out.withColumn(c, F.regexp_replace(F.col(c), r"\.+$", ""))
+    return out
+
+
 def transform_registry() -> dict:
     """Per-logtype transform hooks (SURVEY.md §2.11): the reference ships 40
     sf_<logtype>.transform(logdata) row-UDFs (siem/sf_*.py, loader
     siem/utils.py:721-748); ours are DataFrame->DataFrame transforms keyed
-    the same way.  Two exemplars (the graft payload is transcripts, so the
-    remaining 38 AWS-specific ones are intentionally out of scope —
-    SURVEY.md §7 phase 5)."""
+    the same way.  Seven here — vpcflowlogs/cloudtrail plus the five
+    high-traffic security logtypes (guardduty, securityhub, alb, waf,
+    route53resolver) proving the registry carries the reference's real
+    per-logtype complexity (type-split regex fallbacks, severity mapping,
+    header-map normalization, source/destination swap); the rest of the
+    40 are AWS-specific and out of declared scope (SURVEY.md §7 ph. 5)."""
     from .scalars import action_outcome, protocol_name
 
     def vpcflowlogs(df: DataFrame) -> DataFrame:
@@ -105,7 +267,15 @@ def transform_registry() -> dict:
             )
         return out
 
-    return {"vpcflowlogs": vpcflowlogs, "cloudtrail": cloudtrail}
+    return {
+        "vpcflowlogs": vpcflowlogs,
+        "cloudtrail": cloudtrail,
+        "guardduty": sf_guardduty,
+        "securityhub": sf_securityhub,
+        "alb": sf_alb,
+        "waf": sf_waf,
+        "route53resolver": sf_route53resolver,
+    }
 
 
 def apply_transform(df: DataFrame, logtype: str) -> DataFrame:

@@ -94,6 +94,93 @@ def url_decompose(col: Column) -> Column:
     )
 
 
+def _unquote_once(col: Column) -> Column:
+    """urllib.parse.unquote equivalent: Spark's url_decode is FORM decoding
+    ('+' -> space), unquote keeps literal '+' — protect it as %2B first.
+    Malformed percent-escapes (strict errors) leave the value unchanged,
+    like the reference's try/except."""
+    protected = F.regexp_replace(col, r"\+", "%2B")
+    return F.coalesce(F.try_url_decode(protected), col)
+
+
+def http_url_decompose(
+    method: Column, path: Column, version: Column, raw: Column
+) -> Column:
+    """Full http/url field extraction (siem/utils.py:206-288
+    extract_url_http_fields_from_http_request) as one struct column:
+
+    - absolute-URL requests split into domain[:port] + path,
+    - CONNECT requests ('host:443') fill domain/port and empty the path,
+    - percent-decoding applied up to TWICE (double-url-encoded payloads),
+      strict: a malformed escape keeps the original,
+    - #fragment split off unless it contains non-fragment chars
+      (utils.py:111 RE_NOT_FRAGMENT_STR), then path?query split and the
+      filename extension (no backslash) extracted."""
+    method = F.coalesce(method, F.lit(""))
+    p0 = F.coalesce(path, F.lit(""))
+    url_original = F.when(raw.isNotNull() & (raw != ""), raw).otherwise(
+        F.when((method != "") & (p0 != "") & version.isNotNull(), p0)
+    )
+    is_abs = p0.startswith("http://") | p0.startswith("https://")
+    is_connect = (~p0.startswith("/")) & (~is_abs) & (F.lower(method) == "connect")
+    abs_parts = F.split(p0, "/", 4)  # [scheme:, '', host[:port], rest]
+    domain_org = F.try_element_at(abs_parts, F.lit(3))
+    connect_parts = F.split(p0, ":")
+    connect_ok = is_connect & (F.size(connect_parts) == 2)
+    domain = F.when(is_abs, F.split(domain_org, ":").getItem(0)).otherwise(
+        F.when(connect_ok, connect_parts.getItem(0))
+    )
+    port = F.when(
+        is_abs & (F.size(F.split(domain_org, ":")) == 2),
+        F.split(domain_org, ":").getItem(1),
+    ).otherwise(F.when(connect_ok, connect_parts.getItem(1)))
+    p1 = (
+        F.when(is_abs, F.concat(F.lit("/"), F.coalesce(F.try_element_at(abs_parts, F.lit(4)), domain_org)))
+        .when(connect_ok, F.lit(""))
+        .otherwise(p0)
+    )
+    # up-to-double percent-decode (utils.py:249-262)
+    d1 = F.when(p1.contains("%"), _unquote_once(p1)).otherwise(p1)
+    p2 = F.when(d1.contains("%"), _unquote_once(d1)).otherwise(d1)
+    # fragment (only when the tail looks like a real fragment)
+    frag_parts = F.split(p2, "#")
+    frag_tail = F.try_element_at(frag_parts, F.lit(2))
+    frag = F.when(
+        (F.size(frag_parts) == 2) & ~frag_tail.rlike(r"[&(){}@_;<>\s]"),
+        frag_tail,
+    )
+    p3 = F.when(frag.isNotNull(), F.element_at(frag_parts, 1)).otherwise(p2)
+    qsplit = F.split(p3, r"\?", 2)
+    url_path = qsplit.getItem(0)
+    url_query = F.try_element_at(qsplit, F.lit(2))
+    filename = F.element_at(F.split(url_path, "/"), -1)
+    fparts = F.split(filename, r"\.")
+    ext = F.when(
+        (F.size(fparts) > 1) & ~F.element_at(fparts, -1).contains("\\"),
+        F.element_at(fparts, -1),
+    )
+    return F.struct(
+        version.alias("http_version"),
+        F.when(method != "", method).alias("http_request_method"),
+        url_original.alias("url_original"),
+        domain.alias("url_domain"),
+        port.alias("url_port"),
+        url_path.alias("url_path"),
+        url_query.alias("url_query"),
+        frag.alias("url_fragment"),
+        ext.alias("url_extension"),
+    )
+
+
+def ts_from_formats(col: Column, formats: list[str], tz: str | None = None) -> Column:
+    """Timestamp format-list fallback combinator (siem/utils.py:317-330
+    convert_timestr_to_datetime_wrapper): try each pattern in order, first
+    successful parse wins.  Patterns are Java DateTimeFormatter syntax
+    (the Spark-native equivalent of the reference's strptime list)."""
+    out = F.coalesce(*[F.try_to_timestamp(col, F.lit(f)) for f in formats])
+    return F.to_utc_timestamp(out, tz) if tz else out
+
+
 def doc_id_md5(*cols: Column) -> Column:
     """Content-derived doc id: MD5 over message (+ discriminators)
     (siem/__init__.py:683-706)."""

@@ -108,6 +108,41 @@ def read_cef(spark: SparkSession, path: str) -> DataFrame:
     ).withColumn("extensions", pairs)
 
 
+def read_zip_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Zip-archive text scan: the reference sniffs the PK magic and
+    unpacks members in-Lambda (siem/utils.py:900-914 get_mime_type,
+    siem/__init__.py:385-446).  Spark's text source handles gz/bz2
+    natively but not zip, so this reads whole archives via binaryFile
+    and explodes member lines in an Arrow-batched mapInPandas ->
+    (src_path string, member string, value string).  Archives are
+    per-file parallel (one task can hold one archive's bytes — the
+    reference has the same per-object memory shape)."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    bf = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def unzip(batches):
+        for pdf in batches:
+            out = {"src_path": [], "member": [], "value": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(content)) as z:
+                    for name in z.namelist():
+                        if name.endswith("/"):
+                            continue
+                        text = z.read(name).decode("utf-8", errors="replace")
+                        for line in text.splitlines():
+                            if line:
+                                out["src_path"].append(p)
+                                out["member"].append(name)
+                                out["value"].append(line)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(unzip, schema="src_path string, member string, value string")
+
+
 def unwrap_cloudwatch_logs(df: DataFrame) -> DataFrame:
     """CloudWatch Logs envelope (siem/__init__.py:311-338): explode
     ``logEvents[]`` from DATA_MESSAGE records, carry owner/group/stream."""

@@ -133,3 +133,130 @@ class TestIocDomain:
         )
         got = {r["id"]: r["name"] for r in enrich.ioc_domain_match(ev, ioc).collect()}
         assert got == {1: "bad-domain", 2: None}
+
+
+class TestSfTransforms:
+    """Fixture-row parity tests for the five r2 sf_ transforms, values
+    hand-derived from the reference's transform() semantics."""
+
+    def test_guardduty(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_guardduty
+
+        rows = [
+            # (rule_name, severity, type, action_type, connection_direction, src, dst)
+            ("Bad rule. ", 2.0, "Backdoor:EC2/C&CActivity.B!DNS", "DNS_REQUEST", None, "10.0.0.1", "1.2.3.4"),
+            ("r", 5.0, "Recon:IAMUser/MaliciousIPCaller.Custom", "NETWORK_CONNECTION", "INBOUND", "9.9.9.9", "10.0.0.2"),
+            ("r", 8.0, "Trojan:EC2/SuspiciousFile", "", None, "a", "b"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "rule_name string, severity double, type string, action_type string, "
+            "connection_direction string, source_ip string, destination_ip string",
+        )
+        got = {r["type"]: r for r in sf_guardduty(df).collect()}
+        r0 = got["Backdoor:EC2/C&CActivity.B!DNS"]
+        assert r0["rule_name"] == "Bad rule"          # trim + rstrip('.')
+        assert r0["severitylabel"] == "low"
+        assert (r0["ThreatPurpose"], r0["ResourceTypeAffected"], r0["ThreatFamilyName"],
+                r0["DetectionMechanism"], r0["Artifact"]) == ("Backdoor", "EC2", "C&CActivity", "B", "DNS")
+        assert r0["network_direction"] == "outbound"  # DNS_REQUEST
+        # OUTBOUND swaps source/destination
+        assert (r0["source_ip"], r0["destination_ip"]) == ("1.2.3.4", "10.0.0.1")
+        assert r0["event_category"] == "malware"      # Backdoor
+        r1 = got["Recon:IAMUser/MaliciousIPCaller.Custom"]
+        assert r1["severitylabel"] == "medium"
+        assert r1["network_direction"] == "inbound"
+        assert (r1["source_ip"], r1["destination_ip"]) == ("9.9.9.9", "10.0.0.2")
+        assert r1["event_category"] is None
+        r2 = got["Trojan:EC2/SuspiciousFile"]
+        assert r2["severitylabel"] == "high"
+        assert r2["network_direction"] is None        # SuspiciousFile family
+        assert r2["event_category"] == "malware"
+
+    def test_securityhub_type_split(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_securityhub
+
+        rows = [
+            # new ASFF style with explicit ThreatPurpose
+            ("TTPs/Initial Access/UnauthorizedAccess:EC2-SSHBruteForce",),
+            # new ASFF style without ThreatPurpose -> category, spaces removed
+            ("Software and Configuration Checks/AWS Security Best Practices/Config.1",),
+            # legacy GuardDuty-style type (no namespace)
+            ("UnauthorizedAccess:EC2/SSHBruteForce",),
+        ]
+        df = spark.createDataFrame(rows, "type string")
+        got = {r["type"]: r for r in sf_securityhub(df.withColumn("severity", F.lit(5.0))).collect()}
+        r0 = got[rows[0][0]]
+        assert r0["asff_type_namespace"] == "TTPs"
+        assert r0["asff_type_category"] == "Initial Access"
+        assert r0["ThreatPurpose"] == "UnauthorizedAccess"
+        assert r0["ResourceTypeAffected"] == "EC2"
+        assert r0["ThreatFamilyName"] == "SSHBruteForce"
+        r1 = got[rows[1][0]]
+        assert r1["asff_type_namespace"] == "Software and Configuration Checks"
+        assert r1["asff_type_category"] == "AWS Security Best Practices"
+        assert r1["ThreatPurpose"] == "AWSSecurityBestPractices"
+        assert r1["ResourceTypeAffected"] == "Config"
+        assert r1["ThreatFamilyName"] == "1"
+        r2 = got[rows[2][0]]
+        assert r2["asff_type_namespace"] is None
+        assert r2["asff_type_category"] == "UnauthorizedAccess"
+        assert r2["ThreatPurpose"] == "UnauthorizedAccess"
+        assert r2["ThreatFamilyName"] == "SSHBruteForce"
+
+    def test_alb_waf_route53(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import (
+            sf_alb,
+            sf_route53resolver,
+            sf_waf,
+        )
+
+        alb = spark.createDataFrame(
+            [("GET https://x.example.com:443/p?q=1 HTTP/2.0",)], "request string"
+        )
+        assert sf_alb(alb).first()["url_full"] == "https://x.example.com:443/p?q=1"
+
+        waf = spark.createDataFrame(
+            [
+                (
+                    [{"name": "Host", "value": "h.example.com"},
+                     {"name": "User-Agent", "value": "curl/8"},
+                     {"name": "Authorization", "value": "secret"}],
+                    "arn:aws:wafv2:us-east-1:123456789012:regional/webacl/acl-name/abcd",
+                    "HTTP/1.1",
+                ),
+                (
+                    [{"name": "Referer", "value": "https://r.example.com"}],
+                    "simple-v1-acl-id",
+                    "HTTP/2.0",
+                ),
+            ],
+            "headers array<struct<name string, value string>>, webaclId string, httpVersion string",
+        )
+        got = sf_waf(waf).collect()
+        v2 = [r for r in got if r["httpVersion"] == "HTTP/1.1"][0]
+        assert v2["http_request_header"] == {"host": "h.example.com", "user_agent": "curl/8"}
+        assert v2["url_domain"] == "h.example.com"
+        assert v2["user_agent_original"] == "curl/8"
+        assert v2["rule_ruleset"] == "acl-name"
+        assert v2["cloud_region"] == "us-east-1"
+        assert v2["cloud_account_id"] == "123456789012"
+        assert v2["http_version"] == "1.1"
+        v1 = [r for r in got if r["httpVersion"] == "HTTP/2.0"][0]
+        assert v1["rule_ruleset"] == "simple-v1-acl-id"
+        assert v1["cloud_region"] is None
+        assert v1["http_request_referrer"] == "https://r.example.com"
+
+        r53 = spark.createDataFrame(
+            [("example.com.", "1.2.3.4.",)], "dns_question_name string, dns_answers_data string"
+        )
+        row = sf_route53resolver(r53).first()
+        assert row["dns_question_name"] == "example.com"
+        assert row["dns_answers_data"] == "1.2.3.4"
+
+    def test_registry_dispatch(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import transform_registry
+
+        reg = transform_registry()
+        for k in ["vpcflowlogs", "cloudtrail", "guardduty", "securityhub", "alb", "waf", "route53resolver"]:
+            assert k in reg

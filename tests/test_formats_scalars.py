@@ -210,3 +210,107 @@ class TestCompression:
             f.write("GET 200\nPOST 404\n")
         df = formats.read_text_regex(spark, p, r"(?P<method>\w+) (?P<status>\d+)")
         assert sorted(r["method"] for r in df.collect()) == ["GET", "POST"]
+
+
+class TestZipScan:
+    def test_zip_members_to_lines(self, spark, tmp_path):
+        import zipfile
+
+        p = tmp_path / "logs.zip"
+        with zipfile.ZipFile(p, "w") as z:
+            z.writestr("a/access.log", "line1\nline2\n")
+            z.writestr("b.log", "only\n")
+            z.writestr("emptydir/", "")
+        from siem_on_amazon_opensearch_service_spark.sources.formats import read_zip_lines
+
+        rows = read_zip_lines(spark, str(p)).orderBy("member", "value").collect()
+        assert [(r["member"], r["value"]) for r in rows] == [
+            ("a/access.log", "line1"),
+            ("a/access.log", "line2"),
+            ("b.log", "only"),
+        ]
+        assert all(r["src_path"].endswith("logs.zip") for r in rows)
+
+
+class TestTsFromFormats:
+    def test_first_matching_format_wins(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.scalars import ts_from_formats
+
+        df = spark.createDataFrame(
+            [("2025/06/01 10:00:00",), ("01 Jun 2025 10:00:00",), ("garbage",)], "s string"
+        )
+        out = df.select(
+            ts_from_formats(
+                F.col("s"), ["yyyy/MM/dd HH:mm:ss", "dd MMM yyyy HH:mm:ss"]
+            ).alias("ts")
+        ).collect()
+        got = {str(r["ts"]) for r in out}
+        assert "2025-06-01 10:00:00" in got
+        assert None in {r["ts"] for r in out}  # garbage -> null, no throw
+
+    def test_tz_applied(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.scalars import ts_from_formats
+
+        df = spark.createDataFrame([("2025/06/01 09:00:00",)], "s string")
+        r = df.select(
+            ts_from_formats(F.col("s"), ["yyyy/MM/dd HH:mm:ss"], tz="+09:00").alias("ts")
+        ).first()
+        assert str(r["ts"]) == "2025-06-01 00:00:00"
+
+
+class TestHttpUrlDecompose:
+    """Parity cases hand-derived from the reference's
+    extract_url_http_fields_from_http_request (siem/utils.py:206-288)."""
+
+    def _run(self, spark, method, path, version, raw=None):
+        from siem_on_amazon_opensearch_service_spark.functions.scalars import http_url_decompose
+
+        df = spark.createDataFrame(
+            [(method, path, version, raw)], "m string, p string, v string, r string"
+        )
+        return df.select(
+            http_url_decompose(F.col("m"), F.col("p"), F.col("v"), F.col("r")).alias("u")
+        ).first()["u"]
+
+    def test_plain_path(self, spark):
+        u = self._run(spark, "GET", "/idx.html?a=1", "1.1")
+        assert u["url_original"] == "/idx.html?a=1"
+        assert u["url_path"] == "/idx.html"
+        assert u["url_query"] == "a=1"
+        assert u["url_extension"] == "html"
+        assert u["url_domain"] is None
+
+    def test_absolute_url_with_port(self, spark):
+        u = self._run(spark, "GET", "https://ex.com:8443/a/b.php?x=2", "1.1")
+        assert u["url_domain"] == "ex.com"
+        assert u["url_port"] == "8443"
+        assert u["url_path"] == "/a/b.php"
+        assert u["url_query"] == "x=2"
+        assert u["url_extension"] == "php"
+
+    def test_connect_form(self, spark):
+        u = self._run(spark, "CONNECT", "tunnel.example.net:443", "1.1")
+        assert u["url_domain"] == "tunnel.example.net"
+        assert u["url_port"] == "443"
+        assert u["url_path"] == ""
+
+    def test_double_url_decode(self, spark):
+        # %2541 -> %41 -> A  (double-encoded), matching the reference's
+        # two-pass unquote
+        u = self._run(spark, "GET", "/p%2541th", "1.1")
+        assert u["url_path"] == "/pAth"
+        # single-encoded plus sign stays literal (unquote, not form-decode)
+        u2 = self._run(spark, "GET", "/a+b%20c", "1.1")
+        assert u2["url_path"] == "/a+b c"
+        # malformed escape: strict decode keeps the original
+        u3 = self._run(spark, "GET", "/bad%zz", "1.1")
+        assert u3["url_path"] == "/bad%zz"
+
+    def test_fragment_rules(self, spark):
+        u = self._run(spark, "GET", "/doc#sec2", "1.1")
+        assert u["url_fragment"] == "sec2"
+        assert u["url_path"] == "/doc"
+        # '&' inside the tail -> NOT a fragment (RE_NOT_FRAGMENT_STR)
+        u2 = self._run(spark, "GET", "/doc#a&b", "1.1")
+        assert u2["url_fragment"] is None
+        assert u2["url_path"] == "/doc#a&b"
