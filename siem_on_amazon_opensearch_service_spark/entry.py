@@ -262,6 +262,21 @@ def q_events_props_extract(spark, sf_dir):
     )
 
 
+def q_index_manifest_stats(spark, sf_dir):
+    """Index-stats scan (SURVEY.md §2.1 / reference index-metrics surface):
+    rollup over the per-shard lineage manifest the build writes."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    m = spark.read.parquet(os.path.join(idx, "manifest"))
+    return m.agg(
+        F.count("*").alias("n_shards"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("min_docid").alias("min_docid"),
+        F.max("max_docid").alias("max_docid"),
+    )
+
+
 def q_transcripts_role_topn(spark, sf_dir):
     """terms agg over the SIEM corpus itself (role = keyword field)."""
     _prep(spark)
@@ -539,6 +554,13 @@ def oracle_sql_map() -> dict[str, str]:
             ") r ON e.user_id >= r.lo AND e.user_id <= r.hi "
             "GROUP BY r.bucket_id ORDER BY r.bucket_id"
         ),
+        "index_manifest_stats": (
+            f"SELECT CAST(count(*) AS BIGINT) AS n_shards, "
+            f"CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+            f"CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+            f"min(min_docid) AS min_docid, max(max_docid) AS max_docid "
+            f"FROM read_parquet('{index_dir(ORACLE_SF)}/manifest/*.parquet')"
+        ),
         "transcripts_role_topn": (
             f"SELECT role, count(*) AS cnt FROM read_parquet('{ORACLE_TRANSCRIPTS}') "
             "GROUP BY role ORDER BY cnt DESC, role ASC LIMIT 4"
@@ -742,6 +764,7 @@ def queries_map() -> dict:
             "events_topn_per_group": q_events_topn_per_group,
             "events_props_extract": q_events_props_extract,
             "events_range_join": q_events_range_join,
+            "index_manifest_stats": q_index_manifest_stats,
             "transcripts_role_topn": q_transcripts_role_topn,
             "transcripts_daily_histogram": q_transcripts_daily_histogram,
             "tpch_q1_pricing": q_tpch_q1_pricing,

@@ -238,6 +238,99 @@ def sf_route53resolver(df: DataFrame) -> DataFrame:
     return out
 
 
+def add_basic_fields(
+    df: DataFrame,
+    message_col: str,
+    timestamp_col: str,
+    log_type: str,
+    ingested_ts: str,
+    id_suffix_col: str | None = None,
+) -> DataFrame:
+    """The reference's basic-fields bundle (siem/__init__.py:683-706 +
+    set_skip_normalization): @message (raw record), @id (MD5 of message,
+    optionally suffixed like doc_id_suffix), @timestamp, @log_type,
+    @ingested (pass a deterministic ingest time, never wall clock)."""
+    out = (
+        df.withColumn("@message", F.col(message_col).cast("string"))
+        .withColumn("@id", F.md5(F.col(message_col).cast("string")))
+        .withColumn("@timestamp", F.col(timestamp_col))
+        .withColumn("@log_type", F.lit(log_type))
+        .withColumn("@ingested", F.lit(ingested_ts).cast("timestamp"))
+    )
+    if id_suffix_col is not None:
+        out = out.withColumn(
+            "@id",
+            F.when(
+                F.col(id_suffix_col).isNotNull(),
+                F.concat_ws("_", F.col("@id"), F.col(id_suffix_col).cast("string")),
+            ).otherwise(F.col("@id")),
+        )
+    return out
+
+
+ROTATION_FORMATS = {
+    "daily": "-yyyy-MM-dd",
+    "weekly": "-yyyy-'w'ww",
+    "monthly": "-yyyy-MM",
+    "yearly": "-yyyy",
+}
+
+
+def index_name_rotated(
+    base: Column,
+    ts: Column,
+    rotation: str = "monthly",
+    index_suffix: str | None = None,
+    index_tz: str | None = None,
+) -> Column:
+    """Computed index-routing name (siem/__init__.py:618-656 indexname):
+    base[-suffix][-<date part by rotation>], with the rotation date taken
+    from the event time (optionally shifted into index_tz).  'auto' and
+    'aoss' rotations don't date-partition (aoss appends the suffix or
+    -001)."""
+    if index_suffix:
+        base = F.concat(base, F.lit(f"-{index_suffix}"))
+    if rotation == "aoss":
+        return base if index_suffix else F.concat(base, F.lit("-001"))
+    if rotation == "auto":
+        return base
+    fmt = ROTATION_FORMATS[rotation]
+    dt = F.from_utc_timestamp(ts, index_tz) if index_tz else ts
+    return F.concat(base, F.date_format(dt, fmt))
+
+
+def _merge_struct(a: Column, b: Column, a_type, b_type) -> Column:
+    from pyspark.sql import types as T
+
+    a_fields = {f.name: f for f in a_type.fields}
+    b_fields = {f.name: f for f in b_type.fields}
+    cols = []
+    for name in list(a_fields) + [n for n in b_fields if n not in a_fields]:
+        if name in a_fields and name in b_fields:
+            fa, fb = a_fields[name], b_fields[name]
+            if isinstance(fa.dataType, T.StructType) and isinstance(fb.dataType, T.StructType):
+                cols.append(
+                    _merge_struct(a[name], b[name], fa.dataType, fb.dataType).alias(name)
+                )
+            else:
+                cols.append(F.coalesce(b[name], a[name]).alias(name))
+        elif name in b_fields:
+            cols.append(b[name].alias(name))
+        else:
+            cols.append(a[name].alias(name))
+    return F.struct(*cols)
+
+
+def struct_deep_merge(df: DataFrame, a_col: str, b_col: str, out_col: str) -> DataFrame:
+    """Recursive struct merge, right side wins on leaf conflicts — the
+    column analogue of the reference's merge_dicts
+    (siem/utils.py merge_dicts, used by every sf_ transform).  Nested
+    struct fields merge field-wise; scalar conflicts coalesce(b, a)."""
+    a_type = df.schema[a_col].dataType
+    b_type = df.schema[b_col].dataType
+    return df.withColumn(out_col, _merge_struct(F.col(a_col), F.col(b_col), a_type, b_type))
+
+
 def transform_registry() -> dict:
     """Per-logtype transform hooks (SURVEY.md §2.11): the reference ships 40
     sf_<logtype>.transform(logdata) row-UDFs (siem/sf_*.py, loader

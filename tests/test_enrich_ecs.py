@@ -260,3 +260,61 @@ class TestSfTransforms:
         reg = transform_registry()
         for k in ["vpcflowlogs", "cloudtrail", "guardduty", "securityhub", "alb", "waf", "route53resolver"]:
             assert k in reg
+
+
+class TestBasicFieldsRotationMerge:
+    def test_basic_fields_bundle(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import add_basic_fields
+
+        df = spark.createDataFrame(
+            [("raw log line", "2025-06-01 10:00:00", "sfx"), ("raw log line", "2025-06-01 11:00:00", None)],
+            "msg string, ts string, suffix string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = add_basic_fields(
+            df, "msg", "ts", "testlog", "2025-06-02 00:00:00", id_suffix_col="suffix"
+        ).collect()
+        import hashlib
+
+        md5 = hashlib.md5(b"raw log line").hexdigest()
+        by_sfx = {r["suffix"]: r for r in out}
+        assert by_sfx["sfx"]["@id"] == f"{md5}_sfx"      # doc_id_suffix joins with _
+        assert by_sfx[None]["@id"] == md5
+        assert all(r["@message"] == "raw log line" for r in out)
+        assert all(r["@log_type"] == "testlog" for r in out)
+        assert str(out[0]["@ingested"]) == "2025-06-02 00:00:00"
+
+    def test_index_rotation(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import index_name_rotated
+
+        df = spark.createDataFrame([("2025-06-08 23:30:00",)], "ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        got = df.select(
+            index_name_rotated(F.lit("log-aws-x"), F.col("ts"), "daily").alias("d"),
+            index_name_rotated(F.lit("log-aws-x"), F.col("ts"), "monthly").alias("m"),
+            index_name_rotated(F.lit("log-aws-x"), F.col("ts"), "yearly").alias("y"),
+            index_name_rotated(F.lit("log-aws-x"), F.col("ts"), "auto").alias("a"),
+            index_name_rotated(F.lit("log-aws-x"), F.col("ts"), "aoss").alias("aoss"),
+            index_name_rotated(F.lit("log-aws-x"), F.col("ts"), "aoss", index_suffix="v2").alias("aoss2"),
+            index_name_rotated(F.lit("log-aws-x"), F.col("ts"), "daily", index_tz="+09:00").alias("dtz"),
+        ).first()
+        assert got["d"] == "log-aws-x-2025-06-08"
+        assert got["m"] == "log-aws-x-2025-06"
+        assert got["y"] == "log-aws-x-2025"
+        assert got["a"] == "log-aws-x"
+        assert got["aoss"] == "log-aws-x-001"
+        assert got["aoss2"] == "log-aws-x-v2"
+        assert got["dtz"] == "log-aws-x-2025-06-09"   # +9h rolls the date
+
+    def test_struct_deep_merge(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import struct_deep_merge
+
+        df = spark.sql(
+            "SELECT named_struct('user', named_struct('id', 'u1', 'name', CAST(NULL AS STRING)), 'host', 'h1') AS a, "
+            "named_struct('user', named_struct('name', 'alice', 'id', CAST(NULL AS STRING)), 'region', 'r1') AS b"
+        )
+        row = struct_deep_merge(df, "a", "b", "m").first()["m"]
+        assert row["user"]["id"] == "u1"        # kept from a (b null)
+        assert row["user"]["name"] == "alice"   # right wins / fills
+        assert row["host"] == "h1"              # only in a
+        assert row["region"] == "r1"            # only in b
