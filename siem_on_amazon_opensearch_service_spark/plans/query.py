@@ -96,6 +96,10 @@ def parse(query: str) -> Node:
 
     def parse_atom() -> Node:
         t = take()
+        if t.upper() in ("AND", "OR", "NOT"):
+            # a bare operator would otherwise lowercase into a term —
+            # surprising ('AND' silently searching for 'and'); reject
+            raise ValueError(f"operator {t!r} where a term was expected in {query!r}")
         if t == "(":
             node = parse_or()
             if peek() != ")":

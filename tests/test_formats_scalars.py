@@ -314,3 +314,32 @@ class TestHttpUrlDecompose:
         u2 = self._run(spark, "GET", "/doc#a&b", "1.1")
         assert u2["url_fragment"] is None
         assert u2["url_path"] == "/doc#a&b"
+
+
+class TestIcebergAdapter:
+    def test_parquet_fallback(self, spark, tmp_path):
+        from siem_on_amazon_opensearch_service_spark.sources import iceberg as ib
+
+        # this image has no Iceberg jars: adapter must report unavailable
+        # and route paths through parquet transparently
+        assert ib.iceberg_available(spark) is False
+        p = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        ib.write_table(df, p, mode="overwrite")
+        got = ib.read_table(spark, p).orderBy("id").collect()
+        assert [(r["id"], r["v"]) for r in got] == [(1, "a"), (2, "b")]
+        ib.write_table(df, p, mode="append")
+        assert ib.read_table(spark, p).count() == 4
+
+
+class TestParserReservedWords:
+    def test_bare_operator_rejected(self):
+        import pytest as _pytest
+
+        from siem_on_amazon_opensearch_service_spark.plans.query import parse
+
+        for q in ["AND", "error AND AND timeout", "OR error"]:
+            with _pytest.raises(ValueError):
+                parse(q)
+        # quoted forms still searchable as terms
+        assert parse('"and"').term == "and"
