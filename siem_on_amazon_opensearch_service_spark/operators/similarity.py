@@ -65,16 +65,19 @@ def hyperplane_weight(bit: Column, dim: Column) -> Column:
     return h / F.lit(float(_M32)) - 0.5
 
 
-def lsh_bucket(vec: Column, dim: int, n_bits: int = N_BITS) -> Column:
-    """Sign-random-projection bucket id (n_bits-bit integer)."""
+def lsh_bucket(vec: Column, dim: int, n_bits: int = N_BITS, table: int = 0) -> Column:
+    """Sign-random-projection bucket id (n_bits-bit integer).  ``table``
+    selects an independent hyperplane set (bit indices offset by
+    table*n_bits) for multi-table LSH."""
+    def mul(bit: int):
+        # closure factory: a default-arg lambda would change the arity
+        # PySpark infers for the higher-order function
+        return lambda v, d: v.cast("double") * hyperplane_weight(F.lit(bit), d)
+
     bits = []
     for b in range(n_bits):
         dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, d: v.cast("double") * hyperplane_weight(F.lit(b), d),
-            ),
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), mul(b + table * n_bits)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -83,6 +86,51 @@ def lsh_bucket(vec: Column, dim: int, n_bits: int = N_BITS) -> Column:
     for x in bits[1:]:
         out = out + x
     return out
+
+
+def lsh_multi_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = N_BITS,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Multi-table LSH ANN: candidates = union over ``n_tables``
+    independent hyperplane sets of same-bucket rows (classic recall
+    amplification: miss probability decays exponentially in tables),
+    deduped, then exact cosine re-rank.  The scale shape is unchanged —
+    n_tables bucket equi-joins instead of one, still never all-pairs."""
+    buckets = F.array(
+        *[lsh_bucket(F.col(vec_col), dim, n_bits, table=t) for t in range(n_tables)]
+    )
+    withb = emb.withColumn("bks", buckets).select(
+        id_col, vec_col, F.posexplode("bks").alias("tbl", "bucket")
+    )
+    q = withb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("tbl").alias("qtbl"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = withb.join(
+        F.broadcast(q),
+        (F.col("tbl") == F.col("qtbl"))
+        & (F.col("bucket") == F.col("qbucket"))
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = joined.select(
+        "query_id", id_col, cosine(F.col("qvec"), F.col(vec_col)).alias("cos")
+    ).distinct()  # same pair found by several tables -> identical cos row
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos")
+        .orderBy("query_id", F.col("cos").desc(), id_col)
+    )
 
 
 def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding", n_bits: int = N_BITS) -> DataFrame:

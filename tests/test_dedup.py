@@ -52,3 +52,19 @@ class TestJaccardCap:
         pdf = out.limit(50).toPandas()
         assert list(pdf.columns) == ["id_a", "id_b", "jaccard"]
         assert (pdf["jaccard"] <= 1.0).all()
+
+
+class TestMultiTableLsh:
+    def test_multi_table_beats_single_table_recall(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        ids = [0, 1, 2]
+        exact = sim.cosine_topk(emb, ids, k=5).toPandas()
+        ex = set(zip(exact.query_id, exact.vec_id))
+        single = sim.lsh_bucket_topk(emb, ids, k=5, dim=64).toPandas()
+        multi = sim.lsh_multi_topk(emb, ids, k=5, dim=64, n_bits=4, n_tables=16).toPandas()
+        r1 = len(ex & set(zip(single.query_id, single.vec_id))) / len(ex)
+        rm = len(ex & set(zip(multi.query_id, multi.vec_id))) / len(ex)
+        assert rm >= r1
+        assert rm >= 0.5  # recall amplification must actually bite
