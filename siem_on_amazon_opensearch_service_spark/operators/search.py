@@ -494,14 +494,22 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
     return phrase_rows.groupBy("clause").applyInPandas(pf, schema="clause int, docid long, tf long")
 
 
+def _sql_double_array(vals) -> "F.Column":
+    """Array-of-doubles literal as ONE parsed SQL expression: building it
+    as N F.lit() calls costs N py4j round trips (measured ~0.7 s of
+    driver time per query for the 256-entry norm cache).  repr(float)
+    round-trips IEEE754 doubles exactly."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")")
+
+
 def _score_expr(weights: list[np.float32], avgdl: float, clause, tf, norm):
     """Clause score as a pure JVM column expression (whole-stage codegen;
     no Python in the scoring path).  The 256-entry norm-inverse cache and
     the per-clause float32 weights become array literals; IEEE754 double
     arithmetic matches the numpy/oracle computation bit-for-bit."""
     cache = bm25.norm_inverse_cache(avgdl)
-    cache_arr = F.array(*[F.lit(float(x)) for x in cache])
-    w_arr = F.array(*[F.lit(float(np.float64(x))) for x in weights])
+    cache_arr = _sql_double_array(cache)
+    w_arr = _sql_double_array([np.float64(x) for x in weights])
     ninv = F.element_at(cache_arr, norm.cast("int") + 1)
     w = F.element_at(w_arr, clause.cast("int") + 1)
     return (w - w / (F.lit(1.0) + tf.cast("double") * ninv)).cast("float")
