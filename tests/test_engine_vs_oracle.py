@@ -164,6 +164,26 @@ class TestDistributedVsOracle:
         got = [(r["docid"], np.float32(r["score"])) for r in rows]
         _assert_hits_equal(got, oracle.search("error", k=10, role="assistant"), "df:filter")
 
+    def test_phrase_with_filter_and_bool(self, spark, tiny_index, oracle, tiny_corpus_pdf):
+        """Phrase + keyword filter + mixed boolean through the distributed
+        path in one query (the dashboard investigation shape)."""
+        mid = tiny_corpus_pdf["ts"].quantile(0.5)
+        cases = [
+            ('"connection reset" AND error', {}),
+            ('"connection reset" OR timeout', {"role": "assistant"}),
+            ("error", {"role": "user", "ts_max": mid}),
+        ]
+        for q, kw in cases:
+            rows = search_df(spark, tiny_index[0], q, k=10, **kw).collect()
+            got = [(r["docid"], np.float32(r["score"])) for r in rows]
+            _assert_hits_equal(got, oracle.search(q, k=10, **kw), f"df:{q}:{kw}")
+
+    def test_k_exceeds_matches_and_zero_matches(self, spark, tiny_index, oracle):
+        rows = search_df(spark, tiny_index[0], "w00042", k=500).collect()
+        got = [(r["docid"], np.float32(r["score"])) for r in rows]
+        _assert_hits_equal(got, oracle.search("w00042", k=500), "df:k>matches")
+        assert search_df(spark, tiny_index[0], "nonexistentterm", k=10).collect() == []
+
 
 class TestPerTurnInvariant:
     def test_text_equality_under_stable_order(self, tiny_index, tiny_corpus_pdf):

@@ -198,3 +198,58 @@ class TestMultimodal:
         frames = mm.frame_sample(media, every_n_bytes=1024, max_frames=3).collect()
         assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]
         assert all(len(r["frame"]) == 1024 for r in frames)
+
+
+class TestSessionize:
+    def _toy(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2025, 6, 1, 10, 0, 0)
+        rows = [
+            ("c1", base),
+            ("c1", base + dt.timedelta(minutes=10)),
+            ("c1", base + dt.timedelta(minutes=70)),   # > 30 min gap -> new session
+            ("c1", base + dt.timedelta(minutes=75)),
+            ("c2", base + dt.timedelta(minutes=5)),
+        ]
+        return spark.createDataFrame(rows, "conv_id string, ts timestamp")
+
+    def test_batch_gap_split(self, spark):
+        from siem_on_amazon_opensearch_service_spark.streaming.sessionize import sessionize_batch
+
+        got = sessionize_batch(self._toy(spark), gap_minutes=30).collect()
+        as_tuples = [(r["conv_id"], r["session_idx"], r["n_turns"]) for r in got]
+        assert as_tuples == [("c1", 0, 2), ("c1", 1, 2), ("c2", 0, 1)]
+
+    def test_stream_equals_batch_closed_sessions(self, spark, tmp_path):
+        """applyInPandasWithState sessionization must emit, for every
+        session it closes, exactly the batch formulation's row."""
+        from siem_on_amazon_opensearch_service_spark.streaming.sessionize import (
+            sessionize_batch,
+            sessionize_stream,
+        )
+
+        toy = self._toy(spark)
+        src = str(tmp_path / "turns")
+        toy.coalesce(1).write.parquet(src)
+        batch = {
+            (r["conv_id"], r["session_idx"]): (r["n_turns"], r["t_start"], r["t_end"])
+            for r in sessionize_batch(toy, gap_minutes=30).collect()
+        }
+        stream = spark.readStream.schema("conv_id string, ts timestamp").parquet(src)
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+            .writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql("SELECT * FROM sess_out").collect()
+        assert len(got) > 0  # at least the in-stream-closed session
+        for r in got:
+            key = (r["conv_id"], r["session_idx"])
+            assert key in batch, key
+            assert (r["n_turns"], r["t_start"], r["t_end"]) == batch[key], key
