@@ -295,6 +295,16 @@ def q_transcripts_daily_histogram(spark, sf_dir):
     )
 
 
+def q_transcripts_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the corpus (batch formulation of the
+    streaming stateful operator — streaming/sessionize.py)."""
+    from .streaming.sessionize import sessionize_batch
+
+    _prep(spark)
+    t = spark.read.parquet(ensure_corpus(_sf_label(sf_dir), spark))
+    return sessionize_batch(t.select("conv_id", "ts"), gap_minutes=30)
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -626,6 +636,25 @@ def oracle_sql_map() -> dict[str, str]:
             f"count(DISTINCT conv_id) AS n_convs FROM read_parquet('{ORACLE_TRANSCRIPTS}') "
             "GROUP BY 1 ORDER BY 1"
         ),
+        "transcripts_sessionize": (
+            f"""
+WITH s AS (
+  SELECT conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+  FROM read_parquet('{ORACLE_TRANSCRIPTS}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+),
+x AS (
+  SELECT conv_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS INT) - 1 AS session_idx
+  FROM s
+)
+SELECT conv_id, session_idx, count(*) AS n_turns,
+       min(ts) AS t_start, max(ts) AS t_end
+FROM x GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
+        ),
         "tpch_q1_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
             "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS cnt "
@@ -857,6 +886,7 @@ def queries_map() -> dict:
             "index_manifest_stats": q_index_manifest_stats,
             "transcripts_role_topn": q_transcripts_role_topn,
             "transcripts_daily_histogram": q_transcripts_daily_histogram,
+            "transcripts_sessionize": q_transcripts_sessionize,
             "tpch_q1_pricing": q_tpch_q1_pricing,
             "segment_revenue": q_segment_revenue,
             "doc_exact_dups": q_doc_exact_dups,

@@ -57,7 +57,10 @@ def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch formulation: session = cumulative count of gap breaks within
     conv (window functions, one shuffle on conv_id)."""
     w = Window.partitionBy("conv_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # NTZ parquet timestamps can't cast straight to long under ANSI;
+    # route through timestamp_ltz (no-op for LTZ, UTC session for NTZ)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     brk = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     withs = df.withColumn("session_idx", F.sum(brk).over(w).cast("int") - 1)
     return (
