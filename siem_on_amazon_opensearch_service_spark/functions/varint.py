@@ -26,12 +26,14 @@ def encoded_lengths(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
-def encode(values: np.ndarray) -> bytes:
-    """VByte-encode a non-negative int array -> bytes."""
+def encode(values: np.ndarray, lengths: np.ndarray | None = None) -> bytes:
+    """VByte-encode a non-negative int array -> bytes.  Pass precomputed
+    ``encoded_lengths(values)`` to avoid a second width pass when the
+    caller also needs the lengths (the shard encoder does)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = encoded_lengths(v)
+    nbytes = encoded_lengths(v) if lengths is None else lengths
     offs = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.empty(int(offs[-1]), dtype=np.uint8)
     cur = v.copy()

@@ -213,64 +213,76 @@ def encode_shard_postings(
     p_off = np.concatenate(([0], np.cumsum(p_counts)))
 
     # docid gaps restart absolute at every block start — one encode call
+    # (widths computed once, shared between encode and the offset cumsums)
     dgap = np.empty(n_entries, dtype=np.int64)
     dgap[1:] = e_doc[1:] - e_doc[:-1]
     dgap[blk_start] = e_doc[blk_start]
-    dbuf = varint.encode(dgap)
-    dcum = np.concatenate(([0], np.cumsum(varint.encoded_lengths(dgap))))
+    dlens = varint.encoded_lengths(dgap)
+    dbuf = varint.encode(dgap, dlens)
+    dcum = np.concatenate(([0], np.cumsum(dlens)))
 
-    tbuf = varint.encode(e_tf)
-    tcum = np.concatenate(([0], np.cumsum(varint.encoded_lengths(e_tf))))
+    tlens = varint.encoded_lengths(e_tf)
+    tbuf = varint.encode(e_tf, tlens)
+    tcum = np.concatenate(([0], np.cumsum(tlens)))
 
     if positions:
         pos_gap = np.empty(ent_pos.shape, dtype=np.int64)
         pos_gap[1:] = ent_pos[1:] - ent_pos[:-1]
         pos_gap[e_start] = ent_pos[e_start]
-        pbuf = varint.encode(pos_gap)
-        pcum_ent = np.concatenate(([0], np.cumsum(varint.encoded_lengths(pos_gap))))
+        plens = varint.encoded_lengths(pos_gap)
+        pbuf = varint.encode(pos_gap, plens)
+        pcum_ent = np.concatenate(([0], np.cumsum(plens)))
         # byte offset of each ENTRY's positions = offset of its first ent row
         p_entry_off = pcum_ent[e_start]
         p_entry_end = pcum_ent[e_end - 1] + np.diff(pcum_ent)[e_end - 1]
     # cttf per term = sum of tfs over the term's entries
     cttf_all = np.add.reduceat(e_tf, t_start)
 
+    # ---- assemble one row per term, column-at-a-time (a per-term dict
+    # loop + DataFrame(list-of-dicts) measured ~2x the whole encode)
     dview, tview = memoryview(dbuf), memoryview(tbuf)
-    pview = memoryview(pbuf) if positions else None
-    salt = shard % n_salts
-    rows: list[dict] = []
-    for ti in range(terms.size):
-        ea, eb = int(t_start[ti]), int(t_end[ti])
-        ba, bb = int(t_blk_start[ti]), int(t_blk_end[ti])
-        d0 = int(dcum[ea])
-        t0 = int(tcum[ea])
-        row = {
-            "term": str(terms[ti]),
-            "salt": salt,
-            "shard_min": shard,
-            "shard_max": shard,
-            "df": eb - ea,
-            "cttf": int(cttf_all[ti]),
-            "docs_bytes": bytes(dview[d0 : int(dcum[eb])]),
-            "tfs_bytes": bytes(tview[t0 : int(tcum[eb])]),
-            "blk_last": blk_last_all[ba:bb],
-            "blk_n": blk_n_all[ba:bb],
-            "blk_max_tf": blk_max_tf_all[ba:bb],
-            "blk_min_norm": blk_min_norm_all[ba:bb],
-            "blk_doc_off": dcum[blk_start[ba:bb]] - d0,
-            "blk_tf_off": tcum[blk_start[ba:bb]] - t0,
-            "blk_pareto_n": p_counts[ba:bb],
-            "blk_pareto_tf": p_tf_all[p_off[ba] : p_off[bb]],
-            "blk_pareto_norm": p_norm_all[p_off[ba] : p_off[bb]],
-        }
-        if positions:
-            p0 = int(p_entry_off[ea])
-            row["pos_bytes"] = bytes(pview[p0 : int(p_entry_end[eb - 1])])
-            row["blk_pos_off"] = p_entry_off[blk_start[ba:bb]] - p0
-        else:
-            row["pos_bytes"] = b""
-            row["blk_pos_off"] = np.zeros(bb - ba, dtype=np.int64)
-        rows.append(row)
-    return pd.DataFrame(rows, columns=cols)
+    n_terms = terms.size
+    t_nblocks = t_blk_end - t_blk_start
+    d0s = dcum[t_start]  # per-term byte bases
+    t0s = tcum[t_start]
+    d1s = dcum[t_end]
+    t1s = tcum[t_end]
+    base_per_block_d = np.repeat(d0s, t_nblocks)
+    base_per_block_t = np.repeat(t0s, t_nblocks)
+    split_pts = t_blk_start[1:]
+    data = {
+        "term": [str(t) for t in terms],
+        "salt": np.full(n_terms, shard % n_salts, dtype=np.int64),
+        "shard_min": np.full(n_terms, shard, dtype=np.int64),
+        "shard_max": np.full(n_terms, shard, dtype=np.int64),
+        "df": (t_end - t_start).astype(np.int64),
+        "cttf": cttf_all.astype(np.int64),
+        "docs_bytes": [bytes(dview[a:b]) for a, b in zip(d0s, d1s)],
+        "tfs_bytes": [bytes(tview[a:b]) for a, b in zip(t0s, t1s)],
+        "blk_last": np.split(blk_last_all, split_pts),
+        "blk_n": np.split(blk_n_all, split_pts),
+        "blk_max_tf": np.split(blk_max_tf_all, split_pts),
+        "blk_min_norm": np.split(blk_min_norm_all, split_pts),
+        "blk_doc_off": np.split(dcum[blk_start] - base_per_block_d, split_pts),
+        "blk_tf_off": np.split(tcum[blk_start] - base_per_block_t, split_pts),
+        "blk_pareto_n": np.split(p_counts, split_pts),
+        "blk_pareto_tf": np.split(p_tf_all, p_off[t_blk_start[1:]]),
+        "blk_pareto_norm": np.split(p_norm_all, p_off[t_blk_start[1:]]),
+    }
+    if positions:
+        pview = memoryview(pbuf)
+        p0s = p_entry_off[t_start]
+        p1s = p_entry_end[t_end - 1]
+        data["pos_bytes"] = [bytes(pview[a:b]) for a, b in zip(p0s, p1s)]
+        data["blk_pos_off"] = np.split(
+            p_entry_off[blk_start] - np.repeat(p0s, t_nblocks), split_pts
+        )
+    else:
+        data["pos_bytes"] = [b""] * n_terms
+        data["blk_pos_off"] = np.split(
+            np.zeros(blk_start.size, dtype=np.int64), split_pts
+        )
+    return pd.DataFrame(data, columns=cols)
 
 
 def first_docid(docs_bytes: bytes) -> int:
