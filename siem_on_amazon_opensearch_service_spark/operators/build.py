@@ -97,6 +97,11 @@ def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True, b
         return pd.DataFrame({"conv_id": pdf["conv_id"], "conv_base": base + csum})
 
     conv_base = ranged.groupBy("pid").applyInPandas(offsets, schema="conv_id string, conv_base long")
+    # the per-conversation offset table has no stats (UDF output), so Spark
+    # would sort-merge-join it; broadcast explicitly while it fits (at
+    # 10^12 turns it won't, and the shuffle join is then the right plan)
+    if total - base <= 20_000_000:
+        conv_base = F.broadcast(conv_base)
     out = (
         df.join(conv_base, "conv_id")
         .withColumn("docid", F.col("conv_base") + F.col("turn_idx").cast("long"))
