@@ -240,9 +240,7 @@ def _plan_block_prune(index_dir: str, ast: Node, leaves: list[Node], dfs: dict, 
         if lasts.size == 0:
             continue
         ubs = _row_block_ubs(r, weights[r["term"]], cache) * mult[r["term"]]
-        firsts = np.empty_like(lasts)
-        firsts[1:] = lasts[:-1] + 1  # conservative (true first >= this)
-        firsts[0] = int(r["shard_min"]) * shard_size
+        firsts = np.asarray(r["blk_first"], dtype=np.int64)  # exact (r2 format)
         per_term.setdefault(r["term"], []).append((firsts, lasts, ubs))
         blocks.extend((float(ubs[bi]), ri, bi) for bi in range(lasts.size))
     if not blocks:
@@ -357,6 +355,144 @@ def _term_envelope(firsts: np.ndarray, lasts: np.ndarray, ubs: np.ndarray, bps: 
     return env
 
 
+def _required_terms(node: Node) -> set[str]:
+    """Terms every matching doc MUST contain: And = union of children,
+    Or = intersection (only terms required by ALL branches), Not = none,
+    Phrase = all its words."""
+    if isinstance(node, Term):
+        return {node.term}
+    if isinstance(node, Phrase):
+        return set(node.terms)
+    if isinstance(node, And):
+        out: set[str] = set()
+        for c in node.children:
+            out |= _required_terms(c)
+        return out
+    if isinstance(node, Or):
+        sets = [_required_terms(c) for c in node.children]
+        out = sets[0]
+        for s in sets[1:]:
+            out &= s
+        return out
+    if isinstance(node, Not):
+        return set()
+    raise TypeError(node)
+
+
+def _merge_intervals(firsts: np.ndarray, lasts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    order = np.argsort(firsts, kind="mergesort")
+    f, l = firsts[order], lasts[order]
+    lo, hi = [], []
+    for a, b in zip(f, l):
+        if hi and a <= hi[-1] + 1:
+            hi[-1] = max(hi[-1], int(b))
+        else:
+            lo.append(int(a))
+            hi.append(int(b))
+    return np.asarray(lo, dtype=np.int64), np.asarray(hi, dtype=np.int64)
+
+
+def _intersect_ranges(a, b) -> tuple[np.ndarray, np.ndarray]:
+    """Intersection of two disjoint sorted range lists (lo, hi)."""
+    (alo, ahi), (blo, bhi) = a, b
+    lo, hi = [], []
+    i = j = 0
+    while i < alo.size and j < blo.size:
+        s = max(alo[i], blo[j])
+        e = min(ahi[i], bhi[j])
+        if s <= e:
+            lo.append(int(s))
+            hi.append(int(e))
+        if ahi[i] < bhi[j]:
+            i += 1
+        else:
+            j += 1
+    return np.asarray(lo, dtype=np.int64), np.asarray(hi, dtype=np.int64)
+
+
+_RARE_DECODE_MAX = 65_536  # df below this: decode the term driver-side
+
+
+def _plan_intersection_prune(index_dir: str, ast: Node, stats: dict, dfs: dict | None = None):
+    """Structural pruning for conjunctive queries: a matching doc must lie
+    inside EVERY required term's block coverage, so the decode can skip
+    any docid range where some required term has no blocks at all — the
+    classic posting-intersection skip, computed driver-side (valid under
+    filters/phrases/NOT because it's a pure superset argument).  Hot terms
+    contribute block-interval coverage from METADATA only; rare required
+    terms (df <= 65k) are DECODED driver-side — a rare term's one block
+    per salt row spans nearly the whole docid space, so block granularity
+    alone can't prune it, while its exact docids collapse the hot term's
+    decode to the rare term's rows (the drive-by-rarest-term plan).
+    Returns a plan dict, or None when <2 required terms / no win; a
+    required term absent from the index yields an EMPTY plan (the query
+    provably has no matches)."""
+    import json
+
+    import duckdb
+
+    req = sorted(_required_terms(ast))
+    if len(req) < 2:
+        return None
+    try:
+        with open(os.path.join(index_dir, "_build.json")) as f:
+            shard_size = json.load(f)["shard_size"]
+    except (OSError, KeyError):
+        return None
+    dfs = dfs or {}
+    rare = [t for t in req if dfs.get(t, 0) <= _RARE_DECODE_MAX]
+    hot = [t for t in req if t not in rare]
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if hot:
+        tl = ",".join("'" + t.replace("'", "''") + "'" for t in hot)
+        meta = duckdb.sql(
+            f"SELECT term, blk_first, blk_last FROM read_parquet('{index_dir}/postings/*.parquet') "
+            f"WHERE term IN ({tl})"
+        ).df()
+        rows = meta.to_dict("records")
+        if sum(len(r["blk_last"]) for r in rows) > _PRUNE_MAX_BLOCKS:
+            return None
+        groups: dict[str, list] = {}
+        for r in rows:
+            if len(r["blk_last"]):
+                groups.setdefault(r["term"], []).append(r)
+        for t, rs in groups.items():
+            per_term[t] = _merge_intervals(
+                np.concatenate([np.asarray(r["blk_first"], dtype=np.int64) for r in rs]),
+                np.concatenate([np.asarray(r["blk_last"], dtype=np.int64) for r in rs]),
+            )
+    if rare:
+        tl = ",".join("'" + t.replace("'", "''") + "'" for t in rare)
+        rrows = duckdb.sql(
+            f"SELECT term, docs_bytes, tfs_bytes, blk_n "
+            f"FROM read_parquet('{index_dir}/postings/*.parquet') WHERE term IN ({tl})"
+        ).df().to_dict("records")
+        rgroups: dict[str, list[np.ndarray]] = {}
+        for r in rrows:
+            d, _ = segments.decode_docs_tfs(r)
+            if d.size:
+                rgroups.setdefault(r["term"], []).append(d)
+        for t, ds in rgroups.items():
+            docids = np.sort(np.concatenate(ds))
+            per_term[t] = _merge_intervals(docids, docids)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    ranges = None
+    for t in req:
+        cov = per_term.get(t)
+        if cov is None:
+            ranges = empty  # required term absent -> no matches at all
+            break
+        ranges = cov if ranges is None else _intersect_ranges(ranges, cov)
+        if ranges[0].size == 0:
+            break
+    lo, hi = ranges
+    if lo.size:
+        covered = int((hi - lo + 1).sum())
+        if covered > (1.0 - _PRUNE_MIN_DROP) * stats["n_docs"]:
+            return None
+    return {"lo": lo, "hi": hi, "shard_size": shard_size}
+
+
 def _ranges_overlap(firsts: np.ndarray, lasts: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """Boolean per block: does [first, last] intersect any [lo, hi] range?
     Ranges are disjoint + sorted."""
@@ -390,10 +526,10 @@ def _decode_postings_df(postings: DataFrame, leaves: list[Node], prune: dict | N
                 term_clauses.setdefault(t, []).append((ci, slot, True))
 
     any_phrase = any(isinstance(lf, Phrase) for lf in leaves)
-    cols = ["term", "docs_bytes", "tfs_bytes", "blk_n"] + (["pos_bytes"] if any_phrase else [])
+    cols = ["term", "docs_bytes", "tfs_bytes", "blk_n"] + (["pos_bytes", "blk_pos_off"] if any_phrase else [])
     if prune is not None:
-        cols += ["blk_last", "blk_doc_off", "blk_tf_off", "shard_min"]
-        p_lo, p_hi, p_ssz = prune["lo"], prune["hi"], prune["shard_size"]
+        cols += ["blk_first", "blk_last", "blk_doc_off", "blk_tf_off"]
+        p_lo, p_hi = prune["lo"], prune["hi"]
     postings = postings.select(*cols)  # column-prune the parquet scan
 
     def decode(batches):
@@ -403,26 +539,30 @@ def _decode_postings_df(postings: DataFrame, leaves: list[Node], prune: dict | N
             # (bounded by query terms x n_salts after the merge), but hot
             # terms x many shards pre-merge make Series-per-cell cost real
             for row in pdf.to_dict("records"):
+                needs_pos = any(p for _, _, p in term_clauses.get(row["term"], ()))
+                pos_lists = None
                 if prune is not None:
                     lasts = np.asarray(row["blk_last"], dtype=np.int64)
-                    firsts = np.empty_like(lasts)
-                    if lasts.size:
-                        firsts[1:] = lasts[:-1] + 1
-                        firsts[0] = int(row["shard_min"]) * p_ssz
+                    firsts = np.asarray(row["blk_first"], dtype=np.int64)
                     keep = _ranges_overlap(firsts, lasts, p_lo, p_hi)
                     docids, tfs = segments.decode_docs_tfs_blocks(row, keep)
-                    if docids.size:
-                        m = _in_ranges(docids, p_lo, p_hi)
+                    if not docids.size:
+                        continue
+                    if needs_pos and len(row["pos_bytes"]):
+                        pos, off = segments.decode_positions_blocks(row, keep, tfs)
+                        pos_lists = [pos[off[i] : off[i + 1]] for i in range(len(docids))]
+                    m = _in_ranges(docids, p_lo, p_hi)
+                    if not m.all():
                         docids, tfs = docids[m], tfs[m]
+                        if pos_lists is not None:
+                            pos_lists = [pl for pl, ok in zip(pos_lists, m) if ok]
                     if not docids.size:
                         continue
                 else:
                     docids, tfs = segments.decode_docs_tfs(row)
-                needs_pos = any(p for _, _, p in term_clauses.get(row["term"], ()))
-                pos_lists = None
-                if needs_pos and len(row["pos_bytes"]):
-                    pos, off = segments.decode_positions(row, tfs)
-                    pos_lists = [pos[off[i] : off[i + 1]] for i in range(len(docids))]
+                    if needs_pos and len(row["pos_bytes"]):
+                        pos, off = segments.decode_positions(row, tfs)
+                        pos_lists = [pos[off[i] : off[i + 1]] for i in range(len(docids))]
                 for ci, slot, want_pos in term_clauses.get(row["term"], ()):
                     n = len(docids)
                     outs["clause"].append(np.full(n, ci, dtype=np.int32))
@@ -556,12 +696,26 @@ def search_df(
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("term").isin(terms)
     )
-    # distributed block-max pruning: only for unfiltered Term/OR-of-Terms
-    # queries (keyword/time filters would invalidate the seed threshold —
-    # the seed docs might be filtered out, making theta too high)
+    # distributed pruning, two independent exact plans intersected:
+    # - theta/block-max (unfiltered Term/OR-of-Terms only: a keyword/time
+    #   filter could filter out the seed docs, making theta too high),
+    # - required-term block-coverage intersection (any query shape with
+    #   >=2 required terms; a pure superset argument, filter-safe)
     prune = None
-    if role is None and tool is None and ts_min is None and ts_max is None and k > 0:
-        prune = _plan_block_prune(index_dir, ast, leaves, dfs, stats, k)
+    if k > 0 and "blk_first" in postings.columns:  # r2 format only
+        plans = []
+        if role is None and tool is None and ts_min is None and ts_max is None:
+            p = _plan_block_prune(index_dir, ast, leaves, dfs, stats, k)
+            if p is not None:
+                plans.append(p)
+        p = _plan_intersection_prune(index_dir, ast, stats, dfs)
+        if p is not None:
+            plans.append(p)
+        if plans:
+            lo, hi = plans[0]["lo"], plans[0]["hi"]
+            for q in plans[1:]:
+                lo, hi = _intersect_ranges((lo, hi), (q["lo"], q["hi"]))
+            prune = {"lo": lo, "hi": hi, "shard_size": plans[0]["shard_size"]}
     decoded, has_phrase = _decode_postings_df(postings, leaves, prune=prune)
 
     term_rows = (
@@ -1096,9 +1250,13 @@ class _TermBlocks:
             doff = list(r["blk_doc_off"]) + [len(db)]
             toff = list(r["blk_tf_off"]) + [len(tb)]
             row_ubs = _row_block_ubs(r, weight, idx.cache)
+            r_firsts = r.get("blk_first") if isinstance(r, dict) else None
             for bi in range(len(r["blk_n"])):
                 dbuf = db[doff[bi] : doff[bi + 1]]
-                firsts.append(int(varint.decode(dbuf[: _first_vbyte_len(dbuf)])[0]))
+                if r_firsts is not None and len(r_firsts):
+                    firsts.append(int(r_firsts[bi]))
+                else:
+                    firsts.append(int(varint.decode(dbuf[: _first_vbyte_len(dbuf)])[0]))
                 lasts.append(int(r["blk_last"][bi]))
                 ubs.append(float(row_ubs[bi]))
                 bufs.append((dbuf, tb[toff[bi] : toff[bi + 1]]))

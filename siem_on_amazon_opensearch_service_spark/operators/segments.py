@@ -44,7 +44,7 @@ BLOCK = 128
 SEGMENT_SCHEMA = (
     "term string, salt int, shard_min int, shard_max int, df long, cttf long, "
     "docs_bytes binary, tfs_bytes binary, pos_bytes binary, "
-    "blk_last array<long>, blk_n array<int>, blk_max_tf array<int>, "
+    "blk_first array<long>, blk_last array<long>, blk_n array<int>, blk_max_tf array<int>, "
     "blk_min_norm array<int>, blk_doc_off array<long>, blk_tf_off array<long>, "
     "blk_pos_off array<long>, "
     # per-block pareto-optimal (tf, norm) impact pairs (flattened +
@@ -183,6 +183,8 @@ def encode_shard_postings(
     blk_start = np.nonzero(in_term % BLOCK == 0)[0]
     blk_bounds = np.append(blk_start, n_entries)
     blk_n_all = np.diff(blk_bounds)
+    blk_first_all = e_doc[blk_start]  # exact block firsts: pruning planners
+    # and WAND read them from metadata instead of conservative lower bounds
     blk_last_all = e_doc[blk_bounds[1:] - 1]
     blk_max_tf_all = np.maximum.reduceat(e_tf, blk_start)
     blk_min_norm_all = np.minimum.reduceat(e_norm, blk_start)
@@ -259,6 +261,7 @@ def encode_shard_postings(
         "cttf": cttf_all.astype(np.int64),
         "docs_bytes": [bytes(dview[a:b]) for a, b in zip(d0s, d1s)],
         "tfs_bytes": [bytes(tview[a:b]) for a, b in zip(t0s, t1s)],
+        "blk_first": np.split(blk_first_all, split_pts),
         "blk_last": np.split(blk_last_all, split_pts),
         "blk_n": np.split(blk_n_all, split_pts),
         "blk_max_tf": np.split(blk_max_tf_all, split_pts),
@@ -341,6 +344,7 @@ def merge_rows(rows: pd.DataFrame) -> dict:
         "docs_bytes": b"".join(rows["docs_bytes"]),
         "tfs_bytes": b"".join(rows["tfs_bytes"]),
         "pos_bytes": b"".join(rows["pos_bytes"]),
+        "blk_first": cat("blk_first"),
         "blk_last": cat("blk_last"),
         "blk_n": cat("blk_n"),
         "blk_max_tf": cat("blk_max_tf"),
@@ -399,7 +403,7 @@ def merge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         np.add.at(per_group, gid, per_row_lens)
         return np.split(flat, np.cumsum(per_group)[:-1])
 
-    for col in ("blk_last", "blk_n", "blk_max_tf", "blk_min_norm",
+    for col in ("blk_first", "blk_last", "blk_n", "blk_max_tf", "blk_min_norm",
                 "blk_pareto_n", "blk_pareto_tf", "blk_pareto_norm"):
         arrs = [np.asarray(a, dtype=np.int64) for a in pdf[col]]
         lens = np.array([a.size for a in arrs], dtype=np.int64)
@@ -452,6 +456,22 @@ def decode_docs_tfs(row) -> tuple[np.ndarray, np.ndarray]:
     blk_n = np.asarray(row["blk_n"], dtype=np.int64)
     docids = _segmented_cumsum(gaps, blk_n)
     return docids, tfs
+
+
+def decode_positions_blocks(row, keep: np.ndarray, kept_tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Positions for a block-pruned row: pos gaps restart per entry and
+    blocks are entry-aligned, so kept blocks' pos byte slices concatenate
+    into a valid stream whose entry lengths are the kept tfs."""
+    if keep.all():
+        return decode_positions(row, kept_tfs)
+    poff = np.asarray(row["blk_pos_off"], dtype=np.int64)
+    p_ends = np.append(poff[1:], len(row["pos_bytes"]))
+    idx = np.nonzero(keep)[0]
+    pbuf = b"".join(row["pos_bytes"][poff[i] : p_ends[i]] for i in idx)
+    pgaps = varint.decode(pbuf).astype(np.int64)
+    off = np.concatenate(([0], np.cumsum(kept_tfs)))
+    pos = _segmented_cumsum(pgaps, kept_tfs)
+    return pos, off
 
 
 def decode_positions(row, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

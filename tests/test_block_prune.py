@@ -80,3 +80,44 @@ class TestTightBounds:
             assert (sc <= bounds + 1e-12).all()
             checked += len(docids)
         assert checked > 1000
+
+
+class TestIntersectionPrune:
+    def test_required_terms(self):
+        for q, exp in [
+            ("a AND b", {"a", "b"}),
+            ("a OR b", set()),
+            ("(a AND b) OR (a AND c)", {"a"}),
+            ("a AND NOT b", {"a"}),
+            ('"x y" AND z', {"x", "y", "z"}),
+            ("a AND (b OR c)", {"a"}),
+        ]:
+            assert search._required_terms(parse(q)) == exp, q
+
+    def test_plan_fires_for_hot_and_rare(self, idx):
+        stats = search._load_stats(idx)
+        dfs = search._load_dfs(idx, ["error", "w00042"])
+        plan = search._plan_intersection_prune(idx, parse("error AND w00042"), stats, dfs)
+        assert plan is not None
+        covered = int((plan["hi"] - plan["lo"] + 1).sum())
+        assert covered < 0.25 * stats["n_docs"]  # hot term's decode collapses
+
+    def test_absent_required_term_yields_empty_plan(self, idx):
+        stats = search._load_stats(idx)
+        plan = search._plan_intersection_prune(
+            idx, parse("error AND zzznosuchterm"), stats, {"error": 10000}
+        )
+        assert plan is not None and plan["lo"].size == 0
+
+    @pytest.mark.parametrize(
+        "q", ["error AND w00042", '"connection reset" AND error', "error AND NOT timeout"]
+    )
+    def test_intersection_pruned_equals_local(self, spark, idx, q):
+        li = search.LocalIndex(idx)
+        exp = li.search(q, k=10)
+        rows = search.search_df(spark, idx, q, k=10).collect()
+        got = [(int(r["docid"]), np.float32(r["score"])) for r in rows]
+        assert got == [(d, np.float32(s)) for d, s in exp], q
+
+    def test_impossible_conjunction_is_empty(self, spark, idx):
+        assert search.search_df(spark, idx, "error AND zzznosuchterm", k=10).collect() == []
