@@ -72,9 +72,11 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """Per-doc MinHash signature: explode shingles, hash, min per
-    permutation (map-side partial min before the shuffle)."""
+    permutation (map-side partial min before the shuffle).  No distinct
+    pass: MIN is duplicate-insensitive, and the dedup shuffle cost more
+    than it saved (r2: dropped a full exchange from the hot path)."""
     sh = df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("shingle"))
-    sh = sh.select(id_col, h48(F.col("shingle")).alias("x")).distinct()
+    sh = sh.select(id_col, h48(F.col("shingle")).alias("x"))
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))

@@ -253,3 +253,26 @@ class TestSessionize:
             key = (r["conv_id"], r["session_idx"])
             assert key in batch, key
             assert (r["n_turns"], r["t_start"], r["t_end"]) == batch[key], key
+
+
+class TestDistributedSearchOnGrownIndex:
+    def test_search_df_equals_local_after_appends(self, spark, tiny_corpus_pdf, tmp_path):
+        """The distributed path (incl. the r2 pruning planners, which read
+        per-row block metadata) must stay exact over an index grown by
+        appends — multi-batch (term, salt) rows with boundary-shard
+        collisions included."""
+        from siem_on_amazon_opensearch_service_spark.operators.search import search_df
+
+        convs = sorted(tiny_corpus_pdf["conv_id"].unique())
+        cut = convs[len(convs) // 2]
+        first = tiny_corpus_pdf[tiny_corpus_pdf["conv_id"] < cut]
+        second = tiny_corpus_pdf[tiny_corpus_pdf["conv_id"] >= cut]
+        out = str(tmp_path / "grown")
+        build_index(spark, spark.createDataFrame(first), out, n_shards=8, n_salts=4)
+        append_batch(spark, spark.createDataFrame(second), out, batch_id=1)
+        li = LocalIndex(out)
+        for q in QUERIES + ["error AND w00042"]:
+            exp = [(d, float(s)) for d, s in li.search(q, k=10)]
+            rows = search_df(spark, out, q, k=10).collect()
+            got = [(int(r["docid"]), float(np.float32(r["score"]))) for r in rows]
+            assert got == [(d, float(np.float32(s))) for d, s in exp], q
