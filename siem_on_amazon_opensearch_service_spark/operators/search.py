@@ -5,18 +5,24 @@ Two execution paths, both rank- and score-identical to the frozen oracle
 
 - ``search_df``: distributed, DataFrame-first.  Postings rows for the query
   terms are pruned at the parquet scan (predicate pushdown on the sorted
-  ``term`` column), decoded in an Arrow-batched mapInPandas, joined with the
-  docid-sorted docs table for norms + keyword/time filters (filters push
-  into the docs scan), clause scores pivot to columns, and the boolean AST
-  evaluates as pure Spark column algebra; top-k is a global
+  ``term`` column), then two driver-side EXACT pruning planners (both
+  metadata-only) can restrict the decode to surviving docid ranges:
+  theta/block-max for Term/OR queries and required-term coverage
+  intersection for conjunctions (rare terms decoded driver-side — the
+  drive-by-rarest plan).  Surviving rows decode in an Arrow-batched
+  mapInPandas, join the docid-sorted docs table for norms + keyword/time
+  filters (filters push into the docs scan); single-clause queries go
+  straight to top-k, multi-clause pivot to columns and evaluate the
+  boolean AST as pure Spark column algebra (positive-path occurrence-
+  weighted scoring = Lucene bool semantics); top-k is a global
   ``orderBy(score desc, docid asc).limit(k)`` (TakeOrderedAndProject).
   This mirrors the reference's scatter/gather across shards
   (SURVEY.md §3.3) with Spark partitions as the shards.
 
 - ``LocalIndex``: driver-side numpy reader (DuckDB parquet scan, no Spark
   job) for query-latency benchmarking, with an exhaustive vectorized
-  scorer and block-max WAND top-k (skips blocks whose upper bound
-  score(max_tf, min_norm) can't reach the running k-th threshold).
+  scorer and block-max WAND top-k over arbitrary And/Or/Not term trees
+  (block bounds = max over the stored pareto (tf, norm) impact pairs).
 """
 
 from __future__ import annotations
