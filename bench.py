@@ -98,6 +98,10 @@ def main() -> None:
     t0 = time.perf_counter()
     search_df(spark, idx_dir, '"connection reset"', k=10).collect()
     queries["bm25_phrase_distributed"] = round(time.perf_counter() - t0, 3)
+    # hot-AND-rare: the intersection-pruned conjunction (drive-by-rarest)
+    t0 = time.perf_counter()
+    search_df(spark, idx_dir, "error AND w00042", k=10).collect()
+    queries["bm25_hot_and_rare_distributed"] = round(time.perf_counter() - t0, 3)
 
     # 3) relational / dedup sample over driver tables
     qmap = reg.queries_map()
@@ -129,6 +133,18 @@ def main() -> None:
     t0 = time.perf_counter()
     minhash_lsh_pairs(base.limit(10000).repartition(CPUS), k=3, jaccard_min=0.5).count()
     queries["minhash_lsh_pairs_10k"] = round(time.perf_counter() - t0, 3)
+
+    from siem_on_amazon_opensearch_service_spark.operators.dedup import simhash_pairs
+
+    t0 = time.perf_counter()
+    simhash_pairs(base.limit(10000).repartition(CPUS), max_hamming=6).count()
+    queries["simhash_banded_pairs_10k"] = round(time.perf_counter() - t0, 3)
+
+    from siem_on_amazon_opensearch_service_spark.streaming.sessionize import sessionize_batch
+
+    t0 = time.perf_counter()
+    sessionize_batch(tdf.select("conv_id", "ts"), gap_minutes=30).count()
+    queries["sessionize_batch"] = round(time.perf_counter() - t0, 3)
 
     total = time.perf_counter() - t_all
     print(

@@ -319,6 +319,47 @@ def q_tpch_q1_pricing(spark, sf_dir):
     )
 
 
+def q_tpch_q3_shipping(spark, sf_dir):
+    """Three-way join + agg + top-N (TPC-H Q3 shape): broadcast the
+    filtered customer dim, shuffle-join orders⋈lineitem on orderkey."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Four-way snowflake join rollup: lineitem⋈orders⋈customer⋈nation⋈region
+    (dims broadcast), revenue per region/nation."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    dim = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+            region, nation.n_regionkey == region.r_regionkey
+        ).select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
 def q_segment_revenue(spark, sf_dir):
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -666,6 +707,24 @@ FROM x GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
+        "tpch_q3_shipping": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "nation_revenue": (
+            "SELECT r_name, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name ORDER BY r_name, n_name"
+        ),
     }
 
     docs = {
@@ -888,6 +947,8 @@ def queries_map() -> dict:
             "transcripts_daily_histogram": q_transcripts_daily_histogram,
             "transcripts_sessionize": q_transcripts_sessionize,
             "tpch_q1_pricing": q_tpch_q1_pricing,
+            "tpch_q3_shipping": q_tpch_q3_shipping,
+            "nation_revenue": q_nation_revenue,
             "segment_revenue": q_segment_revenue,
             "doc_exact_dups": q_doc_exact_dups,
             "doc_jaccard_pairs_stats": q_doc_jaccard_pairs_stats,
