@@ -188,8 +188,16 @@ _PRUNE_MAX_BLOCKS = 200_000  # driver metadata budget for prune planning
 _PRUNE_MIN_DROP = 0.10  # skip pruning unless >=10% of the doc space drops
 
 
-def _plan_block_prune(index_dir: str, ast: Node, leaves: list[Node], dfs: dict, stats: dict, k: int):
-    """Distributed block-max pruning plan (Term / OR-of-Terms, no filters).
+def _plan_block_prune(
+    index_dir: str,
+    ast: Node,
+    leaves: list[Node],
+    dfs: dict,
+    stats: dict,
+    k: int,
+    filters: dict | None = None,
+):
+    """Distributed block-max pruning plan (Term / OR-of-Terms).
 
     The scale problem (VERDICT r1): a hot-term query decodes and shuffles
     every posting.  This planner reads only the per-block METADATA of the
@@ -202,8 +210,9 @@ def _plan_block_prune(index_dir: str, ast: Node, leaves: list[Node], dfs: dict, 
     outside them.
 
     Exactness: theta is the k-th best ACHIEVED total among docs of the
-    seed block (every one matches a term/OR query, and a doc's total >=
-    its seeded single-clause score), so the final k-th total >= theta;
+    seed blocks (every one matches a term/OR query — and passes the
+    keyword/time filters when given — and a doc's total >= its seeded
+    single-clause score), so the final k-th total >= theta;
     a doc outside every surviving range has total < theta (sum of
     covering upper bounds, conservative firsts) and per-doc scores are
     independent, so dropping it cannot change surviving docs' scores.
@@ -285,9 +294,38 @@ def _plan_block_prune(index_dir: str, ast: Node, leaves: list[Node], dfs: dict, 
         return None
     idl = ",".join(str(int(d)) for d in np.unique(docids))
     nd = duckdb.sql(
-        f"SELECT docid, norm FROM read_parquet('{index_dir}/docs/*.parquet') WHERE docid IN ({idl})"
-    ).df()
-    norm_by_doc = nd.set_index("docid")["norm"]
+        f"SELECT docid, norm, role, tool, ts FROM read_parquet('{index_dir}/docs/*.parquet') "
+        f"WHERE docid IN ({idl})"
+    ).df().set_index("docid")
+    if filters:
+        # keyword/time-filtered queries: theta must come from docs that
+        # PASS the filters (an unfiltered seed could overshoot the
+        # filtered k-th total).  Seed docs failing filters drop from the
+        # pool; their absence only lowers theta (stays a valid bound).
+        ok = pd.Series(True, index=nd.index)
+        if filters.get("role") is not None:
+            ok &= nd["role"] == filters["role"]
+        if filters.get("tool") is not None:
+            ok &= nd["tool"] == filters["tool"]
+        if filters.get("ts_min") is not None:
+            ok &= nd["ts"] >= pd.Timestamp(filters["ts_min"])
+        if filters.get("ts_max") is not None:
+            ok &= nd["ts"] <= pd.Timestamp(filters["ts_max"])
+        passing = set(nd.index[ok])
+        keep_ent = np.fromiter((int(d) in passing for d in docids), dtype=bool, count=docids.size)
+        # rebuild the pooled streams with only passing docs
+        new_pool_w = []
+        off = 0
+        for t, n in pool_w:
+            seg = keep_ent[off : off + n]
+            new_pool_w.append((t, int(seg.sum())))
+            off += n
+        docids = docids[keep_ent]
+        tfs = tfs[keep_ent]
+        pool_w = new_pool_w
+        if docids.size < k:
+            return None
+    norm_by_doc = nd["norm"]
     norms = norm_by_doc.loc[docids].to_numpy().astype(np.int64)
     # per-entry single-clause achieved totals (a doc's full total >= this);
     # a doc seen via several terms gets its per-term contributions summed
@@ -703,17 +741,21 @@ def search_df(
         F.col("term").isin(terms)
     )
     # distributed pruning, two independent exact plans intersected:
-    # - theta/block-max (unfiltered Term/OR-of-Terms only: a keyword/time
-    #   filter could filter out the seed docs, making theta too high),
+    # - theta/block-max (Term/OR-of-Terms; under keyword/time filters the
+    #   seed pool is filtered by the same predicates so theta stays a
+    #   valid lower bound of the filtered k-th total),
     # - required-term block-coverage intersection (any query shape with
     #   >=2 required terms; a pure superset argument, filter-safe)
     prune = None
     if k > 0 and "blk_first" in postings.columns:  # r2 format only
         plans = []
-        if role is None and tool is None and ts_min is None and ts_max is None:
-            p = _plan_block_prune(index_dir, ast, leaves, dfs, stats, k)
-            if p is not None:
-                plans.append(p)
+        filters = {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max}
+        p = _plan_block_prune(
+            index_dir, ast, leaves, dfs, stats, k,
+            filters=filters if any(v is not None for v in filters.values()) else None,
+        )
+        if p is not None:
+            plans.append(p)
         p = _plan_intersection_prune(index_dir, ast, stats, dfs)
         if p is not None:
             plans.append(p)
