@@ -234,11 +234,19 @@ def syslog_timestamp(col: Column, ref_year: int, ref_month: int = 12) -> Column:
 _UA_BROWSERS = [
     ("Edg(?:e|A|iOS)?/([\\d.]+)", "Edge"),
     ("OPR/([\\d.]+)", "Opera"),
+    ("SamsungBrowser/([\\d.]+)", "Samsung Internet"),
+    ("CriOS/([\\d.]+)", "Chrome Mobile iOS"),
+    ("FxiOS/([\\d.]+)", "Firefox iOS"),
     ("Chrome/([\\d.]+)", "Chrome"),
     ("Version/([\\d.]+).*Safari", "Safari"),
     ("Firefox/([\\d.]+)", "Firefox"),
     ("MSIE ([\\d.]+)", "IE"),
+    ("Trident/.*rv:([\\d.]+)", "IE"),  # IE11 dropped the MSIE token
     ("aws-sdk|Boto3|aws-cli", "AWS-SDK"),
+    ("Googlebot/([\\d.]+)", "Googlebot"),
+    ("bingbot/([\\d.]+)", "Bingbot"),
+    ("python-requests/([\\d.]+)", "python-requests"),
+    ("Wget/([\\d.]+)", "Wget"),
     ("curl/([\\d.]+)", "curl"),
 ]
 _UA_OS = [
@@ -246,6 +254,8 @@ _UA_OS = [
     ("Windows NT", "Windows"),
     ("Android ([\\d.]+)", "Android"),
     ("iPhone OS ([\\d_]+)", "iOS"),
+    ("iPad.*OS ([\\d_]+)", "iOS"),
+    ("CrOS", "Chrome OS"),
     ("Mac OS X", "macOS"),
     ("(?i)linux", "Linux"),
 ]

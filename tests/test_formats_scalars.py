@@ -343,3 +343,26 @@ class TestParserReservedWords:
                 parse(q)
         # quoted forms still searchable as terms
         assert parse('"and"').term == "and"
+
+
+class TestUaParseExtended:
+    def test_family_table_r2(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.scalars import user_agent_parse
+
+        cases = [
+            ("Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko", "IE", "11.0", "Windows 10"),
+            ("Mozilla/5.0 (Linux; Android 13; SM-S901B) AppleWebKit/537.36 Chrome/112.0.0.0 Mobile Safari/537.36 SamsungBrowser/21.0", "Samsung Internet", "21.0", "Android"),
+            ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) AppleWebKit/605.1.15 CriOS/114.0.5735.99 Mobile/15E148 Safari/604.1", "Chrome Mobile iOS", "114.0.5735.99", "iOS"),
+            ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)", "Googlebot", "2.1", "Other"),
+            ("python-requests/2.31.0", "python-requests", "2.31.0", "Other"),
+            ("Wget/1.21.3 (linux-gnu)", "Wget", "1.21.3", "Linux"),
+            ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 Chrome/112.0.0.0 Safari/537.36", "Chrome", "112.0.0.0", "Chrome OS"),
+        ]
+        df = spark.createDataFrame([(c[0],) for c in cases], "ua string")
+        got = df.select(F.col("ua"), user_agent_parse(F.col("ua")).alias("p")).collect()
+        by_ua = {r["ua"]: r["p"] for r in got}
+        for ua, name, version, osname in cases:
+            p = by_ua[ua]
+            assert p["name"] == name, ua
+            assert p["version"] == version, ua
+            assert p["os"] == osname, ua
