@@ -437,6 +437,18 @@ def q_emb_lsh_multi_topk(spark, sf_dir):
     )
 
 
+def q_emb_near_dup_stats(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH candidates + exact verify) —
+    rollup stats, value-matched by an oracle reproducing the bucketing."""
+    pairs = similarity.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, dim=64,
+        n_bits=LSH_MULTI_BITS, n_tables=LSH_MULTI_TABLES,
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"), F.round(F.avg("cos"), 6).alias("avg_cos_r")
+    )
+
+
 def q_emb_lsh_recall(spark, sf_dir):
     """recall@5 of both ANN variants against the exact cosine top-k, per
     query — the explicit quality metric for the approximate path."""
@@ -847,6 +859,22 @@ ORDER BY query_id, cos DESC, vec_id""",
 SELECT query_id, vec_id, cos FROM cand
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
 ORDER BY query_id, cos DESC, vec_id""",
+        "emb_near_dup_stats": _lsh_multi_sql() + """,
+pairs AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+     round(
+       list_sum(list_transform(generate_series(1, len(l.embedding)),
+                i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(generate_series(1, len(l.embedding)),
+                i -> CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(r.embedding)),
+                i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE))))),
+       6) AS cos
+  FROM buckets l JOIN buckets r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT count(*) AS n_pairs, round(avg(cos), 6) AS avg_cos_r
+FROM pairs WHERE cos >= 0.3""",
         "emb_lsh_recall": _lsh_topk_sql() + f""",
 ann AS (
   SELECT query_id, vec_id FROM cand
@@ -960,6 +988,7 @@ def queries_map() -> dict:
             "emb_cosine_topk": q_emb_cosine_topk,
             "emb_lsh_topk": q_emb_lsh_topk,
             "emb_lsh_multi_topk": q_emb_lsh_multi_topk,
+            "emb_near_dup_stats": q_emb_near_dup_stats,
             "emb_lsh_recall": q_emb_lsh_recall,
         }
     )

@@ -133,6 +133,41 @@ def lsh_multi_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = N_BITS,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the dedup-shaped variant of
+    the ANN path: candidates are same-bucket pairs in any of ``n_tables``
+    LSH tables (never all-pairs; sign-random-projection collision
+    probability rises with cosine, so high-threshold pairs are the ones
+    banding is best at catching), then exact cosine verification keeps
+    pairs >= threshold.  (id_a, id_b, cos), id_a < id_b."""
+    buckets = F.array(
+        *[lsh_bucket(F.col(vec_col), dim, n_bits, table=t) for t in range(n_tables)]
+    )
+    withb = emb.withColumn("bks", buckets).select(
+        id_col, vec_col, F.posexplode("bks").alias("tbl", "bucket")
+    )
+    l, r = withb.alias("l"), withb.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.tbl") == F.col("r.tbl"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos"),
+    ).distinct()  # same pair from several tables -> identical row
+    return cand.filter(F.col("cos") >= threshold).orderBy("id_a", "id_b")
+
+
 def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding", n_bits: int = N_BITS) -> DataFrame:
     """ANN: candidates share the query's LSH bucket; exact cosine re-rank.
     At scale the bucket equi-join replaces the all-pairs nested loop."""
