@@ -36,6 +36,12 @@ PKG = "siem_on_amazon_opensearch_service_spark"
 
 
 def _burn(_):
+    # pin BLAS to one thread BEFORE numpy loads: a multithreaded matmul
+    # makes the "1-way" probe consume every core, so the quiet-window
+    # ratio gate could never fire on an idle host (found r2)
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["MKL_NUM_THREADS"] = "1"
     import numpy as np
 
     t0 = time.perf_counter()
@@ -181,7 +187,7 @@ def main() -> None:
     rlo, rhi = best[lo], best[hi]
     eff = (rhi["turns_per_sec"] / rlo["turns_per_sec"]) / (hi / lo)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", f"scaling_{lo}v{hi}.md")
+    md = os.path.join(REPO, "BENCH", f"scaling_sf{label}_{lo}v{hi}.md")
     lines = [
         f"# BENCH/BASELINE — index-build scaling (local[{lo}] vs local[{hi}])",
         "",
