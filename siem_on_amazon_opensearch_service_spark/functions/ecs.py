@@ -331,16 +331,199 @@ def struct_deep_merge(df: DataFrame, a_col: str, b_col: str, out_col: str) -> Da
     return df.withColumn(out_col, _merge_struct(F.col(a_col), F.col(b_col), a_type, b_type))
 
 
+# sshd / sudo syslog-message extraction cascades: first matching pattern
+# wins, named groups fill (action, user, source_ip, source_port) —
+# behavioral spec from sf_linux_os_syslog.py:15-31 (RE_LIST_SSHD/SUDO)
+SSHD_PATTERNS = [
+    r"(?P<action>Accepted|Failed|failure|Invalid user|invalid user)\s.*?((publickey|password|none) for )?(invalid user )?(?P<user>\S+)(\s+from.*?(?P<source_ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}))?(\s+port\s+(?P<source_port>\d+))?",
+    r"^(?P<action>(Disconnected|Received disconnect)) from (?P<source_ip>[^ ]*) port (?P<source_port>\d+)",
+    r"^(?P<action>error): AuthorizedKeysCommand \S+ (?P<user>\S+) (SHA|RSA)",
+    r"^pam_unix(\S+): (?P<action>session closed) for user (?P<user>\S+)",
+    r"^pam_unix(\S+): (?P<action>session opened) for user \S+ by (?P<user>\S*)\(",
+    r"^(?P<action>Connection (reset|closed))\s+by\s+(?P<source_ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})\s+port\s+(?P<source_port>\d+)",
+    r".+\s+(from|with)\s+(?P<source_ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})\s+port\s+(?P<source_port>\d+)",
+    r"^(?P<action>reverse mapping checking).*\[(?P<source_ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})\]",
+    r"\s(?P<source_ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})\s",
+]
+SUDO_PATTERNS = [
+    r"^(?P<user>\S+) : .*COMMAND=(?P<action>.*)",
+    r"^pam_unix(\S+): (?P<action>session closed) for user (?P<user>\S+)",
+    r"^pam_unix(\S+): (?P<action>session opened) for user \S+ by (?P<user>\S*)\(",
+]
+
+
+def _cascade_extract_udf(patterns: list[str]):
+    """Arrow-batched first-match named-group extraction (the reference's
+    per-logtype regex cascade is inherently per-row; this is its
+    vectorized re-expression — an ingest-side transform, not a query-path
+    operator)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    compiled = [re.compile(p) for p in patterns]
+    schema = T.StructType(
+        [
+            T.StructField("action", T.StringType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("source_ip", T.StringType()),
+            T.StructField("source_port", T.StringType()),
+        ]
+    )
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and PySpark's inference rejects the signature; hint-less
+    # pandas_udf defaults to the scalar eval type we want
+    @F.pandas_udf(schema)
+    def extract(msgs):
+        out = {"action": [], "user": [], "source_ip": [], "source_port": []}
+        for msg in msgs.fillna(""):
+            row = {k: None for k in out}
+            for rx in compiled:
+                m = rx.search(msg)
+                if m:
+                    for k, v in m.groupdict().items():
+                        row[k] = v
+                    break
+            for k in out:
+                out[k].append(row.get(k))
+        return pd.DataFrame(out)
+
+    return extract
+
+
+def _ssh_outcome(action: Column) -> Column:
+    """sshd action -> event.outcome (sf_linux_os_syslog.py:59-70)."""
+    a = F.lower(action)
+    return (
+        F.when(action.isNull(), F.lit(None).cast("string"))
+        .when(a.contains("accept") | a.contains("opened"), "success")
+        .when(a.contains("fail") | a.contains("invalid") | a.contains("err"), "failure")
+        .when(a.contains("disconnect") | a.contains("reset") | a.contains("close"), F.lit(None).cast("string"))
+        .otherwise("unknown")
+    )
+
+
+def sf_linux_secure(df: DataFrame) -> DataFrame:
+    """Linux secure-log normalization (sf_linux_secure.py + the
+    sf_linux_os_syslog extractors): sshd/sudo first-match regex cascade
+    over syslog_message keyed on proc, authentication outcome mapping,
+    related ip/user."""
+    is_sshd = F.col("proc").contains("sshd")
+    is_sudo = F.col("proc").contains("sudo")
+    sshd = _cascade_extract_udf(SSHD_PATTERNS)(F.col("syslog_message"))
+    sudo = _cascade_extract_udf(SUDO_PATTERNS)(F.col("syslog_message"))
+    ext = F.when(is_sshd, sshd).when(is_sudo, sudo)
+    out = (
+        df.withColumn("_x", ext)
+        .withColumn("user_name", F.col("_x.user"))
+        .withColumn("source_ip", F.col("_x.source_ip"))
+        .withColumn("source_port", F.col("_x.source_port"))
+        .withColumn("event_action", F.col("_x.action"))
+        .withColumn("event_module", F.when(is_sshd | is_sudo, "secure"))
+        .withColumn(
+            "event_outcome",
+            F.when(is_sshd, _ssh_outcome(F.col("_x.action"))).when(
+                is_sudo & F.col("_x.action").isNotNull(), "success"
+            ),
+        )
+        .withColumn(
+            "event_category", F.when(is_sshd & F.col("_x.action").isNotNull(), "authentication")
+        )
+        .drop("_x")
+    )
+    return out.withColumn("related_user", F.col("user_name")).withColumn(
+        "related_ip", F.col("source_ip")
+    )
+
+
+AWS_REGION_RE = r"(global|(?:us|ap|ca|eu|me|sa|af)-[a-zA-Z]+-[0-9])"
+
+
+def sf_s3accesslog(df: DataFrame) -> DataFrame:
+    """S3 access log (sf_s3accesslog.py:15-26): user.name = last ARN path
+    segment; unknown region recovered from the endpoint host."""
+    out = df
+    if "user_name" in out.columns:
+        out = out.withColumn("user_name", F.element_at(F.split(F.col("user_name"), "/"), -1))
+    if "cloud_region" in out.columns and "EndPoint" in out.columns:
+        rec = F.regexp_extract(F.col("EndPoint"), AWS_REGION_RE, 1)
+        out = out.withColumn(
+            "cloud_region",
+            F.when((F.col("cloud_region") == "unknown") & (rec != ""), rec).otherwise(
+                F.col("cloud_region")
+            ),
+        )
+    return out
+
+
+CF_DIST_ID_RE = r"/([0-9A-Z]{12,14})\."
+
+
+def sf_cloudfront_standard(df: DataFrame) -> DataFrame:
+    """CloudFront standard log (sf_cloudfront_standard.py:15-39): url.full
+    reassembly, http version, percent-decoded UA, distribution id from
+    the s3 key, tab fixup in date_time."""
+    from .scalars import _unquote_once
+
+    q = F.when(F.col("cs_uri_query") != "-", F.concat(F.lit("?"), F.col("cs_uri_query"))).otherwise(
+        F.lit("")
+    )
+    out = df.withColumn(
+        "url_full",
+        F.concat(F.col("cs_protocol"), F.lit("://"), F.col("x_host_header"), F.col("cs_uri_stem"), q),
+    ).withColumn("http_version", F.split(F.col("cs_protocol_version"), "/").getItem(1))
+    if "user_agent_original" in out.columns:
+        out = out.withColumn("user_agent_original", _unquote_once(F.col("user_agent_original")))
+    if "log_s3key" in out.columns:
+        d = F.regexp_extract(F.col("log_s3key"), CF_DIST_ID_RE, 1)
+        out = out.withColumn("distribution_id", F.when(d != "", d).otherwise("unknown"))
+    if "date_time" in out.columns:
+        out = out.withColumn("date_time", F.regexp_replace(F.col("date_time"), "\t", " "))
+    return out
+
+
+def sf_apache_access(df: DataFrame) -> DataFrame:
+    """Apache/nginx access log (sf_apache_access.py:32-60): the full
+    http/url field bundle via http_url_decompose, service.name from the
+    s3 key, scheme from the log group."""
+    from .scalars import http_url_decompose
+
+    out = df.withColumn(
+        "web",
+        http_url_decompose(
+            F.col("request_method"),
+            F.col("request_path"),
+            F.col("request_version"),
+            F.col("request_raw") if "request_raw" in df.columns else F.lit(None).cast("string"),
+        ),
+    )
+    if "log_s3key" in out.columns:
+        svc = F.regexp_extract(F.col("log_s3key"), r"/web-site-name=([^/]*?)/", 1)
+        out = out.withColumn("service_name", F.when(svc != "", svc))
+    if "log_group" in out.columns:
+        out = out.withColumn(
+            "url_scheme",
+            F.when(F.col("log_group").contains("ssl"), "https").when(
+                F.col("log_group").contains("access"), "http"
+            ),
+        )
+    return out
+
+
 def transform_registry() -> dict:
     """Per-logtype transform hooks (SURVEY.md §2.11): the reference ships 40
     sf_<logtype>.transform(logdata) row-UDFs (siem/sf_*.py, loader
     siem/utils.py:721-748); ours are DataFrame->DataFrame transforms keyed
-    the same way.  Seven here — vpcflowlogs/cloudtrail plus the five
-    high-traffic security logtypes (guardduty, securityhub, alb, waf,
-    route53resolver) proving the registry carries the reference's real
+    the same way.  Eleven here — vpcflowlogs/cloudtrail plus guardduty,
+    securityhub, alb, waf, route53resolver, linux_secure (sshd/sudo
+    first-match regex cascades), s3accesslog, cloudfront_standard and
+    apache_access — proving the registry carries the reference's real
     per-logtype complexity (type-split regex fallbacks, severity mapping,
-    header-map normalization, source/destination swap); the rest of the
-    40 are AWS-specific and out of declared scope (SURVEY.md §7 ph. 5)."""
+    header-map normalization, source/destination swap, regex cascades,
+    url reassembly); the rest of the 40 are AWS-specific and out of
+    declared scope (SURVEY.md §7 ph. 5)."""
     from .scalars import action_outcome, protocol_name
 
     def vpcflowlogs(df: DataFrame) -> DataFrame:
@@ -368,6 +551,10 @@ def transform_registry() -> dict:
         "alb": sf_alb,
         "waf": sf_waf,
         "route53resolver": sf_route53resolver,
+        "linux_secure": sf_linux_secure,
+        "s3accesslog": sf_s3accesslog,
+        "cloudfront_standard": sf_cloudfront_standard,
+        "apache_access": sf_apache_access,
     }
 
 

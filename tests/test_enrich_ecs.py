@@ -318,3 +318,72 @@ class TestBasicFieldsRotationMerge:
         assert row["user"]["name"] == "alice"   # right wins / fills
         assert row["host"] == "h1"              # only in a
         assert row["region"] == "r1"            # only in b
+
+
+class TestSfTransformsBatch2:
+    def test_linux_secure_sshd_sudo(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_linux_secure
+
+        rows = [
+            ("sshd[123]", "Accepted publickey for ec2-user from 198.51.100.7 port 51234 ssh2"),
+            ("sshd[124]", "Failed password for invalid user admin from 203.0.113.9 port 42424 ssh2"),
+            ("sshd[125]", "Received disconnect from 198.51.100.7 port 51234:11: disconnected by user"),
+            ("sudo", "operator : TTY=pts/0 ; PWD=/home ; USER=root ; COMMAND=/bin/cat /etc/shadow"),
+            ("cron", "some unrelated message"),
+        ]
+        df = spark.createDataFrame(rows, "proc string, syslog_message string")
+        got = {r["syslog_message"][:12]: r for r in sf_linux_secure(df).collect()}
+        ok = got["Accepted pub"]
+        assert (ok["user_name"], ok["source_ip"], ok["source_port"]) == ("ec2-user", "198.51.100.7", "51234")
+        assert ok["event_outcome"] == "success" and ok["event_category"] == "authentication"
+        bad = got["Failed passw"]
+        assert bad["event_outcome"] == "failure"
+        assert bad["source_ip"] == "203.0.113.9"
+        dis = got["Received dis"]
+        assert dis["event_outcome"] is None  # disconnect -> no outcome
+        assert dis["source_ip"] == "198.51.100.7"
+        su = got["operator : T"]
+        assert su["user_name"] == "operator"
+        assert su["event_action"] == "/bin/cat /etc/shadow"
+        assert su["event_outcome"] == "success"
+        other = got["some unrelat"]
+        assert other["event_module"] is None and other["event_action"] is None
+
+    def test_s3accesslog_cloudfront_apache(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import (
+            sf_apache_access,
+            sf_cloudfront_standard,
+            sf_s3accesslog,
+        )
+
+        s3 = spark.createDataFrame(
+            [("arn:aws:iam::123:user/alice", "unknown", "s3.eu-west-1.amazonaws.com")],
+            "user_name string, cloud_region string, EndPoint string",
+        )
+        r = sf_s3accesslog(s3).first()
+        assert r["user_name"] == "alice"
+        assert r["cloud_region"] == "eu-west-1"
+
+        cf = spark.createDataFrame(
+            [("https", "d.example.org", "/img/logo.png", "q=1", "HTTP/2.0",
+              "Mozilla/5.0%20(X11)", "aws-cloudfront/E2ABCDEFGHIJKL.2025-06-01.gz", "2025-06-01\t10:00:00")],
+            "cs_protocol string, x_host_header string, cs_uri_stem string, cs_uri_query string, "
+            "cs_protocol_version string, user_agent_original string, log_s3key string, date_time string",
+        )
+        r = sf_cloudfront_standard(cf).first()
+        assert r["url_full"] == "https://d.example.org/img/logo.png?q=1"
+        assert r["http_version"] == "2.0"
+        assert r["user_agent_original"] == "Mozilla/5.0 (X11)"
+        assert r["distribution_id"] == "E2ABCDEFGHIJKL"
+        assert r["date_time"] == "2025-06-01 10:00:00"
+
+        ap = spark.createDataFrame(
+            [("GET", "/a/b.html?x=1", "1.1", None, "logs/web-site-name=shop/i-0abc.log", "prod-ssl-access")],
+            "request_method string, request_path string, request_version string, request_raw string, "
+            "log_s3key string, log_group string",
+        )
+        r = sf_apache_access(ap).first()
+        assert r["web"]["url_path"] == "/a/b.html"
+        assert r["web"]["url_query"] == "x=1"
+        assert r["service_name"] == "shop"
+        assert r["url_scheme"] == "https"
