@@ -200,6 +200,31 @@ def q_events_metrics_by_type(spark, sf_dir):
     )
 
 
+def q_events_value_histogram(spark, sf_dir):
+    """OpenSearch numeric histogram agg (fixed-width value buckets)."""
+    return aggs.value_histogram(_events(spark, sf_dir), "value", 10.0)
+
+
+def q_events_range_agg(spark, sf_dir):
+    """OpenSearch range agg: half-open labeled buckets."""
+    return aggs.range_agg(_events(spark, sf_dir), "value", [0.0, 30.0, 70.0])
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """OpenSearch moving_avg pipeline agg over a daily date_histogram."""
+    return aggs.moving_avg(_events(spark, sf_dir), "ts", "day", window_size=3)
+
+
+def q_events_derivative(spark, sf_dir):
+    """OpenSearch derivative pipeline agg (bucket-over-bucket delta)."""
+    return aggs.derivative(_events(spark, sf_dir), "ts", "day")
+
+
+def q_events_cumulative_sum(spark, sf_dir):
+    """OpenSearch cumulative_sum pipeline agg."""
+    return aggs.cumulative_sum(_events(spark, sf_dir), "ts", "day")
+
+
 def q_events_approx_cardinality(spark, sf_dir):
     """HLL approx cardinality with a VERIFIABLE claim (VERDICT r1 item 5):
     the engine emits the exact count (value-checked by the oracle) plus
@@ -851,6 +876,34 @@ FROM documents ORDER BY doc_id"""
         "events_approx_cardinality": (
             "SELECT count(DISTINCT user_id) AS n_exact, TRUE AS err_ok FROM events"
         ),
+        "events_value_histogram": (
+            "SELECT floor(value / 10.0) * 10.0 AS bucket, count(*) AS cnt "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "events_range_agg": (
+            "SELECT range_key, count(*) AS cnt FROM ("
+            "  SELECT CASE WHEN value >= 0 AND value < 30 THEN '0-30' "
+            "              WHEN value >= 30 AND value < 70 THEN '30-70' "
+            "              WHEN value >= 70 THEN '70-*' END AS range_key FROM events"
+            ") WHERE range_key IS NOT NULL GROUP BY range_key ORDER BY range_key"
+        ),
+        "events_moving_avg": (
+            "SELECT bucket, cnt, round(avg(cnt) OVER ("
+            "  ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg "
+            "FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt "
+            "      FROM events GROUP BY 1) ORDER BY bucket"
+        ),
+        "events_derivative": (
+            "SELECT bucket, cnt, cnt - lag(cnt) OVER (ORDER BY bucket) AS deriv "
+            "FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt "
+            "      FROM events GROUP BY 1) ORDER BY bucket"
+        ),
+        "events_cumulative_sum": (
+            "SELECT bucket, cnt, sum(cnt) OVER ("
+            "  ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt "
+            "      FROM events GROUP BY 1) ORDER BY bucket"
+        ),
         "emb_lsh_topk": _lsh_topk_sql() + """
 SELECT query_id, vec_id, cos FROM cand
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
@@ -967,6 +1020,11 @@ def queries_map() -> dict:
             "events_percentiles": q_events_percentiles,
             "events_metrics_by_type": q_events_metrics_by_type,
             "events_approx_cardinality": q_events_approx_cardinality,
+            "events_value_histogram": q_events_value_histogram,
+            "events_range_agg": q_events_range_agg,
+            "events_moving_avg": q_events_moving_avg,
+            "events_derivative": q_events_derivative,
+            "events_cumulative_sum": q_events_cumulative_sum,
             "events_topn_per_group": q_events_topn_per_group,
             "events_props_extract": q_events_props_extract,
             "events_range_join": q_events_range_join,

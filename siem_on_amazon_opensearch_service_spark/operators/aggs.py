@@ -91,3 +91,57 @@ def percentiles(df: DataFrame, field: str, qs: list[float]) -> DataFrame:
     SQL quantile_cont); approx variant is percentile_approx."""
     aggs = [F.percentile(F.col(field), q).alias(f"p{int(q*100)}") for q in qs]
     return df.agg(*aggs)
+
+
+def value_histogram(df: DataFrame, field: str, interval: float, metrics: list[Column] | None = None) -> DataFrame:
+    """OpenSearch numeric ``histogram`` agg: fixed-width value buckets
+    (bucket key = floor(value / interval) * interval)."""
+    metrics = metrics or [F.count("*").alias("cnt")]
+    key = (F.floor(F.col(field) / interval) * interval).alias("bucket")
+    return df.groupBy(key).agg(*metrics).orderBy("bucket")
+
+
+def range_agg(df: DataFrame, field: str, edges: list[float]) -> DataFrame:
+    """OpenSearch ``range`` agg: half-open buckets [lo, hi) from the sorted
+    edge list, plus the open tail; labeled 'lo-hi' like OpenSearch keys."""
+    c = F.col(field)
+    expr = None
+    labels = []
+    for lo, hi in zip(edges, edges[1:]):
+        lbl = f"{lo:g}-{hi:g}"
+        labels.append(lbl)
+        cond = (c >= lo) & (c < hi)
+        expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
+    tail = f"{edges[-1]:g}-*"
+    expr = expr.when(c >= edges[-1], tail)
+    return (
+        df.withColumn("range_key", expr)
+        .filter(F.col("range_key").isNotNull())
+        .groupBy("range_key")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("range_key")
+    )
+
+
+def moving_avg(df: DataFrame, ts: str = "ts", interval: str = "day", window_size: int = 3) -> DataFrame:
+    """OpenSearch ``moving_avg``/``moving_fn`` pipeline agg over a
+    date_histogram: trailing mean of the last ``window_size`` buckets
+    (window frame ROWS window_size-1 PRECEDING)."""
+    per = date_histogram(df, ts, interval)
+    w = Window.orderBy("bucket").rowsBetween(-(window_size - 1), 0)
+    return per.withColumn("mov_avg", F.round(F.avg("cnt").over(w), 4)).orderBy("bucket")
+
+
+def derivative(df: DataFrame, ts: str = "ts", interval: str = "day") -> DataFrame:
+    """OpenSearch ``derivative`` pipeline agg: bucket-over-bucket delta of
+    a date_histogram count (first bucket null, like OpenSearch)."""
+    per = date_histogram(df, ts, interval)
+    w = Window.orderBy("bucket")
+    return per.withColumn("deriv", F.col("cnt") - F.lag("cnt").over(w)).orderBy("bucket")
+
+
+def cumulative_sum(df: DataFrame, ts: str = "ts", interval: str = "day") -> DataFrame:
+    """OpenSearch ``cumulative_sum`` pipeline agg over a date_histogram."""
+    per = date_histogram(df, ts, interval)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per.withColumn("cum", F.sum("cnt").over(w)).orderBy("bucket")
