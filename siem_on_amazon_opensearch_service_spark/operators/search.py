@@ -645,7 +645,14 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
     Vectorized key-intersection (same formulation as
     LocalIndex._phrase_postings): per slot, flatten (docid, position) to
     docid*2^21 + (pos - slot) keys, intersect across slots with np.isin —
-    no per-docid Python loop inside the applyInPandas."""
+    no per-docid Python loop inside the applyInPandas.
+
+    Grouped by (clause, docid-hash bucket), NOT clause alone: a
+    single-phrase query would otherwise shuffle every phrase posting into
+    ONE task (per-clause serialization point — fatal for a hot phrase at
+    scale).  All slots of a docid share the docid, so hash-bucketing by
+    docid keeps each doc's slots together and the per-bucket resolution
+    independent."""
     n_slots = {ci: len(leaf.terms) for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)}
     if not n_slots:
         return None
@@ -675,7 +682,10 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
         return pd.DataFrame({"clause": ci, "docid": docs, "tf": counts})
 
     phrase_rows = decoded.filter(F.col("pos").isNotNull())
-    return phrase_rows.groupBy("clause").applyInPandas(pf, schema="clause int, docid long, tf long")
+    nb = max(8, decoded.sparkSession.sparkContext.defaultParallelism)
+    return phrase_rows.groupBy(
+        "clause", F.pmod(F.col("docid"), F.lit(nb)).alias("_db")
+    ).applyInPandas(pf, schema="clause int, docid long, tf long")
 
 
 def _sql_double_array(vals) -> "F.Column":
