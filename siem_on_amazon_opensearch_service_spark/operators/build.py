@@ -357,10 +357,14 @@ def _build_index_inner(
         t0 = _mark("merge", t0)
         # term dictionary (global df/cttf) — derived from final postings
         post = spark.read.parquet(postings_path)
+        # range-partitioned on term (NOT repartition(1): a 10^8-term vocab
+        # through one writer is a bottleneck); term-sorted files keep the
+        # dict lookup's parquet min/max pruning
+        ndp = max(1, spark.sparkContext.defaultParallelism // 4)
         (
             post.groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
-            .repartition(1)
+            .repartitionByRange(ndp, "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(dict_path)

@@ -77,10 +77,11 @@ def _refresh_postings_dict_full(spark: SparkSession, out_dir: str) -> None:
         os.path.join(out_dir, "postings"),
     )
     post = spark.read.parquet(os.path.join(out_dir, "postings"))
+    ndp = max(1, spark.sparkContext.defaultParallelism // 4)
     _swap_write(
         post.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
-        .repartition(1)
+        .repartitionByRange(ndp, "term")
         .sortWithinPartitions("term"),
         os.path.join(out_dir, "dict"),
     )
@@ -239,6 +240,7 @@ def append_batch(
         F.sum("df").alias("d_df"), F.sum("cttf").alias("d_cttf")
     )
     old_dict = spark.read.parquet(dict_path)
+    ndp = max(1, spark.sparkContext.defaultParallelism // 4)
     upserted = (
         old_dict.join(delta, "term", "full_outer")
         .select(
@@ -246,7 +248,7 @@ def append_batch(
             (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("d_df"), F.lit(0))).alias("df"),
             (F.coalesce(F.col("cttf"), F.lit(0)) + F.coalesce(F.col("d_cttf"), F.lit(0))).alias("cttf"),
         )
-        .repartition(1)
+        .repartitionByRange(ndp, "term")
         .sortWithinPartitions("term")
     )
     _swap_write(upserted, dict_path)
