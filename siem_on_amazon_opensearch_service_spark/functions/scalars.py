@@ -95,12 +95,23 @@ def url_decompose(col: Column) -> Column:
 
 
 def _unquote_once(col: Column) -> Column:
-    """urllib.parse.unquote equivalent: Spark's url_decode is FORM decoding
-    ('+' -> space), unquote keeps literal '+' — protect it as %2B first.
-    Malformed percent-escapes (strict errors) leave the value unchanged,
-    like the reference's try/except."""
+    """urllib.parse.unquote equivalent (found via property testing —
+    Java's URLDecoder differs in three ways):
+
+    - url_decode is FORM decoding ('+' -> space); unquote keeps literal
+      '+' — protect it as %2B first;
+    - unquote leaves INVALID escapes ('%zz') untouched while decoding the
+      valid ones in the same string; URLDecoder throws on them — encode
+      the bare '%' of invalid escapes as %25 so they round-trip;
+    - unquote(errors='strict') raises on valid escapes forming invalid
+      UTF-8 (whole value kept by the reference's try/except); URLDecoder
+      silently substitutes U+FFFD — detect a decoder-introduced U+FFFD
+      and keep the original."""
     protected = F.regexp_replace(col, r"\+", "%2B")
-    return F.coalesce(F.try_url_decode(protected), col)
+    protected = F.regexp_replace(protected, r"%(?![0-9A-Fa-f]{2})", "%25")
+    decoded = F.try_url_decode(protected)
+    bad_utf8 = decoded.contains("�") & ~col.contains("�")
+    return F.when(decoded.isNull() | bad_utf8, col).otherwise(decoded)
 
 
 def http_url_decompose(

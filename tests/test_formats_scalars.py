@@ -366,3 +366,98 @@ class TestUaParseExtended:
             assert p["name"] == name, ua
             assert p["version"] == version, ua
             assert p["os"] == osname, ua
+
+
+class TestHttpUrlDecomposeProperty:
+    """Property parity: the column implementation must agree with a
+    straightforward test-only Python rendering of the reference's rules
+    (single source: siem/utils.py:206-288) across generated requests."""
+
+    @staticmethod
+    def _py_oracle(method, path, version):
+        import re
+        import urllib.parse
+
+        url = {"domain": None, "port": None, "fragment": None, "extension": None, "query": None}
+        p = path or ""
+        if p.startswith("/"):
+            pass
+        elif p.startswith(("http://", "https://")):
+            parts = p.split("/", 3)
+            host = parts[2]
+            p = "/" + parts[-1]
+            hp = host.split(":")
+            if len(hp) == 1:
+                url["domain"] = hp[0]
+            elif len(hp) == 2:
+                url["domain"], url["port"] = hp
+        elif method and method.lower() == "connect":
+            hp = p.split(":")
+            if len(hp) == 2:
+                url["domain"], url["port"] = hp
+                p = ""
+        if "%" in p:
+            try:
+                p2 = urllib.parse.unquote(p, errors="strict")
+                p = p2
+                if "%" in p:
+                    p = urllib.parse.unquote(p, errors="strict")
+            except Exception:
+                pass
+        frag = p.rsplit("#")
+        if len(frag) == 2 and not re.search(r"[&(){}@_;<>\s]", frag[1]):
+            url["fragment"] = frag[1]
+            p = frag[0]
+        qs = p.split("?", 1)
+        url["path"] = qs[0]
+        if len(qs) == 2:
+            url["query"] = qs[1]
+        fn = url["path"].split("/")[-1].split(".")
+        if len(fn) > 1 and "\\" not in fn[-1]:
+            url["extension"] = fn[-1]
+        return url
+
+    def test_generated_requests(self, spark):
+        import random
+
+        from siem_on_amazon_opensearch_service_spark.functions.scalars import http_url_decompose
+
+        rng = random.Random(11)
+        segs = ["idx.html", "a", "b.php", "img%2520x.png", "x%41y", "f.tar.gz", "doc", "w%2Bv"]
+        hosts = ["ex.com", "ex.com:8443", "10.0.0.1:80"]
+        cases = []
+        for _ in range(120):
+            kind = rng.randrange(4)
+            if kind == 0:
+                p = "/" + "/".join(rng.sample(segs, rng.randrange(1, 3)))
+                if rng.random() < 0.5:
+                    p += "?k=" + rng.choice(segs)
+                if rng.random() < 0.3:
+                    p += "#" + rng.choice(["s1", "a&b", "frag x", "ok2"])
+                cases.append(("GET", p, "1.1"))
+            elif kind == 1:
+                cases.append(
+                    ("GET", f"{rng.choice(['http','https'])}://{rng.choice(hosts)}/"
+                     + "/".join(rng.sample(segs, rng.randrange(1, 3))), "1.1")
+                )
+            elif kind == 2:
+                cases.append(("CONNECT", rng.choice(["t.example.net:443", "weird"]), "1.1"))
+            else:
+                cases.append(("GET", "/bad%zz" + rng.choice(segs), "1.1"))
+        df = spark.createDataFrame(
+            [(i, m, p, v) for i, (m, p, v) in enumerate(cases)],
+            "i long, m string, p string, v string",
+        )
+        got = {
+            r["i"]: r["u"]
+            for r in df.select(
+                "i", http_url_decompose(F.col("m"), F.col("p"), F.col("v"), F.lit(None).cast("string")).alias("u")
+            ).collect()
+        }
+        for i, (m, p, v) in enumerate(cases):
+            exp = self._py_oracle(m, p, v)
+            u = got[i]
+            for field in ("domain", "port", "path", "query", "fragment", "extension"):
+                g = u[f"url_{field}"]
+                e = exp.get(field)
+                assert (g or None) == (e or None), (m, p, field, g, e)
