@@ -512,6 +512,102 @@ def sf_apache_access(df: DataFrame) -> DataFrame:
     return out
 
 
+def camel_to_snake_columns(df: DataFrame) -> DataFrame:
+    """camelCase -> snake_case column renaming (sf_okta.py
+    str_camel_to_snake/dict_camel_to_snake, flattened-column form)."""
+    import re
+
+    out = df
+    for c in df.columns:
+        snake = re.sub(r"([a-z0-9])([A-Z])", lambda m: m.group(1) + "_" + m.group(2).lower(), c)
+        if snake != c:
+            out = out.withColumnRenamed(c, snake)
+    return out
+
+
+def sf_okta(df: DataFrame) -> DataFrame:
+    """Okta system-log normalization (sf_okta.py:65-90): outcome.result ->
+    event.outcome (success/allow, failure/deny, else unknown), User-actor
+    email split into user name/domain/email, display-name fan-out to
+    client/source/related user fields, camelCase fields snaked."""
+    out = camel_to_snake_columns(df)
+    if "outcome_result" in out.columns:
+        r = F.lower(F.col("outcome_result"))
+        out = out.withColumn(
+            "event_outcome",
+            F.when(r.isin("success", "allow"), "success")
+            .when(r.isin("failure", "deny"), "failure")
+            .when(r.isNotNull(), "unknown"),
+        )
+    if "actor_type" in out.columns and "actor_alternate_id" in out.columns:
+        is_user = F.col("actor_type") == "User"
+        email = F.col("actor_alternate_id")
+        has_at = email.rlike(r"^.*@.*$")
+        out = (
+            out.withColumn("user_name", F.when(is_user & has_at, F.regexp_extract(email, r"^(.*)@(.*)$", 1)))
+            .withColumn("user_domain", F.when(is_user & has_at, F.regexp_extract(email, r"^(.*)@(.*)$", 2)))
+            .withColumn("user_email", F.when(is_user & has_at, email))
+        )
+        if "actor_display_name" in out.columns:
+            dn = F.when(is_user, F.col("actor_display_name"))
+            out = (
+                out.withColumn("client_user_full_name", dn)
+                .withColumn("source_user_full_name", dn)
+                .withColumn("related_user", dn)
+            )
+    return out
+
+
+#: Deep Security CEF extension key -> ECS field (sf_deepsecurity.py:44-60)
+DEEPSEC_ECS_KEYS = {
+    "destination_ip": "dst",
+    "destination_port": "dpt",
+    "destination_mac": "dmac",
+    "destination_bytes": "out",
+    "source_ip": "src",
+    "source_port": "spt",
+    "source_mac": "smac",
+    "source_bytes": "in",
+    "network_transport": "proto",
+    "file_path": "fname",
+    "event_action": "act",
+}
+
+
+def sf_deepsecurity(df: DataFrame) -> DataFrame:
+    """Trend Micro Deep Security CEF normalization (sf_deepsecurity.py):
+    takes read_cef output — agent.name from the vendor/product/version
+    header, rule.name from signature+name, '\\=' -escaped extension values
+    handled, act 'IDS:Reset' softened to 'DetectOnly:NotReset', extension
+    keys mapped to ECS fields."""
+    # re-derive the pairs map with backslash-= protection (the reference
+    # substitutes '\\=' before splitting on '=')
+    pairs = F.expr(
+        r"map_from_entries(transform(regexp_extract_all("
+        r"regexp_replace(ext, '\\\\=', '____'), "
+        r"'(\\w+)=([^=]*?)(?=\\s+\\w+=|$)', 0), "
+        r"p -> struct(split(p, '=', 2)[0] as k, "
+        r"replace(split(p, '=', 2)[1], '____', '=') as v)))"
+    )
+    out = (
+        df.withColumn("pairs", pairs)
+        .withColumn(
+            "agent_name",
+            F.concat_ws(" ", F.col("device_vendor"), F.col("device_product"), F.col("device_version")),
+        )
+        .withColumn("rule_name", F.concat_ws(" ", F.col("signature_id"), F.col("name")))
+        .withColumn("event_severity", F.col("severity"))
+    )
+    for ecs_field, key in DEEPSEC_ECS_KEYS.items():
+        v = F.try_element_at(F.col("pairs"), F.lit(key))
+        if key == "act":
+            # IDS:Reset only alerts, it does not drop packets — the
+            # reference renames it to avoid implying enforcement
+            v = F.regexp_replace(v, "IDS:Reset", "DetectOnly:NotReset")
+        out = out.withColumn(ecs_field, v)
+    return out.drop("pairs")
+
+
 def transform_registry() -> dict:
     """Per-logtype transform hooks (SURVEY.md §2.11): the reference ships 40
     sf_<logtype>.transform(logdata) row-UDFs (siem/sf_*.py, loader
@@ -555,6 +651,10 @@ def transform_registry() -> dict:
         "s3accesslog": sf_s3accesslog,
         "cloudfront_standard": sf_cloudfront_standard,
         "apache_access": sf_apache_access,
+        # the reference's nginx transform duplicates the apache one
+        "nginx_access": sf_apache_access,
+        "okta": sf_okta,
+        "deepsecurity": sf_deepsecurity,
     }
 
 

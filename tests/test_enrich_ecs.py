@@ -387,3 +387,56 @@ class TestSfTransformsBatch2:
         assert r["web"]["url_query"] == "x=1"
         assert r["service_name"] == "shop"
         assert r["url_scheme"] == "https"
+
+
+class TestSfTransformsBatch3:
+    def test_okta(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_okta
+
+        df = spark.createDataFrame(
+            [
+                ("SUCCESS", "User", "alice@example.com", "Alice A", "00u1"),
+                ("DENY", "User", "bob@corp.example", "Bob B", "00u2"),
+                ("CHALLENGE", "System", "svc", None, "00u3"),
+            ],
+            "outcome_result string, actor_type string, actorAlternateId string, "
+            "actorDisplayName string, actor_id string",
+        ).withColumnRenamed("actorAlternateId", "actor_alternateId").withColumnRenamed(
+            "actorDisplayName", "actor_displayName"
+        )
+        got = {r["actor_id"]: r for r in sf_okta(df).collect()}
+        a = got["00u1"]
+        assert a["event_outcome"] == "success"
+        assert (a["user_name"], a["user_domain"], a["user_email"]) == ("alice", "example.com", "alice@example.com")
+        assert a["related_user"] == "Alice A"
+        b = got["00u2"]
+        assert b["event_outcome"] == "failure"
+        c = got["00u3"]
+        assert c["event_outcome"] == "unknown"
+        assert c["user_name"] is None  # non-User actor
+
+    def test_deepsecurity(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_deepsecurity
+
+        df = spark.createDataFrame(
+            [("Trend Micro", "Deep Security Agent", "10.0", "123", "Intrusion Prevention", "6",
+              r"act=IDS:Reset dst=10.0.0.5 dpt=443 src=203.0.113.9 proto=TCP fname=C:\x\= file msg=tail")],
+            "device_vendor string, device_product string, device_version string, "
+            "signature_id string, name string, severity string, ext string",
+        )
+        r = sf_deepsecurity(df).first()
+        assert r["agent_name"] == "Trend Micro Deep Security Agent 10.0"
+        assert r["rule_name"] == "123 Intrusion Prevention"
+        assert r["event_severity"] == "6"
+        assert r["event_action"] == "DetectOnly:NotReset"   # IDS:Reset softened
+        assert r["destination_ip"] == "10.0.0.5" and r["destination_port"] == "443"
+        assert r["source_ip"] == "203.0.113.9" and r["network_transport"] == "TCP"
+        assert "=" in r["file_path"]                        # escaped \= restored
+
+    def test_nginx_alias(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import transform_registry
+
+        reg = transform_registry()
+        assert reg["nginx_access"] is reg["apache_access"]
+        for k in ["okta", "deepsecurity", "linux_secure"]:
+            assert k in reg
