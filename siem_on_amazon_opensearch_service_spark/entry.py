@@ -14,7 +14,9 @@ names).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,9 +52,20 @@ def ensure_corpus(label: str, spark: SparkSession | None = None) -> str:
     return tsrc.ensure_parquet(transcripts_path(label), float(label), spark=spark)
 
 
+def _index_current_format(out: str) -> bool:
+    """r3 format gate: cached indexes predating the bucketed postings
+    layout (no postings_buckets in _build.json) are rebuilt."""
+    try:
+        with open(os.path.join(out, "_build.json")) as f:
+            return bool(json.load(f).get("postings_buckets", 0))
+    except (OSError, ValueError):
+        return False
+
+
 def ensure_index(spark: SparkSession, label: str) -> str:
     out = index_dir(label)
-    if not os.path.exists(os.path.join(out, "postings", "_SUCCESS")):
+    if not os.path.exists(os.path.join(out, "postings", "_SUCCESS")) or not _index_current_format(out):
+        shutil.rmtree(out, ignore_errors=True)
         path = ensure_corpus(label, spark)
         df = spark.read.parquet(path)
         build_index(spark, df, out, n_salts=8)
@@ -899,8 +912,8 @@ FROM documents ORDER BY doc_id"""
             "      FROM events GROUP BY 1) ORDER BY bucket"
         ),
         "events_cumulative_sum": (
-            "SELECT bucket, cnt, sum(cnt) OVER ("
-            "  ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "SELECT bucket, cnt, CAST(sum(cnt) OVER ("
+            "  ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
             "FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt "
             "      FROM events GROUP BY 1) ORDER BY bucket"
         ),

@@ -581,13 +581,16 @@ def sf_deepsecurity(df: DataFrame) -> DataFrame:
     handled, act 'IDS:Reset' softened to 'DetectOnly:NotReset', extension
     keys mapped to ECS fields."""
     # re-derive the pairs map with backslash-= protection (the reference
-    # substitutes '\\=' before splitting on '=')
+    # substitutes '\\=' before splitting on '='); the sentinel is \x01 —
+    # a control character that cannot appear in CEF text, unlike a
+    # guessable printable token
+    _sent = "\x01"
     pairs = F.expr(
         r"map_from_entries(transform(regexp_extract_all("
-        r"regexp_replace(ext, '\\\\=', '____'), "
+        r"regexp_replace(ext, '\\\\=', '" + _sent + r"'), "
         r"'(\\w+)=([^=]*?)(?=\\s+\\w+=|$)', 0), "
         r"p -> struct(split(p, '=', 2)[0] as k, "
-        r"replace(split(p, '=', 2)[1], '____', '=') as v)))"
+        r"replace(split(p, '=', 2)[1], '" + _sent + r"', '=') as v)))"
     )
     out = (
         df.withColumn("pairs", pairs)

@@ -104,22 +104,28 @@ def value_histogram(df: DataFrame, field: str, interval: float, metrics: list[Co
 def range_agg(df: DataFrame, field: str, edges: list[float]) -> DataFrame:
     """OpenSearch ``range`` agg: half-open buckets [lo, hi) from the sorted
     edge list, plus the open tail; labeled 'lo-hi' like OpenSearch keys."""
+    if not edges:
+        raise ValueError("range_agg requires at least one edge")
     c = F.col(field)
-    expr = None
-    labels = []
+    # Seed with the open tail so a single-edge list is valid; chain the
+    # [lo, hi) buckets onto it.  Carry the numeric lo so ordering is by
+    # bucket position, not the label string ('100-200' < '30-70' lexically).
+    tail = f"{edges[-1]:g}-*"
+    expr = F.when(c >= edges[-1], tail)
+    lo_expr = F.when(c >= edges[-1], F.lit(float(edges[-1])))
     for lo, hi in zip(edges, edges[1:]):
         lbl = f"{lo:g}-{hi:g}"
-        labels.append(lbl)
         cond = (c >= lo) & (c < hi)
-        expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
-    tail = f"{edges[-1]:g}-*"
-    expr = expr.when(c >= edges[-1], tail)
+        expr = expr.when(cond, lbl)
+        lo_expr = lo_expr.when(cond, F.lit(float(lo)))
     return (
         df.withColumn("range_key", expr)
+        .withColumn("_range_lo", lo_expr)
         .filter(F.col("range_key").isNotNull())
         .groupBy("range_key")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy("range_key")
+        .agg(F.count("*").alias("cnt"), F.first("_range_lo").alias("_lo"))
+        .orderBy("_lo")
+        .drop("_lo")
     )
 
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -53,6 +54,42 @@ DOCS_SCHEMA = (
     "docid long, conv_id string, turn_idx int, role string, tool string, "
     "ts timestamp, text string, dl long, norm int, shard int"
 )
+
+# Postings land in term-hash bucket subdirectories (postings/bucket=K/) so an
+# incremental append rewrites only the buckets containing touched terms —
+# O(touched buckets / n_buckets) of the index bytes per micro-batch instead of
+# O(index) — and a query's driver-side reads target only its terms' buckets.
+# The bucket hash is term-only (all salt rows of a term share one bucket):
+# a hot term appearing in every batch then costs ONE bucket rewrite, and a
+# query term maps to exactly one subdirectory.  crc32 is used because the
+# identical value is computable JVM-side (F.crc32, for the partitioned write)
+# and driver-side (zlib.crc32, for bucket targeting) without a py4j round-trip.
+DEFAULT_POSTINGS_BUCKETS = 64
+
+
+def postings_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side bucket id for a term (must match postings_bucket_col)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def postings_bucket_col(n_buckets: int):
+    """JVM-side bucket id expression over the ``term`` column."""
+    return F.pmod(F.crc32(F.encode(F.col("term"), "UTF-8")), F.lit(n_buckets)).cast("int")
+
+
+def write_postings_bucketed(merged: DataFrame, postings_path: str, n_buckets: int) -> None:
+    """Write merged segment rows partitioned by term bucket, term-sorted
+    within each file.  ``bucket`` leads the sort so the partitioned writer's
+    required ordering is already satisfied (orderingMatched — no extra sort
+    that would destroy the term clustering parquet min/max pruning relies
+    on)."""
+    (
+        merged.withColumn("bucket", postings_bucket_col(n_buckets))
+        .sortWithinPartitions("bucket", "term", "salt", "shard_min")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(postings_path)
+    )
 
 
 def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True, base: int = 0):
@@ -148,7 +185,11 @@ def _partials_stage(docs: DataFrame, positions: bool, n_salts: int) -> DataFrame
     )
 
 
-def _merge_stage(partials: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def _merge_stage(
+    partials: DataFrame,
+    num_partitions: int | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
     """Salted repartition-by-term merge: shuffle on (term, salt) so hot terms
     split across n_salts reducers; byte-concat merge (no re-encode).
 
@@ -165,20 +206,30 @@ def _merge_stage(partials: DataFrame, num_partitions: int | None = None) -> Data
     absolute docids, hence different bytes), so a replayed shard can never
     double df/tf/postings."""
     np_ = num_partitions or max(8, partials.sparkSession.sparkContext.defaultParallelism)
+    seg_cols = [c.split()[0] for c in segments.SEGMENT_SCHEMA.split(", ") if " " in c]
 
     def merge(batches):
         pdfs = list(batches)
         if not pdfs:
             return
         pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
-        pdf = pdf.drop_duplicates(subset=["term", "salt", "shard_min", "docs_bytes"])
+        pdf = pdf[seg_cols].drop_duplicates(subset=["term", "salt", "shard_min", "docs_bytes"])
         if len(pdf):
             yield segments.merge_partition(pdf)
 
-    return (
-        partials.repartition(np_, "term", "salt")
-        .mapInPandas(merge, schema=segments.SEGMENT_SCHEMA)
-    )
+    if n_buckets:
+        # Shuffle on (bucket, salt) instead of (term, salt): bucket is a
+        # deterministic coarsening of term, so (term, salt) groups are still
+        # co-located — same merge semantics, same hot-term salting spread —
+        # but each reducer then holds whole buckets, so the partitioned
+        # bucket write emits ~one file per (bucket, reducer) instead of one
+        # per (bucket, reducer, interleaved-run).
+        shuffled = partials.withColumn("bucket", postings_bucket_col(n_buckets)).repartition(
+            np_, "bucket", "salt"
+        )
+    else:
+        shuffled = partials.repartition(np_, "term", "salt")
+    return shuffled.mapInPandas(merge, schema=segments.SEGMENT_SCHEMA)
 
 
 DEFAULT_SHARD_DOCS = 32768
@@ -193,6 +244,7 @@ def build_index(
     positions: bool = True,
     resume: bool = True,
     write_partitions: int | None = None,
+    n_buckets: int = DEFAULT_POSTINGS_BUCKETS,
 ) -> dict:
     """Build (or resume) the index at ``out_dir``; returns build stats.
 
@@ -208,7 +260,8 @@ def build_index(
     spark_conf.set(coalesce_key, "false")
     try:
         return _build_index_inner(
-            spark, transcripts, out_dir, n_shards, n_salts, positions, resume, write_partitions
+            spark, transcripts, out_dir, n_shards, n_salts, positions, resume,
+            write_partitions, n_buckets,
         )
     finally:
         spark_conf.set(coalesce_key, prev_coalesce)
@@ -223,6 +276,7 @@ def _build_index_inner(
     positions: bool,
     resume: bool,
     write_partitions: int | None,
+    n_buckets: int,
 ) -> dict:
     import time as _time
 
@@ -250,6 +304,7 @@ def _build_index_inner(
         n_shards = params["n_shards"]
         n_salts = params["n_salts"]
         positions = params["positions"]
+        n_buckets = params.get("postings_buckets", 0)
 
     done_shards: set[int] = set()
     if resume and params is not None and os.path.exists(manifest_path):
@@ -283,6 +338,7 @@ def _build_index_inner(
             "positions": positions,
             "shard_size": shard_size,
             "total_docs": total,
+            "postings_buckets": n_buckets,
         }
         with open(params_path, "w") as f:
             json.dump(params, f)
@@ -345,15 +401,18 @@ def _build_index_inner(
         # SURVEY.md §5.2 item 5); cost is a shuffle of already-compressed
         # blobs, far below the tokenize stage it avoids repeating.
         wp = write_partitions or max(8, spark.sparkContext.defaultParallelism)
-        merged = _merge_stage(spark.read.parquet(partials_path), wp)
-        # merge output is already hash-partitioned on (term, salt); an
-        # in-partition sort gives term-clustered files (parquet min/max
-        # row-group skipping at query time) without a second shuffle
-        (
-            merged.sortWithinPartitions("term", "salt", "shard_min")
-            .write.mode("overwrite")
-            .parquet(postings_path)
-        )
+        merged = _merge_stage(spark.read.parquet(partials_path), wp, n_buckets=n_buckets or None)
+        # merge output is already hash-partitioned; an in-partition sort
+        # gives term-clustered files (parquet min/max row-group skipping at
+        # query time) without a second shuffle
+        if n_buckets:
+            write_postings_bucketed(merged, postings_path, n_buckets)
+        else:
+            (
+                merged.sortWithinPartitions("term", "salt", "shard_min")
+                .write.mode("overwrite")
+                .parquet(postings_path)
+            )
         t0 = _mark("merge", t0)
         # term dictionary (global df/cttf) — derived from final postings
         post = spark.read.parquet(postings_path)

@@ -37,7 +37,51 @@ from pyspark.sql import types as T
 
 from ..functions import bm25, varint
 from ..plans.query import And, Node, Not, Or, Phrase, Term, parse
+from . import build as _build
 from . import segments
+
+
+def _postings_buckets(index_dir: str) -> int:
+    """postings_buckets from _build.json (0 = legacy flat layout)."""
+    import json
+
+    try:
+        with open(os.path.join(index_dir, "_build.json")) as f:
+            return json.load(f).get("postings_buckets", 0)
+    except (OSError, ValueError):
+        return 0
+
+
+def _postings_sources(index_dir: str, terms=None) -> str:
+    """DuckDB ``read_parquet(...)`` source expression for the postings
+    store.  Bucketed layout (postings/bucket=K/): when the query terms are
+    known, only their crc32 buckets are listed — a term query touches one
+    subdirectory instead of the whole store (the driver-side analogue of
+    the Spark read's partition pruning)."""
+    base = f"{index_dir}/postings"
+    nb = _postings_buckets(index_dir)
+    if not nb:
+        return f"read_parquet('{base}/*.parquet')"
+    if terms:
+        bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
+        bs = [k for k in bs if os.path.isdir(os.path.join(base, f"bucket={k}"))]
+        if bs:
+            lst = ", ".join(f"'{base}/bucket={k}/*.parquet'" for k in bs)
+            return f"read_parquet([{lst}])"
+    return f"read_parquet('{base}/bucket=*/*.parquet')"
+
+
+def _read_postings_spark(spark, index_dir: str, terms: list[str]) -> DataFrame:
+    """Spark-side postings scan for a term set: term predicate pushdown plus
+    bucket partition pruning on the bucketed layout (only the terms' crc32
+    bucket directories are listed/scanned)."""
+    df = spark.read.parquet(os.path.join(index_dir, "postings"))
+    nb = _postings_buckets(index_dir)
+    if nb and "bucket" in df.columns:
+        bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
+        df = df.filter(F.col("bucket").isin(bs))
+    return df.filter(F.col("term").isin(terms))
+
 
 # ---------------------------------------------------------------------------
 # shared: flatten the AST into scoring leaves
@@ -238,7 +282,7 @@ def _plan_block_prune(
     meta = duckdb.sql(
         f"SELECT * EXCLUDE (docs_bytes, tfs_bytes, pos_bytes), "
         f"octet_length(docs_bytes) AS dlen, octet_length(tfs_bytes) AS tlen "
-        f"FROM read_parquet('{index_dir}/postings/*.parquet') WHERE term IN ({tl})"
+        f"FROM {_postings_sources(index_dir, terms)} WHERE term IN ({tl})"
     ).df()
     if not len(meta):
         return None
@@ -276,9 +320,10 @@ def _plan_block_prune(
         r = rows[ri]
         doff = np.append(np.asarray(r["blk_doc_off"], dtype=np.int64), r["dlen"])
         toff = np.append(np.asarray(r["blk_tf_off"], dtype=np.int64), r["tlen"])
+        term_sql = str(r["term"]).replace("'", "''")
         sl = duckdb.sql(
-            f"SELECT docs_bytes, tfs_bytes FROM read_parquet('{index_dir}/postings/*.parquet') "
-            f"WHERE term = '{r['term']}' AND salt = {int(r['salt'])} AND shard_min = {int(r['shard_min'])}"
+            f"SELECT docs_bytes, tfs_bytes FROM {_postings_sources(index_dir, [r['term']])} "
+            f"WHERE term = '{term_sql}' AND salt = {int(r['salt'])} AND shard_min = {int(r['shard_min'])}"
         ).fetchone()
         for bi in bis:
             dsl = bytes(sl[0])[int(doff[bi]) : int(doff[bi + 1])]
@@ -490,7 +535,7 @@ def _plan_intersection_prune(index_dir: str, ast: Node, stats: dict, dfs: dict |
     if hot:
         tl = ",".join("'" + t.replace("'", "''") + "'" for t in hot)
         meta = duckdb.sql(
-            f"SELECT term, blk_first, blk_last FROM read_parquet('{index_dir}/postings/*.parquet') "
+            f"SELECT term, blk_first, blk_last FROM {_postings_sources(index_dir, hot)} "
             f"WHERE term IN ({tl})"
         ).df()
         rows = meta.to_dict("records")
@@ -509,7 +554,7 @@ def _plan_intersection_prune(index_dir: str, ast: Node, stats: dict, dfs: dict |
         tl = ",".join("'" + t.replace("'", "''") + "'" for t in rare)
         rrows = duckdb.sql(
             f"SELECT term, docs_bytes, tfs_bytes, blk_n "
-            f"FROM read_parquet('{index_dir}/postings/*.parquet') WHERE term IN ({tl})"
+            f"FROM {_postings_sources(index_dir, rare)} WHERE term IN ({tl})"
         ).df().to_dict("records")
         rgroups: dict[str, list[np.ndarray]] = {}
         for r in rrows:
@@ -747,9 +792,7 @@ def search_df(
     dfs = _load_dfs(index_dir, terms)
     weights = _clause_weights(leaves, dfs, stats["doc_count"])
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
-        F.col("term").isin(terms)
-    )
+    postings = _read_postings_spark(spark, index_dir, terms)
     # distributed pruning, two independent exact plans intersected:
     # - theta/block-max (Term/OR-of-Terms; under keyword/time filters the
     #   seed pool is filtered by the same predicates so theta stays a
@@ -864,9 +907,7 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
     check_not_shape(ast)
     leaves = _leaves(ast)
     terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
-    postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
-        F.col("term").isin(terms)
-    )
+    postings = _read_postings_spark(spark, index_dir, terms)
     decoded, has_phrase = _decode_postings_df(postings, leaves)
     clause_docs: dict[int, DataFrame] = {}
     for ci, leaf in enumerate(leaves):
@@ -934,7 +975,8 @@ class LocalIndex:
         if missing:
             tl = ",".join("'" + t.replace("'", "''") + "'" for t in missing)
             df = duckdb.sql(
-                f"SELECT * FROM read_parquet('{self.dir}/postings/*.parquet') WHERE term IN ({tl})"
+                f"SELECT * FROM {_postings_sources(self.dir, missing)} "
+                f"WHERE term IN ({tl})"
             ).df()
             for t in missing:
                 self._term_cache[t] = df[df["term"] == t].to_dict("records")

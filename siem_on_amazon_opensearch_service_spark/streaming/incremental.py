@@ -71,11 +71,22 @@ def _first_docid_udf():
 
 def _refresh_postings_dict_full(spark: SparkSession, out_dir: str) -> None:
     """Crash-recovery slow path: rebuild postings + dict from all partials."""
-    merged = b._merge_stage(spark.read.parquet(os.path.join(out_dir, "partials")))
-    _swap_write(
-        merged.sortWithinPartitions("term", "salt", "shard_min"),
-        os.path.join(out_dir, "postings"),
+    with open(os.path.join(out_dir, "_build.json")) as f:
+        nb = json.load(f).get("postings_buckets", 0)
+    merged = b._merge_stage(
+        spark.read.parquet(os.path.join(out_dir, "partials")), n_buckets=nb or None
     )
+    postings_path = os.path.join(out_dir, "postings")
+    if nb:
+        tmp = postings_path + "_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        b.write_postings_bucketed(merged, tmp, nb)
+        shutil.rmtree(postings_path, ignore_errors=True)
+        os.replace(tmp, postings_path)
+    else:
+        _swap_write(
+            merged.sortWithinPartitions("term", "salt", "shard_min"), postings_path
+        )
     post = spark.read.parquet(os.path.join(out_dir, "postings"))
     ndp = max(1, spark.sparkContext.defaultParallelism // 4)
     _swap_write(
@@ -112,7 +123,15 @@ def recover_orphans(spark: SparkSession, out_dir: str, params: dict) -> bool:
     their shard id is past the committed range, or — for the boundary
     shard shared between batches — when their first absolute docid is past
     the committed total.  Derived artifacts (postings/dict/stats) are then
-    rebuilt from the cleaned inputs.  Returns True if recovery ran."""
+    rebuilt from the cleaned inputs.
+
+    Crash-safe ordering: the docs max-docid check is the ONLY detection
+    trigger, so docs are filtered LAST.  Partials, manifest, and every
+    derived artifact are cleaned first — all of those filters are
+    idempotent (a re-run over already-clean inputs keeps everything) — so
+    a crash at any point mid-recovery leaves the trigger intact and the
+    next append re-runs recovery to completion.  Returns True if recovery
+    ran."""
     total = params["total_docs"]
     ssz = params["shard_size"]
     docs_path = os.path.join(out_dir, "docs")
@@ -121,8 +140,6 @@ def recover_orphans(spark: SparkSession, out_dir: str, params: dict) -> bool:
     if mx is None or mx < total:
         return False
     b0 = (total - 1) // ssz  # last committed shard id (may be shared)
-    _swap_write(docs.filter(F.col("docid") < total), docs_path)
-    open(os.path.join(docs_path, "_SUCCESS"), "a").close()
 
     partials_path = os.path.join(out_dir, "partials")
     partials = spark.read.parquet(partials_path)
@@ -138,6 +155,10 @@ def recover_orphans(spark: SparkSession, out_dir: str, params: dict) -> bool:
     )
     _write_stats_from_manifest(spark, out_dir)
     _refresh_postings_dict_full(spark, out_dir)
+
+    # trigger cleared last: only once every other artifact is clean
+    _swap_write(docs.filter(F.col("docid") < total), docs_path)
+    open(os.path.join(docs_path, "_SUCCESS"), "a").close()
     return True
 
 
@@ -223,14 +244,42 @@ def append_batch(
     # input is (old rows of touched groups) ∪ (new partial rows).
     postings_path = os.path.join(out_dir, "postings")
     touched = new_partials.select("term", "salt").distinct()
-    old_post = spark.read.parquet(postings_path)
-    untouched = old_post.join(F.broadcast(touched), ["term", "salt"], "left_anti")
-    touched_old = old_post.join(F.broadcast(touched), ["term", "salt"], "left_semi")
-    re_merged = b._merge_stage(touched_old.unionByName(new_partials))
-    _swap_write(
-        untouched.unionByName(re_merged.sortWithinPartitions("term", "salt", "shard_min")),
-        postings_path,
-    )
+    nb = params.get("postings_buckets", 0)
+    if nb:
+        # Bucketed store: only the buckets containing touched terms are
+        # read back and physically rewritten — IO per batch is
+        # O(touched-bucket bytes), not O(index).  Untouched bucket
+        # directories are never listed, read, or written.  Bucket swaps
+        # are not atomic as a set, but the commit point is _build.json:
+        # a crash mid-swap leaves docs max-docid >= committed total, so
+        # the next append's recover_orphans rebuilds postings fully.
+        tb = sorted(
+            r["b"]
+            for r in new_partials.select(b.postings_bucket_col(nb).alias("b")).distinct().collect()
+        )
+        old_post = spark.read.parquet(postings_path).filter(F.col("bucket").isin(tb))
+        untouched = old_post.join(F.broadcast(touched), ["term", "salt"], "left_anti").drop("bucket")
+        touched_old = old_post.join(F.broadcast(touched), ["term", "salt"], "left_semi").drop("bucket")
+        re_merged = b._merge_stage(touched_old.unionByName(new_partials), n_buckets=nb)
+        tmp = postings_path + "_tmpb"
+        shutil.rmtree(tmp, ignore_errors=True)
+        b.write_postings_bucketed(untouched.unionByName(re_merged), tmp, nb)
+        for kbucket in tb:
+            src = os.path.join(tmp, f"bucket={kbucket}")
+            dst = os.path.join(postings_path, f"bucket={kbucket}")
+            if os.path.exists(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        old_post = spark.read.parquet(postings_path)
+        untouched = old_post.join(F.broadcast(touched), ["term", "salt"], "left_anti")
+        touched_old = old_post.join(F.broadcast(touched), ["term", "salt"], "left_semi")
+        re_merged = b._merge_stage(touched_old.unionByName(new_partials))
+        _swap_write(
+            untouched.unionByName(re_merged.sortWithinPartitions("term", "salt", "shard_min")),
+            postings_path,
+        )
     open(os.path.join(postings_path, "_SUCCESS"), "a").close()
 
     # ---- dict upsert: df/cttf are additive over partials, so the new

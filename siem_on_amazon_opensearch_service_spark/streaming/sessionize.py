@@ -96,13 +96,20 @@ def _session_fn(gap_minutes: int):
         else:
             sidx, n, t0, t1 = 0, 0, None, None
         for t in ts_us:
-            if n and t - t1 > gap_us:
+            # Rows are sorted within a micro-batch only; a late-but-within-
+            # watermark row from a later batch may carry t <= t1.  Merge it
+            # monotonically (t0=min, t1=max) — only a forward move past the
+            # gap closes the session, so a late row can never shrink the
+            # open session's end and cause a spurious split.
+            if n and t > t1 and t - t1 > gap_us:
                 out.append((sidx, n, t0, t1))
                 sidx, n, t0, t1 = sidx + 1, 0, None, None
             if n == 0:
-                t0 = int(t)
+                t0 = t1 = int(t)
+            else:
+                t0 = min(t0, int(t))
+                t1 = max(t1, int(t))
             n += 1
-            t1 = int(t)
         state.update((int(sidx), int(n), int(t0), int(t1)))
         # close the open session once the watermark passes its end + gap
         state.setTimeoutTimestamp(int(t1 // 1000) + gap_minutes * 60 * 1000)

@@ -59,7 +59,7 @@ class TestTightBounds:
         cache = bm25.norm_inverse_cache(stats["avgdl"])
         w = bm25.clause_weight([dfs["error"]], stats["doc_count"])
         rows = duckdb.sql(
-            f"SELECT * FROM read_parquet('{idx}/postings/*.parquet') WHERE term = 'error'"
+            f"SELECT * FROM read_parquet('{idx}/postings/**/*.parquet') WHERE term = 'error'"
         ).df().to_dict("records")
         norms = duckdb.sql(
             f"SELECT norm FROM read_parquet('{idx}/docs/*.parquet') ORDER BY docid"

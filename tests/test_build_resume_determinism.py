@@ -15,7 +15,7 @@ from siem_on_amazon_opensearch_service_spark.operators.search import LocalIndex
 
 def _postings_df(path):
     return duckdb.sql(
-        f"SELECT * FROM read_parquet('{path}/postings/*.parquet') ORDER BY term, salt, shard_min"
+        f"SELECT * FROM read_parquet('{path}/postings/**/*.parquet') ORDER BY term, salt, shard_min"
     ).df()
 
 
@@ -186,8 +186,9 @@ class TestPositionsOptional:
 
         def psize(d):
             return sum(
-                os.path.getsize(os.path.join(d, "postings", f))
-                for f in os.listdir(os.path.join(d, "postings"))
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(os.path.join(d, "postings"))
+                for f in files
                 if f.endswith(".parquet")
             )
 

@@ -185,3 +185,36 @@ class TestTokenCountsFastPath:
         got = list(token_counts(texts))
         exp = [len(tokenize(t)) for t in texts.fillna("")]
         assert got == exp
+
+
+class TestRangeAgg:
+    """ADVICE r2 item 3: single-edge crash + lexical label ordering."""
+
+    def _df(self, spark):
+        return spark.createDataFrame([(v,) for v in [5, 25, 40, 60, 150, 250]], "v int")
+
+    def test_single_edge_is_open_tail_only(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators.aggs import range_agg
+
+        rows = range_agg(self._df(spark), "v", [100]).collect()
+        assert [(r["range_key"], r["cnt"]) for r in rows] == [("100-*", 2)]
+
+    def test_buckets_sort_numerically_not_lexically(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators.aggs import range_agg
+
+        rows = range_agg(self._df(spark), "v", [30, 70, 100, 200]).collect()
+        # '100-200' < '30-70' lexically; order must be numeric by lo
+        # (empty buckets are not emitted, OpenSearch-with-min_doc_count=1 style)
+        assert [(r["range_key"], r["cnt"]) for r in rows] == [
+            ("30-70", 2),
+            ("100-200", 1),
+            ("200-*", 1),
+        ]
+
+    def test_empty_edges_rejected(self, spark):
+        import pytest as _pytest
+
+        from siem_on_amazon_opensearch_service_spark.operators.aggs import range_agg
+
+        with _pytest.raises(ValueError):
+            range_agg(self._df(spark), "v", [])
