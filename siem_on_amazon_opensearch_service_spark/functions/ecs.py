@@ -611,6 +611,208 @@ def sf_deepsecurity(df: DataFrame) -> DataFrame:
     return out.drop("pairs")
 
 
+def sf_networkfirewall(df: DataFrame) -> DataFrame:
+    """AWS Network Firewall normalization (sf_networkfirewall.py:12-22):
+    event.proto -> network.transport (lowercased); alert events get
+    event.kind=alert + event.category=intrusion_detection."""
+    out = df
+    if "event_proto" in out.columns:
+        out = out.withColumn("network_transport", F.lower(F.col("event_proto")))
+    if "event_event_type" in out.columns:
+        is_alert = F.col("event_event_type") == "alert"
+        out = out.withColumn("event_kind", F.when(is_alert, "alert")).withColumn(
+            "event_category", F.when(is_alert, "intrusion_detection")
+        )
+    return out
+
+
+#: CloudFront distribution id in the S3 key (sf_cloudfront_realtime.py:14)
+_CF_DIST_ID_RE = r"((?=[0-9]{0,13}[A-Z])[A-Z0-9]{12,14})"
+
+
+def sf_cloudfront_realtime(df: DataFrame) -> DataFrame:
+    """CloudFront realtime-log normalization (sf_cloudfront_realtime.py:17-35):
+    url.path loses its query string, url.full reassembled from
+    protocol/host/uri-stem, http.version from 'HTTP/1.1', user agent
+    percent-unquoted (urllib parity), distribution id extracted from the
+    S3 key (else 'unknown')."""
+    from .scalars import _unquote_once
+
+    out = df
+    if "url_path" in out.columns:
+        out = out.withColumn("url_path", F.split(F.col("url_path"), r"\?")[0])
+    if all(c in out.columns for c in ("cs_protocol", "cs_host", "cs_uri_stem")):
+        out = out.withColumn(
+            "url_full",
+            F.concat(F.col("cs_protocol"), F.lit("://"), F.col("cs_host"), F.col("cs_uri_stem")),
+        )
+    if "cs_protocol_version" in out.columns:
+        out = out.withColumn("http_version", F.split(F.col("cs_protocol_version"), "/")[1])
+    if "user_agent_original" in out.columns:
+        out = out.withColumn("user_agent_original", _unquote_once(F.col("user_agent_original")))
+    if "log_s3key" in out.columns:
+        m = F.regexp_extract(F.col("log_s3key"), _CF_DIST_ID_RE, 1)
+        out = out.withColumn("distribution_id", F.when(m != "", m).otherwise("unknown"))
+    return out
+
+
+#: permissive schema over the parts of the Config `configuration` JSON the
+#: ip extraction needs (sf_config_snapshot.py:196-296)
+_CONFIG_IP_SCHEMA = (
+    "privateIpAddress string, "
+    "networkInterfaces array<struct<privateIpAddresses array<struct<"
+    "privateIpAddress string, association struct<publicIp string>>>>>, "
+    "privateIpAddresses array<struct<privateIpAddress string, "
+    "association struct<publicIp string>>>, "
+    "natGatewayAddresses array<struct<publicIp string, privateIp string>>, "
+    "`AWS:Network` struct<Content array<struct<IPV4 string, IPV6 string>>>"
+)
+
+
+def sf_config_snapshot(df: DataFrame) -> DataFrame:
+    """AWS Config snapshot normalization — the reference's largest sf_
+    transform (siem/sf_config_snapshot.py, 307 LoC of per-resourceType
+    dict surgery), re-expressed as column algebra:
+
+    - update_doc_ids (:19-31): ``@id`` = md5(account+region+resourceType+
+      resourceId); ``__doc_id_suffix`` = strftime(ts)_md5(module+ruleARN)[:4].
+    - extract_host (:207-227): EC2/SSM instance ids -> cloud_instance_id +
+      related_hosts; ResourceCompliance 'Type/id' targets split (including
+      the reference's own quirk of routing an EC2 compliance target to
+      user.id — replicated faithfully).
+    - extract_user (:230-248): IAM users/roles -> user_id/user_name +
+      related_user (name first, then id, skipping empties).
+    - extract_ip (:251-296): the `configuration` JSON parsed with a
+      permissive schema; EIP / EC2 ENI / NIC / NatGateway / SSM-inventory
+      addresses collected, de-duped, ''-stripped, sorted -> related_ip.
+    - rename_config_field_name (:98-193): the ES-mapping scalar renames
+      surfaced as columns (configuration_owner_id, state_code/state_name,
+      status/status_message, endpoint_address).  The dict->list rewrites
+      (:34-95) guard OpenSearch dynamic mappings against key explosion; a
+      columnar sink keeps `configuration` as an opaque JSON string, so
+      they are intentionally not replicated.
+
+    Expects JSON-scan columns (camelCase accepted) with ``configuration``
+    as a JSON string and ``ts`` as the snapshot timestamp."""
+    out = camel_to_snake_columns(df)
+
+    def col_named(*cands):
+        canon = {c.replace("_", "").lower(): c for c in out.columns}
+        for cand in cands:
+            hit = canon.get(cand.replace("_", "").lower())
+            if hit:
+                return F.col(hit)
+        return F.lit(None).cast("string")
+
+    acct, region = col_named("aws_account_id"), col_named("aws_region")
+    rtype, rid = col_named("resource_type"), col_named("resource_id")
+    rname = col_named("resource_name")
+    rule_arn = col_named("config_rule_arn", "configRuleARN")
+    module = col_named("event_module")
+
+    out = out.withColumn("@id", F.md5(F.concat(acct, region, rtype, rid)))
+    if "ts" in out.columns:
+        out = out.withColumn(
+            "__doc_id_suffix",
+            F.concat(
+                F.date_format(F.col("ts"), "yyyyMMdd_HHmmss"),
+                F.lit("_"),
+                F.substring(F.md5(F.concat(F.coalesce(module, F.lit("")), F.coalesce(rule_arn, F.lit("")))), 1, 4),
+            ),
+        )
+
+    # --- host
+    target = F.split(rid, "/")
+    compliance_2part = (rtype == "AWS::Config::ResourceCompliance") & (F.size(target) == 2)
+    instance_id = (
+        F.when(rtype.isin("AWS::EC2::Instance", "AWS::SSM::ManagedInstanceInventory"), rid)
+        .when(
+            rtype.isin("AWS::SSM::AssociationCompliance", "AWS::SSM::PatchCompliance"),
+            F.element_at(target, -1),
+        )
+    )
+    out = out.withColumn("cloud_instance_id", instance_id).withColumn(
+        "related_hosts", F.when(instance_id.isNotNull(), F.array(instance_id))
+    )
+
+    # --- user (incl. the faithful extract_host EC2-compliance quirk)
+    user_id = (
+        F.when(rtype.isin("AWS::IAM::User", "AWS::IAM::Role"), rid)
+        .when(compliance_2part & F.element_at(target, 1).isin("AWS::IAM::Role", "AWS::IAM::User", "AWS::EC2::Instance"), F.element_at(target, 2))
+    )
+    user_name = F.when(rtype.isin("AWS::IAM::User", "AWS::IAM::Role"), F.coalesce(rname, F.lit("")))
+    out = (
+        out.withColumn("user_id", user_id)
+        .withColumn("user_name", user_name)
+        .withColumn(
+            "related_user",
+            F.when(
+                user_id.isNotNull(),
+                F.filter(F.array(user_name, user_id), lambda x: x.isNotNull() & (x != "")),
+            ),
+        )
+    )
+
+    # --- ip
+    if "configuration" in out.columns:
+        cfg = F.from_json(F.col("configuration"), _CONFIG_IP_SCHEMA)
+        nic_ips = lambda nics: F.flatten(
+            F.transform(
+                nics,
+                lambda nic: F.filter(
+                    F.array(nic["privateIpAddress"], nic["association"]["publicIp"]),
+                    lambda x: x.isNotNull(),
+                ),
+            )
+        )
+        ips = (
+            F.when(rtype == "AWS::EC2::EIP", F.array(rname, cfg["privateIpAddress"]))
+            .when(
+                rtype == "AWS::EC2::Instance",
+                F.flatten(F.transform(cfg["networkInterfaces"], lambda eni: nic_ips(eni["privateIpAddresses"]))),
+            )
+            .when(rtype == "AWS::EC2::NetworkInterface", nic_ips(cfg["privateIpAddresses"]))
+            .when(
+                rtype == "AWS::EC2::NatGateway",
+                F.array(
+                    F.element_at(cfg["natGatewayAddresses"], 1)["publicIp"],
+                    F.element_at(cfg["natGatewayAddresses"], 1)["privateIp"],
+                ),
+            )
+            .when(
+                rtype == "AWS::SSM::ManagedInstanceInventory",
+                F.flatten(
+                    F.transform(
+                        cfg["`AWS:Network`".strip("`")]["Content"],
+                        lambda c: F.array(c["IPV6"], c["IPV4"]),
+                    )
+                ),
+            )
+        )
+        clean = F.array_sort(
+            F.array_distinct(F.filter(ips, lambda x: x.isNotNull() & (x != "")))
+        )
+        out = out.withColumn("related_ip", F.when(F.size(clean) > 0, clean))
+        # --- scalar renames out of the configuration JSON
+        out = (
+            out.withColumn("configuration_owner_id", F.get_json_object(F.col("configuration"), "$.owner.id"))
+            .withColumn("state_code", F.get_json_object(F.col("configuration"), "$.state.code"))
+            .withColumn("state_name", F.get_json_object(F.col("configuration"), "$.state.name"))
+            .withColumn("status_message", F.get_json_object(F.col("configuration"), "$.status.message"))
+            .withColumn(
+                "endpoint_address",
+                F.coalesce(
+                    F.get_json_object(F.col("configuration"), "$.endpoint.address"),
+                    F.when(
+                        ~F.get_json_object(F.col("configuration"), "$.endpoint").startswith("{"),
+                        F.get_json_object(F.col("configuration"), "$.endpoint"),
+                    ),
+                ),
+            )
+        )
+    return out
+
+
 def transform_registry() -> dict:
     """Per-logtype transform hooks (SURVEY.md §2.11): the reference ships 40
     sf_<logtype>.transform(logdata) row-UDFs (siem/sf_*.py, loader
@@ -658,6 +860,9 @@ def transform_registry() -> dict:
         "nginx_access": sf_apache_access,
         "okta": sf_okta,
         "deepsecurity": sf_deepsecurity,
+        "networkfirewall": sf_networkfirewall,
+        "cloudfront_realtime": sf_cloudfront_realtime,
+        "config_snapshot": sf_config_snapshot,
     }
 
 

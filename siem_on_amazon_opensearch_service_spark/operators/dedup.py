@@ -210,30 +210,25 @@ def ngram_jaccard_pairs(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48) -> DataFrame:
     """Per-doc SimHash over token hashes: bit b set iff more (distinct-kept,
-    frequency-weighted) tokens have bit b set than not.  Declarative
-    formulation: explode tokens -> hash -> explode bit positions ->
-    conditional sum -> reassemble."""
+    frequency-weighted) tokens have bit b set than not.
+
+    Formulation (r3, VERDICT r2 item 9): one token-hash row per token and
+    ``bits`` conditional sums in a SINGLE groupBy pass —
+    ``sum((hash>>b & 1)*2 - 1)`` per bit as independent agg columns, all
+    whole-stage-codegen JVM expressions with map-side partial aggregation.
+    The previous shape exploded 48 (id, bit) rows per token hash and
+    shuffled all of them; this shuffles only the per-doc partial sums."""
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("t"))
     hashed = toks.select("id", h48(F.col("t")).alias("x"))
-    bit = hashed.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        F.col("x"),
-    ).select(
-        "id", "b",
-        # shiftright with a column shift amount needs the SQL form
-        (F.expr("shiftright(x, cast(b as int)) & 1") * 2 - 1).alias("v"),
-    )
-    per_bit = bit.groupBy("id", "b").agg(F.sum("v").alias("s"))
-    return (
-        per_bit.groupBy("id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-        .withColumnRenamed("id", id_col)
-    )
+    bit_sums = [
+        F.sum(F.expr(f"(shiftright(x, {b}) & 1) * 2 - 1")).alias(f"s{b}") for b in range(bits)
+    ]
+    per_doc = hashed.groupBy("id").agg(*bit_sums)
+    sh = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    return per_doc.select(F.col("id").alias(id_col), sh.alias("simhash"))
 
 
 def _simhash_bands(max_hamming: int, bits: int = 48) -> list[tuple[int, int]]:

@@ -781,18 +781,51 @@ def search_df(
     tool: str | None = None,
     ts_min=None,
     ts_max=None,
+    *,
+    _stats: dict | None = None,
+    _dfs: dict | None = None,
+    _docs: DataFrame | None = None,
+    _postings: DataFrame | None = None,
+    _prune_memo: dict | None = None,
+    _norms_bc=None,
+    _filter_mask_bc=None,
 ) -> DataFrame:
-    """Distributed BM25 top-k; returns DataFrame(docid long, score float)."""
+    """Distributed BM25 top-k; returns DataFrame(docid long, score float).
+
+    ``_stats`` / ``_dfs`` / ``_docs`` are warm-session injection points
+    (QuerySession): pre-loaded corpus stats, term dfs superset, and a
+    persisted docs projection replace the per-query stats/dict reads and
+    the docs parquet scan."""
     ast = parse(query)
     _require_positive_coverage(ast, "search_df")
     leaves = _leaves(ast)
     _check_positions(index_dir, leaves)
     terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
-    stats = _load_stats(index_dir)
-    dfs = _load_dfs(index_dir, terms)
+    stats = _stats if _stats is not None else _load_stats(index_dir)
+    if _dfs is not None:
+        # session df cache; absent terms are cached as 0 so they are not
+        # re-fetched per query
+        missing = [t for t in terms if t not in _dfs]
+        if missing:
+            got = _load_dfs(index_dir, missing)
+            for t in missing:
+                _dfs[t] = got.get(t, 0)
+        dfs = {t: _dfs[t] for t in terms if _dfs[t] > 0}
+    else:
+        dfs = _load_dfs(index_dir, terms)
     weights = _clause_weights(leaves, dfs, stats["doc_count"])
 
-    postings = _read_postings_spark(spark, index_dir, terms)
+    if _postings is not None:
+        # warm session: the postings DataFrame (file listing + schema) is
+        # pinned once; per-query work is just the bucket/term filters
+        nb = _postings_buckets(index_dir)
+        postings = _postings
+        if nb and "bucket" in postings.columns:
+            bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
+            postings = postings.filter(F.col("bucket").isin(bs))
+        postings = postings.filter(F.col("term").isin(terms))
+    else:
+        postings = _read_postings_spark(spark, index_dir, terms)
     # distributed pruning, two independent exact plans intersected:
     # - theta/block-max (Term/OR-of-Terms; under keyword/time filters the
     #   seed pool is filtered by the same predicates so theta stays a
@@ -801,22 +834,28 @@ def search_df(
     #   >=2 required terms; a pure superset argument, filter-safe)
     prune = None
     if k > 0 and "blk_first" in postings.columns:  # r2 format only
-        plans = []
-        filters = {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max}
-        p = _plan_block_prune(
-            index_dir, ast, leaves, dfs, stats, k,
-            filters=filters if any(v is not None for v in filters.values()) else None,
-        )
-        if p is not None:
-            plans.append(p)
-        p = _plan_intersection_prune(index_dir, ast, stats, dfs)
-        if p is not None:
-            plans.append(p)
-        if plans:
-            lo, hi = plans[0]["lo"], plans[0]["hi"]
-            for q in plans[1:]:
-                lo, hi = _intersect_ranges((lo, hi), (q["lo"], q["hi"]))
-            prune = {"lo": lo, "hi": hi, "shard_size": plans[0]["shard_size"]}
+        memo_key = (query, k, role, tool, str(ts_min), str(ts_max))
+        if _prune_memo is not None and memo_key in _prune_memo:
+            prune = _prune_memo[memo_key]
+        else:
+            plans = []
+            filters = {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max}
+            p = _plan_block_prune(
+                index_dir, ast, leaves, dfs, stats, k,
+                filters=filters if any(v is not None for v in filters.values()) else None,
+            )
+            if p is not None:
+                plans.append(p)
+            p = _plan_intersection_prune(index_dir, ast, stats, dfs)
+            if p is not None:
+                plans.append(p)
+            if plans:
+                lo, hi = plans[0]["lo"], plans[0]["hi"]
+                for q in plans[1:]:
+                    lo, hi = _intersect_ranges((lo, hi), (q["lo"], q["hi"]))
+                prune = {"lo": lo, "hi": hi, "shard_size": plans[0]["shard_size"]}
+            if _prune_memo is not None:
+                _prune_memo[memo_key] = prune
     decoded, has_phrase = _decode_postings_df(postings, leaves, prune=prune)
 
     term_rows = (
@@ -828,20 +867,55 @@ def search_df(
         parts.append(ph)
     cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    for cond in (
-        (F.col("role") == role) if role is not None else None,
-        (F.col("tool") == tool) if tool is not None else None,
-        (F.col("ts") >= ts_min) if ts_min is not None else None,
-        (F.col("ts") <= ts_max) if ts_max is not None else None,
-    ):
-        if cond is not None:
-            docs = docs.filter(cond)
-    docs = docs.select("docid", "norm")
+    has_filters = any(v is not None for v in (role, tool, ts_min, ts_max))
+    if _norms_bc is not None and not has_phrase and (not has_filters or _filter_mask_bc is not None):
+        # Warm fast-score path (QuerySession): norms live in executor
+        # memory as a broadcast uint8 array (the Lucene norms-in-RAM
+        # analogue — 1 byte/doc, broadcastable to ~10^8 docs; past that
+        # the session should shard norms per partition or fall back to
+        # the join below).  Scoring happens inside the same narrow
+        # Python stage as the decode — the docs scan and its join
+        # shuffles disappear from the plan entirely.  Arithmetic is the
+        # identical float64-then-float32 recipe as _score_expr.
+        w64 = np.array([np.float64(w) for w in weights], dtype=np.float64)
+        cache = bm25.norm_inverse_cache(stats["avgdl"])
+        norms_bc, mask_bc = _norms_bc, _filter_mask_bc
 
-    scored = cand.join(docs, "docid").withColumn(
-        "score", _score_expr(weights, stats["avgdl"], F.col("clause"), F.col("tf"), F.col("norm"))
-    )
+        def score_fn(batches):
+            norms = norms_bc.value
+            fmask = mask_bc.value if mask_bc is not None else None
+            for pdf in batches:
+                d = pdf["docid"].to_numpy(dtype=np.int64)
+                ci = pdf["clause"].to_numpy(dtype=np.int64)
+                tf = pdf["tf"].to_numpy(dtype=np.float64)
+                if fmask is not None:
+                    keep = fmask[d]
+                    if not keep.all():
+                        d, ci, tf = d[keep], ci[keep], tf[keep]
+                    if not d.size:
+                        continue
+                w = w64[ci]
+                sc = (w - w / (1.0 + tf * cache[norms[d]])).astype(np.float32)
+                yield pd.DataFrame(
+                    {"clause": ci.astype(np.int32), "docid": d, "score": sc}
+                )
+
+        scored = cand.mapInPandas(score_fn, schema="clause int, docid long, score float")
+    else:
+        docs = _docs if _docs is not None else spark.read.parquet(os.path.join(index_dir, "docs"))
+        for cond in (
+            (F.col("role") == role) if role is not None else None,
+            (F.col("tool") == tool) if tool is not None else None,
+            (F.col("ts") >= ts_min) if ts_min is not None else None,
+            (F.col("ts") <= ts_max) if ts_max is not None else None,
+        ):
+            if cond is not None:
+                docs = docs.filter(cond)
+        docs = docs.select("docid", "norm")
+
+        scored = cand.join(docs, "docid").withColumn(
+            "score", _score_expr(weights, stats["avgdl"], F.col("clause"), F.col("tf"), F.col("norm"))
+        )
 
     if len(leaves) == 1 and isinstance(ast, (Term, Phrase)):
         # single-clause queries (most dashboard searches): one row per
@@ -907,7 +981,17 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
     check_not_shape(ast)
     leaves = _leaves(ast)
     terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
-    postings = _read_postings_spark(spark, index_dir, terms)
+    if _postings is not None:
+        # warm session: the postings DataFrame (file listing + schema) is
+        # pinned once; per-query work is just the bucket/term filters
+        nb = _postings_buckets(index_dir)
+        postings = _postings
+        if nb and "bucket" in postings.columns:
+            bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
+            postings = postings.filter(F.col("bucket").isin(bs))
+        postings = postings.filter(F.col("term").isin(terms))
+    else:
+        postings = _read_postings_spark(spark, index_dir, terms)
     decoded, has_phrase = _decode_postings_df(postings, leaves)
     clause_docs: dict[int, DataFrame] = {}
     for ci, leaf in enumerate(leaves):
@@ -1434,3 +1518,104 @@ def _row_block_ubs(r, weight: np.float32, cache: np.ndarray) -> np.ndarray:
         weight,
         cache,
     ).astype(np.float64)
+
+
+class QuerySession:
+    """Warm distributed query session (VERDICT r2 item 6).
+
+    Every cold ``search_df`` call pays a per-query setup floor: the stats
+    parquet read, the dict df lookup, and a fresh docs parquet scan + its
+    job scheduling.  A dashboard issuing repeated queries against the same
+    index shouldn't — this object pins the per-index state once:
+
+    - corpus stats (driver memory),
+    - a per-term df cache (absent terms cached as 0, never re-fetched),
+    - the docs norm/keyword projection ``persist()``-ed in executor
+      memory (columnar, replaces the docs parquet scan in every query).
+
+    The postings scan stays per-query (term-specific, bucket-pruned).
+    Scores are identical to cold ``search_df`` — the injected state is
+    the same data, just cached.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        import duckdb
+
+        self.spark = spark
+        self.dir = index_dir
+        self.stats = _load_stats(index_dir)
+        self._dfs: dict[str, int] = {}
+        self._prune_memo: dict = {}
+        self.docs = (
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .select("docid", "norm", "role", "tool", "ts")
+            .persist()
+        )
+        self.docs.count()  # materialize the cache eagerly (phrase path)
+        # pin the postings file listing/schema once (~0.8 s per query on a
+        # 64-bucket store otherwise — driver-side directory listing)
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        # norms in RAM (1 byte/doc) + keyword/ts columns for filter masks —
+        # the session-scale analogue of Lucene holding norms per shard
+        d = duckdb.sql(
+            f"SELECT docid, norm, role, tool, ts FROM read_parquet('{index_dir}/docs/*.parquet') ORDER BY docid"
+        ).df()
+        assert (d["docid"].to_numpy() == np.arange(len(d))).all(), "docids must be dense"
+        self._role = d["role"].to_numpy()
+        self._tool = d["tool"].to_numpy()
+        self._ts = d["ts"].to_numpy()
+        self.norms_bc = spark.sparkContext.broadcast(d["norm"].to_numpy().astype(np.uint8))
+        self._mask_memo: dict = {}
+
+    def _filter_mask_bc(self, role, tool, ts_min, ts_max):
+        if all(v is None for v in (role, tool, ts_min, ts_max)):
+            return None
+        key = (role, tool, str(ts_min), str(ts_max))
+        if key not in self._mask_memo:
+            m = np.ones(self._role.shape[0], dtype=bool)
+            if role is not None:
+                m &= self._role == role
+            if tool is not None:
+                m &= self._tool == tool
+            if ts_min is not None:
+                m &= self._ts >= np.datetime64(ts_min)
+            if ts_max is not None:
+                m &= self._ts <= np.datetime64(ts_max)
+            self._mask_memo[key] = self.spark.sparkContext.broadcast(m)
+        return self._mask_memo[key]
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        role: str | None = None,
+        tool: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> DataFrame:
+        return search_df(
+            self.spark,
+            self.dir,
+            query,
+            k=k,
+            role=role,
+            tool=tool,
+            ts_min=ts_min,
+            ts_max=ts_max,
+            _stats=self.stats,
+            _dfs=self._dfs,
+            _docs=self.docs,
+            _postings=self.postings,
+            _prune_memo=self._prune_memo,
+            _norms_bc=self.norms_bc,
+            _filter_mask_bc=self._filter_mask_bc(role, tool, ts_min, ts_max),
+        )
+
+    def match_count(self, query: str) -> int:
+        return match_count_df(self.spark, self.dir, query).first()[0]
+
+    def close(self) -> None:
+        self.docs.unpersist()
+        self.norms_bc.unpersist()
+        for bc in self._mask_memo.values():
+            bc.unpersist()

@@ -245,3 +245,44 @@ class TestWandStress:
             q = rand_tree(2)
             k = rng.choice([1, 5, 10, 50])
             assert local.search_wand(q, k=k) == local.search(q, k=k), (q, k)
+
+
+class TestWarmQuerySession:
+    """QuerySession (warm path): cached stats/dfs/docs/postings + the
+    broadcast-norms fast-score stage must stay rank- AND score-identical
+    to cold search_df for every query shape, including filters (mask
+    path), phrases (falls back to the docs join), and NOT semantics."""
+
+    @pytest.fixture(scope="class")
+    def session(self, spark, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        qs = QuerySession(spark, tiny_index[0])
+        yield qs
+        qs.close()
+
+    @pytest.mark.parametrize(
+        "q,kw",
+        [
+            ("error", {}),
+            ("error AND timeout", {}),
+            ("error OR refused", {}),
+            ('"connection reset"', {}),
+            ("(error AND NOT timeout) OR refused", {}),
+            ("timeout OR (error AND timeout)", {}),
+            ("error", {"role": "assistant"}),
+            ("error AND timeout", {"role": "user"}),
+        ],
+    )
+    def test_warm_equals_cold(self, spark, tiny_index, session, q, kw):
+        cold = search_df(spark, tiny_index[0], q, k=10, **kw).collect()
+        warm = session.search(q, k=10, **kw).collect()
+        assert [(r["docid"], np.float32(r["score"])) for r in cold] == [
+            (r["docid"], np.float32(r["score"])) for r in warm
+        ], q
+
+    def test_warm_repeat_uses_prune_memo(self, session):
+        a = session.search("error", k=10).collect()
+        b = session.search("error", k=10).collect()  # memoized prune plan
+        assert [(r["docid"], r["score"]) for r in a] == [(r["docid"], r["score"]) for r in b]
+        assert len(session._prune_memo) >= 1

@@ -440,3 +440,123 @@ class TestSfTransformsBatch3:
         assert reg["nginx_access"] is reg["apache_access"]
         for k in ["okta", "deepsecurity", "linux_secure"]:
             assert k in reg
+
+
+class TestSfTransformsBatch4:
+    def test_networkfirewall(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_networkfirewall
+
+        df = spark.createDataFrame(
+            [("TCP", "alert"), ("UDP", "netflow")],
+            "event_proto string, event_event_type string",
+        )
+        got = {r["event_proto"]: r for r in sf_networkfirewall(df).collect()}
+        assert got["TCP"]["network_transport"] == "tcp"
+        assert got["TCP"]["event_kind"] == "alert"
+        assert got["TCP"]["event_category"] == "intrusion_detection"
+        assert got["UDP"]["network_transport"] == "udp"
+        assert got["UDP"]["event_kind"] is None
+
+    def test_cloudfront_realtime(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_cloudfront_realtime
+
+        df = spark.createDataFrame(
+            [
+                ("/p/x.html?a=1", "https", "d111.cf.example", "/p/x.html", "HTTP/2.0",
+                 "Mozilla%2F5.0%20Fake", "AWSLogs/111/CloudFront/E2ABCDEFGHIJKL.2024.gz"),
+                ("/q", "http", "h", "/q", "HTTP/1.1", "curl/8", "no-dist-id-here"),
+            ],
+            "url_path string, cs_protocol string, cs_host string, cs_uri_stem string, "
+            "cs_protocol_version string, user_agent_original string, log_s3key string",
+        )
+        rows = sf_cloudfront_realtime(df).collect()
+        a = rows[0]
+        assert a["url_path"] == "/p/x.html"
+        assert a["url_full"] == "https://d111.cf.example/p/x.html"
+        assert a["http_version"] == "2.0"
+        assert a["user_agent_original"] == "Mozilla/5.0 Fake"
+        assert a["distribution_id"] == "E2ABCDEFGHIJKL"
+        assert rows[1]["distribution_id"] == "unknown"
+
+    def test_config_snapshot_ids_host_user(self, spark):
+        import datetime as dt
+        import hashlib
+
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_config_snapshot
+
+        ts = dt.datetime(2024, 3, 1, 12, 30, 45)
+        df = spark.createDataFrame(
+            [
+                ("111122223333", "us-east-1", "AWS::EC2::Instance", "i-0abc", None, "aws.config", None, ts,
+                 '{"state": {"code": "16", "name": "running"}, "networkInterfaces": [{"privateIpAddresses": '
+                 '[{"privateIpAddress": "10.0.0.5", "association": {"publicIp": "203.0.113.9"}}, '
+                 '{"privateIpAddress": "10.0.0.6"}]}]}'),
+                ("111122223333", "us-east-1", "AWS::IAM::User", "AIDACKCEVSQ6C2EXAMPLE", "alice", "aws.config",
+                 "arn:aws:config:us-east-1:111122223333:config-rule/config-rule-abcd", ts, "{}"),
+                ("111122223333", "us-east-1", "AWS::Config::ResourceCompliance",
+                 "AWS::IAM::Role/AROA123", None, "aws.config", None, ts, "{}"),
+                ("111122223333", "us-east-1", "AWS::SSM::PatchCompliance",
+                 "patch/i-0def", None, "aws.config", None, ts, "{}"),
+            ],
+            "awsAccountId string, awsRegion string, resourceType string, resourceId string, "
+            "resourceName string, event_module string, configRuleArn string, ts timestamp, "
+            "configuration string",
+        )
+        got = {r["resource_id"]: r for r in sf_config_snapshot(df).collect()}
+
+        ec2 = got["i-0abc"]
+        seed = "111122223333" + "us-east-1" + "AWS::EC2::Instance" + "i-0abc"
+        assert ec2["@id"] == hashlib.md5(seed.encode()).hexdigest()
+        sfx = hashlib.md5(("aws.config" + "").encode()).hexdigest()[:4]
+        assert ec2["__doc_id_suffix"] == f"20240301_123045_{sfx}"
+        assert ec2["cloud_instance_id"] == "i-0abc"
+        assert ec2["related_hosts"] == ["i-0abc"]
+        # ENI private ips + the public association, sorted (extract_ip)
+        assert ec2["related_ip"] == ["10.0.0.5", "10.0.0.6", "203.0.113.9"]
+        assert ec2["state_code"] == "16" and ec2["state_name"] == "running"
+
+        iam = got["AIDACKCEVSQ6C2EXAMPLE"]
+        assert iam["user_id"] == "AIDACKCEVSQ6C2EXAMPLE"
+        assert iam["user_name"] == "alice"
+        assert iam["related_user"] == ["alice", "AIDACKCEVSQ6C2EXAMPLE"]
+        # suffix md5 includes the rule ARN
+        sfx2 = hashlib.md5(
+            ("aws.config" + "arn:aws:config:us-east-1:111122223333:config-rule/config-rule-abcd").encode()
+        ).hexdigest()[:4]
+        assert iam["__doc_id_suffix"].endswith(sfx2)
+
+        comp = got["AWS::IAM::Role/AROA123"]
+        assert comp["user_id"] == "AROA123"
+
+        patch = got["patch/i-0def"]
+        assert patch["cloud_instance_id"] == "i-0def"
+
+    def test_config_snapshot_ip_variants(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_config_snapshot
+
+        df = spark.createDataFrame(
+            [
+                ("a", "r", "AWS::EC2::EIP", "eipalloc-1", "198.51.100.7", "m", None, None,
+                 '{"privateIpAddress": "10.1.1.1"}'),
+                ("a", "r", "AWS::EC2::NatGateway", "nat-1", None, "m", None, None,
+                 '{"natGatewayAddresses": [{"publicIp": "198.51.100.8", "privateIp": "10.2.2.2"}]}'),
+                ("a", "r", "AWS::SSM::ManagedInstanceInventory", "mi-1", None, "m", None, None,
+                 '{"AWS:Network": {"Content": [{"IPV4": "10.3.3.3", "IPV6": ""}]}}'),
+                ("a", "r", "AWS::S3::Bucket", "b-1", None, "m", None, None, "{}"),
+            ],
+            "awsAccountId string, awsRegion string, resourceType string, resourceId string, "
+            "resourceName string, event_module string, configRuleArn string, ts timestamp, "
+            "configuration string",
+        )
+        got = {r["resource_id"]: r for r in sf_config_snapshot(df).collect()}
+        assert got["eipalloc-1"]["related_ip"] == ["10.1.1.1", "198.51.100.7"]
+        assert got["nat-1"]["related_ip"] == ["10.2.2.2", "198.51.100.8"]
+        assert got["mi-1"]["related_ip"] == ["10.3.3.3"]  # empty IPV6 dropped
+        assert got["b-1"]["related_ip"] is None
+
+    def test_registry_has_batch4(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import transform_registry
+
+        reg = transform_registry()
+        for k in ["networkfirewall", "cloudfront_realtime", "config_snapshot"]:
+            assert k in reg
