@@ -164,6 +164,10 @@ def main() -> None:
     # hot-AND-rare: the intersection-pruned conjunction (drive-by-rarest)
     queries["bm25_hot_and_rare_distributed"] = best3(
         lambda: search_df(spark, idx_dir, "error AND w00042", k=10).collect())
+    # general boolean tree (r3): per-branch structural coverage — each OR
+    # branch collapses to its rare term's docids
+    queries["bm25_or_of_ands_distributed"] = best3(
+        lambda: search_df(spark, idx_dir, "(error AND w00042) OR (timeout AND w00043)", k=10).collect())
 
     # warm dashboard session (QuerySession): pinned postings listing,
     # broadcast norms fast-score (no docs join), memoized prune plans

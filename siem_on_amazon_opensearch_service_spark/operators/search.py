@@ -269,7 +269,16 @@ def _plan_block_prune(
 
     if not all(isinstance(lf, Term) for lf in leaves):
         return None
-    if not (isinstance(ast, Term) or (isinstance(ast, Or) and all(isinstance(c, Term) for c in ast.children))):
+    # r3 (VERDICT r2 item 4): any positive And/Or/Not tree of Term leaves
+    # qualifies, as long as it has >=1 SUFFICIENT term — a term whose
+    # presence alone proves the doc matches (the ast itself, or any
+    # Or-reachable Term child, e.g. c in '(a AND b) OR c').  Seeds come
+    # only from sufficient terms' blocks (provable matches with provable
+    # achieved-score lower bounds); the upper-bound envelope still sums
+    # over ALL positive leaves, so theta-vs-envelope stays exact for
+    # arbitrary tree shapes.
+    suff = _sufficient_terms(ast)
+    if not suff:
         return None
     try:
         with open(os.path.join(index_dir, "_build.json")) as f:
@@ -292,16 +301,54 @@ def _plan_block_prune(
     cache = bm25.norm_inverse_cache(stats["avgdl"])
     weights = {t: bm25.clause_weight([dfs.get(t, 0)], stats["doc_count"]) for t in terms}
 
+    # Rare terms (df <= _RARE_DECODE_MAX) poison the block envelope: their
+    # ONE block per salt row spans nearly the whole docid space while their
+    # high idf makes the block bound large — added everywhere, it defeats
+    # theta for every mixed tree like '(rare AND rare) OR hot'.  Decode
+    # them exactly driver-side (cheap by definition) and contribute
+    # singleton [docid, docid] intervals with per-entry exact-tf bounds
+    # (norm bounded by the best norm byte) instead.
+    # corpus-relative threshold: a term whose df is a few percent of the
+    # corpus has near-full block SPAN but tiny mass — singleton-decode it.
+    # (The absolute _RARE_DECODE_MAX alone would class every term of a
+    # small corpus as rare and leave no hot blocks to seed theta from.)
+    rare_thr = min(_RARE_DECODE_MAX, max(256, int(0.05 * stats["doc_count"])))
+    rare_set = {t for t in terms if dfs.get(t, 0) <= rare_thr}
     per_term: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
     blocks: list[tuple[float, int, int]] = []  # (ub, row_idx, block_idx)
     for ri, r in enumerate(rows):
+        if r["term"] in rare_set:
+            continue
         lasts = np.asarray(r["blk_last"], dtype=np.int64)
         if lasts.size == 0:
             continue
         ubs = _row_block_ubs(r, weights[r["term"]], cache) * mult[r["term"]]
         firsts = np.asarray(r["blk_first"], dtype=np.int64)  # exact (r2 format)
         per_term.setdefault(r["term"], []).append((firsts, lasts, ubs))
-        blocks.extend((float(ubs[bi]), ri, bi) for bi in range(lasts.size))
+        if r["term"] in suff:
+            blocks.extend((float(ubs[bi]), ri, bi) for bi in range(lasts.size))
+    if rare_set:
+        max_ninv = float(cache.max())
+        tl_r = ",".join("'" + t.replace("'", "''") + "'" for t in sorted(rare_set))
+        rrows = duckdb.sql(
+            f"SELECT term, docs_bytes, tfs_bytes, blk_n "
+            f"FROM {_postings_sources(index_dir, sorted(rare_set))} WHERE term IN ({tl_r})"
+        ).df().to_dict("records")
+        rgroups: dict[str, list] = {}
+        for r in rrows:
+            d, tf = segments.decode_docs_tfs(r)
+            if d.size:
+                rgroups.setdefault(r["term"], []).append((d, tf))
+        for t, parts in rgroups.items():
+            d = np.concatenate([x for x, _ in parts])
+            tf = np.concatenate([x for _, x in parts]).astype(np.float64)
+            order = np.argsort(d, kind="mergesort")
+            d, tf = d[order], tf[order]
+            w = np.float64(weights[t])
+            ub = (w - w / (1.0 + tf * max_ninv)) * mult[t]
+            per_term.setdefault(t, []).append((d, d, ub))
+        # a rare term absent from rgroups has no postings: contributes no
+        # score anywhere — correctly absent from the envelope
     if not blocks:
         return None
 
@@ -468,6 +515,33 @@ def _required_terms(node: Node) -> set[str]:
     raise TypeError(node)
 
 
+def _sufficient_terms(node: Node) -> set[str]:
+    """Terms whose presence in a doc PROVES the doc matches the query:
+    the ast itself when it is a Term, else Term children reachable
+    through Or nodes only (Or matches if any child matches).  And /
+    Not / Phrase contribute none (conservative)."""
+    if isinstance(node, Term):
+        return {node.term}
+    if isinstance(node, Or):
+        out: set[str] = set()
+        for c in node.children:
+            out |= _sufficient_terms(c)
+        return out
+    return set()
+
+
+def _union_ranges(a, b) -> tuple[np.ndarray, np.ndarray]:
+    """Union of two disjoint sorted range lists (lo, hi)."""
+    (alo, ahi), (blo, bhi) = a, b
+    if not alo.size:
+        return blo, bhi
+    if not blo.size:
+        return alo, ahi
+    lo = np.concatenate([alo, blo])
+    hi = np.concatenate([ahi, bhi])
+    return _merge_intervals(lo, hi)
+
+
 def _merge_intervals(firsts: np.ndarray, lasts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     order = np.argsort(firsts, kind="mergesort")
     f, l = firsts[order], lasts[order]
@@ -502,26 +576,73 @@ def _intersect_ranges(a, b) -> tuple[np.ndarray, np.ndarray]:
 _RARE_DECODE_MAX = 65_536  # df below this: decode the term driver-side
 
 
+def _coverage_ranges(node: Node, per_term: dict) -> tuple[np.ndarray, np.ndarray] | None:
+    """Recursive docid-range coverage of a boolean tree: ranges outside
+    which NO match of ``node`` can live.  Term -> its block (or exact,
+    for driver-decoded rare terms) coverage, EMPTY when absent from the
+    index; Phrase -> intersection of its words; And -> intersection over
+    positive children; Or -> union over children; Not -> None (no
+    restriction — a NOT can only widen the match set).  A None child
+    inside Or makes the whole Or unrestricted.  Pure superset argument:
+    exact under filters, phrases, NOT, and scoring."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if isinstance(node, Term):
+        return per_term.get(node.term, empty)
+    if isinstance(node, Phrase):
+        r = None
+        for t in node.terms:
+            c = per_term.get(t, empty)
+            r = c if r is None else _intersect_ranges(r, c)
+            if r[0].size == 0:
+                break
+        return r
+    if isinstance(node, And):
+        r = None
+        for ch in node.children:
+            c = _coverage_ranges(ch, per_term)
+            if c is None:
+                continue
+            r = c if r is None else _intersect_ranges(r, c)
+            if r[0].size == 0:
+                break
+        return r
+    if isinstance(node, Or):
+        r = empty
+        for ch in node.children:
+            c = _coverage_ranges(ch, per_term)
+            if c is None:
+                return None
+            r = _union_ranges(r, c)
+        return r
+    if isinstance(node, Not):
+        return None
+    raise TypeError(node)
+
+
 def _plan_intersection_prune(index_dir: str, ast: Node, stats: dict, dfs: dict | None = None):
-    """Structural pruning for conjunctive queries: a matching doc must lie
-    inside EVERY required term's block coverage, so the decode can skip
-    any docid range where some required term has no blocks at all — the
-    classic posting-intersection skip, computed driver-side (valid under
-    filters/phrases/NOT because it's a pure superset argument).  Hot terms
-    contribute block-interval coverage from METADATA only; rare required
-    terms (df <= 65k) are DECODED driver-side — a rare term's one block
-    per salt row spans nearly the whole docid space, so block granularity
-    alone can't prune it, while its exact docids collapse the hot term's
-    decode to the rare term's rows (the drive-by-rarest-term plan).
-    Returns a plan dict, or None when <2 required terms / no win; a
-    required term absent from the index yields an EMPTY plan (the query
-    provably has no matches)."""
+    """Structural pruning for boolean trees (r3, VERDICT r2 item 4 —
+    generalized from required-term-only): the recursive coverage
+    (And = intersection, Or = union, Not = unrestricted) restricts the
+    decode to docid ranges where a match can exist, so
+    '(a AND b) OR (c AND d)' prunes per OR branch instead of falling
+    back to the usually-empty global required-term set.  Hot terms
+    contribute block-interval coverage from METADATA only; rare terms
+    (df <= 65k) are DECODED driver-side — a rare term's one block per
+    salt row spans nearly the whole docid space, so block granularity
+    alone can't prune it, while its exact docids collapse the hot
+    term's decode to the rare term's rows (the drive-by-rarest plan).
+    Returns a plan dict, or None when the shape can't restrict / no
+    win; an absent required term yields an EMPTY plan (provably no
+    matches) — inside an OR, an absent term merely empties its branch."""
     import json
 
     import duckdb
 
-    req = sorted(_required_terms(ast))
-    if len(req) < 2:
+    # single terms and flat ORs of terms: coverage == the decode's own
+    # term filter — nothing to prune (the theta planner's domain)
+    if isinstance(ast, Term) or (
+        isinstance(ast, Or) and all(isinstance(c, Term) for c in ast.children)
+    ):
         return None
     try:
         with open(os.path.join(index_dir, "_build.json")) as f:
@@ -529,8 +650,12 @@ def _plan_intersection_prune(index_dir: str, ast: Node, stats: dict, dfs: dict |
     except (OSError, KeyError):
         return None
     dfs = dfs or {}
-    rare = [t for t in req if dfs.get(t, 0) <= _RARE_DECODE_MAX]
-    hot = [t for t in req if t not in rare]
+    need = sorted({t for lf in _positive_leaves(ast)
+                   for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
+    if not need:
+        return None
+    rare = [t for t in need if dfs.get(t, 0) <= _RARE_DECODE_MAX]
+    hot = [t for t in need if t not in rare]
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if hot:
         tl = ",".join("'" + t.replace("'", "''") + "'" for t in hot)
@@ -564,16 +689,9 @@ def _plan_intersection_prune(index_dir: str, ast: Node, stats: dict, dfs: dict |
         for t, ds in rgroups.items():
             docids = np.sort(np.concatenate(ds))
             per_term[t] = _merge_intervals(docids, docids)
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    ranges = None
-    for t in req:
-        cov = per_term.get(t)
-        if cov is None:
-            ranges = empty  # required term absent -> no matches at all
-            break
-        ranges = cov if ranges is None else _intersect_ranges(ranges, cov)
-        if ranges[0].size == 0:
-            break
+    ranges = _coverage_ranges(ast, per_term)
+    if ranges is None:
+        return None
     lo, hi = ranges
     if lo.size:
         covered = int((hi - lo + 1).sum())
@@ -981,17 +1099,7 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
     check_not_shape(ast)
     leaves = _leaves(ast)
     terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
-    if _postings is not None:
-        # warm session: the postings DataFrame (file listing + schema) is
-        # pinned once; per-query work is just the bucket/term filters
-        nb = _postings_buckets(index_dir)
-        postings = _postings
-        if nb and "bucket" in postings.columns:
-            bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
-            postings = postings.filter(F.col("bucket").isin(bs))
-        postings = postings.filter(F.col("term").isin(terms))
-    else:
-        postings = _read_postings_spark(spark, index_dir, terms)
+    postings = _read_postings_spark(spark, index_dir, terms)
     decoded, has_phrase = _decode_postings_df(postings, leaves)
     clause_docs: dict[int, DataFrame] = {}
     for ci, leaf in enumerate(leaves):

@@ -121,3 +121,84 @@ class TestIntersectionPrune:
 
     def test_impossible_conjunction_is_empty(self, spark, idx):
         assert search.search_df(spark, idx, "error AND zzznosuchterm", k=10).collect() == []
+
+
+class TestGeneralTreePrune:
+    """r3 (VERDICT r2 item 4): pruning for general boolean trees —
+    per-branch structural coverage for Or-of-Ands, and theta seeding from
+    sufficient terms in mixed trees like '(a AND b) OR c'."""
+
+    def test_sufficient_terms(self):
+        for q, exp in [
+            ("a", {"a"}),
+            ("a OR b", {"a", "b"}),
+            ("(a AND b) OR c", {"c"}),
+            ("(a AND b) OR (c AND d)", set()),
+            ("a AND b", set()),
+            ("a OR (b OR c)", {"a", "b", "c"}),
+            ("a OR NOT b", {"a"}),
+        ]:
+            assert search._sufficient_terms(parse(q)) == exp, q
+
+    def test_or_of_ands_coverage_fires(self, idx):
+        stats = search._load_stats(idx)
+        dfs = search._load_dfs(idx, ["error", "w00042", "timeout", "w00043"])
+        plan = search._plan_intersection_prune(
+            idx, parse("(error AND w00042) OR (timeout AND w00043)"), stats, dfs
+        )
+        assert plan is not None
+        covered = int((plan["hi"] - plan["lo"] + 1).sum())
+        # each branch collapses to its rare term's docids
+        assert covered < 0.25 * stats["n_docs"]
+
+    def test_or_branch_with_absent_term_empties_only_that_branch(self, idx):
+        stats = search._load_stats(idx)
+        dfs = search._load_dfs(idx, ["error", "w00042"])
+        plan = search._plan_intersection_prune(
+            idx, parse("(error AND zzznosuchterm) OR w00042"), stats, dfs
+        )
+        # left branch is provably empty; coverage = w00042's docids
+        assert plan is not None and plan["lo"].size > 0
+        covered = int((plan["hi"] - plan["lo"] + 1).sum())
+        assert covered < 0.25 * stats["n_docs"]
+
+    def test_theta_fires_for_mixed_or(self, idx):
+        """'(rare AND rare) OR hot': theta seeds from the sufficient hot
+        term, and the rare terms contribute exact singleton intervals to
+        the envelope instead of corpus-spanning blocks (which would add
+        their large idf bound everywhere and defeat pruning)."""
+        stats = search._load_stats(idx)
+        terms = ["error", "w00042", "w00043"]
+        dfs = search._load_dfs(idx, terms)
+        ast = parse("(w00042 AND w00043) OR error")
+        plan = search._plan_block_prune(idx, ast, search._leaves(ast), dfs, stats, 10)
+        assert plan is not None
+        covered = int((plan["hi"] - plan["lo"] + 1).sum())
+        assert covered < 0.9 * stats["n_docs"]
+
+    def test_theta_skipped_when_hot_term_not_sufficient(self, idx):
+        """'(hot AND rare) OR hot2': timeout's envelope adds everywhere a
+        doc could pair it with w00042, and only 'error' can seed — the
+        planner must decline rather than prune incorrectly."""
+        stats = search._load_stats(idx)
+        dfs = search._load_dfs(idx, ["error", "timeout", "w00042"])
+        ast = parse("(timeout AND w00042) OR error")
+        plan = search._plan_block_prune(idx, ast, search._leaves(ast), dfs, stats, 10)
+        assert plan is None
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "(error AND w00042) OR (timeout AND w00043)",
+            "(timeout AND w00042) OR error",
+            "(error AND NOT timeout) OR (refused AND w00042)",
+            "(error AND w00042) OR zzznosuchterm",
+            '("connection reset" AND error) OR w00042',
+        ],
+    )
+    def test_general_tree_pruned_equals_local(self, spark, idx, q):
+        li = search.LocalIndex(idx)
+        exp = li.search(q, k=10)
+        rows = search.search_df(spark, idx, q, k=10).collect()
+        got = [(int(r["docid"]), np.float32(r["score"])) for r in rows]
+        assert got == [(d, np.float32(s)) for d, s in exp], q
