@@ -813,6 +813,328 @@ def sf_config_snapshot(df: DataFrame) -> DataFrame:
     return out
 
 
+#: EC2 instance id anywhere in text (reference siem/utils.py:97-98)
+INSTANCE_ID_RE = r"(?:\W|_|^)(i-(?:[0-9a-z]{8}|[0-9a-z]{17}))(?:\W|_|$)"
+
+
+def sf_linux_os_syslog(df: DataFrame) -> DataFrame:
+    """Linux OS syslog routing (sf_linux_os_syslog.py:103-124): instance
+    id mined from the CloudWatch log stream -> cloud.instance.id +
+    related.hosts [hostname, instance]; sshd/sudo/su lines route to the
+    secure index and get the sf_linux_secure sshd/sudo extraction."""
+    out = sf_linux_secure(df)
+    proc = F.col("proc")
+    secure = proc.contains("sshd") | proc.contains("sudo") | (proc == "su")
+    out = out.withColumn("__index_name", F.when(secure, "log-linux-secure"))
+    if "log_stream" in out.columns:
+        iid = F.regexp_extract(F.col("log_stream"), INSTANCE_ID_RE, 1)
+        iid = F.when(iid != "", iid)
+        out = out.withColumn("cloud_instance_id", iid)
+        if "hostname" in out.columns:
+            out = out.withColumn(
+                "related_hosts",
+                F.when(iid.isNotNull(), F.array(F.col("hostname"), iid)),
+            )
+        else:
+            out = out.withColumn("related_hosts", F.when(iid.isNotNull(), F.array(iid)))
+    return out
+
+
+def _named_extract_udf(pattern: str, fields: list[str]):
+    """Arrow-batched named-group extraction for one pattern (generic
+    sibling of _cascade_extract_udf)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rx = re.compile(pattern)
+    schema = T.StructType([T.StructField(f, T.StringType()) for f in fields])
+
+    @F.pandas_udf(schema)
+    def extract(msgs):
+        out = {f: [] for f in fields}
+        for msg in msgs.fillna(""):
+            m = rx.search(msg)
+            g = m.groupdict() if m else {}
+            for f in fields:
+                out[f].append(g.get(f))
+        return pd.DataFrame(out)
+
+    return extract
+
+
+#: nginx error-log message decomposition (sf_nginx_error.py:16-23)
+NGINX_ERROR_MSG_RE = (
+    r"client: (?P<client_ip>[0-9a-f.:]+), server: (-|(?P<server>[^ ]*?))"
+    r"(?:, request: \"((?P<request_method>[^ ]+) (?P<request_path>[^ ]+) "
+    r"HTTP/(?P<request_version>[^ ]+)|(?P<request_raw>.*?))\")?"
+    r"(?:, upstream: \"(?P<upstream>.+?)\")?"
+    r"(?:, host: \"(?P<host>[^ ]+?)\")?"
+    r"(?:, referrer: \"(?P<referrer>[^ ]+?)\")?$"
+)
+
+
+def sf_nginx_error(df: DataFrame) -> DataFrame:
+    """nginx error log (sf_nginx_error.py:39-116): message decomposed into
+    client ip / request / host / referrer, the http+url bundle via
+    http_url_decompose, service.name from the s3 key, scheme from the
+    log group, instance id from the log stream, connection id namespaced;
+    raw line-parse columns dropped like the reference."""
+    from .scalars import http_url_decompose
+
+    ext = _named_extract_udf(
+        NGINX_ERROR_MSG_RE,
+        ["client_ip", "server", "request_method", "request_path",
+         "request_version", "request_raw", "upstream", "host", "referrer"],
+    )(F.col("message"))
+    out = df.withColumn("_m", ext)
+    out = (
+        out.withColumn("source_ip", F.col("_m.client_ip"))
+        .withColumn("source_address", F.col("_m.client_ip"))
+        .withColumn("related_ip", F.col("_m.client_ip"))
+        .withColumn("http_request_referrer", F.col("_m.referrer"))
+        .withColumn(
+            "web",
+            http_url_decompose(
+                F.col("_m.request_method"), F.col("_m.request_path"),
+                F.col("_m.request_version"), F.col("_m.request_raw"),
+            ),
+        )
+    )
+    host_parts = F.split(F.col("_m.host"), ":")
+    out = out.withColumn(
+        "url_domain", F.when(F.col("_m.host").isNotNull(), host_parts[0])
+    ).withColumn("url_port", F.when(F.size(host_parts) == 2, host_parts[1]))
+    if "log_s3key" in out.columns:
+        svc = F.regexp_extract(F.col("log_s3key"), r"/web-site-name=([^/]*?)/", 1)
+        out = out.withColumn("service_name", F.when(svc != "", svc))
+    if "log_group" in out.columns:
+        out = out.withColumn(
+            "url_scheme",
+            F.when(F.col("log_group").contains("ssl"), "https").when(
+                F.col("log_group").contains("error"), "http"
+            ),
+        )
+    if "log_stream" in out.columns:
+        iid = F.regexp_extract(F.col("log_stream"), INSTANCE_ID_RE, 1)
+        out = out.withColumn("cloud_instance_id", F.when(iid != "", iid))
+    if "connection_id" in out.columns:
+        out = out.withColumn("nginx_error_connection_id", F.col("connection_id"))
+    drop = [c for c in ("_m", "connection_id", "datetime", "message", "process_id", "thread_id", "severity") if c in out.columns or c == "_m"]
+    return out.drop(*drop)
+
+
+#: rds_postgresql message classifiers (sf_rds_postgresql.py:15-22)
+PG_SESSION_TIME_RE = r"disconnection: session time: (\d+):(\d{2}):([\d.]+)"
+PG_STATEMENT_RE = r"^statement:\s+(\w+.*)"
+PG_DURATION_RE = r"^duration:\s+([\d.]+)\s+ms(?:\s*(parse|bind|execute)?.*?:\s+(.*))?"
+
+
+def sf_rds_postgresql(df: DataFrame) -> DataFrame:
+    """RDS PostgreSQL log normalization (sf_rds_postgresql.py:26-90):
+    cluster/instance identifiers from the CloudWatch log group/stream,
+    then the log_level-keyed cascade — STATEMENT -> rds.query, FATAL
+    auth failures / LOG authorizations -> authentication events,
+    disconnection session time (the reference computes hours*60*24 —
+    faithfully replicated), duration/statement slow-log extraction."""
+    msg = F.col("postgresql_message")
+    lvl = F.col("postgresql_log_level")
+    out = df
+    if "log_group" in out.columns and "log_stream" in out.columns:
+        # /aws/rds/{instance|cluster}/{identifier}/... (utils.py:160-174):
+        # 'instance' -> instance id only; 'cluster' -> cluster id + the
+        # log stream's first dotted segment as the instance id
+        parts = F.split(F.col("log_group"), "/")
+        kind4 = F.element_at(parts, 4)
+        ident5 = F.element_at(parts, 5)
+        stream0 = F.element_at(F.split(F.col("log_stream"), r"\."), 1)
+        out = out.withColumn(
+            "rds_cluster_identifier", F.when(kind4 == "cluster", ident5)
+        ).withColumn(
+            "rds_instance_identifier",
+            F.when(kind4 == "instance", ident5).when(kind4 == "cluster", stream0),
+        )
+    auth_fail = (lvl == "FATAL") & msg.contains("authentication failed")
+    auth_ok = (lvl == "LOG") & msg.contains("connection authorized")
+    out = (
+        out.withColumn("event_category", F.when(auth_fail | auth_ok, "authentication"))
+        .withColumn("event_type", F.when(auth_fail | auth_ok, "start"))
+        .withColumn("event_action", F.when(auth_fail, "failed").when(auth_ok, "authorized"))
+        .withColumn("event_outcome", F.when(auth_fail, "failure").when(auth_ok, "success"))
+    )
+    sess_h = F.regexp_extract(msg, PG_SESSION_TIME_RE, 1)
+    sess_m = F.regexp_extract(msg, PG_SESSION_TIME_RE, 2)
+    sess_s = F.regexp_extract(msg, PG_SESSION_TIME_RE, 3)
+    has_sess = (lvl == "LOG") & ~auth_ok & (sess_s != "")
+    # NOTE: hours multiply by 60*24 in the reference (sf_rds_postgresql.py:81
+    # — looks like a bug for *3600, replicated for parity)
+    sess_total = (
+        sess_s.cast("double")
+        + F.when(sess_m.cast("int") > 0, sess_m.cast("double") * 60).otherwise(0.0)
+        + F.when(sess_h.cast("int") > 0, sess_h.cast("double") * 60 * 24).otherwise(0.0)
+    )
+    out = out.withColumn("postgresql_session_time_seconds", F.when(has_sess, sess_total))
+    stmt = F.regexp_extract(msg, PG_STATEMENT_RE, 1)
+    dur = F.regexp_extract(msg, PG_DURATION_RE, 1)
+    dur_step = F.regexp_extract(msg, PG_DURATION_RE, 2)
+    dur_stmt = F.regexp_extract(msg, PG_DURATION_RE, 3)
+    is_stmt_lvl = lvl == "STATEMENT"
+    slow_ok = (lvl == "LOG") & ~auth_ok & ~has_sess
+    has_stmt = slow_ok & (stmt != "")
+    has_dur = slow_ok & (stmt == "") & (dur != "")
+    out = (
+        out.withColumn(
+            "rds_query",
+            F.when(is_stmt_lvl, msg)
+            .when(has_stmt, F.regexp_replace(stmt, ";+$", ""))
+            .when(has_dur & (dur_step != ""), dur_stmt),
+        )
+        .withColumn(
+            "postgresql_query_step",
+            F.when(has_stmt, "execute").when(
+                has_dur, F.when(dur_step != "", dur_step).otherwise("execute")
+            ),
+        )
+        .withColumn("postgresql_duration_ms", F.when(has_dur, dur.cast("double")))
+        .withColumn("rds_query_time", F.when(has_dur, dur.cast("double") / 1000.0))
+    )
+    return out
+
+
+def sf_clientvpn(df: DataFrame) -> DataFrame:
+    """Client VPN connection log (sf_clientvpn.py:10-51): outcome from the
+    attempt status, error.message from the failure reason, 'NA' client ip
+    nulled, bytes/packets totals, ' ' -> 'T' + '+00:00' timestamp fixups,
+    duration seconds -> event.duration nanoseconds."""
+    st = F.col("connection_attempt_status")
+    out = df.withColumn(
+        "event_outcome",
+        F.when(st == "successful", "success").when(st == "failed", "failure"),
+    )
+    if "connection_attempt_failure_reason" in df.columns:
+        r = F.col("connection_attempt_failure_reason")
+        out = out.withColumn("error_message", F.when(r != "NA", r))
+    if "client_ip" in out.columns:
+        out = out.withColumn("client_ip", F.when(F.col("client_ip") != "NA", F.col("client_ip")))
+    b = sum(
+        (F.coalesce(F.col(c).cast("long"), F.lit(0)) for c in ("egress_bytes", "ingress_bytes") if c in df.columns),
+        F.lit(0).cast("long"),
+    )
+    pk = sum(
+        (F.coalesce(F.col(c).cast("long"), F.lit(0)) for c in ("egress_packets", "ingress_packets") if c in df.columns),
+        F.lit(0).cast("long"),
+    )
+    out = out.withColumn("network_bytes", F.when((b != 0) | (pk != 0), b)).withColumn(
+        "network_packets", F.when((b != 0) | (pk != 0), pk)
+    )
+    for c in ("connection_start_time", "connection_end_time", "connection_last_update_time"):
+        if c in out.columns:
+            fixed = F.concat(F.regexp_replace(F.col(c), " ", "T"), F.lit("+00:00"))
+            out = out.withColumn(c, F.when(F.col(c) != "NA", fixed))
+    if "connection_duration_seconds" in out.columns:
+        d = F.col("connection_duration_seconds")
+        out = out.withColumn(
+            "event_duration",
+            F.when(d != "NA", d.cast("long") * 1000 * 1000 * 1000),
+        )
+    return out
+
+
+#: MSK broker log s3-key and ConsumerLag line (sf_msk.py:14-19)
+MSK_CLUSTER_RE = r"/([\w-]+)-(\w{8}-\w{4}-\w{4}-\w{4}-\w{12}-\w{1})/.*/Broker-(\d+)_"
+MSK_CONSUMER_LAG_RE = (
+    r"ConsumerLag for groupId=([\w.-]+) topic=([\w.-]+) : SumLag=(\d+) "
+    r"MaxLag=(\d+) TimeLag=(\d+)"
+)
+
+
+def sf_msk(df: DataFrame) -> DataFrame:
+    """MSK broker log (sf_msk.py:23-37): cluster name + broker id from the
+    s3 key, ConsumerLag line decomposition."""
+    out = df
+    if "log_s3key" in out.columns:
+        cl = F.regexp_extract(F.col("log_s3key"), MSK_CLUSTER_RE, 1)
+        br = F.regexp_extract(F.col("log_s3key"), MSK_CLUSTER_RE, 3)
+        out = out.withColumn("msk_cluster_name", F.when(cl != "", cl)).withColumn(
+            "msk_broker_id", F.when(br != "", br)
+        )
+    lag = [F.regexp_extract(F.col("msk_message"), MSK_CONSUMER_LAG_RE, i) for i in range(1, 6)]
+    has = lag[0] != ""
+    return (
+        out.withColumn("msk_log_type", F.when(has, "ConsumerLag"))
+        .withColumn("msk_group_id", F.when(has, lag[0]))
+        .withColumn("msk_topic", F.when(has, lag[1]))
+        .withColumn("msk_sum_lag", F.when(has, lag[2]))
+        .withColumn("msk_max_lag", F.when(has, lag[3]))
+        .withColumn("msk_time_lag", F.when(has, lag[4]))
+    )
+
+
+_IPV4_RE = r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"
+_IPV6ISH_RE = r"^[0-9A-Fa-f:]+:[0-9A-Fa-f:]*$"
+
+
+def sf_trustedadvisor(df: DataFrame) -> DataFrame:
+    """Trusted Advisor check result (sf_trustedadvisor.py:10-105):
+    event.kind=alert on warning/error statuses, service + ARN recovered
+    by positional lookup of the check metadata headers in the flagged
+    resource metadata, EC2 instance id from the ARN resource part,
+    category mapping, related ip (IP-shaped metadata entries) and hosts.
+    Expects flattened columns: result_status, flagged_status,
+    check_metadata array<string>, result_metadata array<string>."""
+    out = df
+    kind = F.when(
+        F.col("result_status").isin("warning", "error")
+        | F.col("flagged_status").isin("warning", "error"),
+        "alert",
+    ).otherwise("event")
+    out = out.withColumn("event_kind", kind)
+
+    cm, rm = F.col("check_metadata"), F.col("result_metadata")
+    svc_pos = F.array_position(cm, "Service")
+    res_pos = F.array_position(cm, "Resource")
+    wl_pos = F.array_position(cm, "Workload ARN")
+    arn = F.coalesce(
+        F.when(wl_pos > 0, F.element_at(rm, wl_pos.cast("int"))),
+        F.when(res_pos > 0, F.element_at(rm, res_pos.cast("int"))),
+        F.lit(""),
+    )
+    arn_parts = F.split(arn, ":")
+    svc = F.when(F.size(arn_parts) > 2, F.lower(F.element_at(arn_parts, 3))).otherwise(
+        F.when(svc_pos > 0, F.lower(F.element_at(rm, svc_pos.cast("int")))).otherwise(
+            "trustedadvisor"
+        )
+    )
+    # arn:partition:service:region:account:resource-type/resource-id
+    res_part = F.when(F.size(arn_parts) > 5, F.element_at(arn_parts, 6))
+    rt = F.split(res_part, "/")
+    is_ec2_inst = (svc == "ec2") & (F.size(rt) > 1) & (rt[0] == "instance")
+    svc_final = F.when(is_ec2_inst, "ec2").when(
+        (svc == "ec2") & (F.size(rt) > 1), rt[0]
+    ).otherwise(svc)
+    out = (
+        out.withColumn("cloud_service_name", svc_final)
+        .withColumn("cloud_instance_id", F.when(is_ec2_inst, rt[1]))
+        .withColumn(
+            "event_category",
+            F.when(svc_final.isin("rds", "dynamodb", "s3", "ebs", "redshift", "elasticache"), "database")
+            .when(svc_final.isin("iam", "cloudtrail"), "iam")
+            .when(
+                svc_final.isin("vpc", "route53", "elasticloadbalancing", "network-acl", "subnet", "secuirty-group"),
+                "network",
+            )
+            .otherwise("configuration"),
+        )
+    )
+    ips = F.filter(rm, lambda x: x.rlike(_IPV4_RE) | x.rlike(_IPV6ISH_RE))
+    out = out.withColumn("related_ip", F.when(F.size(ips) > 0, F.slice(ips, -1, 1)))
+    return out.withColumn(
+        "related_hosts",
+        F.when(F.col("cloud_instance_id").isNotNull(), F.array(F.col("cloud_instance_id"))),
+    )
+
+
 def transform_registry() -> dict:
     """Per-logtype transform hooks (SURVEY.md §2.11): the reference ships 40
     sf_<logtype>.transform(logdata) row-UDFs (siem/sf_*.py, loader
@@ -863,6 +1185,12 @@ def transform_registry() -> dict:
         "networkfirewall": sf_networkfirewall,
         "cloudfront_realtime": sf_cloudfront_realtime,
         "config_snapshot": sf_config_snapshot,
+        "linux_os_syslog": sf_linux_os_syslog,
+        "nginx_error": sf_nginx_error,
+        "rds_postgresql": sf_rds_postgresql,
+        "clientvpn": sf_clientvpn,
+        "msk": sf_msk,
+        "trustedadvisor": sf_trustedadvisor,
     }
 
 

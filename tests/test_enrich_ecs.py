@@ -560,3 +560,155 @@ class TestSfTransformsBatch4:
         reg = transform_registry()
         for k in ["networkfirewall", "cloudfront_realtime", "config_snapshot"]:
             assert k in reg
+
+
+class TestSfTransformsBatch5:
+    def test_linux_os_syslog_routing_and_instance(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_linux_os_syslog
+
+        df = spark.createDataFrame(
+            [
+                ("sshd[123]", "Accepted publickey for alice from 192.0.2.5 port 52222",
+                 "ip-10-0-0-1_i-0123456789abcdef0_grp", "web01"),
+                ("cron", "job ran", "stream-noid", "web02"),
+            ],
+            "proc string, syslog_message string, log_stream string, hostname string",
+        )
+        got = {r["proc"]: r for r in sf_linux_os_syslog(df).collect()}
+        sshd = got["sshd[123]"]
+        assert sshd["__index_name"] == "log-linux-secure"
+        assert sshd["event_outcome"] == "success"
+        assert sshd["user_name"] == "alice" and sshd["source_ip"] == "192.0.2.5"
+        assert sshd["cloud_instance_id"] == "i-0123456789abcdef0"
+        assert sshd["related_hosts"] == ["web01", "i-0123456789abcdef0"]
+        cron = got["cron"]
+        assert cron["__index_name"] is None and cron["cloud_instance_id"] is None
+
+    def test_nginx_error(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_nginx_error
+
+        msg = ('client: 192.0.2.9, server: example.com, request: '
+               '"GET /a/b.html?x=1 HTTP/1.1", upstream: "http://10.0.0.1:8080/a", '
+               'host: "example.com:443", referrer: "https://ref.example/"')
+        df = spark.createDataFrame(
+            [(msg, "logs/web-site-name=shop/x.log", "prod-ssl-error", "app_i-0123456789abcdef0_s",
+              "77", "2024/01/01", "99", "88", "error")],
+            "message string, log_s3key string, log_group string, log_stream string, "
+            "connection_id string, datetime string, process_id string, thread_id string, severity string",
+        )
+        r = sf_nginx_error(df).first()
+        assert r["source_ip"] == "192.0.2.9" and r["related_ip"] == "192.0.2.9"
+        assert r["url_domain"] == "example.com" and r["url_port"] == "443"
+        assert r["http_request_referrer"] == "https://ref.example/"
+        assert r["web"]["url_path"] == "/a/b.html" and r["web"]["url_query"] == "x=1"
+        assert r["service_name"] == "shop"
+        assert r["url_scheme"] == "https"
+        assert r["cloud_instance_id"] == "i-0123456789abcdef0"
+        assert r["nginx_error_connection_id"] == "77"
+        for dropped in ("connection_id", "datetime", "message", "process_id", "thread_id", "severity"):
+            assert dropped not in sf_nginx_error(df).columns
+
+    def test_rds_postgresql(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_rds_postgresql
+
+        rows = [
+            ("LOG", "connection authorized: user=app database=prod", 1),
+            ("FATAL", 'password authentication failed for user "bob"', 2),
+            ("STATEMENT", "SELECT * FROM t", 3),
+            ("LOG", "disconnection: session time: 1:02:03.5 user=app", 4),
+            ("LOG", "duration: 0.117 ms  bind <unnamed>: SELECT 1", 5),
+            ("LOG", "statement: SELECT 42;", 6),
+        ]
+        df = spark.createDataFrame(
+            [(lvl, m, i, "/aws/rds/cluster/mycluster/postgresql", "myinstance.0") for lvl, m, i in rows],
+            "postgresql_log_level string, postgresql_message string, i int, log_group string, log_stream string",
+        )
+        got = {r["i"]: r for r in sf_rds_postgresql(df).collect()}
+        assert got[1]["event_outcome"] == "success" and got[1]["event_action"] == "authorized"
+        assert got[2]["event_outcome"] == "failure" and got[2]["event_category"] == "authentication"
+        assert got[3]["rds_query"] == "SELECT * FROM t"
+        # reference computes hours*60*24 + minutes*60 + seconds (replicated)
+        assert abs(got[4]["postgresql_session_time_seconds"] - (1 * 60 * 24 + 2 * 60 + 3.5)) < 1e-9
+        assert got[5]["postgresql_query_step"] == "bind" and got[5]["rds_query"] == "SELECT 1"
+        assert abs(got[5]["rds_query_time"] - 0.000117) < 1e-9
+        assert got[6]["rds_query"] == "SELECT 42" and got[6]["postgresql_query_step"] == "execute"
+        assert got[1]["rds_cluster_identifier"] == "mycluster"
+        assert got[1]["rds_instance_identifier"] == "myinstance"
+
+    def test_clientvpn(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_clientvpn
+
+        df = spark.createDataFrame(
+            [
+                ("successful", "NA", "203.0.113.9", "100", "50", "3", "2",
+                 "2024-01-01 10:00:00", "NA", "2024-01-01 10:30:00", "1800"),
+                ("failed", "user-not-found", "NA", "0", "0", "0", "0",
+                 "NA", "NA", "2024-01-01 11:00:00", "NA"),
+            ],
+            "connection_attempt_status string, connection_attempt_failure_reason string, "
+            "client_ip string, egress_bytes string, ingress_bytes string, egress_packets string, "
+            "ingress_packets string, connection_start_time string, connection_end_time string, "
+            "connection_last_update_time string, connection_duration_seconds string",
+        )
+        a, b = sf_clientvpn(df).collect()
+        assert a["event_outcome"] == "success" and b["event_outcome"] == "failure"
+        assert a["error_message"] is None and b["error_message"] == "user-not-found"
+        assert a["client_ip"] == "203.0.113.9" and b["client_ip"] is None
+        assert a["network_bytes"] == 150 and a["network_packets"] == 5
+        assert b["network_bytes"] is None
+        assert a["connection_start_time"] == "2024-01-01T10:00:00+00:00"
+        assert a["connection_end_time"] is None
+        assert a["event_duration"] == 1800 * 10**9 and b["event_duration"] is None
+
+    def test_msk(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_msk
+
+        df = spark.createDataFrame(
+            [("AWSLogs/111/KafkaBrokerLogs/us-east-1/mycluster-12345678-abcd-ef01-2345-0123456789ab-1/2024/Broker-2_file.gz",
+              "ConsumerLag for groupId=amazon.msk.canary.group.broker-2 topic=canary : SumLag=3 MaxLag=1 TimeLag=60 (x)")],
+            "log_s3key string, msk_message string",
+        )
+        r = sf_msk(df).first()
+        assert r["msk_cluster_name"] == "mycluster" and r["msk_broker_id"] == "2"
+        assert r["msk_log_type"] == "ConsumerLag"
+        assert (r["msk_group_id"], r["msk_topic"]) == ("amazon.msk.canary.group.broker-2", "canary")
+        assert (r["msk_sum_lag"], r["msk_max_lag"], r["msk_time_lag"]) == ("3", "1", "60")
+
+    def test_trustedadvisor(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_trustedadvisor
+
+        df = spark.createDataFrame(
+            [
+                ("warning", "error",
+                 ["Region", "Service", "Resource"],
+                 ["us-east-1", "EC2", "arn:aws:ec2:us-east-1:111122223333:instance/i-0abc12345"], 1),
+                ("ok", "ok",
+                 ["Region", "Resource"],
+                 ["eu-west-1", "arn:aws:iam::111122223333:role/my-role"], 2),
+                ("ok", "warning",
+                 ["IP Address"],
+                 ["198.51.100.7"], 3),
+            ],
+            "result_status string, flagged_status string, check_metadata array<string>, "
+            "result_metadata array<string>, i int",
+        )
+        got = {r["i"]: r for r in sf_trustedadvisor(df).collect()}
+        ec2 = got[1]
+        assert ec2["event_kind"] == "alert"
+        assert ec2["cloud_service_name"] == "ec2"
+        assert ec2["cloud_instance_id"] == "i-0abc12345"
+        assert ec2["related_hosts"] == ["i-0abc12345"]
+        iam = got[2]
+        assert iam["event_kind"] == "event"
+        assert iam["cloud_service_name"] == "iam"
+        assert iam["event_category"] == "iam"
+        ip = got[3]
+        assert ip["event_kind"] == "alert"
+        assert ip["related_ip"] == ["198.51.100.7"]
+
+    def test_registry_has_batch5(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import transform_registry
+
+        reg = transform_registry()
+        for k in ["linux_os_syslog", "nginx_error", "rds_postgresql", "clientvpn", "msk", "trustedadvisor"]:
+            assert k in reg
