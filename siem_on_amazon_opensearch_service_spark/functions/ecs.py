@@ -925,6 +925,25 @@ def sf_nginx_error(df: DataFrame) -> DataFrame:
     return out.drop(*drop)
 
 
+def _rds_identifiers(df: DataFrame) -> DataFrame:
+    """RDS cluster/instance identifiers from the CloudWatch log group +
+    stream (reference utils.py:143-174): /aws/rds/{instance|cluster}/
+    {identifier}/... — 'instance' -> instance id only; 'cluster' ->
+    cluster id + the log stream's first dotted segment as instance id."""
+    if "log_group" not in df.columns or "log_stream" not in df.columns:
+        return df
+    parts = F.split(F.col("log_group"), "/")
+    kind4 = F.element_at(parts, 4)
+    ident5 = F.element_at(parts, 5)
+    stream0 = F.element_at(F.split(F.col("log_stream"), r"\."), 1)
+    return df.withColumn(
+        "rds_cluster_identifier", F.when(kind4 == "cluster", ident5)
+    ).withColumn(
+        "rds_instance_identifier",
+        F.when(kind4 == "instance", ident5).when(kind4 == "cluster", stream0),
+    )
+
+
 #: rds_postgresql message classifiers (sf_rds_postgresql.py:15-22)
 PG_SESSION_TIME_RE = r"disconnection: session time: (\d+):(\d{2}):([\d.]+)"
 PG_STATEMENT_RE = r"^statement:\s+(\w+.*)"
@@ -940,21 +959,7 @@ def sf_rds_postgresql(df: DataFrame) -> DataFrame:
     faithfully replicated), duration/statement slow-log extraction."""
     msg = F.col("postgresql_message")
     lvl = F.col("postgresql_log_level")
-    out = df
-    if "log_group" in out.columns and "log_stream" in out.columns:
-        # /aws/rds/{instance|cluster}/{identifier}/... (utils.py:160-174):
-        # 'instance' -> instance id only; 'cluster' -> cluster id + the
-        # log stream's first dotted segment as the instance id
-        parts = F.split(F.col("log_group"), "/")
-        kind4 = F.element_at(parts, 4)
-        ident5 = F.element_at(parts, 5)
-        stream0 = F.element_at(F.split(F.col("log_stream"), r"\."), 1)
-        out = out.withColumn(
-            "rds_cluster_identifier", F.when(kind4 == "cluster", ident5)
-        ).withColumn(
-            "rds_instance_identifier",
-            F.when(kind4 == "instance", ident5).when(kind4 == "cluster", stream0),
-        )
+    out = _rds_identifiers(df)
     auth_fail = (lvl == "FATAL") & msg.contains("authentication failed")
     auth_ok = (lvl == "LOG") & msg.contains("connection authorized")
     out = (
@@ -1135,6 +1140,506 @@ def sf_trustedadvisor(df: DataFrame) -> DataFrame:
     )
 
 
+def sf_rds_mysql_audit(df: DataFrame) -> DataFrame:
+    """RDS MySQL/MariaDB audit log (sf_rds_mysql_audit.py:13-48):
+    identifiers, micro-epoch timestamp to seconds, quoted+escaped query
+    unwrapped, CONNECT/FAILED_CONNECT/DISCONNECT auth events, retcode
+    outcome."""
+    out = _rds_identifiers(df)
+    if "mysql_timestamp" in out.columns:
+        ts = F.col("mysql_timestamp").cast("double")
+        # strictly > 10^15, like the reference (utils.py:375)
+        out = out.withColumn(
+            "mysql_timestamp",
+            F.when(ts > F.lit(1000000000000000.0), ts / 1e6).otherwise(ts),
+        )
+    if "mysql_object" in out.columns:
+        q = F.regexp_replace(F.col("mysql_object"), ";+$", "")
+        # the reference unicode-unescapes then strips the surrounding
+        # quotes; the common case is \'-escaped quotes inside
+        q = F.regexp_replace(q, r"\\\'", "'")
+        q = F.regexp_replace(q, r'\\\"', '"')
+        out = out.withColumn("rds_query", q.substr(F.lit(2), F.length(q) - 2))
+    if "mysql_operation" in out.columns:
+        op = F.col("mysql_operation")
+        out = (
+            out.withColumn(
+                "event_category",
+                F.when(op.isin("FAILED_CONNECT", "CONNECT", "DISCONNECT"), "authentication"),
+            )
+            .withColumn(
+                "event_type",
+                F.when(op.isin("FAILED_CONNECT", "CONNECT"), "start").when(op == "DISCONNECT", "end"),
+            )
+            .withColumn(
+                "event_action",
+                F.when(op == "FAILED_CONNECT", "failed")
+                .when(op == "CONNECT", "authorized")
+                .when(op == "DISCONNECT", "disconnected"),
+            )
+        )
+    if "mysql_retcode" in out.columns:
+        out = out.withColumn(
+            "event_outcome",
+            F.when(F.col("mysql_retcode") == 0, "success").when(
+                F.col("mysql_retcode").isNotNull(), "failure"
+            ),
+        )
+    return out
+
+
+#: mysql error-log auth patterns (sf_rds_mysql_error.py:16-20)
+MYSQL_AUTH_FAILED_RE = r"Access denied for user '([^']*)'@'([^']*)'"
+MYSQL_UNKNOWN_DB_RE = r"Unknown database '([^']*)'"
+
+
+def sf_rds_mysql_error(df: DataFrame) -> DataFrame:
+    """RDS MySQL error log (sf_rds_mysql_error.py:22-66): identifiers,
+    access-denied user/host extraction (host doubles as source.ip when
+    IP-shaped), unknown-database failures."""
+    out = _rds_identifiers(df)
+    msg = F.col("mysql_message")
+    user = F.regexp_extract(msg, MYSQL_AUTH_FAILED_RE, 1)
+    host = F.regexp_extract(msg, MYSQL_AUTH_FAILED_RE, 2)
+    db = F.regexp_extract(msg, MYSQL_UNKNOWN_DB_RE, 1)
+    denied = msg.rlike(MYSQL_AUTH_FAILED_RE)
+    unknown = msg.rlike(MYSQL_UNKNOWN_DB_RE)
+    ipish = host.rlike(_IPV4_RE) | host.rlike(_IPV6ISH_RE)
+    return (
+        out.withColumn("event_category", F.when(denied | unknown, "authentication"))
+        .withColumn("event_type", F.when(denied | unknown, "start"))
+        .withColumn("event_action", F.when(denied | unknown, "failed"))
+        .withColumn("event_outcome", F.when(denied | unknown, "failure"))
+        .withColumn("mysql_username", F.when(denied, user))
+        .withColumn("user_name", F.when(denied, user))
+        .withColumn("mysql_host", F.when(denied, host))
+        .withColumn("source_address", F.when(denied, host))
+        .withColumn("source_ip", F.when(denied & ipish, host))
+        .withColumn("mysql_database", F.when(unknown, db))
+        .withColumn("rds_database_name", F.when(unknown, db))
+    )
+
+
+def sf_rds_mysql_general(df: DataFrame) -> DataFrame:
+    """RDS MySQL general log (sf_rds_mysql_general.py): identifiers only."""
+    return _rds_identifiers(df)
+
+
+#: mysql slow-query decomposition (sf_rds_mysql_slowquery.py:15-18)
+MYSQL_SLOW_DB_RE = r"^use ([^ ]*?);"
+MYSQL_SLOW_QUERY_RE = r"(?im)^(?!(?:use|set))[\s\S]*"
+
+
+def sf_rds_mysql_slowquery(df: DataFrame) -> DataFrame:
+    """RDS MySQL slow-query log (sf_rds_mysql_slowquery.py:20-36):
+    identifiers, query time, database from the 'use' line, the query
+    body minus use/set preamble."""
+    out = _rds_identifiers(df)
+    if "mysql_query_time" in out.columns:
+        out = out.withColumn("rds_query_time", F.col("mysql_query_time"))
+    q = F.col("mysql_query")
+    db = F.regexp_extract(q, MYSQL_SLOW_DB_RE, 1)
+    body = F.regexp_extract(q, MYSQL_SLOW_QUERY_RE, 0)
+    return out.withColumn("rds_database_name", F.when(db != "", db)).withColumn(
+        "rds_query", F.when(body != "", F.regexp_replace(body, ";+$", ""))
+    )
+
+
+def sf_elasticache_redis_slowlog(df: DataFrame) -> DataFrame:
+    """ElastiCache Redis slow log (sf_elasticache_redis_slowlog.py:11-22):
+    ClientAddress 'ip:port' split (rsplit — IPv6-safe) into source
+    fields + related.ip."""
+    addr = F.col("ClientAddress")
+    ip = F.regexp_extract(addr, r"^(.*):(\d+)$", 1)
+    port = F.regexp_extract(addr, r"^(.*):(\d+)$", 2)
+    has = addr.isNotNull() & (ip != "")
+    return (
+        df.withColumn("source_ip", F.when(has, ip))
+        .withColumn("source_address", F.when(has, ip))
+        .withColumn("source_port", F.when(has, port))
+        .withColumn("related_ip", F.when(has, F.array(ip)))
+    )
+
+
+def sf_windows_event(df: DataFrame, eventid_lookup: DataFrame | None = None) -> DataFrame:
+    """Windows event log (sf_windows_event.py:13-28): EventID ->
+    (action, outcome) via the broadcast TSV lookup (enrich.
+    winevt_eventid_lookup) and instance id from the log stream.
+    sf_directory_service.py is the identical transform for AD logs —
+    registered as an alias."""
+    from ..operators.enrich import winevt_eventid_lookup
+
+    out = df
+    if eventid_lookup is not None and "event_id" in df.columns:
+        out = winevt_eventid_lookup(out, eventid_lookup)
+    if "log_stream" in out.columns:
+        iid = F.regexp_extract(F.col("log_stream"), INSTANCE_ID_RE, 1)
+        out = out.withColumn("cloud_instance_id", F.when(iid != "", iid))
+    return out
+
+
+def sf_cloudtrail(df: DataFrame) -> DataFrame:
+    """CloudTrail normalization (sf_cloudtrail.py:73-120 — the queryable
+    core): outcome from errorCode/errorMessage presence, assumed-role
+    user.name collapsed to its last path segment, and the instance-id
+    extraction paths (SSM StartSession/GetConnectionStatus target, SSM
+    PutComplianceItems resourceId when instance-shaped, STS role session
+    from EC2, CloudHSM cluster/hsm ids -> related.hosts).
+
+    The remainder of the reference transform (sf_cloudtrail.py:121-245)
+    coerces string-vs-object union fields (credentials/tags/policy/
+    status/...) so OpenSearch dynamic mappings don't explode; a columnar
+    sink keeps requestParameters/responseElements as opaque JSON strings,
+    so those coercions are intentionally not replicated.  Expects
+    requestParameters / responseElements as JSON string columns."""
+    out = df
+    has_err = None
+    for c in ("errorCode", "error_code"):
+        if c in out.columns:
+            has_err = F.col(c).isNotNull()
+    for c in ("errorMessage", "error_message"):
+        if c in out.columns:
+            e = F.col(c).isNotNull()
+            has_err = e if has_err is None else (has_err | e)
+    out = out.withColumn(
+        "event_outcome",
+        F.lit("success") if has_err is None else F.when(has_err, "failure").otherwise("success"),
+    )
+    if "user_name" in out.columns:
+        n = F.col("user_name")
+        tail = F.element_at(F.split(F.element_at(F.split(n, ":"), -1), "/"), -1)
+        out = out.withColumn("user_name", F.when(n.contains(":"), tail).otherwise(n))
+    req = F.col("requestParameters") if "requestParameters" in out.columns else F.lit(None).cast("string")
+    res = F.col("responseElements") if "responseElements" in out.columns else F.lit(None).cast("string")
+    src = F.col("eventSource") if "eventSource" in out.columns else F.lit(None).cast("string")
+    name = F.col("eventName") if "eventName" in out.columns else F.lit(None).cast("string")
+    ua = F.col("userAgent") if "userAgent" in out.columns else F.lit(None).cast("string")
+    ssm_target = F.get_json_object(req, "$.target")
+    ssm_res = F.get_json_object(req, "$.resourceId")
+    sts_session = F.get_json_object(req, "$.roleSessionName")
+    hsm_cluster = F.get_json_object(req, "$.clusterId")
+    hsm_id = F.coalesce(
+        F.get_json_object(res, "$.hsmId"), F.get_json_object(res, "$.hsm.hsmId")
+    )
+    instance_id = (
+        F.when((src == "ssm.amazonaws.com") & name.isin("StartSession", "GetConnectionStatus"), ssm_target)
+        .when(
+            (src == "ssm.amazonaws.com") & (name == "PutComplianceItems"),
+            F.when(ssm_res.rlike(r"^i-(?:[0-9a-z]{8}|[0-9a-z]{17})"), ssm_res),
+        )
+        .when((src == "sts.amazonaws.com") & (ua == "ec2.amazonaws.com"), sts_session)
+        .when(src == "cloudhsm.amazonaws.com", hsm_id)
+    )
+    out = out.withColumn("cloud_instance_id", instance_id)
+    hsm_hosts = F.filter(F.array(hsm_cluster, hsm_id), lambda x: x.isNotNull())
+    return out.withColumn(
+        "related_hosts", F.when(src == "cloudhsm.amazonaws.com", hsm_hosts)
+    )
+
+
+def sf_apache_error(df: DataFrame) -> DataFrame:
+    """Apache error log (sf_apache_error.py:33-75): instance id + hosts,
+    service.name from the s3 key, referer from the message, scheme from
+    the log group, log level -> event.type, raw parse columns dropped."""
+    out = df
+    if "log_stream" in out.columns:
+        iid = F.regexp_extract(F.col("log_stream"), INSTANCE_ID_RE, 1)
+        iid = F.when(iid != "", iid)
+        out = out.withColumn("cloud_instance_id", iid)
+        hosts = (
+            F.when(F.col("hostname").isNotNull(), F.array(F.col("hostname"), iid)).otherwise(F.array(iid))
+            if "hostname" in out.columns
+            else F.array(iid)
+        )
+        out = out.withColumn("related_hosts", F.when(iid.isNotNull(), hosts))
+    if "log_s3key" in out.columns:
+        svc = F.regexp_extract(F.col("log_s3key"), r"/web-site-name=([^/]*?)/", 1)
+        out = out.withColumn("service_name", F.when(svc != "", svc))
+    if "message" in out.columns:
+        ref = F.regexp_extract(F.col("message"), r"referer:\s*(http[^ ]*)", 1)
+        out = out.withColumn("http_request_referrer", F.when(ref != "", ref))
+    if "log_group" in out.columns:
+        out = out.withColumn(
+            "url_scheme",
+            F.when(F.col("log_group").contains("ssl"), "https").when(
+                F.col("log_group").contains("error"), "http"
+            ),
+        )
+    if "log_level" in out.columns:
+        lv = F.col("log_level")
+        out = out.withColumn(
+            "event_type",
+            F.when(lv == "info", "info").when(
+                lv.isin("emerg", "alert", "crit", "error", "warn"), "error"
+            ),
+        )
+    drop = [c for c in ("client_ip", "client_port", "datetime", "debug_message",
+                        "log_level", "message", "message_code", "module", "pid", "tid")
+            if c in out.columns]
+    return out.drop(*drop)
+
+
+def sf_clb(df: DataFrame) -> DataFrame:
+    """Classic ELB access log (sf_clb.py:11-16): url.full = the request
+    line's second token."""
+    if "request" not in df.columns:
+        return df
+    return df.withColumn("url_full", F.split(F.col("request"), " ")[1])
+
+
+#: CloudHSM audit-log opcodes that carry acting vs target user fields
+_HSM_SELF_OPS = ("CN_LOGIN", "CN_LOGOUT", "CN_APP_FINALIZE", "CN_CLOSE_SESSION")
+_HSM_TARGET_OPS = (
+    "CN_CREATE_USER", "CN_CREATE_CO", "CN_CREATE_APPLIANCE_USER",
+    "CN_DELETE_USER", "CN_SET_M_VALUE", "CN_CHANGE_PSWD", "CN_APPROVE_TOKEN",
+)
+
+
+def _transform_hsm(df: DataFrame, cluster_id, hsm_id) -> DataFrame:
+    """Shared CloudHSM body (sf_cloudhsm.py:22-76): @id from hsm +
+    sequence + usec, *_v2 renames, hex counters to ints, per-opcode
+    user/target mapping, outcome from hsm_return presence."""
+    out = df
+    if all(c in out.columns for c in ("sequence_no", "timestamp_usec")):
+        out = out.withColumn(
+            "@id", F.concat(F.coalesce(hsm_id, F.lit("")), F.col("sequence_no"), F.col("timestamp_usec"))
+        )
+    if "opcode_v2" in out.columns:
+        out = out.withColumn(
+            "opcode", F.coalesce(F.col("opcode_v2"), F.col("opcode") if "opcode" in out.columns else F.lit(None))
+        ).drop("opcode_v2")
+        if "opcode_hex_v2" in out.columns:
+            out = out.withColumn("opcode_hex", F.col("opcode_hex_v2")).drop("opcode_hex_v2")
+    if "priv_secret_key_handle_v2" in out.columns:
+        out = out.withColumn("priv_secret_key_handle", F.col("priv_secret_key_handle_v2")).drop(
+            "priv_secret_key_handle_v2"
+        )
+    out = out.withColumn("cloudhsm_cluster_id", cluster_id).withColumn("cloudhsm_hsm_id", hsm_id)
+    out = out.withColumn("cloud_instance_id", hsm_id).withColumn(
+        "related_hosts", F.filter(F.array(cluster_id, hsm_id), lambda x: x.isNotNull())
+    )
+    for c in ("sequence_no", "reboot_counter"):
+        if c in out.columns:
+            # int(x, 16) accepts an optional 0x prefix; F.conv does not
+            hexv = F.regexp_replace(F.col(c), "^0[xX]", "")
+            out = out.withColumn(c, F.conv(hexv, 16, 10).cast("long"))
+    if "opcode" in out.columns:
+        op = F.col("opcode")
+        if "user_name" in out.columns:
+            out = out.withColumn(
+                "ecs_user_name", F.when(op.isin(*_HSM_SELF_OPS), F.col("user_name"))
+            ).withColumn(
+                "ecs_user_roles", F.when(op.isin(*_HSM_SELF_OPS), F.col("user_type"))
+            )
+        if "target_user_name" in out.columns:
+            tn = F.coalesce(
+                F.when(F.col("target_user_name") != "", F.col("target_user_name")), F.col("user_name")
+            )
+            tt = F.coalesce(
+                F.when(F.col("target_user_type") != "", F.col("target_user_type")), F.col("user_type")
+            )
+            out = out.withColumn(
+                "user_target",
+                F.when(
+                    op.isin(*_HSM_TARGET_OPS),
+                    F.struct(tn.alias("name"), tt.alias("roles"), F.col("target_user_id").alias("id")),
+                ),
+            )
+    if "hsm_return" in out.columns:
+        out = out.withColumn(
+            "event_outcome",
+            F.when(F.col("hsm_return").isNotNull() & (F.col("hsm_return") != ""), "success").otherwise("failure"),
+        )
+    return out
+
+
+def sf_cloudhsm(df: DataFrame) -> DataFrame:
+    """CloudHSM audit log via CloudWatch group/stream ids
+    (sf_cloudhsm.py:11-19 + transform_hsm)."""
+    cluster = (
+        F.element_at(F.split(F.col("log_group"), "/"), 4) if "log_group" in df.columns else F.lit(None).cast("string")
+    )
+    hsm = F.col("log_stream") if "log_stream" in df.columns else F.lit(None).cast("string")
+    return _transform_hsm(df, cluster, hsm)
+
+
+#: cluster/hsm ids inside the S3 key (sf_cloudhsm_cwl.py:14-15)
+HSM_S3KEY_RE = r"\W(cluster-[1-9a-z]{11})\W.*/(hsm-[1-9a-z]{11})\W"
+
+
+def sf_cloudhsm_cwl(df: DataFrame) -> DataFrame:
+    """CloudHSM audit log delivered via the CWL->S3 path: ids recovered
+    from the S3 key (sf_cloudhsm_cwl.py:18-31)."""
+    cl = F.regexp_extract(F.col("log_s3key"), HSM_S3KEY_RE, 1)
+    hs = F.regexp_extract(F.col("log_s3key"), HSM_S3KEY_RE, 2)
+    return _transform_hsm(df, F.when(cl != "", cl), F.when(hs != "", hs))
+
+
+def sf_config_rules(df: DataFrame) -> DataFrame:
+    """AWS Config rule evaluation (sf_config_rules.py:13-34): the
+    config_snapshot id/host/user/ip extraction plus compliance ->
+    event.outcome.  Expects the evaluation's complianceType flattened as
+    ``compliance_type`` (or inside newEvaluationResult JSON)."""
+    out = sf_config_snapshot(df)
+    if "compliance_type" in out.columns:
+        comp = F.col("compliance_type")
+    elif "newEvaluationResult" in df.columns:
+        comp = F.get_json_object(F.col("newEvaluationResult"), "$.complianceType")
+    else:
+        comp = F.lit(None).cast("string")
+    return out.withColumn(
+        "event_outcome",
+        F.when(comp == "COMPLIANT", "success")
+        .when(comp == "NON_COMPLIANT", "failure")
+        .when(comp.isNotNull(), "unknown"),
+    )
+
+
+def sf_inspector(df: DataFrame) -> DataFrame:
+    """Inspector v2 finding (sf_inspector.py:14-54): @id = md5(findingArn),
+    doc suffix = epoch of updatedAt ('MMM d, yyyy, h:mm:ss a'), ECR
+    container findings drop host linkage, rule.id composed per finding
+    type, description merged with the remediation text."""
+    out = camel_to_snake_columns(df)
+    if "finding_arn" in out.columns:
+        out = out.withColumn("@id", F.md5(F.col("finding_arn")))
+    if "updated_at" in out.columns:
+        ts = F.to_timestamp(F.col("updated_at"), "MMM d, yyyy, h:mm:ss a")
+        out = out.withColumn(
+            "__doc_id_suffix", F.unix_timestamp(ts).cast("long").cast("string")
+        )
+    is_ecr = (
+        F.col("vulnerability_category").contains("AWS_ECR_CONTAINER_IMAGE")
+        if "vulnerability_category" in out.columns
+        else F.lit(False)
+    )
+    if "related_hosts" in out.columns:
+        out = out.withColumn("related_hosts", F.when(~is_ecr, F.col("related_hosts")))
+    if "cloud_instance_id" in out.columns:
+        out = out.withColumn("cloud_instance_id", F.when(~is_ecr, F.col("cloud_instance_id")))
+    if "type" in out.columns:
+        rid = F.lit(None).cast("string")
+        if "vulnerability_id" in out.columns:
+            rid = F.when(
+                F.col("type").contains("PACKAGE_VULNERABILITY"),
+                F.concat(F.lit("PACKAGE_VULNERABILITY_"), F.col("vulnerability_id")),
+            ).otherwise(rid)
+        if all(c in out.columns for c in ("network_protocol", "port_begin", "port_end")):
+            rid = F.when(
+                F.col("type").contains("NETWORK_REACHABILITY"),
+                F.concat_ws(
+                    "_", F.lit("NETWORK_REACHABILITY"), F.col("network_protocol"),
+                    F.col("port_begin"), F.col("port_end"),
+                ),
+            ).otherwise(rid)
+        out = out.withColumn("rule_id", rid)
+    if "description" in out.columns and "remediation_text" in out.columns:
+        out = out.withColumn(
+            "vulnerability_description",
+            F.when(
+                F.col("description").isNotNull() & F.col("remediation_text").isNotNull(),
+                F.concat(F.col("description"), F.lit("\n\nRemediation: "), F.col("remediation_text")),
+            ).otherwise(F.col("description")),
+        )
+    return out
+
+
+def sf_opensearch_audit(df: DataFrame) -> DataFrame:
+    """OpenSearch security audit log (sf_opensearch_audit.py:11-37):
+    audit category -> outcome, authentication category appended,
+    ParsingError rule fallback + 10k-truncation error message."""
+    act = F.col("audit_category")
+    out = df.withColumn(
+        "event_outcome",
+        F.when(act.isin("GRANTED_PRIVILEGES", "AUTHENTICATED"), "success")
+        .when(act.isin("MISSING_PRIVILEGES", "FAILED_LOGIN"), "failure")
+        .otherwise("unknown"),
+    )
+    auth = act.isin("FAILED_LOGIN", "AUTHENTICATED")
+    if "event_category" in out.columns:
+        out = out.withColumn(
+            "event_category",
+            F.when(auth, F.array_union(F.col("event_category"), F.array(F.lit("authentication")))).otherwise(
+                F.col("event_category")
+            ),
+        )
+    else:
+        out = out.withColumn("event_category", F.when(auth, F.array(F.lit("authentication"))))
+    has_rule = (
+        F.col("rule_name").isNotNull() & (F.col("rule_name") != "")
+        if "rule_name" in out.columns
+        else F.lit(False)
+    )
+    existing_rule = F.col("rule_name") if "rule_name" in df.columns else F.lit(None).cast("string")
+    # error_message BEFORE the rule_name overwrite: has_rule references the
+    # rule_name column lazily, so ordering the withColumns the other way
+    # would evaluate it against the already-defaulted value
+    if "@message" in df.columns:
+        out = out.withColumn(
+            "error_message",
+            F.when(
+                ~has_rule & (F.length(F.col("@message")) == 10000),
+                "The maximum size of each audit log message is 10,000 "
+                "characters. The audit log message exceeds this limit and "
+                "is truncated.",
+            ),
+        )
+    out = out.withColumn(
+        "rule_name", F.when(has_rule, existing_rule).otherwise("ParsingError")
+    )
+    return out
+
+
+def sf_securitylake(df: DataFrame) -> DataFrame:
+    """Security Lake / OCSF record routing (sf_securitylake.py:13-58):
+    category name/uid -> __index_name + @log_type, findings take their
+    modified/created time as the event timestamp, assumed-role user.name
+    collapsed to its last path segment.  sf_ocsf_json.py delegates here —
+    registered as an alias."""
+    name = F.col("category_name") if "category_name" in df.columns else F.lit(None).cast("string")
+    uid = (F.col("category_uid") if "category_uid" in df.columns else F.lit(None)).cast("int")
+    sfx = F.when(
+        name.isNotNull(), F.concat(F.lit("-"), F.lower(F.split(name, " ")[0]))
+    ).otherwise(
+        F.when(uid == 1, "-system")
+        .when(uid == 2, "-findings")
+        .when(uid == 3, "-audit")
+        .when(uid == 4, "-network")
+        .when(uid == 5, "-config")
+        .otherwise("")
+    )
+    lt = F.when(
+        name.isNotNull(), F.concat(F.lit("-"), F.lower(F.regexp_replace(name, " ", "-")))
+    ).otherwise(
+        F.when(uid == 1, "-system-activity")
+        .when(uid == 2, "-findings")
+        .when(uid == 3, "-audit-activity")
+        .when(uid == 4, "-network-activity")
+        .when(uid == 5, "-config-inventory")
+        .otherwise("")
+    )
+    out = df.withColumn("__index_name", F.concat(F.lit("log-ocsf"), sfx)).withColumn(
+        "@log_type", F.concat(F.lit("ocsf"), lt)
+    )
+    ftime = None
+    for c in ("finding_modified_time", "finding_created_time"):
+        if c in out.columns:
+            e = F.col(c).cast("long")
+            ftime = e if ftime is None else F.coalesce(ftime, e)
+    if ftime is not None:
+        out = out.withColumn(
+            "@timestamp",
+            F.when((uid == 2) & ftime.isNotNull(), F.timestamp_millis(ftime)).otherwise(
+                F.col("@timestamp") if "@timestamp" in df.columns else F.lit(None).cast("timestamp")
+            ),
+        )
+    if "user_name" in out.columns:
+        n = F.col("user_name")
+        tail = F.element_at(F.split(F.element_at(F.split(n, ":"), -1), "/"), -1)
+        out = out.withColumn("user_name", F.when(n.contains(":"), tail).otherwise(n))
+    return out
+
+
 def transform_registry() -> dict:
     """Per-logtype transform hooks (SURVEY.md §2.11): the reference ships 40
     sf_<logtype>.transform(logdata) row-UDFs (siem/sf_*.py, loader
@@ -1157,18 +1662,8 @@ def transform_registry() -> dict:
             out = out.withColumn("event_outcome", action_outcome(F.col("action")))
         return out
 
-    def cloudtrail(df: DataFrame) -> DataFrame:
-        out = df
-        if "errorCode" in df.columns:
-            out = out.withColumn(
-                "event_outcome",
-                F.when(F.col("errorCode").isNotNull(), "failure").otherwise("success"),
-            )
-        return out
-
     return {
         "vpcflowlogs": vpcflowlogs,
-        "cloudtrail": cloudtrail,
         "guardduty": sf_guardduty,
         "securityhub": sf_securityhub,
         "alb": sf_alb,
@@ -1191,6 +1686,29 @@ def transform_registry() -> dict:
         "clientvpn": sf_clientvpn,
         "msk": sf_msk,
         "trustedadvisor": sf_trustedadvisor,
+        "rds_mysql_audit": sf_rds_mysql_audit,
+        "rds_mysql_error": sf_rds_mysql_error,
+        "rds_mysql_general": sf_rds_mysql_general,
+        "rds_mysql_slowquery": sf_rds_mysql_slowquery,
+        "elasticache_redis_slowlog": sf_elasticache_redis_slowlog,
+        "windows_event": sf_windows_event,
+        # sf_directory_service.py / sf_fsx_win.py are byte-for-byte the
+        # windows_event logic
+        "directory_service": sf_windows_event,
+        "fsx_win": sf_windows_event,
+        "cloudtrail": sf_cloudtrail,
+        "apache_error": sf_apache_error,
+        "clb": sf_clb,
+        "cloudhsm": sf_cloudhsm,
+        "cloudhsm_cwl": sf_cloudhsm_cwl,
+        # sf_config_history.py re-runs the full config_snapshot chain
+        "config_history": sf_config_snapshot,
+        "config_rules": sf_config_rules,
+        "inspector": sf_inspector,
+        "opensearch_audit": sf_opensearch_audit,
+        "securitylake": sf_securitylake,
+        # sf_ocsf_json.py delegates to sf_securitylake
+        "ocsf_json": sf_securitylake,
     }
 
 

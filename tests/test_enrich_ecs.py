@@ -712,3 +712,327 @@ class TestSfTransformsBatch5:
         reg = transform_registry()
         for k in ["linux_os_syslog", "nginx_error", "rds_postgresql", "clientvpn", "msk", "trustedadvisor"]:
             assert k in reg
+
+
+class TestSfTransformsBatch6:
+    def test_rds_mysql_audit(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_rds_mysql_audit
+
+        df = spark.createDataFrame(
+            [
+                ("1700000000123456789", "'SELECT * FROM t'", "CONNECT", 0, 1),
+                ("1700000000", r"'say \'hi\';'", "FAILED_CONNECT", 1045, 2),
+                ("1700000001", "'x'", "DISCONNECT", None, 3),
+            ],
+            "mysql_timestamp string, mysql_object string, mysql_operation string, mysql_retcode int, i int",
+        ).withColumn("log_group", F.lit("/aws/rds/cluster/db1/audit")).withColumn(
+            "log_stream", F.lit("db1-instance-1.0")
+        )
+        got = {r["i"]: r for r in sf_rds_mysql_audit(df).collect()}
+        assert abs(got[1]["mysql_timestamp"] - 1700000000123.456789) < 1
+        assert got[2]["mysql_timestamp"] == 1700000000.0  # not micro epoch
+        assert got[1]["rds_query"] == "SELECT * FROM t"
+        # rstrip(';') applies before the quote strip, so an inner ';'
+        # right before the closing quote survives (reference parity)
+        assert got[2]["rds_query"] == "say 'hi';"
+        assert got[1]["event_action"] == "authorized" and got[1]["event_outcome"] == "success"
+        assert got[2]["event_action"] == "failed" and got[2]["event_outcome"] == "failure"
+        assert got[3]["event_action"] == "disconnected" and got[3]["event_type"] == "end"
+        assert got[1]["rds_cluster_identifier"] == "db1"
+        assert got[1]["rds_instance_identifier"] == "db1-instance-1"
+
+    def test_rds_mysql_error_and_general(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import (
+            sf_rds_mysql_error,
+            sf_rds_mysql_general,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("Access denied for user 'bob'@'203.0.113.7' (using password: YES)", 1),
+                ("Unknown database 'prod2'", 2),
+                ("Access denied for user 'svc'@'app-host.example'", 3),
+                ("InnoDB: started", 4),
+            ],
+            "mysql_message string, i int",
+        ).withColumn("log_group", F.lit("/aws/rds/instance/db9/error")).withColumn(
+            "log_stream", F.lit("db9")
+        )
+        got = {r["i"]: r for r in sf_rds_mysql_error(df).collect()}
+        assert got[1]["user_name"] == "bob" and got[1]["source_ip"] == "203.0.113.7"
+        assert got[1]["event_outcome"] == "failure"
+        assert got[2]["rds_database_name"] == "prod2"
+        assert got[3]["source_address"] == "app-host.example" and got[3]["source_ip"] is None
+        assert got[4]["event_category"] is None
+        assert got[1]["rds_instance_identifier"] == "db9"
+        assert got[1]["rds_cluster_identifier"] is None
+        g = sf_rds_mysql_general(df).first()
+        assert g["rds_instance_identifier"] == "db9"
+
+    def test_rds_mysql_slowquery(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_rds_mysql_slowquery
+
+        q = "use prod;\nSET timestamp=1700000000;\nSELECT * FROM big ORDER BY x;"
+        df = spark.createDataFrame(
+            [(q, 2.5)], "mysql_query string, mysql_query_time double"
+        ).withColumn("log_group", F.lit("/aws/rds/cluster/db1/slowquery")).withColumn(
+            "log_stream", F.lit("db1-instance-1.x")
+        )
+        r = sf_rds_mysql_slowquery(df).first()
+        assert r["rds_database_name"] == "prod"
+        assert r["rds_query"] == "SELECT * FROM big ORDER BY x"
+        assert r["rds_query_time"] == 2.5
+
+    def test_elasticache_redis_slowlog(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import (
+            sf_elasticache_redis_slowlog,
+        )
+
+        df = spark.createDataFrame(
+            [("203.0.113.9:6379", 1), ("2001:db8::1:51000", 2), (None, 3)],
+            "ClientAddress string, i int",
+        )
+        got = {r["i"]: r for r in sf_elasticache_redis_slowlog(df).collect()}
+        assert got[1]["source_ip"] == "203.0.113.9" and got[1]["source_port"] == "6379"
+        assert got[1]["related_ip"] == ["203.0.113.9"]
+        # rsplit semantics: the LAST colon splits, IPv6 prefix intact
+        assert got[2]["source_ip"] == "2001:db8::1" and got[2]["source_port"] == "51000"
+        assert got[3]["source_ip"] is None
+
+    def test_windows_event_and_alias(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import (
+            sf_windows_event,
+            transform_registry,
+        )
+
+        lookup = spark.createDataFrame(
+            [("4624", "logon", "success"), ("4625", "logon", "failure")],
+            "win_event_id string, action string, outcome string",
+        )
+        df = spark.createDataFrame(
+            [("4624", "host_i-0123456789abcdef0_x", 1), ("9999", "s", 2)],
+            "event_id string, log_stream string, i int",
+        )
+        got = {r["i"]: r for r in sf_windows_event(df, lookup).collect()}
+        assert got[1]["action"] == "logon" and got[1]["outcome"] == "success"
+        assert got[1]["cloud_instance_id"] == "i-0123456789abcdef0"
+        assert got[2]["action"] is None
+        reg = transform_registry()
+        assert reg["directory_service"] is reg["windows_event"]
+
+    def test_cloudtrail(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_cloudtrail
+
+        df = spark.createDataFrame(
+            [
+                # ssm StartSession -> instance from target
+                (None, "arn:aws:sts::111:assumed-role/Admin/alice", "ssm.amazonaws.com",
+                 "StartSession", "cli", '{"target": "i-0aaa"}', None, 1),
+                # sts from EC2 -> roleSessionName
+                (None, "bob", "sts.amazonaws.com", "AssumeRole", "ec2.amazonaws.com",
+                 '{"roleSessionName": "i-0bbb"}', None, 2),
+                # cloudhsm -> cluster + hsm ids in related.hosts
+                (None, None, "cloudhsm.amazonaws.com", "CreateHsm", "x",
+                 '{"clusterId": "cluster-1"}', '{"hsm": {"hsmId": "hsm-9"}}', 3),
+                # error -> failure
+                ("AccessDenied", "carol", "s3.amazonaws.com", "GetObject", "x", None, None, 4),
+            ],
+            "errorCode string, user_name string, eventSource string, eventName string, "
+            "userAgent string, requestParameters string, responseElements string, i int",
+        )
+        got = {r["i"]: r for r in sf_cloudtrail(df).collect()}
+        assert got[1]["event_outcome"] == "success"
+        assert got[1]["user_name"] == "alice"  # arn tail
+        assert got[1]["cloud_instance_id"] == "i-0aaa"
+        assert got[2]["cloud_instance_id"] == "i-0bbb"
+        assert got[3]["cloud_instance_id"] == "hsm-9"
+        assert got[3]["related_hosts"] == ["cluster-1", "hsm-9"]
+        assert got[4]["event_outcome"] == "failure"
+        assert got[4]["user_name"] == "carol"  # no colon -> untouched
+
+    def test_registry_has_batch6(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import transform_registry
+
+        reg = transform_registry()
+        for k in ["rds_mysql_audit", "rds_mysql_error", "rds_mysql_general",
+                  "rds_mysql_slowquery", "elasticache_redis_slowlog",
+                  "windows_event", "directory_service", "cloudtrail"]:
+            assert k in reg
+
+
+class TestSfTransformsBatch7:
+    """Final tranche — the registry now covers all 41 reference sf_
+    modules (35 distinct transforms + aliases for byte-identical ones)."""
+
+    def test_apache_error(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_apache_error
+
+        df = spark.createDataFrame(
+            [("AH01630: client denied, referer: http://ref.example/x", "error",
+              "logs/web-site-name=shop/e.log", "prod-ssl-error", "app_i-0123456789abcdef0_s", "web01",
+              "1.2.3.4", "555", "d", "dbg", "mc", "mod", "1", "2")],
+            "message string, log_level string, log_s3key string, log_group string, log_stream string, "
+            "hostname string, client_ip string, client_port string, datetime string, debug_message string, "
+            "message_code string, module string, pid string, tid string",
+        )
+        out = sf_apache_error(df)
+        r = out.first()
+        assert r["http_request_referrer"] == "http://ref.example/x"
+        assert r["event_type"] == "error"
+        assert r["service_name"] == "shop" and r["url_scheme"] == "https"
+        assert r["cloud_instance_id"] == "i-0123456789abcdef0"
+        assert r["related_hosts"] == ["web01", "i-0123456789abcdef0"]
+        for c in ("client_ip", "client_port", "datetime", "message", "pid", "tid"):
+            assert c not in out.columns
+
+    def test_clb(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_clb
+
+        df = spark.createDataFrame(
+            [("GET https://example.com:443/p?x=1 HTTP/1.1",)], "request string"
+        )
+        assert sf_clb(df).first()["url_full"] == "https://example.com:443/p?x=1"
+
+    def test_cloudhsm(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_cloudhsm
+
+        df = spark.createDataFrame(
+            [
+                ("0xa", "1700000000123456", "CN_LOGIN", None, "alice", "CU", "", "", "",
+                 "0x00000000", "CN_MGMT_CMD", "0xff", 1),
+                ("0xb", "1700000000123457", "CN_CREATE_USER", None, "admin", "CO", "bob", "CU", "7",
+                 None, "CN_MGMT_CMD", "0x10", 2),
+            ],
+            "sequence_no string, timestamp_usec string, opcode string, opcode_v2 string, "
+            "user_name string, user_type string, target_user_name string, target_user_type string, "
+            "target_user_id string, hsm_return string, command_type string, reboot_counter string, i int",
+        ).withColumn("log_group", F.lit("/aws/cloudhsm/cluster-abcdefghijk/audit")).withColumn(
+            "log_stream", F.lit("hsm-lmnopqrstuv")
+        )
+        got = {r["i"]: r for r in sf_cloudhsm(df).collect()}
+        a = got[1]
+        assert a["@id"] == "hsm-lmnopqrstuv" + "0xa" + "1700000000123456"
+        assert a["sequence_no"] == 10 and a["reboot_counter"] == 255
+        assert a["cloudhsm_cluster_id"] == "cluster-abcdefghijk"
+        assert a["cloud_instance_id"] == "hsm-lmnopqrstuv"
+        assert a["related_hosts"] == ["cluster-abcdefghijk", "hsm-lmnopqrstuv"]
+        assert a["ecs_user_name"] == "alice" and a["ecs_user_roles"] == "CU"
+        assert a["event_outcome"] == "success"
+        b = got[2]
+        assert b["user_target"]["name"] == "bob" and b["user_target"]["id"] == "7"
+        assert b["event_outcome"] == "failure"
+
+    def test_cloudhsm_cwl_ids_from_s3key(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_cloudhsm_cwl
+
+        df = spark.createDataFrame(
+            [("0x1", "170", "exported/cluster-abcdefghijk/2024/hsm-lmnopqrstuv.audit.log.gz")],
+            "sequence_no string, timestamp_usec string, log_s3key string",
+        )
+        r = sf_cloudhsm_cwl(df).first()
+        assert r["cloudhsm_cluster_id"] == "cluster-abcdefghijk"
+        assert r["cloudhsm_hsm_id"] == "hsm-lmnopqrstuv"
+
+    def test_config_rules_outcome(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_config_rules
+
+        base = (
+            "111122223333", "us-east-1", "AWS::EC2::Instance", "i-0abc", None, "aws.config", None, None, "{}"
+        )
+        df = spark.createDataFrame(
+            [base + ("COMPLIANT",), base + ("NON_COMPLIANT",), base + ("INSUFFICIENT_DATA",), base + (None,)],
+            "awsAccountId string, awsRegion string, resourceType string, resourceId string, "
+            "resourceName string, event_module string, configRuleArn string, ts timestamp, "
+            "configuration string, compliance_type string",
+        )
+        outs = [r["event_outcome"] for r in sf_config_rules(df).collect()]
+        assert outs == ["success", "failure", "unknown", None]
+
+    def test_inspector(self, spark):
+        import hashlib
+
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_inspector
+
+        df = spark.createDataFrame(
+            [
+                ("arn:f/1", "Nov 1, 2023, 1:02:03 PM", "AWS_EC2_INSTANCE", "PACKAGE_VULNERABILITY",
+                 "CVE-2023-1", None, None, None, "desc", "patch it", ["i-0x"], "i-0x", 1),
+                ("arn:f/2", "Nov 1, 2023, 1:02:03 PM", "AWS_ECR_CONTAINER_IMAGE", "NETWORK_REACHABILITY",
+                 None, "TCP", "80", "443", None, None, ["i-0y"], "i-0y", 2),
+            ],
+            "findingArn string, updatedAt string, vulnerability_category string, type string, "
+            "vulnerability_id string, network_protocol string, port_begin string, port_end string, "
+            "description string, remediation_text string, related_hosts array<string>, "
+            "cloud_instance_id string, i int",
+        )
+        got = {r["i"]: r for r in sf_inspector(df).collect()}
+        a = got[1]
+        assert a["@id"] == hashlib.md5(b"arn:f/1").hexdigest()
+        assert a["__doc_id_suffix"].isdigit()
+        assert a["rule_id"] == "PACKAGE_VULNERABILITY_CVE-2023-1"
+        assert a["vulnerability_description"] == "desc\n\nRemediation: patch it"
+        assert a["related_hosts"] == ["i-0x"]  # EC2 keeps linkage
+        b = got[2]
+        assert b["rule_id"] == "NETWORK_REACHABILITY_TCP_80_443"
+        assert b["related_hosts"] is None and b["cloud_instance_id"] is None  # ECR drops it
+
+    def test_opensearch_audit(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_opensearch_audit
+
+        df = spark.createDataFrame(
+            [
+                ("AUTHENTICATED", "my-rule", "short", 1),
+                ("FAILED_LOGIN", None, "x" * 10000, 2),
+                ("INDEX_EVENT", "r2", "short", 3),
+            ],
+            "audit_category string, rule_name string, `@message` string, i int",
+        )
+        got = {r["i"]: r for r in sf_opensearch_audit(df).collect()}
+        assert got[1]["event_outcome"] == "success" and got[1]["rule_name"] == "my-rule"
+        assert got[1]["event_category"] == ["authentication"]
+        assert got[2]["event_outcome"] == "failure"
+        assert got[2]["rule_name"] == "ParsingError"
+        assert got[2]["error_message"] is not None and "10,000" in got[2]["error_message"]
+        assert got[3]["event_outcome"] == "unknown" and got[3]["event_category"] is None
+
+    def test_securitylake(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import sf_securitylake
+
+        df = spark.createDataFrame(
+            [
+                ("Network Activity", "4", None, None, "arn:aws:sts::1:assumed-role/R/sess", 1),
+                (None, "2", "1700000000000", None, "plain", 2),
+                (None, "9", None, None, None, 3),
+            ],
+            "category_name string, category_uid string, finding_modified_time string, "
+            "finding_created_time string, user_name string, i int",
+        )
+        got = {r["i"]: r for r in sf_securitylake(df).collect()}
+        assert got[1]["__index_name"] == "log-ocsf-network"
+        assert got[1]["@log_type"] == "ocsf-network-activity"
+        assert got[1]["user_name"] == "sess"
+        assert got[2]["__index_name"] == "log-ocsf-findings"
+        assert got[2]["@timestamp"] is not None
+        assert got[3]["__index_name"] == "log-ocsf"
+        assert got[2]["user_name"] == "plain"
+
+    def test_registry_complete_41(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.ecs import transform_registry
+
+        reg = transform_registry()
+        # every reference sf_* module name (sans prefix) resolves
+        expected = [
+            "alb", "apache_access", "apache_error", "clb", "clientvpn",
+            "cloudfront_realtime", "cloudfront_standard", "cloudhsm", "cloudhsm_cwl",
+            "cloudtrail", "config_history", "config_rules", "config_snapshot",
+            "deepsecurity", "directory_service", "elasticache_redis_slowlog", "fsx_win",
+            "guardduty", "inspector", "linux_os_syslog", "linux_secure", "msk",
+            "networkfirewall", "nginx_access", "nginx_error", "ocsf_json", "okta",
+            "opensearch_audit", "rds_mysql_audit", "rds_mysql_error", "rds_mysql_general",
+            "rds_mysql_slowquery", "rds_postgresql", "route53resolver", "s3accesslog",
+            "securityhub", "securitylake", "trustedadvisor", "vpcflowlogs", "waf",
+            "windows_event",
+        ]
+        missing = [k for k in expected if k not in reg]
+        assert not missing, missing
+        assert len(expected) == 41
