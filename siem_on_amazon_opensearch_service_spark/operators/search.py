@@ -1044,13 +1044,17 @@ def search_df(
             .limit(k)
         )
 
-    pivoted = (
-        scored.groupBy("docid")
-        .pivot("clause", list(range(len(leaves))))
-        .agg(F.first("score"))
+    # one conditional max per clause instead of pivot(): pivotfirst plans
+    # TWO aggregates/exchanges ((docid, clause) first, then the docid
+    # pivot); (docid, clause) rows are unique after decode/phrase
+    # resolution, so max-of-one is the value and a single docid
+    # aggregation (partial + final, ONE exchange) is equivalent
+    pivoted = scored.groupBy("docid").agg(
+        *[
+            F.max(F.when(F.col("clause") == ci, F.col("score"))).alias(f"c{ci}")
+            for ci in range(len(leaves))
+        ]
     )
-    for ci in range(len(leaves)):
-        pivoted = pivoted.withColumnRenamed(str(ci), f"c{ci}")
 
     # float64 sum of float32 clause scores (POSITIVE-path leaves only,
     # weighted by occurrence count: Lucene scores each bool clause
