@@ -110,6 +110,8 @@ BM25_QUERIES: dict[str, dict] = {
     "bm25_bool_or": {"query": "timeout OR refused OR denied", "k": 10},
     "bm25_bool_not": {"query": "error AND NOT timeout", "k": 10},
     "bm25_or_not_mixed": {"query": "(error AND NOT timeout) OR refused", "k": 10},
+    # r3: Or-of-Ands — exercises the per-branch structural pruning path
+    "bm25_or_of_ands": {"query": "(error AND w00042) OR (timeout AND w00043)", "k": 10},
     "bm25_phrase": {"query": '"connection reset"', "k": 10},
     "bm25_filter_role": {"query": "error", "k": 10, "role": "assistant"},
     "bm25_filter_tool": {"query": "file", "k": 10, "tool": "bash"},
