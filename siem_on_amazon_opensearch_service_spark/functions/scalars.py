@@ -272,24 +272,90 @@ _UA_OS = [
 ]
 
 
+#: Windows NT kernel -> marketing version (the ua-parser mapping subset)
+_WINDOWS_NT_VERSIONS = [
+    ("10.0", "10"), ("6.3", "8.1"), ("6.2", "8"),
+    ("6.1", "7"), ("6.0", "Vista"), ("5.1", "XP"),
+]
+
+#: AWS service principals reported verbatim (user_agent.py:19 RE_AWS_USER_AGENT)
+_AWS_UA_RE = r"^(AWS Internal|[\w.-]+?\.amazonaws\.com)$"
+
+
 def user_agent_parse(col: Column) -> Column:
-    """Lite user-agent decompose (siem/user_agent.py:22-54 re-expression;
-    ua-parser is unavailable in this environment, so a regex family table
-    covers the common families + the reference's AWS-internal special case)
-    -> struct(name, version, os)."""
+    """User-agent decompose to the reference's full field surface
+    (siem/user_agent.py:22-54): %20-containing strings unquoted first,
+    family/version from a regex table (ua-parser itself is unavailable
+    in this environment — the table covers the common families), the
+    AWS-internal principal special case when the family is Other, OS
+    name + version + full, and the device family.
+
+    -> struct(original, name, version, os, os_name, os_version,
+              os_full, device_name); ``os`` keeps the r1 legacy label."""
+    orig = F.when(col.contains("%20"), _unquote_once(col)).otherwise(col)
     name = F.lit("Other")
     version = F.lit(None).cast("string")
     for pat, label in reversed(_UA_BROWSERS):
-        hit = col.rlike(pat)
+        hit = orig.rlike(pat)
         name = F.when(hit, label).otherwise(name)
         if "(" in pat:  # group-less family patterns have no version
-            version = F.when(hit, F.regexp_extract(col, pat, 1)).otherwise(version)
+            version = F.when(hit, F.regexp_extract(orig, pat, 1)).otherwise(version)
         else:
             version = F.when(hit, F.lit(None).cast("string")).otherwise(version)
+    # AWS Internal / *.amazonaws.com principals keep their literal name
+    name = F.when((name == "Other") & orig.rlike(_AWS_UA_RE), orig).otherwise(name)
     osname = F.lit("Other")
     for pat, label in reversed(_UA_OS):
-        osname = F.when(col.rlike(pat), label).otherwise(osname)
-    return F.struct(name.alias("name"), version.alias("version"), osname.alias("os"))
+        osname = F.when(orig.rlike(pat), label).otherwise(osname)
+    nt = F.regexp_extract(orig, r"Windows NT ([\d.]+)", 1)
+    win_ver = F.lit(None).cast("string")
+    for kernel, marketing in _WINDOWS_NT_VERSIONS:
+        win_ver = F.when(nt == kernel, marketing).otherwise(win_ver)
+    os_version = (
+        F.when(orig.rlike(r"Windows NT"), win_ver)
+        .when(orig.rlike(r"Android ([\d.]+)"), F.regexp_extract(orig, r"Android ([\d.]+)", 1))
+        .when(
+            orig.rlike(r"(iPhone|iPad).*OS ([\d_]+)"),
+            F.regexp_replace(F.regexp_extract(orig, r"OS ([\d_]+)", 1), "_", "."),
+        )
+        .when(
+            orig.rlike(r"Mac OS X ([\d_.]+)"),
+            F.regexp_replace(F.regexp_extract(orig, r"Mac OS X ([\d_.]+)", 1), "_", "."),
+        )
+        .when(orig.rlike(r"CrOS \S+ ([\d.]+)"), F.regexp_extract(orig, r"CrOS \S+ ([\d.]+)", 1))
+    )
+    # ua-parser os.family strings ('Windows', 'Mac OS X', 'Chrome OS', ...)
+    os_name = (
+        F.when(orig.rlike("Windows NT"), "Windows")
+        .when(orig.rlike("Android"), "Android")
+        .when(orig.rlike(r"iPhone OS|iPad.*OS "), "iOS")
+        .when(orig.rlike("CrOS"), "Chrome OS")
+        .when(orig.rlike("Mac OS X"), "Mac OS X")
+        .when(orig.rlike("(?i)linux"), "Linux")
+        .otherwise("Other")
+    )
+    os_full = F.when(
+        os_version.isNotNull() & (os_name != "Other"),
+        F.concat_ws(" ", os_name, os_version),
+    ).otherwise(os_name)
+    device = (
+        F.when(orig.contains("iPhone"), "iPhone")
+        .when(orig.contains("iPad"), "iPad")
+        .when(orig.rlike(r"\b(SM|GT)-[A-Za-z0-9]+"), F.regexp_extract(orig, r"\b((?:SM|GT)-[A-Za-z0-9]+)", 1))
+        .when(orig.contains("Macintosh"), "Mac")
+        .when(orig.rlike("(?i)bot|spider|crawler"), "Spider")
+        .otherwise("Other")
+    )
+    return F.struct(
+        orig.alias("original"),
+        name.alias("name"),
+        version.alias("version"),
+        osname.alias("os"),
+        os_name.alias("os_name"),
+        os_version.alias("os_version"),
+        os_full.alias("os_full"),
+        device.alias("device_name"),
+    )
 
 
 def protocol_name(col: Column) -> Column:

@@ -461,3 +461,39 @@ class TestHttpUrlDecomposeProperty:
                 g = u[f"url_{field}"]
                 e = exp.get(field)
                 assert (g or None) == (e or None), (m, p, field, g, e)
+
+
+class TestUaParseFullSurface:
+    """r3: the reference's full ua field surface (user_agent.py:38-54) —
+    original/name/version/os.name/os.version/os.full/device.name, the
+    AWS-internal principal special case, and %20 unquoting."""
+
+    def test_full_fields(self, spark):
+        from siem_on_amazon_opensearch_service_spark.functions.scalars import user_agent_parse
+
+        cases = [
+            ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0.0.0 Safari/537.36",
+             dict(name="Chrome", os_name="Windows", os_version="10", os_full="Windows 10", device_name="Other")),
+            ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.1 Safari/605.1.15",
+             dict(name="Safari", os_name="Mac OS X", os_version="10.15.7", os_full="Mac OS X 10.15.7", device_name="Mac")),
+            ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) CriOS/114.0.1 Mobile Safari/604.1",
+             dict(name="Chrome Mobile iOS", os_name="iOS", os_version="16.5", device_name="iPhone")),
+            ("Mozilla/5.0 (Linux; Android 13; SM-S901B) Chrome/112.0.0.0 Mobile Safari/537.36",
+             dict(name="Chrome", os_name="Android", os_version="13", device_name="SM-S901B")),
+            ("AWS Internal", dict(name="AWS Internal")),
+            ("athena.amazonaws.com", dict(name="athena.amazonaws.com")),
+            ("Mozilla/5.0%20(Windows%20NT%2010.0)%20Chrome/99.0.0.0",
+             dict(name="Chrome", os_name="Windows", os_version="10")),
+            ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+             dict(name="Googlebot", device_name="Spider")),
+        ]
+        df = spark.createDataFrame([(c[0],) for c in cases], "ua string")
+        from pyspark.sql import functions as F
+
+        got = {r["ua"]: r["p"] for r in df.select(F.col("ua"), user_agent_parse(F.col("ua")).alias("p")).collect()}
+        for ua, exp in cases:
+            p = got[ua]
+            for k, v in exp.items():
+                assert p[k] == v, (ua, k, p[k], v)
+        # unquoted original is carried through
+        assert got["Mozilla/5.0%20(Windows%20NT%2010.0)%20Chrome/99.0.0.0"]["original"].startswith("Mozilla/5.0 (Windows")
