@@ -718,12 +718,23 @@ def _in_ranges(docids: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray
     return out
 
 
-def _decode_postings_df(postings: DataFrame, leaves: list[Node], prune: dict | None = None) -> DataFrame:
+def _decode_postings_df(
+    postings: DataFrame,
+    leaves: list[Node],
+    prune: dict | None = None,
+    score_ctx: dict | None = None,
+) -> DataFrame:
     """Decode pruned postings rows -> flat (clause, slot, docid, tf[, pos]).
 
     Term leaves need (docid, tf); phrase leaves additionally carry each
     slot's in-doc positions so phrase frequency can be resolved after a
-    docid shuffle."""
+    docid shuffle.
+
+    ``score_ctx`` (warm fast path, Term leaves only): fuse BM25 scoring
+    into the SAME Python stage — the decoded arrays are scored against
+    the broadcast norms (and optionally masked by the broadcast filter)
+    before they ever cross Arrow, emitting (clause, docid, score)
+    directly.  One Python runner instead of two chained mapInPandas."""
     term_clauses: dict[str, list[tuple[int, int, bool]]] = {}
     for ci, leaf in enumerate(leaves):
         if isinstance(leaf, Term):
@@ -789,12 +800,40 @@ def _decode_postings_df(postings: DataFrame, leaves: list[Node], prune: dict | N
                 }
                 if any_phrase:
                     data["pos"] = [p for lst in outs["pos"] for p in lst]
-                yield pd.DataFrame(data)
+                yield data
+
+    def as_frames(batches):
+        for data in decode(batches):
+            yield pd.DataFrame(data)
+
+    if score_ctx is not None:
+        assert not any_phrase, "score fusion requires Term-only leaves"
+        w64, cache = score_ctx["w64"], score_ctx["cache"]
+        norms_bc, mask_bc = score_ctx["norms_bc"], score_ctx["mask_bc"]
+
+        def decode_score(batches):
+            norms = norms_bc.value
+            fmask = mask_bc.value if mask_bc is not None else None
+            for data in decode(batches):
+                d = data["docid"].astype(np.int64)
+                ci = data["clause"].astype(np.int64)
+                tf = data["tf"].astype(np.float64)
+                if fmask is not None:
+                    keep = fmask[d]
+                    if not keep.all():
+                        d, ci, tf = d[keep], ci[keep], tf[keep]
+                    if not d.size:
+                        continue
+                w = w64[ci]
+                sc = (w - w / (1.0 + tf * cache[norms[d]])).astype(np.float32)
+                yield pd.DataFrame({"clause": ci.astype(np.int32), "docid": d, "score": sc})
+
+        return postings.mapInPandas(decode_score, schema="clause int, docid long, score float"), False
 
     # phrase-free queries skip the pos column entirely: serializing
     # hot-term-sized all-null arrays through Arrow costs real seconds
     schema = _DECODE_SCHEMA if any_phrase else "clause int, slot int, docid long, tf long"
-    return postings.mapInPandas(decode, schema=schema), any_phrase
+    return postings.mapInPandas(as_frames, schema=schema), any_phrase
 
 
 _POS_SHIFT = np.int64(1) << np.int64(21)  # positions < 2^15 (dl <= 32,766
@@ -974,52 +1013,36 @@ def search_df(
                 prune = {"lo": lo, "hi": hi, "shard_size": plans[0]["shard_size"]}
             if _prune_memo is not None:
                 _prune_memo[memo_key] = prune
-    decoded, has_phrase = _decode_postings_df(postings, leaves, prune=prune)
-
-    term_rows = (
-        decoded.filter(F.col("pos").isNull()) if has_phrase else decoded
-    ).select("clause", "docid", "tf")
-    parts = [term_rows]
-    ph = _phrase_freq_df(decoded, leaves)
-    if ph is not None:
-        parts.append(ph)
-    cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-
+    any_phrase_q = any(isinstance(lf, Phrase) for lf in leaves)
     has_filters = any(v is not None for v in (role, tool, ts_min, ts_max))
-    if _norms_bc is not None and not has_phrase and (not has_filters or _filter_mask_bc is not None):
+    if _norms_bc is not None and not any_phrase_q and (not has_filters or _filter_mask_bc is not None):
         # Warm fast-score path (QuerySession): norms live in executor
         # memory as a broadcast uint8 array (the Lucene norms-in-RAM
         # analogue — 1 byte/doc, broadcastable to ~10^8 docs; past that
         # the session should shard norms per partition or fall back to
-        # the join below).  Scoring happens inside the same narrow
-        # Python stage as the decode — the docs scan and its join
-        # shuffles disappear from the plan entirely.  Arithmetic is the
-        # identical float64-then-float32 recipe as _score_expr.
-        w64 = np.array([np.float64(w) for w in weights], dtype=np.float64)
-        cache = bm25.norm_inverse_cache(stats["avgdl"])
-        norms_bc, mask_bc = _norms_bc, _filter_mask_bc
-
-        def score_fn(batches):
-            norms = norms_bc.value
-            fmask = mask_bc.value if mask_bc is not None else None
-            for pdf in batches:
-                d = pdf["docid"].to_numpy(dtype=np.int64)
-                ci = pdf["clause"].to_numpy(dtype=np.int64)
-                tf = pdf["tf"].to_numpy(dtype=np.float64)
-                if fmask is not None:
-                    keep = fmask[d]
-                    if not keep.all():
-                        d, ci, tf = d[keep], ci[keep], tf[keep]
-                    if not d.size:
-                        continue
-                w = w64[ci]
-                sc = (w - w / (1.0 + tf * cache[norms[d]])).astype(np.float32)
-                yield pd.DataFrame(
-                    {"clause": ci.astype(np.int32), "docid": d, "score": sc}
-                )
-
-        scored = cand.mapInPandas(score_fn, schema="clause int, docid long, score float")
+        # the join below).  Scoring is FUSED into the decode generator —
+        # one Python runner, and the docs scan and its join shuffles
+        # disappear from the plan entirely.  Arithmetic is the identical
+        # float64-then-float32 recipe as _score_expr.
+        ctx = {
+            "w64": np.array([np.float64(w) for w in weights], dtype=np.float64),
+            "cache": bm25.norm_inverse_cache(stats["avgdl"]),
+            "norms_bc": _norms_bc,
+            "mask_bc": _filter_mask_bc,
+        }
+        scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
     else:
+        decoded, has_phrase = _decode_postings_df(postings, leaves, prune=prune)
+
+        term_rows = (
+            decoded.filter(F.col("pos").isNull()) if has_phrase else decoded
+        ).select("clause", "docid", "tf")
+        parts = [term_rows]
+        ph = _phrase_freq_df(decoded, leaves)
+        if ph is not None:
+            parts.append(ph)
+        cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
         docs = _docs if _docs is not None else spark.read.parquet(os.path.join(index_dir, "docs"))
         for cond in (
             (F.col("role") == role) if role is not None else None,
@@ -1650,11 +1673,28 @@ class QuerySession:
     the same data, just cached.
     """
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache_postings: bool = True,
+        shuffle_partitions: int | None = 8,
+    ):
         import duckdb
 
         self.spark = spark
         self.dir = index_dir
+        # session shuffle width: a dashboard query's post-decode
+        # aggregation carries ~(terms x df) rows — at test scale a handful
+        # of tasks beats the session default's scheduling overhead
+        # (measured ~0.2 s at 32 vs 4-8 partitions).  Spark reads the
+        # conf at EXECUTION time, so it is set for the session's lifetime
+        # and restored by close(); size to candidate volume, or None to
+        # leave the conf alone.
+        self._conf_key = "spark.sql.shuffle.partitions"
+        self._prev_shuffle = spark.conf.get(self._conf_key)
+        if shuffle_partitions is not None:
+            spark.conf.set(self._conf_key, str(shuffle_partitions))
         self.stats = _load_stats(index_dir)
         self._dfs: dict[str, int] = {}
         self._prune_memo: dict = {}
@@ -1665,8 +1705,14 @@ class QuerySession:
         )
         self.docs.count()  # materialize the cache eagerly (phrase path)
         # pin the postings file listing/schema once (~0.8 s per query on a
-        # 64-bucket store otherwise — driver-side directory listing)
+        # 64-bucket store otherwise — driver-side directory listing); with
+        # cache_postings the segment bytes persist in executor memory too
+        # (MEMORY_AND_DISK — the Lucene page-cache analogue; at index
+        # sizes beyond executor storage Spark evicts to disk, and a
+        # 10^12-doc deployment would pin only its hot buckets)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        if cache_postings:
+            self.postings = self.postings.persist()
         # norms in RAM (1 byte/doc) + keyword/ts columns for filter masks —
         # the session-scale analogue of Lucene holding norms per shard
         d = duckdb.sql(
@@ -1728,6 +1774,8 @@ class QuerySession:
 
     def close(self) -> None:
         self.docs.unpersist()
+        self.postings.unpersist()
+        self.spark.conf.set(self._conf_key, self._prev_shuffle)
         self.norms_bc.unpersist()
         for bc in self._mask_memo.values():
             bc.unpersist()
