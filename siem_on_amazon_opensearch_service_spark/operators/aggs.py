@@ -132,7 +132,17 @@ def range_agg(df: DataFrame, field: str, edges: list[float]) -> DataFrame:
 def moving_avg(df: DataFrame, ts: str = "ts", interval: str = "day", window_size: int = 3) -> DataFrame:
     """OpenSearch ``moving_avg``/``moving_fn`` pipeline agg over a
     date_histogram: trailing mean of the last ``window_size`` buckets
-    (window frame ROWS window_size-1 PRECEDING)."""
+    (window frame ROWS window_size-1 PRECEDING).
+
+    Scale shape (this and the two pipeline aggs below): the unpartitioned
+    ``Window.orderBy(bucket)`` funnels ONE task — deliberately.  Its
+    input is the date_histogram output, whose row count is the number of
+    time buckets (dozens to a few thousand even over 10^12 events —
+    bounded by time range / interval, never by data volume), arriving
+    pre-aggregated from the partial+final histogram.  A partitioned
+    two-stage rewrite would only matter for pathological intervals
+    (e.g. per-second buckets over years), where the caller should
+    coarsen the histogram instead."""
     per = date_histogram(df, ts, interval)
     w = Window.orderBy("bucket").rowsBetween(-(window_size - 1), 0)
     return per.withColumn("mov_avg", F.round(F.avg("cnt").over(w), 4)).orderBy("bucket")
