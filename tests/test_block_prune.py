@@ -202,3 +202,56 @@ class TestGeneralTreePrune:
         rows = search.search_df(spark, idx, q, k=10).collect()
         got = [(int(r["docid"]), np.float32(r["score"])) for r in rows]
         assert got == [(d, np.float32(s)) for d, s in exp], q
+
+
+class TestCoverageRangesProperty:
+    """Soundness property of the recursive structural coverage: for random
+    boolean trees, EVERY doc the frozen oracle matches must fall inside
+    the planner's surviving docid ranges (coverage may over-approximate,
+    never under)."""
+
+    def test_random_trees_coverage_superset_of_matches(self, spark, idx):
+        import random
+
+        import pandas as pd
+
+        from siem_on_amazon_opensearch_service_spark.operators.oracle import LuceneOracle
+
+        pdf = pd.read_parquet("/root/repo/_generated/transcripts_sf0.01.parquet")
+        oracle = LuceneOracle(pdf)
+        stats = search._load_stats(idx)
+
+        rng = random.Random(91)
+        vocab = ["error", "timeout", "refused", "denied", "connection",
+                 "assistant", "file", "request"] + [
+            f"w{rng.randrange(3000):05d}" for _ in range(20)
+        ]
+
+        def rand_tree(depth: int) -> str:
+            if depth == 0 or rng.random() < 0.4:
+                return rng.choice(vocab)
+            op = rng.choice(["AND", "OR"])
+            parts = [rand_tree(depth - 1) for _ in range(rng.choice([2, 3]))]
+            if op == "AND" and rng.random() < 0.3:
+                parts.append("NOT " + rng.choice(vocab))
+            return "(" + f" {op} ".join(parts) + ")"
+
+        checked = 0
+        for _ in range(30):
+            q = rand_tree(2)
+            ast = parse(q)
+            terms = sorted({t for lf in search._leaves(ast)
+                            for t in ([lf.term] if hasattr(lf, "term") else lf.terms)})
+            dfs = search._load_dfs(idx, terms)
+            plan = search._plan_intersection_prune(idx, ast, stats, dfs)
+            if plan is None:
+                continue
+            checked += 1
+            mask, _ = oracle._eval(ast)
+            import numpy as np_
+
+            match_docids = np_.nonzero(mask)[0].astype(np_.int64)
+            if match_docids.size:
+                inside = search._in_ranges(match_docids, plan["lo"], plan["hi"])
+                assert inside.all(), (q, int(match_docids[~inside][0]))
+        assert checked >= 5, f"only {checked} trees produced a plan — battery too weak"

@@ -502,3 +502,64 @@ class TestRealDecode:
             mm.decode_image(b"\x89PNG\r\n")
         with pytest.raises(NotImplementedError):
             mm.decode_audio(b"ID3\x04\x00")
+
+
+class TestBucketSwapCrash:
+    def test_crash_mid_bucket_swap_recovers(self, spark, tiny_corpus_pdf, tmp_path, monkeypatch):
+        """The bucketed append swaps touched bucket dirs one by one — NOT
+        atomically as a set.  A crash after the first swap must be caught
+        by orphan recovery on the next append (docs max-docid trigger)
+        and end in an index identical to a one-shot build."""
+        import json as _json
+        import os as _os
+
+        from siem_on_amazon_opensearch_service_spark.streaming import incremental as inc
+
+        convs = sorted(tiny_corpus_pdf["conv_id"].unique())
+        cut = convs[len(convs) // 2]
+        first = tiny_corpus_pdf[tiny_corpus_pdf["conv_id"] < cut]
+        second = tiny_corpus_pdf[tiny_corpus_pdf["conv_id"] >= cut]
+
+        oneshot = str(tmp_path / "oneshot")
+        build_index(spark, spark.createDataFrame(tiny_corpus_pdf), oneshot, n_shards=8, n_salts=4)
+
+        out = str(tmp_path / "grown")
+        build_index(spark, spark.createDataFrame(first), out, n_shards=8, n_salts=4)
+
+        # crash after the FIRST bucket-dir swap of the append
+        real_replace = _os.replace
+        swapped = []
+
+        def failing_replace(src, dst):
+            real_replace(src, dst)
+            if "/postings/bucket=" in dst.replace("\\", "/"):
+                swapped.append(dst)
+                if len(swapped) == 1:
+                    raise RuntimeError("injected crash mid-bucket-swap")
+
+        monkeypatch.setattr(inc.os, "replace", failing_replace)
+        with pytest.raises(RuntimeError, match="mid-bucket-swap"):
+            append_batch(spark, spark.createDataFrame(second), out, batch_id=9)
+        monkeypatch.setattr(inc.os, "replace", real_replace)
+        assert swapped, "the injected crash must have interrupted a real bucket swap"
+
+        # next append: recovery rebuilds postings from partials, then applies
+        r = append_batch(spark, spark.createDataFrame(second), out, batch_id=9)
+        assert r["recovered"] is True
+        assert _json.load(open(_os.path.join(out, "_build.json")))["total_docs"] == len(tiny_corpus_pdf)
+
+        a, b = LocalIndex(oneshot), LocalIndex(out)
+        assert a.stats == b.stats
+        import duckdb
+
+        def keyed(idx, path, q):
+            hits = idx.search(q, k=15)
+            d = duckdb.sql(
+                f"SELECT docid, conv_id, turn_idx FROM read_parquet('{path}/docs/*.parquet')"
+            ).df().set_index("docid")
+            return sorted(
+                ((d.loc[h[0], "conv_id"], int(d.loc[h[0], "turn_idx"]), float(h[1])) for h in hits)
+            )
+
+        for q in QUERIES:
+            assert keyed(a, oneshot, q) == keyed(b, out, q), q
