@@ -120,3 +120,56 @@ def test_segment_encode_decode_roundtrip(doc_positions):
     pos, off = segments.decode_positions(row, dec_tfs)
     for i in range(len(dec_docs)):
         assert list(pos[off[i] : off[i + 1]]) == list(range(int(dec_tfs[i])))
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    """encode_bmp/decode_bmp are exact inverses for any (H, W) uint8 RGB
+    image, including the widths that force 4-byte row padding."""
+    from siem_on_amazon_opensearch_service_spark.operators import multimodal as mm
+
+    arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (mm.decode_bmp(mm.encode_bmp(arr)) == arr).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    ch=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    """encode_wav/decode_wav round-trip within 16-bit quantization for any
+    sample count / channel count / rate."""
+    from siem_on_amazon_opensearch_service_spark.operators import multimodal as mm
+
+    a = (np.random.RandomState(seed).rand(n, ch).astype(np.float32) * 2 - 1) * 0.999
+    out, r = mm.decode_wav(mm.encode_wav(a, rate))
+    assert r == rate and out.shape == a.shape
+    # encode scales by 32767, decode by 1/32768: error <= |a|/32768 +
+    # 0.5/32768 rounding <= 1.5/32768
+    assert np.abs(out - a).max() <= 1.6 / 32768
+
+
+@given(
+    terms=st.lists(st.text(alphabet="abcdefghij0123456789_", min_size=1, max_size=12),
+                   min_size=1, max_size=30),
+    nb=st.sampled_from([16, 64, 4096]),
+)
+@settings(max_examples=60, deadline=None)
+def test_postings_bucket_driver_jvm_agreement_shape(terms, nb):
+    """The driver-side bucket function is stable, in-range, and
+    deterministic (the JVM-side agreement with F.crc32 is covered by the
+    Spark round-trip tests; this pins the pure-Python contract)."""
+    from siem_on_amazon_opensearch_service_spark.operators.build import postings_bucket_py
+
+    for t in terms:
+        b = postings_bucket_py(t, nb)
+        assert 0 <= b < nb
+        assert b == postings_bucket_py(t, nb)
