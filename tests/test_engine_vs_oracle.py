@@ -272,6 +272,8 @@ class TestWarmQuerySession:
             ("timeout OR (error AND timeout)", {}),
             ("error", {"role": "assistant"}),
             ("error AND timeout", {"role": "user"}),
+            ("error", {"ts_min": "2025-06-05 00:00:00", "ts_max": "2025-06-20 00:00:00"}),
+            ("error AND timeout", {"tool": "bash", "ts_min": "2025-06-01 00:00:00"}),
         ],
     )
     def test_warm_equals_cold(self, spark, tiny_index, session, q, kw):
