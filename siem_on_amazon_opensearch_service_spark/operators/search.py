@@ -231,6 +231,168 @@ _DECODE_SCHEMA = "clause int, slot int, docid long, tf long, pos array<long>"
 _PRUNE_MAX_BLOCKS = 200_000  # driver metadata budget for prune planning
 _PRUNE_MIN_DROP = 0.10  # skip pruning unless >=10% of the doc space drops
 
+# conjunction ('hot AND hot') theta-seeding budgets: bounded driver work
+_CONJ_MAX_CAND = 4096         # candidate docids verified per plan
+_CONJ_SEED_BLOCKS = 64        # blocks of the rarest required term decoded
+_CONJ_MAX_VERIFY_BLOCKS = 4096  # membership blocks across all other terms
+
+
+def _eval_membership(node: Node, has: dict) -> bool:
+    """Boolean ast evaluation from exact term-membership facts."""
+    if isinstance(node, Term):
+        return bool(has.get(node.term))
+    if isinstance(node, And):
+        return all(_eval_membership(c, has) for c in node.children)
+    if isinstance(node, Or):
+        return any(_eval_membership(c, has) for c in node.children)
+    if isinstance(node, Not):
+        return not _eval_membership(node.child, has)
+    raise TypeError(node)
+
+
+def _fetch_row_bytes(index_dir: str, r: dict):
+    import duckdb
+
+    term_sql = str(r["term"]).replace("'", "''")
+    return duckdb.sql(
+        f"SELECT docs_bytes, tfs_bytes FROM {_postings_sources(index_dir, [r['term']])} "
+        f"WHERE term = '{term_sql}' AND salt = {int(r['salt'])} AND shard_min = {int(r['shard_min'])}"
+    ).fetchone()
+
+
+def _conj_seed_totals(index_dir, ast, leaves, rows, rare_maps, weights, mult, dfs, cache, k, filters):
+    """EXACT theta seeds for trees with no sufficient term (the 'hot AND
+    hot' conjunction the suff-seed path cannot serve): candidates are the
+    rarest REQUIRED term's entries (its full rare decode, or its
+    highest-max-tf blocks), every leaf term's tf at the candidates is
+    resolved exactly — rare terms from their full driver decode, hot
+    terms by decoding ONLY the blocks whose [first, last] covers a
+    candidate (ranged fetches) — the boolean ast is then evaluated per
+    candidate from real membership, and matching, filter-passing
+    candidates yield their EXACT engine totals.  Every returned total
+    belongs to a true match, so the k-th best is a valid theta lower
+    bound.  Driver work is budgeted (_CONJ_* constants); any overrun
+    returns None (no pruning, never wrong answers)."""
+    import duckdb
+
+    req = sorted(_required_terms(ast))
+    r_term = min(req, key=lambda t: dfs.get(t, 1 << 60))
+    if r_term in rare_maps:
+        items = rare_maps[r_term]
+        cand = np.fromiter(items.keys(), dtype=np.int64, count=len(items))
+        ctf = np.fromiter(items.values(), dtype=np.int64, count=len(items))
+    else:
+        picks = []
+        for ri, r in enumerate(rows):
+            if r["term"] != r_term:
+                continue
+            mt = np.asarray(r["blk_max_tf"], dtype=np.int64)
+            picks.extend((int(mt[bi]), ri, bi) for bi in range(mt.size))
+        if not picks:
+            return None
+        picks.sort(key=lambda x: -x[0])
+        chosen: dict[int, list[int]] = {}
+        for _, ri, bi in picks[:_CONJ_SEED_BLOCKS]:
+            chosen.setdefault(ri, []).append(bi)
+        ds, ts = [], []
+        for ri, bis in chosen.items():
+            r = rows[ri]
+            sl = _fetch_row_bytes(index_dir, r)
+            row_b = dict(r)
+            row_b["docs_bytes"], row_b["tfs_bytes"] = bytes(sl[0]), bytes(sl[1])
+            keep = np.zeros(len(r["blk_n"]), dtype=bool)
+            keep[bis] = True
+            d, tf = segments.decode_docs_tfs_blocks(row_b, keep)
+            ds.append(d)
+            ts.append(tf)
+        cand = np.concatenate(ds)
+        ctf = np.concatenate(ts)
+    if cand.size < k:
+        return None
+    if cand.size > _CONJ_MAX_CAND:
+        top = np.argsort(-ctf, kind="mergesort")[:_CONJ_MAX_CAND]
+        cand, ctf = cand[top], ctf[top]
+    order = np.argsort(cand, kind="mergesort")
+    cand, ctf = cand[order], ctf[order]
+
+    leaf_terms = sorted({lf.term for lf in leaves})
+    tf_maps: dict[str, dict] = {
+        r_term: dict(zip(cand.astype(int).tolist(), ctf.astype(int).tolist()))
+    }
+    verify_budget = _CONJ_MAX_VERIFY_BLOCKS
+    for t in leaf_terms:
+        if t == r_term:
+            continue
+        if t in rare_maps:
+            tf_maps[t] = rare_maps[t]
+            continue
+        got: dict[int, int] = {}
+        for r in rows:
+            if r["term"] != t:
+                continue
+            firsts = np.asarray(r["blk_first"], dtype=np.int64)
+            lasts = np.asarray(r["blk_last"], dtype=np.int64)
+            if not firsts.size:
+                continue
+            pos = np.searchsorted(cand, firsts, side="left")
+            hit = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] <= lasts)
+            bis = np.nonzero(hit)[0]
+            if not bis.size:
+                continue
+            verify_budget -= int(bis.size)
+            if verify_budget < 0:
+                return None
+            sl = _fetch_row_bytes(index_dir, r)
+            row_b = dict(r)
+            row_b["docs_bytes"], row_b["tfs_bytes"] = bytes(sl[0]), bytes(sl[1])
+            keep = np.zeros(firsts.size, dtype=bool)
+            keep[bis] = True
+            d, tf = segments.decode_docs_tfs_blocks(row_b, keep)
+            m = np.isin(d, cand)
+            for dd, tt in zip(d[m].astype(int).tolist(), tf[m].astype(int).tolist()):
+                got[dd] = tt
+        tf_maps[t] = got
+
+    idl = ",".join(str(int(d)) for d in cand)
+    nd = duckdb.sql(
+        f"SELECT docid, norm, role, tool, ts FROM read_parquet('{index_dir}/docs/*.parquet') "
+        f"WHERE docid IN ({idl})"
+    ).df().set_index("docid")
+    if filters:
+        ok = pd.Series(True, index=nd.index)
+        if filters.get("role") is not None:
+            ok &= nd["role"] == filters["role"]
+        if filters.get("tool") is not None:
+            ok &= nd["tool"] == filters["tool"]
+        if filters.get("ts_min") is not None:
+            ok &= nd["ts"] >= pd.Timestamp(filters["ts_min"])
+        if filters.get("ts_max") is not None:
+            ok &= nd["ts"] <= pd.Timestamp(filters["ts_max"])
+        passing = set(int(x) for x in nd.index[ok])
+    else:
+        passing = None
+
+    norm_map = nd["norm"].to_dict()
+    totals = []
+    for d in cand.astype(int).tolist():
+        if passing is not None and d not in passing:
+            continue
+        has = {t: (tf_maps[t].get(d, 0) > 0) for t in leaf_terms}
+        if not _eval_membership(ast, has):
+            continue
+        norm = int(norm_map[d])
+        tot = 0.0
+        for t, m in mult.items():
+            tfv = tf_maps[t].get(d, 0)
+            if tfv > 0:
+                tot += (
+                    float(bm25.score_tf(np.array([tfv]), np.array([norm]), weights[t], cache)[0]) * m
+                )
+        totals.append(tot)
+    if len(totals) < k:
+        return None
+    return np.asarray(totals, dtype=np.float64)
+
 
 def _plan_block_prune(
     index_dir: str,
@@ -278,7 +440,8 @@ def _plan_block_prune(
     # over ALL positive leaves, so theta-vs-envelope stays exact for
     # arbitrary tree shapes.
     suff = _sufficient_terms(ast)
-    if not suff:
+    conj_req = sorted(_required_terms(ast)) if not suff else []
+    if not suff and not conj_req:
         return None
     try:
         with open(os.path.join(index_dir, "_build.json")) as f:
@@ -287,11 +450,15 @@ def _plan_block_prune(
         return None
     mult = {lf.term: m for lf, m in _positive_multiplicity(ast).items()}
     terms = sorted(mult)
-    tl = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+    # fetch metadata for ALL leaf terms: NOT-subtree terms contribute no
+    # envelope/weight, but the conjunction seeder needs their rows for
+    # exact membership evaluation
+    terms_meta = sorted({lf.term for lf in leaves})
+    tl = ",".join("'" + t.replace("'", "''") + "'" for t in terms_meta)
     meta = duckdb.sql(
         f"SELECT * EXCLUDE (docs_bytes, tfs_bytes, pos_bytes), "
         f"octet_length(docs_bytes) AS dlen, octet_length(tfs_bytes) AS tlen "
-        f"FROM {_postings_sources(index_dir, terms)} WHERE term IN ({tl})"
+        f"FROM {_postings_sources(index_dir, terms_meta)} WHERE term IN ({tl})"
     ).df()
     if not len(meta):
         return None
@@ -314,10 +481,11 @@ def _plan_block_prune(
     # small corpus as rare and leave no hot blocks to seed theta from.)
     rare_thr = min(_RARE_DECODE_MAX, max(256, int(0.05 * stats["doc_count"])))
     rare_set = {t for t in terms if dfs.get(t, 0) <= rare_thr}
+    rare_maps: dict[str, dict] = {}
     per_term: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
     blocks: list[tuple[float, int, int]] = []  # (ub, row_idx, block_idx)
     for ri, r in enumerate(rows):
-        if r["term"] in rare_set:
+        if r["term"] in rare_set or r["term"] not in mult:
             continue
         lasts = np.asarray(r["blk_last"], dtype=np.int64)
         if lasts.size == 0:
@@ -344,13 +512,25 @@ def _plan_block_prune(
             tf = np.concatenate([x for _, x in parts]).astype(np.float64)
             order = np.argsort(d, kind="mergesort")
             d, tf = d[order], tf[order]
+            rare_maps[t] = dict(zip(d.astype(int).tolist(), tf.astype(int).tolist()))
             w = np.float64(weights[t])
             ub = (w - w / (1.0 + tf * max_ninv)) * mult[t]
             per_term.setdefault(t, []).append((d, d, ub))
         # a rare term absent from rgroups has no postings: contributes no
         # score anywhere — correctly absent from the envelope
-    if not blocks:
+    if not blocks and not conj_req:
         return None
+
+    if conj_req:
+        # no sufficient term ('hot AND hot' and friends): exact verified
+        # seeds from the rarest required term (see _conj_seed_totals)
+        tot = _conj_seed_totals(
+            index_dir, ast, leaves, rows, rare_maps, weights, mult, dfs, cache, k, filters
+        )
+        if tot is None or tot.size < k:
+            return None
+        theta = float(np.sort(tot)[-k])
+        return _theta_sweep(per_term, theta, shard_size)
 
     # seed theta: pool the exact scores of the top-B blocks by upper bound
     # (one block is a poor k-th estimate; ~4k entries pooled lands theta
@@ -431,13 +611,18 @@ def _plan_block_prune(
     if tot.size < k:
         return None
     theta = float(np.sort(tot)[-k])
+    return _theta_sweep(per_term, theta, shard_size)
 
-    # sweep: docid ranges where the summed per-term upper-bound ENVELOPES
-    # can still reach theta.  Within a term, the salted rows interleave in
-    # docid space but each doc lives in exactly ONE row, so the term's
-    # bound at a docid is the MAX over covering blocks (summing same-term
-    # rows would overcount ~n_salts x and kill all pruning); across terms
-    # the envelopes add.
+
+def _theta_sweep(per_term: dict, theta: float, shard_size: int):
+    """Sweep: docid ranges where the summed per-term upper-bound ENVELOPES
+    can still reach theta.  Within a term, the salted rows interleave in
+    docid space but each doc lives in exactly ONE row, so the term's
+    bound at a docid is the MAX over covering blocks (summing same-term
+    rows would overcount ~n_salts x and kill all pruning); across terms
+    the envelopes add."""
+    if not per_term:
+        return None
     all_first = np.concatenate([f for blks in per_term.values() for f, _, _ in blks])
     all_last = np.concatenate([l for blks in per_term.values() for _, l, _ in blks])
     bps = np.unique(np.concatenate([all_first, all_last + 1]))

@@ -255,3 +255,68 @@ class TestCoverageRangesProperty:
                 inside = search._in_ranges(match_docids, plan["lo"], plan["hi"])
                 assert inside.all(), (q, int(match_docids[~inside][0]))
         assert checked >= 5, f"only {checked} trees produced a plan — battery too weak"
+
+
+class TestConjunctionTheta:
+    """r3 late: theta seeding for trees with NO sufficient term ('hot AND
+    hot') — candidates from the rarest required term, exact membership
+    verification of every leaf term (including NOT leaves), exact engine
+    totals as seeds."""
+
+    def test_hot_and_hot_fires(self, idx):
+        stats = search._load_stats(idx)
+        dfs = search._load_dfs(idx, ["error", "timeout"])
+        ast = parse("error AND timeout")
+        plan = search._plan_block_prune(idx, ast, search._leaves(ast), dfs, stats, 10)
+        assert plan is not None
+        covered = int((plan["hi"] - plan["lo"] + 1).sum())
+        assert covered < 0.9 * stats["n_docs"]
+
+    def test_and_not_fires_with_not_membership(self, idx):
+        """'a AND NOT b': the seeder must verify candidates do NOT contain
+        b — an unverified NOT would admit non-matching docs to the seed
+        pool and overshoot theta."""
+        stats = search._load_stats(idx)
+        dfs = search._load_dfs(idx, ["error", "timeout"])
+        ast = parse("error AND NOT timeout")
+        plan = search._plan_block_prune(idx, ast, search._leaves(ast), dfs, stats, 10)
+        assert plan is not None
+        covered = int((plan["hi"] - plan["lo"] + 1).sum())
+        assert covered < 0.5 * stats["n_docs"]
+
+    def test_conj_theta_valid_lower_bound(self, idx):
+        """theta must never exceed the true k-th matching total: compare
+        against the frozen oracle's sorted totals."""
+        import pandas as pd
+
+        from siem_on_amazon_opensearch_service_spark.operators.oracle import LuceneOracle
+
+        pdf = pd.read_parquet("/root/repo/_generated/transcripts_sf0.01.parquet")
+        oracle = LuceneOracle(pdf)
+        stats = search._load_stats(idx)
+        for q, k in [("error AND timeout", 10), ("error AND NOT timeout", 10),
+                     ("error AND timeout", 50)]:
+            ast = parse(q)
+            terms = sorted({t for lf in search._leaves(ast)
+                            for t in ([lf.term] if hasattr(lf, "term") else lf.terms)})
+            dfs = search._load_dfs(idx, terms)
+            plan = search._plan_block_prune(idx, ast, search._leaves(ast), dfs, stats, k)
+            if plan is None:
+                continue
+            hits = oracle.search(q, k=k)
+            assert len(hits) >= k
+            kth = float(hits[-1].score)
+            # every oracle top-k doc must live inside the surviving ranges
+            docids = np.asarray([h.docid for h in hits], dtype=np.int64)
+            assert search._in_ranges(docids, plan["lo"], plan["hi"]).all(), q
+
+    @pytest.mark.parametrize(
+        "q", ["error AND timeout", "error AND NOT timeout",
+              "timeout AND refused", "connection AND (error OR timeout)"]
+    )
+    def test_conjunction_pruned_equals_local(self, spark, idx, q):
+        li = search.LocalIndex(idx)
+        exp = li.search(q, k=10)
+        rows = search.search_df(spark, idx, q, k=10).collect()
+        got = [(int(r["docid"]), np.float32(r["score"])) for r in rows]
+        assert got == [(d, np.float32(s)) for d, s in exp], q
