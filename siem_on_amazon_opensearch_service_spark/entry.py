@@ -103,6 +103,35 @@ def _bm25_count(query: str):
     return run
 
 
+#: module-level warm-session cache (VERDICT r3 item 6): driver-callable
+#: warm entries construct the QuerySession once per (process, index) and
+#: reuse it, so the driver's hash check covers the warm path — pinned
+#: docs/postings, broadcast norms, prune/expansion memos — not just pytest.
+_WARM_SESSIONS: dict[str, "search.QuerySession"] = {}
+
+
+def _warm_session(spark: SparkSession, idx: str) -> "search.QuerySession":
+    s = _WARM_SESSIONS.get(idx)
+    if s is None or s.spark is not spark:
+        # shuffle_partitions=None: leave the session conf alone — the
+        # driver runs many other entries in the same SparkSession
+        s = search.QuerySession(spark, idx, shuffle_partitions=None)
+        _WARM_SESSIONS[idx] = s
+    return s
+
+
+def _bm25_warm(query: str, k: int = 10, **filt):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        idx = ensure_index(spark, _sf_label(sf_dir))
+        out = _warm_session(spark, idx).search(query, k=k, **filt)
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+        )
+
+    return run
+
+
 BM25_QUERIES: dict[str, dict] = {
     "bm25_term": {"query": "error", "k": 10},
     "bm25_term_rare": {"query": "w00042", "k": 10},
@@ -659,6 +688,10 @@ def oracle_sql_map() -> dict[str, str]:
         kw = {k: v for k, v in spec.items() if k not in ("query", "k")}
         bm[name] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, spec["query"], k=spec["k"], **kw)
     bm["bm25_match_count"] = sqloracle.match_count_sql(ORACLE_TRANSCRIPTS, "error AND timeout")
+    # warm-session entries score identically to cold — same oracle SQL
+    bm["bm25_term_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error", k=10)
+    bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
+    bm["bm25_prefix_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w0004*", k=10)
 
     rel = {
         "events_terms_topn": (
@@ -1030,6 +1063,9 @@ def queries_map() -> dict:
         kw = {k: v for k, v in spec.items() if k not in ("query", "k")}
         q[name] = _bm25(spec["query"], spec["k"], **kw)
     q["bm25_match_count"] = _bm25_count("error AND timeout")
+    q["bm25_term_warm"] = _bm25_warm("error", 10)
+    q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
+    q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,
