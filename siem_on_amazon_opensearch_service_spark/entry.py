@@ -576,6 +576,28 @@ def _sql_shingles(k: int = 2) -> str:
     )
 
 
+#: token-hash list over `toks` (mirrors dedup.h48 per token)
+_SQL_TOKEN_HASHES = f"list_transform(toks, x -> {_H48.format('x')})"
+
+
+def _sql_shingle_hashes(k: int = 2) -> str:
+    """DuckDB expression (over a column ``hs`` of token hashes) producing
+    the same polynomial k-shingle hashes as dedup.shingle_hashes_col:
+    Horner windows for len >= k, whole-stream fold otherwise."""
+    horner = "hs[i]"
+    for j in range(1, k):
+        horner = f"(({horner}) * {dedup.SHINGLE_A} + hs[i+{j}]) % {dedup.SHINGLE_MOD}"
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), hs), "
+        f"(a, b) -> (a * {dedup.SHINGLE_A} + b) % {dedup.SHINGLE_MOD})"
+    )
+    return (
+        f"CASE WHEN len(hs) >= {k} THEN "
+        f"list_transform(generate_series(1, len(hs)-{k}+1), i -> {horner}) "
+        f"ELSE [{fold}] END"
+    )
+
+
 def _docs_doubled_sql() -> str:
     return (
         "SELECT doc_id, text FROM documents "
@@ -586,7 +608,8 @@ def _docs_doubled_sql() -> str:
 def _jaccard_pairs_sql(jmin: float) -> str:
     return f"""
 WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
-sh AS (SELECT DISTINCT id, unnest({_sql_shingles(2)}) AS s FROM t),
+hsrc AS (SELECT id, {_SQL_TOKEN_HASHES} AS hs FROM t),
+sh AS (SELECT DISTINCT id, unnest({_sql_shingle_hashes(2)}) AS s FROM hsrc),
 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -832,8 +855,8 @@ FROM x GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
         "doc_minhash_pairs_stats": (
             f"""
 WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
-shx AS (SELECT DISTINCT id, {_H48.format('s')} AS x FROM (
-  SELECT id, unnest({_sql_shingles(2)}) AS s FROM t)),
+hsrc AS (SELECT id, {_SQL_TOKEN_HASHES} AS hs FROM t),
+shx AS (SELECT DISTINCT id, unnest({_sql_shingle_hashes(2)}) AS x FROM hsrc),
 sig AS (SELECT id, {_mh_exprs()} FROM shx GROUP BY id),
 banded AS (
   {' UNION ALL '.join(
@@ -845,11 +868,10 @@ cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.id < r.id
 ),
-sh AS (SELECT DISTINCT id, unnest({_sql_shingles(2)}) AS s FROM t),
-sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+sizes AS (SELECT id, count(*) AS n FROM shx GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id
+  FROM shx a JOIN shx b ON a.x = b.x AND a.id < b.id GROUP BY a.id, b.id
 ),
 verified AS (
   SELECT c.id_a, c.id_b,

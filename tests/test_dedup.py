@@ -87,3 +87,80 @@ class TestMultiTableLsh:
         rm = len(ex & set(zip(multi.query_id, multi.vec_id))) / len(ex)
         assert rm >= r1
         assert rm >= 0.5  # recall amplification must actually bite
+
+
+class TestShingleHashes:
+    """r4: polynomial (Karp-Rabin) shingle hashing — the production
+    shingle domain.  Engine arithmetic must match the DuckDB rendering
+    bit-for-bit, and the hash-domain jaccard must equal the string-domain
+    jaccard when no 48-bit collisions occur (always, at test scale)."""
+
+    def test_engine_matches_duckdb_arithmetic(self, spark):
+        import duckdb
+
+        from pyspark.sql import functions as F
+        from siem_on_amazon_opensearch_service_spark.operators import dedup
+
+        texts = [
+            "alpha beta gamma delta", "one two", "single", "",
+            "alpha beta alpha beta gamma", "x " * 300,
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+        for k in (2, 3):
+            got = {
+                r["id"]: list(r["sh"])
+                for r in df.select("id", dedup.shingle_hashes_col(F.col("text"), k).alias("sh")).collect()
+            }
+            horner = "hs[i]"
+            for j in range(1, k):
+                horner = f"(({horner}) * {dedup.SHINGLE_A} + hs[i+{j}]) % {dedup.SHINGLE_MOD}"
+            h48 = "CAST(concat('0x', substr(md5(x), 1, 12)) AS BIGINT)"
+            sql = f"""
+WITH t AS (SELECT * FROM (VALUES {', '.join(f"({i}, '{t}')" for i, t in enumerate(texts))}) v(id, text)),
+tok AS (SELECT id, list_filter(string_split_regex(lower(text), '[^A-Za-z0-9_]+'), x -> x <> '') AS toks FROM t),
+h AS (SELECT id, list_transform(toks, x -> {h48}) AS hs FROM tok)
+SELECT id, CASE WHEN len(hs) >= {k} THEN
+  list_transform(generate_series(1, len(hs)-{k}+1), i -> {horner})
+ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                  (a, b) -> (a * {dedup.SHINGLE_A} + b) % {dedup.SHINGLE_MOD})] END AS sh
+FROM h ORDER BY id"""
+            exp = {int(r[0]): list(r[1]) for r in duckdb.sql(sql).fetchall()}
+            assert got == exp, f"k={k}"
+
+    def test_hash_jaccard_equals_string_jaccard(self, spark):
+        from pyspark.sql import functions as F
+        from siem_on_amazon_opensearch_service_spark.operators import dedup
+
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over a lazy dog"),
+            (2, "completely different text entirely here now"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        hashed = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard(df, k=2).collect()
+        }
+        # string-domain reference: same pipeline over string shingles
+        sh = df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(dedup.shingles_col(F.col("text"), 2)).alias("s"),
+        ).distinct()
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        ref = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+            .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .select("id_a", "id_b", "jaccard")
+            .collect()
+        }
+        assert hashed == ref
+        assert hashed[(0, 3)] == 1.0
