@@ -53,13 +53,19 @@ def ensure_corpus(label: str, spark: SparkSession | None = None) -> str:
 
 
 def _index_current_format(out: str) -> bool:
-    """r3 format gate: cached indexes predating the bucketed postings
-    layout (no postings_buckets in _build.json) are rebuilt."""
+    """Format gate: cached indexes predating the current layout are
+    rebuilt.  r3: bucketed postings (postings_buckets in _build.json);
+    r4: bucketed dict (dict/bucket=K/ dirs present)."""
     try:
         with open(os.path.join(out, "_build.json")) as f:
-            return bool(json.load(f).get("postings_buckets", 0))
+            if not json.load(f).get("postings_buckets", 0):
+                return False
     except (OSError, ValueError):
         return False
+    dict_dir = os.path.join(out, "dict")
+    return os.path.isdir(dict_dir) and any(
+        e.startswith("bucket=") for e in os.listdir(dict_dir)
+    )
 
 
 def ensure_index(spark: SparkSession, label: str) -> str:

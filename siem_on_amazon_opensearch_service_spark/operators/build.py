@@ -89,6 +89,24 @@ def postings_bucket_col(n_buckets: int):
     return F.pmod(F.crc32(F.encode(F.col("term"), "UTF-8")), F.lit(n_buckets)).cast("int")
 
 
+def write_dict_bucketed(d: DataFrame, dict_path: str, n_buckets: int) -> None:
+    """Write the term dictionary partitioned by the SAME term-hash bucket
+    as the postings (dict/bucket=K/), term-sorted within each file.  A
+    streaming append then swaps only the touched bucket dirs — the r3
+    postings fix applied to the dict (VERDICT r3 item 4: the dict was the
+    last O(vocabulary)-IO-per-batch artifact).  Exact-term lookups narrow
+    to their buckets; prefix scans read every bucket but keep per-file
+    parquet min/max pruning from the in-bucket term sort."""
+    (
+        d.withColumn("bucket", postings_bucket_col(n_buckets))
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(dict_path)
+    )
+
+
 def write_postings_bucketed(merged: DataFrame, postings_path: str, n_buckets: int) -> None:
     """Write merged segment rows partitioned by term bucket, term-sorted
     within each file.  ``bucket`` leads the sort so the partitioned writer's
@@ -430,18 +448,20 @@ def _build_index_inner(
         t0 = _mark("merge", t0)
         # term dictionary (global df/cttf) — derived from final postings
         post = spark.read.parquet(postings_path)
-        # range-partitioned on term (NOT repartition(1): a 10^8-term vocab
-        # through one writer is a bottleneck); term-sorted files keep the
-        # dict lookup's parquet min/max pruning
-        ndp = max(1, spark.sparkContext.defaultParallelism // 4)
-        (
-            post.groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
-            .repartitionByRange(ndp, "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(dict_path)
-        )
+        agg = post.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
+        if n_buckets:
+            write_dict_bucketed(agg, dict_path, n_buckets)
+        else:
+            # legacy flat layout: range-partitioned on term (NOT
+            # repartition(1): a 10^8-term vocab through one writer is a
+            # bottleneck); term-sorted files keep min/max pruning
+            ndp = max(1, spark.sparkContext.defaultParallelism // 4)
+            (
+                agg.repartitionByRange(ndp, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(dict_path)
+            )
         t0 = _mark("dict", t0)
     st = spark.read.parquet(stats_path).collect()[0]
     return {

@@ -198,16 +198,26 @@ def _load_stats(index_dir: str) -> dict:
     }
 
 
-def _dict_sources(index_dir: str) -> str:
-    """DuckDB source expression for the term dictionary (flat or bucketed
-    layout — bucket=K subdirs appear once streaming appends bucket the
-    dict like the postings)."""
+def _dict_sources(index_dir: str, terms=None) -> str:
+    """DuckDB source expression for the term dictionary (flat legacy or
+    bucketed dict/bucket=K/ layout).  With known terms on the bucketed
+    layout only their crc32 buckets are listed — an exact-term df lookup
+    touches one subdirectory per distinct bucket, like the postings."""
     base = f"{index_dir}/dict"
-    if os.path.isdir(os.path.join(base, "bucket=0")) or any(
+    bucketed = any(
         e.startswith("bucket=") for e in (os.listdir(base) if os.path.isdir(base) else ())
-    ):
-        return f"read_parquet('{base}/bucket=*/*.parquet')"
-    return f"read_parquet('{base}/*.parquet')"
+    )
+    if not bucketed:
+        return f"read_parquet('{base}/*.parquet')"
+    if terms:
+        nb = _postings_buckets(index_dir)
+        if nb:
+            bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
+            bs = [k for k in bs if os.path.isdir(os.path.join(base, f"bucket={k}"))]
+            if bs:
+                lst = ", ".join(f"'{base}/bucket={k}/*.parquet'" for k in bs)
+                return f"read_parquet([{lst}])"
+    return f"read_parquet('{base}/bucket=*/*.parquet')"
 
 
 def _load_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
@@ -217,7 +227,7 @@ def _load_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
         return {}
     tl = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
     rows = duckdb.sql(
-        f"SELECT term, df FROM {_dict_sources(index_dir)} WHERE term IN ({tl})"
+        f"SELECT term, df FROM {_dict_sources(index_dir, terms)} WHERE term IN ({tl})"
     ).fetchall()
     return {t: int(d) for t, d in rows}
 

@@ -280,16 +280,18 @@ class TestDistributedSearchOnGrownIndex:
 
 class TestBucketedPostingsStore:
     def test_small_append_rewrites_few_postings_files(self, spark, tiny_corpus_pdf, tmp_path):
-        """VERDICT r2 item 3: the streaming append's IO must be O(touched
-        buckets), not O(index).  A batch carrying a handful of distinct
-        terms must physically rewrite < 10% of the postings parquet files."""
+        """VERDICT r2 item 3 (+ r3 item 4): the streaming append's IO must
+        be O(touched buckets), not O(index).  A batch carrying a handful
+        of distinct terms must physically rewrite < 10% of the postings
+        parquet files AND < 50% of the dict bucket files (the dict has
+        ~16 buckets at this scale; one touched term = one bucket)."""
         import pandas as pd
 
         out = str(tmp_path / "idx")
         build_index(spark, spark.createDataFrame(tiny_corpus_pdf), out, n_shards=8, n_salts=4)
 
-        def snapshot(d):
-            post = os.path.join(d, "postings")
+        def snapshot(d, sub="postings"):
+            post = os.path.join(d, sub)
             return {
                 (os.path.relpath(os.path.join(root, f), post), os.path.getsize(os.path.join(root, f)),
                  os.stat(os.path.join(root, f)).st_mtime_ns)
@@ -299,7 +301,9 @@ class TestBucketedPostingsStore:
             }
 
         before = snapshot(out)
+        dict_before = snapshot(out, "dict")
         assert len(before) > 20  # multi-file store, else the bound is vacuous
+        assert len(dict_before) >= 8  # bucketed dict, else the bound is vacuous
 
         batch = pd.DataFrame(
             {
@@ -316,6 +320,11 @@ class TestBucketedPostingsStore:
         after = snapshot(out)
         changed = len(after - before)
         assert changed / len(after) < 0.10, f"{changed}/{len(after)} postings files rewritten"
+        dict_after = snapshot(out, "dict")
+        dict_changed = len(dict_after - dict_before)
+        assert dict_changed / len(dict_after) < 0.50, (
+            f"{dict_changed}/{len(dict_after)} dict files rewritten"
+        )
         # and the appended term is queryable
         idx = LocalIndex(out)
         assert len(idx.search("qqnovelterm", k=5)) == 3
