@@ -1098,6 +1098,247 @@ def _decode_postings_df(
     return postings.mapInPandas(as_frames, schema=schema), any_phrase
 
 
+def _shard_local_topk(
+    spark: SparkSession,
+    index_dir: str,
+    ast: Node,
+    leaves: list[Node],
+    weights: list[np.float32],
+    stats: dict,
+    k: int,
+    postings: DataFrame,
+    prune: dict | None,
+    filters: dict | None,
+    norms_bc,
+    mask_bc,
+) -> DataFrame:
+    """Warm-session evaluation in ONE Python stage (VERDICT r3 items 2/7/8).
+
+    Plan shape: the (compressed) postings rows of the query terms are
+    hash-repartitioned on ``shard_min`` — every term's rows for a docid
+    shard land in the same task, because shard ranges are global docid
+    ranges shared by all terms — then a single mapInPandas decodes,
+    resolves phrase frequencies locally (all slots of a docid are
+    co-located), fetches norms, scores, evaluates the boolean tree
+    vectorized, and emits its partition's top-k.  The global step is a
+    TakeOrdered over <= k x partitions rows.  Compared to the cold plan
+    this shuffles COMPRESSED SEGMENT BYTES instead of decoded per-doc
+    rows, and replaces decode + phrase-groupBy + docs-join + aggregation
+    (3-4 exchanges, 2+ Python stages) with one exchange + one Python
+    stage.
+
+    Norms come from the broadcast array when the session holds one
+    (corpora under the broadcast cap); past the cap ``norms_bc`` is None
+    and each task reads ONLY its shards' docid ranges from the
+    docid-sorted docs parquet (row-group pruned ranged reads — the
+    per-partition norm slices co-partitioned with postings shards that
+    the r3 session only documented).  Keyword/time filters evaluate from
+    the broadcast mask or from the same ranged fetch.  Scoring arithmetic
+    is the frozen recipe: float32 per-clause scores via bm25.score_tf,
+    float64 sum of mult-weighted positive clauses, one final float32
+    round — rank/score-identical to the cold path (tested)."""
+    any_phrase = any(isinstance(lf, Phrase) for lf in leaves)
+    term_clauses: dict[str, list[tuple[int, int, bool]]] = {}
+    for ci, leaf in enumerate(leaves):
+        if isinstance(leaf, Term):
+            term_clauses.setdefault(leaf.term, []).append((ci, 0, False))
+        else:
+            for slot, t in enumerate(leaf.terms):
+                term_clauses.setdefault(t, []).append((ci, slot, True))
+    phrase_slots = {
+        ci: len(leaf.terms) for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)
+    }
+    mult = _positive_multiplicity(ast)
+    mult_arr = np.array([float(mult.get(lf, 0)) for lf in leaves], dtype=np.float64)
+    w64 = np.array([np.float64(w) for w in weights], dtype=np.float64)
+    cache = bm25.norm_inverse_cache(stats["avgdl"])
+    try:
+        import json as _json
+
+        with open(os.path.join(index_dir, "_build.json")) as f:
+            shard_size = int(_json.load(f)["shard_size"])
+    except (OSError, KeyError, ValueError):
+        shard_size = None
+    docs_dir = os.path.join(index_dir, "docs")
+    need_fetch_filters = filters is not None and mask_bc is None
+
+    cols = ["term", "shard_min", "docs_bytes", "tfs_bytes", "blk_n"]
+    if any_phrase:
+        cols += ["pos_bytes", "blk_pos_off"]
+    if prune is not None:
+        cols += ["blk_first", "blk_last", "blk_doc_off", "blk_tf_off"]
+        p_lo, p_hi = prune["lo"], prune["hi"]
+    parts = postings.select(*cols).repartition(
+        max(8, spark.sparkContext.defaultParallelism), "shard_min"
+    )
+    ast_b, leaves_b, filters_b = ast, leaves, filters
+    empty = pd.DataFrame({"docid": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
+
+    def gen(batches):
+        import duckdb
+
+        # accumulate decoded rows per (clause, slot) across the partition
+        acc: dict[tuple[int, int], list] = {}
+        pos_acc: dict[tuple[int, int], list] = {}
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                hits = term_clauses.get(row["term"], ())
+                if not hits:
+                    continue
+                needs_pos = any(p for _, _, p in hits)
+                pos_flat = off = None
+                if prune is not None:
+                    lasts = np.asarray(row["blk_last"], dtype=np.int64)
+                    firsts = np.asarray(row["blk_first"], dtype=np.int64)
+                    keep = _ranges_overlap(firsts, lasts, p_lo, p_hi)
+                    docids, tfs = segments.decode_docs_tfs_blocks(row, keep)
+                    if not docids.size:
+                        continue
+                    if needs_pos and len(row["pos_bytes"]):
+                        pos_flat, off = segments.decode_positions_blocks(row, keep, tfs)
+                    m = _in_ranges(docids, p_lo, p_hi)
+                    if not m.all():
+                        if pos_flat is not None:
+                            keep_pos = np.repeat(m, tfs)
+                            pos_flat = pos_flat[keep_pos]
+                        docids, tfs = docids[m], tfs[m]
+                        if pos_flat is not None:
+                            off = np.concatenate(([0], np.cumsum(tfs)))
+                    if not docids.size:
+                        continue
+                else:
+                    docids, tfs = segments.decode_docs_tfs(row)
+                    if not docids.size:
+                        continue
+                    if needs_pos and len(row["pos_bytes"]):
+                        pos_flat, off = segments.decode_positions(row, tfs)
+                for ci, slot, want_pos in hits:
+                    acc.setdefault((ci, slot), []).append((docids, tfs))
+                    if want_pos and pos_flat is not None:
+                        pos_acc.setdefault((ci, slot), []).append(
+                            (np.repeat(docids, tfs), pos_flat)
+                        )
+        if not acc:
+            yield empty
+            return
+
+        # per-leaf (docids sorted, tfs)
+        leaf_posts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for ci, leaf in enumerate(leaves_b):
+            if isinstance(leaf, Term):
+                parts_ = acc.get((ci, 0))
+                if not parts_:
+                    continue
+                d = np.concatenate([x for x, _ in parts_])
+                t = np.concatenate([x for _, x in parts_])
+                order = np.argsort(d, kind="mergesort")
+                leaf_posts[ci] = (d[order], t[order])
+            else:  # Phrase: intersect slot position keys locally
+                keys = None
+                ok = True
+                for slot in range(phrase_slots[ci]):
+                    pp = pos_acc.get((ci, slot))
+                    if not pp:
+                        ok = False
+                        break
+                    doc_flat = np.concatenate([x for x, _ in pp])
+                    pos_flat = np.concatenate([x for _, x in pp])
+                    kk = doc_flat * _POS_SHIFT + (pos_flat - slot)
+                    keys = kk if keys is None else keys[np.isin(keys, kk)]
+                    if keys.size == 0:
+                        ok = False
+                        break
+                if ok and keys is not None and keys.size:
+                    docs_, counts = np.unique(keys // _POS_SHIFT, return_counts=True)
+                    leaf_posts[ci] = (docs_, counts)
+        pos_ci = [ci for ci, lf in enumerate(leaves_b) if mult.get(lf, 0)]
+        cand_parts = [leaf_posts[ci][0] for ci in pos_ci if ci in leaf_posts]
+        if not cand_parts:
+            yield empty
+            return
+        cand = np.unique(np.concatenate(cand_parts))
+
+        present: dict[int, np.ndarray] = {}
+        tf_at: dict[int, np.ndarray] = {}
+        for ci, (d, t) in leaf_posts.items():
+            idx = np.searchsorted(cand, d)
+            okm = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == d)
+            m = np.zeros(cand.size, dtype=bool)
+            m[idx[okm]] = True
+            present[ci] = m
+            tv = np.zeros(cand.size, dtype=np.int64)
+            tv[idx[okm]] = t[okm]
+            tf_at[ci] = tv
+
+        # norms (+ filter columns) for the candidate set
+        if norms_bc is not None:
+            norms = norms_bc.value[cand]
+            fmask = mask_bc.value[cand] if mask_bc is not None else None
+        else:
+            norms = np.zeros(cand.size, dtype=np.uint8)
+            fmask = np.ones(cand.size, dtype=bool) if need_fetch_filters else None
+            sel = "docid, norm" + (", role, tool, ts" if need_fetch_filters else "")
+            for s in np.unique(cand // shard_size):
+                lo_d, hi_d = int(s) * shard_size, (int(s) + 1) * shard_size - 1
+                nd = duckdb.sql(
+                    f"SELECT {sel} FROM read_parquet('{docs_dir}/*.parquet') "
+                    f"WHERE docid >= {lo_d} AND docid <= {hi_d} ORDER BY docid"
+                ).df()
+                fd = nd["docid"].to_numpy()
+                idx = np.searchsorted(cand, fd)
+                okm = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == fd)
+                norms[idx[okm]] = nd["norm"].to_numpy()[okm].astype(np.uint8)
+                if need_fetch_filters:
+                    fm = np.ones(len(nd), dtype=bool)
+                    if filters_b.get("role") is not None:
+                        fm &= (nd["role"] == filters_b["role"]).to_numpy()
+                    if filters_b.get("tool") is not None:
+                        fm &= (nd["tool"] == filters_b["tool"]).to_numpy()
+                    if filters_b.get("ts_min") is not None:
+                        fm &= (nd["ts"] >= pd.Timestamp(filters_b["ts_min"])).to_numpy()
+                    if filters_b.get("ts_max") is not None:
+                        fm &= (nd["ts"] <= pd.Timestamp(filters_b["ts_max"])).to_numpy()
+                    if filters_b.get("role_exists"):
+                        fm &= nd["role"].notna().to_numpy()
+                    if filters_b.get("tool_exists"):
+                        fm &= nd["tool"].notna().to_numpy()
+                    fmask[idx[okm]] = fm[okm]
+
+        tot = np.zeros(cand.size, dtype=np.float64)
+        for ci in pos_ci:
+            if ci not in leaf_posts:
+                continue
+            sc = bm25.score_tf(tf_at[ci], norms, weights[ci], cache).astype(np.float64)
+            sc[~present[ci]] = 0.0
+            tot += mult_arr[ci] * sc
+
+        def ev(n: Node) -> np.ndarray:
+            if isinstance(n, (Term, Phrase)):
+                ci = leaves_b.index(n)
+                return present.get(ci, np.zeros(cand.size, dtype=bool))
+            if isinstance(n, And):
+                return np.logical_and.reduce([ev(c) for c in n.children])
+            if isinstance(n, Or):
+                return np.logical_or.reduce([ev(c) for c in n.children])
+            if isinstance(n, Not):
+                return ~ev(n.child)
+            raise TypeError(n)
+
+        sel_m = ev(ast_b)
+        if fmask is not None:
+            sel_m &= fmask
+        if not sel_m.any():
+            yield empty
+            return
+        d_sel = cand[sel_m]
+        s_sel = tot[sel_m].astype(np.float32)
+        order = np.lexsort((d_sel, -s_sel.astype(np.float64)))[:k]
+        yield pd.DataFrame({"docid": d_sel[order], "score": s_sel[order]})
+
+    out = parts.mapInPandas(gen, schema="docid long, score float")
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
 _POS_SHIFT = np.int64(1) << np.int64(21)  # positions < 2^15 (dl <= 32,766
 # bytes), slots <= 255, so per-doc keys span [d*2^21 - 255, d*2^21 + 2^15]
 # and can never collide across docids
@@ -1307,15 +1548,18 @@ def search_df(
                 _prune_memo[memo_key] = prune
     any_phrase_q = any(isinstance(lf, Phrase) for lf in leaves)
     has_filters = any(v is not None for v in (role, tool, ts_min, ts_max)) or role_exists or tool_exists
-    if _norms_bc is not None and not any_phrase_q and (not has_filters or _filter_mask_bc is not None):
-        # Warm fast-score path (QuerySession): norms live in executor
-        # memory as a broadcast uint8 array (the Lucene norms-in-RAM
-        # analogue — 1 byte/doc, broadcastable to ~10^8 docs; past that
-        # the session should shard norms per partition or fall back to
-        # the join below).  Scoring is FUSED into the decode generator —
-        # one Python runner, and the docs scan and its join shuffles
-        # disappear from the plan entirely.  Arithmetic is the identical
-        # float64-then-float32 recipe as _score_expr.
+    if (
+        _norms_bc is not None
+        and isinstance(ast, Term)
+        and len(leaves) == 1
+        and (not has_filters or _filter_mask_bc is not None)
+    ):
+        # Warm single-term fast path (QuerySession, broadcast mode): norms
+        # live in executor memory as a broadcast uint8 array (the Lucene
+        # norms-in-RAM analogue — 1 byte/doc).  Scoring is FUSED into the
+        # decode generator — one Python runner, ZERO exchanges (top-k is
+        # a TakeOrdered).  Arithmetic is the identical float64-then-
+        # float32 recipe as _score_expr.
         ctx = {
             "w64": np.array([np.float64(w) for w in weights], dtype=np.float64),
             "cache": bm25.norm_inverse_cache(stats["avgdl"]),
@@ -1323,6 +1567,22 @@ def search_df(
             "mask_bc": _filter_mask_bc,
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
+    elif _postings is not None and k > 0:
+        # Warm multi-clause / phrase path (r4): shard-local fused
+        # evaluation — ONE Python stage after a compressed-bytes
+        # repartition on shard_min; handles every query shape including
+        # phrases and works both with broadcast norms and with the
+        # sharded ranged-fetch fallback past the broadcast cap.
+        filters_d = (
+            {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
+             "role_exists": role_exists, "tool_exists": tool_exists}
+            if has_filters
+            else None
+        )
+        return _shard_local_topk(
+            spark, index_dir, ast, leaves, weights, stats, k,
+            postings, prune, filters_d, _norms_bc, _filter_mask_bc,
+        )
     else:
         decoded, has_phrase = _decode_postings_df(postings, leaves, prune=prune)
 
@@ -2012,22 +2272,35 @@ def _row_block_ubs(r, weight: np.float32, cache: np.ndarray) -> np.ndarray:
 
 
 class QuerySession:
-    """Warm distributed query session (VERDICT r2 item 6).
+    """Warm distributed query session (VERDICT r2 item 6; r4 rework).
 
     Every cold ``search_df`` call pays a per-query setup floor: the stats
     parquet read, the dict df lookup, and a fresh docs parquet scan + its
     job scheduling.  A dashboard issuing repeated queries against the same
     index shouldn't — this object pins the per-index state once:
 
-    - corpus stats (driver memory),
-    - a per-term df cache (absent terms cached as 0, never re-fetched),
-    - the docs norm/keyword projection ``persist()``-ed in executor
-      memory (columnar, replaces the docs parquet scan in every query).
+    - corpus stats + per-term df / prune-plan / wildcard-expansion memos
+      (driver memory, O(queried terms)),
+    - the postings file listing (and optionally the segment bytes,
+      MEMORY_AND_DISK),
+    - BROADCAST MODE (n_docs <= broadcast_cap): norms as a broadcast
+      uint8 array, keyword/ts columns driver-side for filter masks, the
+      docs projection persisted for the cold fallback;
+    - SHARDED MODE (past the cap, r4): NONE of the above — construction
+      does no O(corpus) work, and warm queries resolve norms + filters
+      from per-shard ranged reads of the docid-sorted docs parquet inside
+      the shard-local plan (_shard_local_topk).
 
-    The postings scan stays per-query (term-specific, bucket-pruned).
-    Scores are identical to cold ``search_df`` — the injected state is
-    the same data, just cached.
-    """
+    Single-term queries in broadcast mode keep the zero-exchange fused
+    decode+score plan; every other shape (AND/OR/NOT trees, phrases,
+    filters) runs the one-Python-stage shard-local plan in both modes.
+    Scores are identical to cold ``search_df`` (tested both modes)."""
+
+    #: docs above this, and the session refuses to build driver-side
+    #: docs arrays / full-corpus broadcasts (norms = 1 byte/doc: 10^8 docs
+    #: = 100 MB broadcast; beyond that the warm path reads per-shard norm
+    #: slices executor-side — see _shard_local_topk)
+    DEFAULT_BROADCAST_CAP = 100_000_000
 
     def __init__(
         self,
@@ -2035,6 +2308,7 @@ class QuerySession:
         index_dir: str,
         cache_postings: bool = True,
         shuffle_partitions: int | None = 8,
+        broadcast_cap: int | None = None,
     ):
         import duckdb
 
@@ -2054,12 +2328,6 @@ class QuerySession:
         self.stats = _load_stats(index_dir)
         self._dfs: dict[str, int] = {}
         self._prune_memo: dict = {}
-        self.docs = (
-            spark.read.parquet(os.path.join(index_dir, "docs"))
-            .select("docid", "norm", "role", "tool", "ts")
-            .persist()
-        )
-        self.docs.count()  # materialize the cache eagerly (phrase path)
         # pin the postings file listing/schema once (~0.8 s per query on a
         # 64-bucket store otherwise — driver-side directory listing); with
         # cache_postings the segment bytes persist in executor memory too
@@ -2069,20 +2337,39 @@ class QuerySession:
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         if cache_postings:
             self.postings = self.postings.persist()
-        # norms in RAM (1 byte/doc) + keyword/ts columns for filter masks —
-        # the session-scale analogue of Lucene holding norms per shard
-        d = duckdb.sql(
-            f"SELECT docid, norm, role, tool, ts FROM read_parquet('{index_dir}/docs/*.parquet') ORDER BY docid"
-        ).df()
-        assert (d["docid"].to_numpy() == np.arange(len(d))).all(), "docids must be dense"
-        self._role = d["role"].to_numpy()
-        self._tool = d["tool"].to_numpy()
-        self._ts = d["ts"].to_numpy()
-        self.norms_bc = spark.sparkContext.broadcast(d["norm"].to_numpy().astype(np.uint8))
+        cap = self.DEFAULT_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+        self.sharded = self.stats["n_docs"] > cap
+        if self.sharded:
+            # Sharded mode (r4, VERDICT r3 item 2): construction does NO
+            # O(corpus) work — no driver-side docs load, no full-corpus
+            # broadcasts, no docs persist.  Warm queries run the
+            # shard-local plan with per-shard ranged norm/filter fetches.
+            self.docs = None
+            self.norms_bc = None
+            self._role = self._tool = self._ts = None
+        else:
+            self.docs = (
+                spark.read.parquet(os.path.join(index_dir, "docs"))
+                .select("docid", "norm", "role", "tool", "ts")
+                .persist()
+            )
+            self.docs.count()  # materialize the cache eagerly
+            # norms in RAM (1 byte/doc) + keyword/ts columns for filter
+            # masks — the session-scale analogue of Lucene holding norms
+            d = duckdb.sql(
+                f"SELECT docid, norm, role, tool, ts FROM read_parquet('{index_dir}/docs/*.parquet') ORDER BY docid"
+            ).df()
+            assert (d["docid"].to_numpy() == np.arange(len(d))).all(), "docids must be dense"
+            self._role = d["role"].to_numpy()
+            self._tool = d["tool"].to_numpy()
+            self._ts = d["ts"].to_numpy()
+            self.norms_bc = spark.sparkContext.broadcast(d["norm"].to_numpy().astype(np.uint8))
         self._mask_memo: dict = {}
         self._expand_memo: dict = {}
 
     def _filter_mask_bc(self, role, tool, ts_min, ts_max, role_exists=False, tool_exists=False):
+        if self.sharded:
+            return None  # filters evaluate from the ranged fetch instead
         if all(v is None for v in (role, tool, ts_min, ts_max)) and not (role_exists or tool_exists):
             return None
         key = (role, tool, str(ts_min), str(ts_max), role_exists, tool_exists)
@@ -2151,9 +2438,11 @@ class QuerySession:
         return match_count_df(self.spark, self.dir, query).first()[0]
 
     def close(self) -> None:
-        self.docs.unpersist()
+        if self.docs is not None:
+            self.docs.unpersist()
         self.postings.unpersist()
         self.spark.conf.set(self._conf_key, self._prev_shuffle)
-        self.norms_bc.unpersist()
+        if self.norms_bc is not None:
+            self.norms_bc.unpersist()
         for bc in self._mask_memo.values():
             bc.unpersist()

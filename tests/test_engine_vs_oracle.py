@@ -400,3 +400,64 @@ class TestDQL:
 
         with pytest.raises(ValueError, match="too_many_clauses"):
             expand_wildcards(parse("w*"), lambda p: [f"w{i}" for i in range(10)], max_clauses=5)
+
+
+class TestShardedQuerySession:
+    """r4 (VERDICT r3 item 2): past the broadcast cap the session must
+    hold NO O(corpus) driver state — norms/filters resolve per shard,
+    executor-side — and stay rank/score-identical to cold on every query
+    shape, including phrases (item 8) and filters."""
+
+    @pytest.fixture(scope="class")
+    def sharded(self, spark, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        qs = QuerySession(spark, tiny_index[0], broadcast_cap=0)
+        yield qs
+        qs.close()
+
+    def test_no_corpus_state(self, sharded):
+        assert sharded.sharded is True
+        assert sharded.norms_bc is None
+        assert sharded.docs is None
+        assert sharded._role is None
+
+    @pytest.mark.parametrize(
+        "q,kw",
+        [
+            ("error", {}),
+            ("error AND timeout", {}),
+            ("timeout OR refused OR denied", {}),
+            ('"connection reset"', {}),
+            ('"connection reset" OR timeout', {}),
+            ("(error AND NOT timeout) OR refused", {}),
+            ("timeout OR (error AND timeout)", {}),
+            ("error", {"role": "assistant"}),
+            ("error AND timeout", {"tool": "bash", "ts_min": "2025-06-01 00:00:00"}),
+            ("w0004*", {}),
+            ("tool:* AND file", {}),
+            ("role:assistant AND (error OR timeout)", {}),
+        ],
+    )
+    def test_sharded_equals_cold(self, spark, tiny_index, sharded, q, kw):
+        cold = search_df(spark, tiny_index[0], q, k=10, **kw).collect()
+        warm = sharded.search(q, k=10, **kw).collect()
+        assert [(r["docid"], np.float32(r["score"])) for r in cold] == [
+            (r["docid"], np.float32(r["score"])) for r in warm
+        ], q
+
+    def test_warm_phrase_shard_local(self, spark, tiny_index):
+        """item 8: warm phrase queries run (and match cold) through the
+        shard-local plan in BROADCAST mode too."""
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        qs = QuerySession(spark, tiny_index[0])
+        try:
+            for q in ['"connection reset"', '"connection reset" AND error']:
+                cold = search_df(spark, tiny_index[0], q, k=10).collect()
+                warm = qs.search(q, k=10).collect()
+                assert [(r["docid"], np.float32(r["score"])) for r in cold] == [
+                    (r["docid"], np.float32(r["score"])) for r in warm
+                ], q
+        finally:
+            qs.close()
