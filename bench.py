@@ -169,8 +169,13 @@ def main() -> None:
     queries["bm25_or_of_ands_distributed"] = best3(
         lambda: search_df(spark, idx_dir, "(error AND w00042) OR (timeout AND w00043)", k=10).collect())
 
-    # warm dashboard session (QuerySession): pinned postings listing,
-    # broadcast norms fast-score (no docs join), memoized prune plans
+    # DQL surface (r4): prefix expansion through the cold path
+    queries["bm25_prefix_distributed"] = best3(
+        lambda: search_df(spark, idx_dir, "w0004*", k=10).collect())
+
+    # warm dashboard session (QuerySession): pinned postings listing;
+    # single terms on the zero-exchange fused path, everything else on
+    # the r4 one-Python-stage shard-local plan (phrases included)
     from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
 
     qs = QuerySession(spark, idx_dir)
@@ -179,6 +184,15 @@ def main() -> None:
         lambda: qs.search("error AND timeout", k=10).collect())
     queries["bm25_term_distributed_warm"] = best3(
         lambda: qs.search("error", k=10).collect())
+    qs.search('"connection reset"', k=10).collect()
+    queries["bm25_phrase_distributed_warm"] = best3(
+        lambda: qs.search('"connection reset"', k=10).collect())
+    qs.search("timeout OR refused OR denied", k=10).collect()
+    queries["bm25_or_distributed_warm"] = best3(
+        lambda: qs.search("timeout OR refused OR denied", k=10).collect())
+    qs.search("w0004*", k=10).collect()
+    queries["bm25_prefix_distributed_warm"] = best3(
+        lambda: qs.search("w0004*", k=10).collect())
     qs.close()
 
     # 3) relational / dedup sample over driver tables

@@ -159,6 +159,10 @@ BM25_QUERIES: dict[str, dict] = {
     # r4 (VERDICT r3 item 1): the reference's real DQL surface — field
     # filters, exists filters, and wildcard/prefix term expansion
     "bm25_field_filter_dsl": {"query": "role:assistant AND (error OR timeout)", "k": 10},
+    "bm25_dql_time_range": {
+        "query": "error AND ts>=2025-06-05T00:00:00 AND ts<=2025-06-20T00:00:00",
+        "k": 10,
+    },
     "bm25_prefix": {"query": "w0004*", "k": 10},
     "bm25_dql_exists": {"query": "tool:* AND file", "k": 10},
     "bm25_wildcard_and": {"query": "err* AND timeout", "k": 10},

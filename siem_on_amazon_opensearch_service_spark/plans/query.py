@@ -16,6 +16,7 @@ Grammar:
              | field ':' value              # role:/tool: keyword filter
              | field ':' '*'                # exists filter
              | 'text' ':' word              # field-scoped term
+             | 'ts' ('>='|'<=') isodate     # inclusive time-range filter
              | word-with-*-or-?             # wildcard/prefix term query
              | word
 
@@ -100,6 +101,11 @@ MAX_CLAUSE_COUNT = 1024
 _WILDCARD_CHARS = ("*", "?")
 _WILDCARD_OK = re.compile(r"^[A-Za-z0-9_*?]+$")
 
+#: time-range atom: ts>=2025-06-05T00:00:00 (ISO, 'T' or none; value is
+#: normalized to the space form the filter machinery / SQL oracles use).
+#: Only inclusive bounds — they compile to the ts_min/ts_max filters.
+_TS_RANGE = re.compile(r"^ts(>=|<=|>|<)(\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2})?)$")
+
 
 _TOKEN_PAT = re.compile(r'\(|\)|"[^"]*"|[^\s()]+')
 
@@ -160,6 +166,15 @@ def parse(query: str) -> Node:
             if len(words) == 1:
                 return Term(words[0])
             return Phrase(tuple(words))
+        m = _TS_RANGE.match(t)
+        if m:
+            op, val = m.group(1), m.group(2)
+            if op in (">", "<"):
+                raise ValueError(
+                    f"strict bound {t!r} in {query!r}: time filters are "
+                    "inclusive — use ts>= or ts<="
+                )
+            return FieldFilter("ts_min" if op == ">=" else "ts_max", val.replace("T", " "))
         if ":" in t:
             field, _, val = t.partition(":")
             field = field.lower()

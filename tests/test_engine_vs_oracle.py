@@ -461,3 +461,54 @@ class TestShardedQuerySession:
                 ], q
         finally:
             qs.close()
+
+
+class TestDQLTimeRange:
+    """ts>=/ts<= atoms compile to the inclusive ts_min/ts_max filters on
+    every path; strict bounds are rejected loudly."""
+
+    Q = "error AND ts>=2025-06-05T00:00:00 AND ts<=2025-06-20T00:00:00"
+
+    def test_local_and_distributed(self, spark, tiny_index, local, oracle):
+        exp = oracle.search(
+            "error", k=10, ts_min="2025-06-05 00:00:00", ts_max="2025-06-20 00:00:00"
+        )
+        _assert_hits_equal(local.search(self.Q, k=10), exp, "local:tsrange")
+        rows = search_df(spark, tiny_index[0], self.Q, k=10).collect()
+        got = [(r["docid"], np.float32(r["score"])) for r in rows]
+        _assert_hits_equal(got, exp, "df:tsrange")
+
+    def test_warm(self, spark, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        qs = QuerySession(spark, tiny_index[0])
+        try:
+            cold = search_df(spark, tiny_index[0], self.Q, k=10).collect()
+            warm = qs.search(self.Q, k=10).collect()
+            assert [(r["docid"], np.float32(r["score"])) for r in cold] == [
+                (r["docid"], np.float32(r["score"])) for r in warm
+            ]
+        finally:
+            qs.close()
+
+    def test_sql_oracle(self, tmp_path, tiny_corpus_pdf, oracle):
+        import duckdb
+
+        from siem_on_amazon_opensearch_service_spark.operators.sqloracle import bm25_sql
+
+        p = str(tmp_path / "corpus.parquet")
+        tiny_corpus_pdf.to_parquet(p)
+        got = duckdb.sql(bm25_sql(p, self.Q, k=10)).fetchall()
+        exp = [
+            (h.docid, round(float(h.score), 3))
+            for h in oracle.search(
+                "error", k=10, ts_min="2025-06-05 00:00:00", ts_max="2025-06-20 00:00:00"
+            )
+        ]
+        assert [(int(d), float(s)) for d, s in got] == exp
+
+    def test_strict_bound_rejected(self):
+        from siem_on_amazon_opensearch_service_spark.plans.query import extract_filters, parse
+
+        with pytest.raises(ValueError, match="inclusive"):
+            extract_filters(parse("error AND ts>2025-06-05"), "q")
