@@ -1161,6 +1161,14 @@ def _shard_local_topk(
         shard_size = None
     docs_dir = os.path.join(index_dir, "docs")
     need_fetch_filters = filters is not None and mask_bc is None
+    if need_fetch_filters and norms_bc is not None:
+        # broadcast mode must ship filters as a broadcast mask — silently
+        # ignoring them would return unfiltered results (QuerySession
+        # always builds the mask; this guards direct callers)
+        raise ValueError(
+            "filtered shard-local query in broadcast mode requires a "
+            "_filter_mask_bc; QuerySession builds it automatically"
+        )
 
     cols = ["term", "shard_min", "docs_bytes", "tfs_bytes", "blk_n"]
     if any_phrase:
