@@ -35,7 +35,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (quiet 1-way probe ~42-49 matmuls/3s, contended <15), and r2's recorded
 # artifact caught a 1.9x "regression" that was pure host noise.  Same
 # single-thread-pinned 800x800 matmul as scripts/scaling_bench.py.
-PROBE_QUIET_MIN = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_MIN", "30"))
+# r4: raised 30 -> 38 after a probe-33 window recorded 2-4x-inflated
+# numbers on UNCHANGED operators (BENCH/bench_r4_probe33.json); quiet
+# windows on this host probe 42-48.  Still falls through (probe_gated:
+# false) when the deadline passes.
+PROBE_QUIET_MIN = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_MIN", "38"))
 PROBE_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "900"))
 
 _PROBE_CODE = (
@@ -112,11 +116,15 @@ def main() -> None:
     idx_dir = os.path.join(reg.GEN_ROOT, f"bench_index_sf{label}_c{CPUS}")
     n_build = int(os.environ.get("SPARK_GRAFT_BENCH_BUILD_RUNS", "2"))
     build_runs = []
+    build_probes = []  # per-leg capacity reading: the start gate alone
+    # missed a mid-run derate in one r4 recording (30s legs at probe 45)
     for _ in range(n_build):
+        build_probes.append(probe_1way())
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.perf_counter()
         build_index(spark, tdf, idx_dir, n_salts=8)
         build_runs.append(time.perf_counter() - t0)
+    queries["build_probes"] = build_probes
     build_sec = min(build_runs)
     queries["index_build"] = round(build_sec, 3)
     queries["index_build_runs"] = [round(x, 3) for x in build_runs]

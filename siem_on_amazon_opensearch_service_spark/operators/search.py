@@ -1,7 +1,10 @@
 """BM25 query execution over the segment index.
 
-Two execution paths, both rank- and score-identical to the frozen oracle
-(operators/oracle.py — the Lucene stand-in):
+Queries are full DQL (plans/query.py): boolean/phrase plus role:/tool:
+keyword filters, field:* exists, ts>=/ts<= ranges, and */? wildcard terms
+expanded against the term dictionary.  Three execution paths, all rank-
+and score-identical to the frozen oracle (operators/oracle.py — the
+Lucene stand-in):
 
 - ``search_df``: distributed, DataFrame-first.  Postings rows for the query
   terms are pruned at the parquet scan (predicate pushdown on the sorted
@@ -23,6 +26,13 @@ Two execution paths, both rank- and score-identical to the frozen oracle
   job) for query-latency benchmarking, with an exhaustive vectorized
   scorer and block-max WAND top-k over arbitrary And/Or/Not term trees
   (block bounds = max over the stored pareto (tf, norm) impact pairs).
+
+- ``QuerySession`` (warm): pinned per-index state; single terms score in
+  a zero-exchange fused decode stage (broadcast norms), every other
+  shape runs ``_shard_local_topk`` — one Python stage over a
+  compressed-bytes repartition on shard_min, with norms either broadcast
+  or (past the broadcast cap) read per shard from the docid-sorted docs
+  parquet.
 """
 
 from __future__ import annotations
