@@ -1186,8 +1186,13 @@ def _shard_local_topk(
     if prune is not None:
         cols += ["blk_first", "blk_last", "blk_doc_off", "blk_tf_off"]
         p_lo, p_hi = prune["lo"], prune["hi"]
+    # partition count bounded by the SHARD count: hashing ~7 distinct
+    # shard_min values into 32 partitions launches 32 tasks for <=7
+    # non-empty ones (pure scheduling overhead on small corpora; at
+    # 10^5+ shards the parallelism bound applies instead)
+    n_shards = max(1, -(-stats["n_docs"] // shard_size)) if shard_size else 1 << 30
     parts = postings.select(*cols).repartition(
-        max(8, spark.sparkContext.defaultParallelism), "shard_min"
+        min(max(8, spark.sparkContext.defaultParallelism), n_shards), "shard_min"
     )
     ast_b, leaves_b, filters_b = ast, leaves, filters
     empty = pd.DataFrame({"docid": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
