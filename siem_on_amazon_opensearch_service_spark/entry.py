@@ -119,6 +119,14 @@ _WARM_SESSIONS: dict[str, "search.QuerySession"] = {}
 def _warm_session(spark: SparkSession, idx: str) -> "search.QuerySession":
     s = _WARM_SESSIONS.get(idx)
     if s is None or s.spark is not spark:
+        if s is not None:
+            # evicting a session from a replaced SparkSession: release its
+            # persisted frames/broadcasts (best-effort — the old context
+            # may already be stopped, which is its own cleanup)
+            try:
+                s.close()
+            except Exception:
+                pass
         # shuffle_partitions=None: leave the session conf alone — the
         # driver runs many other entries in the same SparkSession
         s = search.QuerySession(spark, idx, shuffle_partitions=None)

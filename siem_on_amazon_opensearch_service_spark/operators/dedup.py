@@ -187,9 +187,13 @@ def minhash_lsh_pairs(
     localCheckpoint — every consumer then reads the stored blocks, the
     pair-sized result stays LAZY (it can be huge on near-dup-heavy
     corpora), and the checkpoint blocks are reclaimed by Spark's
-    ContextCleaner when the returned DataFrame is garbage collected.  At
-    extreme scale where storing the shingle table is worse than
-    recomputing it, pass False to keep the stateless plan."""
+    ContextCleaner when the returned DataFrame is garbage collected.
+    Trade-offs of the flag (deliberate): construction becomes EAGER
+    (the signature/shingle jobs run at call time), and localCheckpoint
+    truncates lineage — on executor loss the checkpointed blocks cannot
+    recompute and downstream stages fail instead of recovering.  At
+    extreme scale, or when lazy construction / fault recovery matters
+    more than the 2-3x recompute, pass False for the stateless plan."""
     sig = minhash_signatures(df, id_col, text_col, k)
     # one-pass banding: explode an inline array of (band, key) structs —
     # a per-band select+union would re-run the whole signature pipeline

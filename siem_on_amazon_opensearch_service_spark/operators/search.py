@@ -77,23 +77,25 @@ def _postings_buckets(index_dir: str) -> int:
         return 0
 
 
-def _postings_sources(index_dir: str, terms=None) -> str:
-    """DuckDB ``read_parquet(...)`` source expression for the postings
-    store.  Bucketed layout (postings/bucket=K/): when the query terms are
-    known, only their crc32 buckets are listed — a term query touches one
-    subdirectory instead of the whole store (the driver-side analogue of
-    the Spark read's partition pruning)."""
-    base = f"{index_dir}/postings"
-    nb = _postings_buckets(index_dir)
-    if not nb:
+def _bucketed_sources(base: str, bucketed: bool, nb: int, terms=None) -> str:
+    """DuckDB ``read_parquet(...)`` source expression over a flat or
+    term-hash-bucketed parquet directory.  With known terms on the
+    bucketed layout, only their crc32 bucket subdirectories are listed —
+    the driver-side analogue of the Spark read's partition pruning."""
+    if not bucketed:
         return f"read_parquet('{base}/*.parquet')"
-    if terms:
+    if terms and nb:
         bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
         bs = [k for k in bs if os.path.isdir(os.path.join(base, f"bucket={k}"))]
         if bs:
             lst = ", ".join(f"'{base}/bucket={k}/*.parquet'" for k in bs)
             return f"read_parquet([{lst}])"
     return f"read_parquet('{base}/bucket=*/*.parquet')"
+
+
+def _postings_sources(index_dir: str, terms=None) -> str:
+    nb = _postings_buckets(index_dir)
+    return _bucketed_sources(f"{index_dir}/postings", bool(nb), nb, terms)
 
 
 def _read_postings_spark(spark, index_dir: str, terms: list[str]) -> DataFrame:
@@ -209,25 +211,15 @@ def _load_stats(index_dir: str) -> dict:
 
 
 def _dict_sources(index_dir: str, terms=None) -> str:
-    """DuckDB source expression for the term dictionary (flat legacy or
-    bucketed dict/bucket=K/ layout).  With known terms on the bucketed
-    layout only their crc32 buckets are listed — an exact-term df lookup
-    touches one subdirectory per distinct bucket, like the postings."""
+    """Term-dictionary source (flat legacy, or dict/bucket=K/ sharing the
+    postings' crc32 bucket) — bucket detection is by directory layout
+    because legacy indexes carry postings_buckets without a bucketed
+    dict."""
     base = f"{index_dir}/dict"
     bucketed = any(
         e.startswith("bucket=") for e in (os.listdir(base) if os.path.isdir(base) else ())
     )
-    if not bucketed:
-        return f"read_parquet('{base}/*.parquet')"
-    if terms:
-        nb = _postings_buckets(index_dir)
-        if nb:
-            bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
-            bs = [k for k in bs if os.path.isdir(os.path.join(base, f"bucket={k}"))]
-            if bs:
-                lst = ", ".join(f"'{base}/bucket={k}/*.parquet'" for k in bs)
-                return f"read_parquet([{lst}])"
-    return f"read_parquet('{base}/bucket=*/*.parquet')"
+    return _bucketed_sources(base, bucketed, _postings_buckets(index_dir), terms)
 
 
 def _load_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
@@ -1170,6 +1162,14 @@ def _shard_local_topk(
     except (OSError, KeyError, ValueError):
         shard_size = None
     docs_dir = os.path.join(index_dir, "docs")
+    if norms_bc is None and shard_size is None:
+        # sharded norm fetches group candidates by docid shard; without
+        # _build.json's shard_size the executor generator would die with
+        # an opaque TypeError — fail at plan time instead
+        raise ValueError(
+            f"sharded warm query needs shard_size from {index_dir}/_build.json; "
+            "missing or unreadable — use the cold path or broadcast mode"
+        )
     need_fetch_filters = filters is not None and mask_bc is None
     if need_fetch_filters and norms_bc is not None:
         # broadcast mode must ship filters as a broadcast mask — silently
@@ -1195,6 +1195,10 @@ def _shard_local_topk(
         min(max(8, spark.sparkContext.defaultParallelism), n_shards), "shard_min"
     )
     ast_b, leaves_b, filters_b = ast, leaves, filters
+    # leaf -> clause index, precomputed: leaves_b.index(n) inside ev()
+    # is a linear dataclass-equality scan — O(clauses^2) per partition
+    # for a wide wildcard expansion
+    leaf_index = {lf: ci for ci, lf in enumerate(leaves)}
     empty = pd.DataFrame({"docid": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
 
     def gen(batches):
@@ -1222,11 +1226,8 @@ def _shard_local_topk(
                     m = _in_ranges(docids, p_lo, p_hi)
                     if not m.all():
                         if pos_flat is not None:
-                            keep_pos = np.repeat(m, tfs)
-                            pos_flat = pos_flat[keep_pos]
+                            pos_flat = pos_flat[np.repeat(m, tfs)]
                         docids, tfs = docids[m], tfs[m]
-                        if pos_flat is not None:
-                            off = np.concatenate(([0], np.cumsum(tfs)))
                     if not docids.size:
                         continue
                 else:
@@ -1337,8 +1338,7 @@ def _shard_local_topk(
 
         def ev(n: Node) -> np.ndarray:
             if isinstance(n, (Term, Phrase)):
-                ci = leaves_b.index(n)
-                return present.get(ci, np.zeros(cand.size, dtype=bool))
+                return present.get(leaf_index[n], np.zeros(cand.size, dtype=bool))
             if isinstance(n, And):
                 return np.logical_and.reduce([ev(c) for c in n.children])
             if isinstance(n, Or):
@@ -1553,9 +1553,15 @@ def search_df(
             plans = []
             filters = {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
                        "role_exists": role_exists, "tool_exists": tool_exists}
+            # gate on 'is not None', NOT truthiness: role="" / tool="" are
+            # legitimate equality filters and must constrain theta seeding
+            f_active = (
+                any(v is not None for v in (role, tool, ts_min, ts_max))
+                or role_exists or tool_exists
+            )
             p = _plan_block_prune(
                 index_dir, ast, leaves, dfs, stats, k,
-                filters=filters if any(filters.values()) else None,
+                filters=filters if f_active else None,
             )
             if p is not None:
                 plans.append(p)
@@ -1769,6 +1775,8 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
         for cond in (
             (F.col("role") == dqlf["role"]) if dqlf.get("role") is not None else None,
             (F.col("tool") == dqlf["tool"]) if dqlf.get("tool") is not None else None,
+            (F.col("ts") >= dqlf["ts_min"]) if dqlf.get("ts_min") is not None else None,
+            (F.col("ts") <= dqlf["ts_max"]) if dqlf.get("ts_max") is not None else None,
             F.col("role").isNotNull() if dqlf.get("role_exists") else None,
             F.col("tool").isNotNull() if dqlf.get("tool_exists") else None,
         ):

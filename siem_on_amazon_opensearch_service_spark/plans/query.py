@@ -183,6 +183,14 @@ def parse(query: str) -> Node:
                     raise ValueError(f"empty value for field {field!r} in {query!r}")
                 if val == "*":
                     return FieldFilter(field, None)  # exists
+                if any(c in val for c in _WILDCARD_CHARS):
+                    # keyword wildcards (role:assist*) are not evaluated;
+                    # a literal-equality fallback would silently match
+                    # nothing — fail loudly instead
+                    raise ValueError(
+                        f"wildcard in keyword filter {t!r} in {query!r}: only "
+                        f"{field}:<literal> and {field}:* (exists) are supported"
+                    )
                 return FieldFilter(field, val)  # keyword: NOT analyzed
             if field == "text":
                 if not val:
@@ -277,14 +285,27 @@ def extract_filters(ast: Node, query: str = "") -> tuple[Node, dict]:
 
 def merge_filters(query: str, kwargs: dict, dql: dict) -> dict:
     """Merge explicit filter kwargs with DQL-extracted filters.  Equal
-    values merge; different non-None equality values conflict."""
+    values merge (ts bounds compare as instants, so a pd.Timestamp kwarg
+    equals its normalized DQL string); different values conflict."""
+    def same(a, b, key: str) -> bool:
+        if a == b:
+            return True
+        if key in ("ts_min", "ts_max"):
+            try:
+                import pandas as _pd
+
+                return _pd.Timestamp(a) == _pd.Timestamp(b)
+            except (ValueError, TypeError):
+                return False
+        return False
+
     out = dict(kwargs)
     for k, v in dql.items():
         if k.endswith("_exists"):
             out[k] = bool(out.get(k)) or v
         elif out.get(k) is None:
             out[k] = v
-        elif out[k] != v:
+        elif not same(out[k], v, k):
             raise ValueError(f"query {query!r} filter {k}:{v} conflicts with {k}={out[k]!r} kwarg")
     return out
 

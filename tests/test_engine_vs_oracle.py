@@ -512,3 +512,48 @@ class TestDQLTimeRange:
 
         with pytest.raises(ValueError, match="inclusive"):
             extract_filters(parse("error AND ts>2025-06-05"), "q")
+
+
+class TestReviewRegressions:
+    """r4 review findings: match_count ts filters, falsy filter values in
+    prune seeding, keyword-wildcard rejection, ts kwarg/DQL type merge."""
+
+    def test_match_count_applies_ts_filters(self, spark, tiny_index, tiny_corpus_pdf, tmp_path):
+        import duckdb
+
+        from siem_on_amazon_opensearch_service_spark.operators.search import match_count_df
+        from siem_on_amazon_opensearch_service_spark.operators.sqloracle import match_count_sql
+
+        p = str(tmp_path / "corpus.parquet")
+        tiny_corpus_pdf.to_parquet(p)
+        q = "error AND ts>=2025-06-05T00:00:00 AND ts<=2025-06-20T00:00:00"
+        got = match_count_df(spark, tiny_index[0], q).first()[0]
+        exp = duckdb.sql(match_count_sql(p, q)).fetchone()[0]
+        unfiltered = match_count_df(spark, tiny_index[0], "error").first()[0]
+        assert got == exp
+        assert got < unfiltered  # the range actually constrains
+
+    def test_empty_string_filter_value_constrains_prune(self, spark, tiny_index, oracle):
+        # role="" matches nothing in this corpus; a truthiness gate would
+        # seed theta unfiltered and could prune the (empty) result set
+        # inconsistently — the correct result is simply empty
+        rows = search_df(spark, tiny_index[0], "error", k=10, role="").collect()
+        assert rows == []
+        assert oracle.search("error", k=10, role="") == []
+
+    def test_keyword_wildcard_rejected(self):
+        from siem_on_amazon_opensearch_service_spark.plans.query import parse
+
+        with pytest.raises(ValueError, match="wildcard in keyword filter"):
+            parse("role:assist* AND error")
+
+    def test_ts_kwarg_and_dql_equal_instants_merge(self, spark, tiny_index):
+        import pandas as pd
+
+        q = "error AND ts>=2025-06-05T00:00:00"
+        a = search_df(spark, tiny_index[0], q, k=10,
+                      ts_min=pd.Timestamp("2025-06-05 00:00:00")).collect()
+        b = search_df(spark, tiny_index[0], q, k=10).collect()
+        assert [(r["docid"], r["score"]) for r in a] == [(r["docid"], r["score"]) for r in b]
+        with pytest.raises(ValueError, match="conflicts"):
+            search_df(spark, tiny_index[0], q, k=10, ts_min="2025-06-06 00:00:00")
