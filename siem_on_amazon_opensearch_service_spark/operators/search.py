@@ -982,6 +982,36 @@ def _in_ranges(docids: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray
     return out
 
 
+def _shard_size_of(index_dir: str) -> int | None:
+    import json
+
+    try:
+        with open(os.path.join(index_dir, "_build.json")) as f:
+            return int(json.load(f)["shard_size"])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _ranged_norms(docs_dir: str, shard_size: int, d: np.ndarray) -> np.ndarray:
+    """norm bytes aligned to docid array ``d`` via per-shard ranged reads
+    of the docid-sorted docs parquet (row-group pruned — the executor-side
+    norm-slice fetch shared by the sharded warm paths).  Relies on the
+    dense-docid invariant (every docid present in docs)."""
+    import duckdb
+
+    out = np.zeros(d.size, dtype=np.uint8)
+    for s in np.unique(d // shard_size):
+        lo, hi = int(s) * shard_size, (int(s) + 1) * shard_size - 1
+        nd = duckdb.sql(
+            f"SELECT docid, norm FROM read_parquet('{docs_dir}/*.parquet') "
+            f"WHERE docid >= {lo} AND docid <= {hi} ORDER BY docid"
+        ).df()
+        fd = nd["docid"].to_numpy()
+        m = (d >= lo) & (d <= hi)
+        out[m] = nd["norm"].to_numpy()[np.searchsorted(fd, d[m])].astype(np.uint8)
+    return out
+
+
 def _decode_postings_df(
     postings: DataFrame,
     leaves: list[Node],
@@ -1074,9 +1104,11 @@ def _decode_postings_df(
         assert not any_phrase, "score fusion requires Term-only leaves"
         w64, cache = score_ctx["w64"], score_ctx["cache"]
         norms_bc, mask_bc = score_ctx["norms_bc"], score_ctx["mask_bc"]
+        docs_dir = score_ctx.get("docs_dir")
+        shard_size = score_ctx.get("shard_size")
 
         def decode_score(batches):
-            norms = norms_bc.value
+            norms = norms_bc.value if norms_bc is not None else None
             fmask = mask_bc.value if mask_bc is not None else None
             for data in decode(batches):
                 d = data["docid"].astype(np.int64)
@@ -1088,8 +1120,11 @@ def _decode_postings_df(
                         d, ci, tf = d[keep], ci[keep], tf[keep]
                     if not d.size:
                         continue
+                # sharded mode: norm slices fetched per shard range (the
+                # decoded rows of a batch cluster into few shards)
+                nvals = norms[d] if norms is not None else _ranged_norms(docs_dir, shard_size, d)
                 w = w64[ci]
-                sc = (w - w / (1.0 + tf * cache[norms[d]])).astype(np.float32)
+                sc = (w - w / (1.0 + tf * cache[nvals])).astype(np.float32)
                 yield pd.DataFrame({"clause": ci.astype(np.int32), "docid": d, "score": sc})
 
         return postings.mapInPandas(decode_score, schema="clause int, docid long, score float"), False
@@ -1154,13 +1189,7 @@ def _shard_local_topk(
     mult_arr = np.array([float(mult.get(lf, 0)) for lf in leaves], dtype=np.float64)
     w64 = np.array([np.float64(w) for w in weights], dtype=np.float64)
     cache = bm25.norm_inverse_cache(stats["avgdl"])
-    try:
-        import json as _json
-
-        with open(os.path.join(index_dir, "_build.json")) as f:
-            shard_size = int(_json.load(f)["shard_size"])
-    except (OSError, KeyError, ValueError):
-        shard_size = None
+    shard_size = _shard_size_of(index_dir)
     docs_dir = os.path.join(index_dir, "docs")
     if norms_bc is None and shard_size is None:
         # sharded norm fetches group candidates by docid shard; without
@@ -1298,10 +1327,13 @@ def _shard_local_topk(
         if norms_bc is not None:
             norms = norms_bc.value[cand]
             fmask = mask_bc.value[cand] if mask_bc is not None else None
+        elif not need_fetch_filters:
+            norms = _ranged_norms(docs_dir, shard_size, cand)
+            fmask = None
         else:
             norms = np.zeros(cand.size, dtype=np.uint8)
-            fmask = np.ones(cand.size, dtype=bool) if need_fetch_filters else None
-            sel = "docid, norm" + (", role, tool, ts" if need_fetch_filters else "")
+            fmask = np.ones(cand.size, dtype=bool)
+            sel = "docid, norm, role, tool, ts"
             for s in np.unique(cand // shard_size):
                 lo_d, hi_d = int(s) * shard_size, (int(s) + 1) * shard_size - 1
                 nd = duckdb.sql(
@@ -1577,23 +1609,31 @@ def search_df(
                 _prune_memo[memo_key] = prune
     any_phrase_q = any(isinstance(lf, Phrase) for lf in leaves)
     has_filters = any(v is not None for v in (role, tool, ts_min, ts_max)) or role_exists or tool_exists
+    sharded_warm = _postings is not None and _norms_bc is None
+    shard_sz = _shard_size_of(index_dir) if sharded_warm else None
     if (
-        _norms_bc is not None
-        and isinstance(ast, Term)
+        isinstance(ast, Term)
         and len(leaves) == 1
-        and (not has_filters or _filter_mask_bc is not None)
+        and (
+            (_norms_bc is not None and (not has_filters or _filter_mask_bc is not None))
+            or (sharded_warm and not has_filters and shard_sz is not None)
+        )
     ):
-        # Warm single-term fast path (QuerySession, broadcast mode): norms
-        # live in executor memory as a broadcast uint8 array (the Lucene
-        # norms-in-RAM analogue — 1 byte/doc).  Scoring is FUSED into the
-        # decode generator — one Python runner, ZERO exchanges (top-k is
-        # a TakeOrdered).  Arithmetic is the identical float64-then-
-        # float32 recipe as _score_expr.
+        # Warm single-term fast path (QuerySession): scoring is FUSED into
+        # the decode generator — one Python runner, ZERO exchanges (top-k
+        # is a TakeOrdered).  Norms come from the broadcast uint8 array
+        # (broadcast mode — the Lucene norms-in-RAM analogue, 1 byte/doc)
+        # or, past the broadcast cap, from per-shard ranged reads inside
+        # the generator (r4: the sharded mode keeps the zero-exchange
+        # plan too).  Arithmetic is the identical float64-then-float32
+        # recipe as _score_expr.
         ctx = {
             "w64": np.array([np.float64(w) for w in weights], dtype=np.float64),
             "cache": bm25.norm_inverse_cache(stats["avgdl"]),
             "norms_bc": _norms_bc,
             "mask_bc": _filter_mask_bc,
+            "docs_dir": os.path.join(index_dir, "docs"),
+            "shard_size": shard_sz,
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
     elif _postings is not None and k > 0:

@@ -557,3 +557,22 @@ class TestReviewRegressions:
         assert [(r["docid"], r["score"]) for r in a] == [(r["docid"], r["score"]) for r in b]
         with pytest.raises(ValueError, match="conflicts"):
             search_df(spark, tiny_index[0], q, k=10, ts_min="2025-06-06 00:00:00")
+
+
+class TestShardedSingleTermZeroExchange:
+    def test_plan_has_no_exchange_and_matches_cold(self, spark, tiny_index):
+        """r4: the sharded warm mode keeps the zero-exchange fused plan
+        for single-term queries (ranged norm fetch inside the decode)."""
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        qs = QuerySession(spark, tiny_index[0], broadcast_cap=0)
+        try:
+            df = qs.search("error", k=10)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            cold = search_df(spark, tiny_index[0], "error", k=10).collect()
+            assert [(r["docid"], np.float32(r["score"])) for r in df.collect()] == [
+                (r["docid"], np.float32(r["score"])) for r in cold
+            ]
+        finally:
+            qs.close()
