@@ -181,6 +181,11 @@ def main() -> None:
     queries["bm25_prefix_distributed"] = best3(
         lambda: search_df(spark, idx_dir, "w0004*", k=10).collect())
 
+    # fuzzy term expansion (r4b): ~35-term OR from a full-dictionary
+    # levenshtein scan, then the standard multi-clause plan
+    queries["bm25_fuzzy_distributed"] = best3(
+        lambda: search_df(spark, idx_dir, "w00042~1", k=10).collect())
+
     # warm dashboard session (QuerySession): pinned postings listing;
     # single terms on the zero-exchange fused path, everything else on
     # the r4 one-Python-stage shard-local plan (phrases included)
@@ -201,6 +206,9 @@ def main() -> None:
     qs.search("w0004*", k=10).collect()
     queries["bm25_prefix_distributed_warm"] = best3(
         lambda: qs.search("w0004*", k=10).collect())
+    qs.search("w00042~1", k=10).collect()
+    queries["bm25_fuzzy_distributed_warm"] = best3(
+        lambda: qs.search("w00042~1", k=10).collect())
     qs.close()
 
     # 3) relational / dedup sample over driver tables

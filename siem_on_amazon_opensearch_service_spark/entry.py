@@ -174,6 +174,13 @@ BM25_QUERIES: dict[str, dict] = {
     "bm25_prefix": {"query": "w0004*", "k": 10},
     "bm25_dql_exists": {"query": "tool:* AND file", "k": 10},
     "bm25_wildcard_and": {"query": "err* AND timeout", "k": 10},
+    # r4b: fuzzy term queries (Lucene FuzzyQuery, SCORING_BOOLEAN_REWRITE;
+    # classic Levenshtein so engine/oracle arithmetic is identical).
+    # w00042~1 expands to ~35 dictionary terms, ~2 to ~500 (cap 1024);
+    # timeout~1 degenerates to a single term (FuzzyQuery -> TermQuery).
+    "bm25_fuzzy": {"query": "w00042~1", "k": 10},
+    "bm25_fuzzy_wide": {"query": "w00042~2", "k": 10},
+    "bm25_fuzzy_and": {"query": "timeout~1 AND error", "k": 10},
 }
 
 
@@ -542,6 +549,46 @@ def q_emb_near_dup_stats(spark, sf_dir):
     )
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF ANN (FAISS IndexIVFFlat shape): Forgy seed quantizer — the
+    centroids are the nlist smallest-id embeddings, a pure arithmetic
+    derivation the DuckDB oracle reproduces, so cell assignment, probe
+    selection, and the re-ranked top-k are a full value match.  The
+    k-means-trained quantizer variant is pytest-verified (recall + ge
+    seed quality) in tests/test_dedup.py."""
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), [0, 1, 2], k=5,
+        nlist=similarity.IVF_NLIST, nprobe=similarity.IVF_NPROBE,
+    )
+
+
+def q_emb_ivf_recall(spark, sf_dir):
+    """recall@5 of IVF (nprobe=4 of nlist=16 cells) against the exact
+    cosine top-k — the explicit quality bound for the IVF path, fully
+    SQL-reproducible because the seed quantizer is."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk(emb, [0, 1, 2], k=5)
+    ann = similarity.ivf_topk(
+        emb, [0, 1, 2], k=5,
+        nlist=similarity.IVF_NLIST, nprobe=similarity.IVF_NPROBE,
+    )
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / 5.0, 2).alias("recall_ivf_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_emb_lsh_recall(spark, sf_dir):
     """recall@5 of both ANN variants against the exact cosine top-k, per
     query — the explicit quality metric for the approximate path."""
@@ -716,6 +763,53 @@ cand AS (
 )"""
 
 
+def _sql_cos(a: str, b: str) -> str:
+    """round-6 cosine between two list columns — the exact arithmetic of
+    similarity.cosine (sequential double fold; norm product is
+    commutative in IEEE, so operand order is free)."""
+    return (
+        f"round(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform(generate_series(1, len({b})), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 6)"
+    )
+
+
+def _ivf_sql(nlist: int = None, nprobe: int = None) -> str:
+    """CTE prefix reproducing similarity.ivf_topk with the Forgy seed
+    quantizer: centroids = the nlist smallest-id embeddings; assignment =
+    argmax round-6 cosine (ties -> smallest cid); probes = the query's
+    nprobe best cells."""
+    nlist = nlist if nlist is not None else similarity.IVF_NLIST
+    nprobe = nprobe if nprobe is not None else similarity.IVF_NPROBE
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
+),
+ccos AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_sql_cos('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cent c
+),
+asgn AS (
+  SELECT vec_id, embedding, cid AS list_id FROM ccos
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM ccos WHERE vec_id IN (0, 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) <= {nprobe}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
+cand AS (
+  SELECT p.query_id, e.vec_id, {_sql_cos('q.qvec', 'e.embedding')} AS cos
+  FROM probes p JOIN asgn e ON e.list_id = p.cid
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> p.query_id
+)"""
+
+
 def _mh_exprs() -> str:
     return ", ".join(
         f"min(({a} * x + {b}) % {dedup.MERSENNE61}) AS mh{i}"
@@ -733,6 +827,7 @@ def oracle_sql_map() -> dict[str, str]:
     bm["bm25_term_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error", k=10)
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
     bm["bm25_prefix_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w0004*", k=10)
+    bm["bm25_fuzzy_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w00042~1", k=10)
 
     rel = {
         "events_terms_topn": (
@@ -1002,6 +1097,25 @@ FROM documents ORDER BY doc_id"""
 SELECT query_id, vec_id, cos FROM cand
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
 ORDER BY query_id, cos DESC, vec_id""",
+        "emb_ivf_topk": _ivf_sql() + """
+SELECT query_id, vec_id, cos FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+ORDER BY query_id, cos DESC, vec_id""",
+        "emb_ivf_recall": _ivf_sql() + f""",
+ann AS (
+  SELECT query_id, vec_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+),
+exact AS (
+  SELECT q.query_id, e.vec_id, {_sql_cos('q.qvec', 'e.embedding')} AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+)
+SELECT x.query_id,
+       round(CAST(count(a.vec_id) AS DOUBLE) / 5.0, 2) AS recall_ivf_at_5
+FROM exact x
+LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id""",
         "emb_lsh_multi_topk": _lsh_multi_sql() + """
 SELECT query_id, vec_id, cos FROM cand
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
@@ -1106,6 +1220,7 @@ def queries_map() -> dict:
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)
+    q["bm25_fuzzy_warm"] = _bm25_warm("w00042~1", 10)
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,
@@ -1142,6 +1257,8 @@ def queries_map() -> dict:
             "doc_fingerprint": q_doc_fingerprint,
             "emb_cosine_topk": q_emb_cosine_topk,
             "emb_lsh_topk": q_emb_lsh_topk,
+            "emb_ivf_topk": q_emb_ivf_topk,
+            "emb_ivf_recall": q_emb_ivf_recall,
             "emb_lsh_multi_topk": q_emb_lsh_multi_topk,
             "emb_near_dup_stats": q_emb_near_dup_stats,
             "emb_lsh_recall": q_emb_lsh_recall,

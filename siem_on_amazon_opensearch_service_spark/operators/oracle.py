@@ -26,13 +26,15 @@ from ..functions.smallfloat import encode_lengths
 from ..plans.query import (
     MAX_CLAUSE_COUNT,
     And,
+    Fuzzy,
     Node,
     Not,
     Or,
     Phrase,
     Term,
-    expand_wildcards,
+    expand_multiterm,
     extract_filters,
+    levenshtein_within,
     merge_filters,
     parse,
     wildcard_regex,
@@ -146,11 +148,16 @@ class LuceneOracle:
         role, tool = filt.get("role"), filt.get("tool")
         ts_min, ts_max = filt.get("ts_min"), filt.get("ts_max")
 
-        def expander(pattern: str) -> list[str]:
-            rx = wildcard_regex(pattern)
+        def expander(leaf) -> list[str]:
+            if isinstance(leaf, Fuzzy):
+                return sorted(
+                    t for t in self.postings
+                    if levenshtein_within(t, leaf.term, leaf.max_edits)
+                )
+            rx = wildcard_regex(leaf.pattern)
             return sorted(t for t in self.postings if rx.match(t))
 
-        ast = expand_wildcards(ast, expander, MAX_CLAUSE_COUNT)
+        ast = expand_multiterm(ast, expander, MAX_CLAUSE_COUNT)
         mask, acc = self._eval(ast)
         if role is not None:
             mask &= (self.meta["role"] == role).to_numpy()

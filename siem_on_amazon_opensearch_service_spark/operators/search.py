@@ -48,14 +48,16 @@ from pyspark.sql import types as T
 from ..functions import bm25, varint
 from ..plans.query import (
     MAX_CLAUSE_COUNT,
+    MULTITERM,
     And,
+    Fuzzy,
     Node,
     Not,
     Or,
     Phrase,
     Term,
     Wildcard,
-    expand_wildcards,
+    expand_multiterm,
     extract_filters,
     merge_filters,
     parse,
@@ -234,15 +236,35 @@ def _load_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
     return {t: int(d) for t, d in rows}
 
 
-def _expand_pattern(index_dir: str, pattern: str) -> list[str]:
-    """Dictionary expansion of a wildcard/prefix pattern: matching terms,
-    sorted ascending.  A literal prefix adds a range predicate so the
-    parquet zonemaps prune row groups (the dict is term-sorted within
-    files) — the scan reads O(matching dictionary region), the Lucene
-    terms-enum seek analogue, not O(vocabulary)."""
+def _expand_leaf(index_dir: str, leaf) -> list[str]:
+    """Dictionary expansion of a multi-term leaf: matching terms, sorted
+    ascending.
+
+    Wildcard: a literal prefix adds a range predicate so the parquet
+    zonemaps prune row groups (the dict is term-sorted within files) — the
+    scan reads O(matching dictionary region), the Lucene terms-enum seek
+    analogue, not O(vocabulary).
+
+    Fuzzy: ``levenshtein(term, q) <= e`` with a length-band prefilter
+    (``abs(len - len(q)) <= e``) so the quadratic distance only runs on
+    length-plausible terms.  Prefix-free fuzzy reads the whole dictionary
+    — exactly Lucene's prefixLength=0 default, where the Levenshtein
+    automaton walks the full term FST; the dictionary is tiny relative to
+    postings (distinct terms, bucketed parquet) and expansions are
+    memoized per session, so this is a per-novel-pattern cost, not a
+    per-query one."""
     import duckdb
 
-    like, prefix = wildcard_to_like(pattern)
+    if isinstance(leaf, Fuzzy):
+        q = leaf.term.replace("'", "''")
+        e = int(leaf.max_edits)
+        rows = duckdb.sql(
+            f"SELECT term FROM {_dict_sources(index_dir)} "
+            f"WHERE abs(length(term) - {len(leaf.term)}) <= {e} "
+            f"AND levenshtein(term, '{q}') <= {e} ORDER BY term"
+        ).fetchall()
+        return [r[0] for r in rows]
+    like, prefix = wildcard_to_like(leaf.pattern)
     like_sql = like.replace("'", "''")
     conds = [f"term LIKE '{like_sql}' ESCAPE '\\'"]
     if prefix:
@@ -256,13 +278,13 @@ def _expand_pattern(index_dir: str, pattern: str) -> list[str]:
     return [r[0] for r in rows]
 
 
-def _has_wildcard(node: Node) -> bool:
-    if isinstance(node, Wildcard):
+def _has_multiterm(node: Node) -> bool:
+    if isinstance(node, MULTITERM):
         return True
     if isinstance(node, (And, Or)):
-        return any(_has_wildcard(c) for c in node.children)
+        return any(_has_multiterm(c) for c in node.children)
     if isinstance(node, Not):
-        return _has_wildcard(node.child)
+        return _has_multiterm(node.child)
     return False
 
 
@@ -1531,16 +1553,16 @@ def search_df(
     ts_min, ts_max = filt.get("ts_min"), filt.get("ts_max")
     role_exists = bool(filt.get("role_exists"))
     tool_exists = bool(filt.get("tool_exists"))
-    if _has_wildcard(ast):
-        def _exp(p: str) -> list[str]:
-            if _expand_memo is not None and p in _expand_memo:
-                return _expand_memo[p]
-            out = _expand_pattern(index_dir, p)
+    if _has_multiterm(ast):
+        def _exp(leaf) -> list[str]:
+            if _expand_memo is not None and leaf in _expand_memo:
+                return _expand_memo[leaf]
+            out = _expand_leaf(index_dir, leaf)
             if _expand_memo is not None:
-                _expand_memo[p] = out
+                _expand_memo[leaf] = out
             return out
 
-        ast = expand_wildcards(ast, _exp, MAX_CLAUSE_COUNT)
+        ast = expand_multiterm(ast, _exp, MAX_CLAUSE_COUNT)
     _require_positive_coverage(ast, "search_df")
     leaves = _leaves(ast)
     _check_positions(index_dir, leaves)
@@ -1751,9 +1773,9 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
     become a left-semi join against the filtered docs projection;
     wildcards expand against the dictionary like search_df."""
     ast, dqlf = extract_filters(parse(query), query)
-    if _has_wildcard(ast):
-        ast = expand_wildcards(
-            ast, lambda p: _expand_pattern(index_dir, p), MAX_CLAUSE_COUNT
+    if _has_multiterm(ast):
+        ast = expand_multiterm(
+            ast, lambda lf: _expand_leaf(index_dir, lf), MAX_CLAUSE_COUNT
         )
     _require_positive_coverage(ast, "match_count_df")
 
@@ -1930,12 +1952,12 @@ class LocalIndex:
         return np.unique(docs, return_counts=True)
 
     def _compile(self, query: str) -> tuple[Node, dict]:
-        """parse -> field-filter extraction -> wildcard expansion against
-        this index's dictionary."""
+        """parse -> field-filter extraction -> wildcard/fuzzy expansion
+        against this index's dictionary."""
         ast, dqlf = extract_filters(parse(query), query)
-        if _has_wildcard(ast):
-            ast = expand_wildcards(
-                ast, lambda p: _expand_pattern(self.dir, p), MAX_CLAUSE_COUNT
+        if _has_multiterm(ast):
+            ast = expand_multiterm(
+                ast, lambda lf: _expand_leaf(self.dir, lf), MAX_CLAUSE_COUNT
             )
         return ast, dqlf
 

@@ -168,6 +168,147 @@ def embedding_near_dup_pairs(
     return cand.filter(F.col("cos") >= threshold).orderBy("id_a", "id_b")
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+#
+# The corpus is partitioned into nlist Voronoi cells around centroid
+# vectors (spherical: nearest by cosine); a query probes only its nprobe
+# nearest cells and re-ranks those candidates exactly.  Candidate volume
+# ~ n * nprobe / nlist instead of n — the FAISS IndexIVFFlat shape.
+#
+# Scale design: cell assignment is a PURE PROJECTION — the centroids are
+# literal arrays folded into whole-stage codegen (no shuffle, no
+# broadcast variable, no Python); the probe-list join is a broadcast
+# equi-join on list_id (queries x nprobe rows).  At 100 TB the only
+# shuffle is the per-query top-k window over candidates, exactly like the
+# LSH path above.  Centroid TRAINING follows the standard large-scale
+# recipe (train on a bounded sample, assign the full corpus
+# distributed): ``train_ivf_centroids`` runs deterministic spherical
+# Lloyd iterations on the ``sample_cap`` smallest ids driver-side.
+# ``seed_centroids`` (Forgy init: the nlist smallest ids as-is) is the
+# arithmetic-reproducible variant the DuckDB value-match oracle mirrors.
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _lit_vec(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def seed_centroids(
+    emb: DataFrame, nlist: int = IVF_NLIST, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Forgy seed centroids: the embeddings of the ``nlist`` smallest ids
+    (deterministic at any parallelism; a metadata-scale collect)."""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    nlist: int = IVF_NLIST,
+    iters: int = 10,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic spherical k-means: Lloyd iterations over the
+    ``sample_cap`` smallest-id vectors (sorted-limit sample -> identical
+    at any parallelism), Forgy init, unit-normalized means, empty cells
+    keep their previous centroid.  Training on a bounded sample is the
+    standard IVF recipe at corpus scale — only assignment touches the
+    full data, and that is distributed."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_cap).collect()
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(nlist):
+            members = Xn[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[j] = v / nv
+    return [[float(x) for x in c] for c in C]
+
+
+def _ivf_cos_entries(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct(cos, ncid)> of the vector's cosine to every centroid;
+    ncid = -cid so ascending struct order is (cos asc, cid desc) and both
+    max and sort+reverse yield the (cos DESC, cid ASC) ranking the SQL
+    oracle's window uses."""
+    entries = []
+    for cid, c in enumerate(centroids):
+        lc = _lit_vec(c)
+        entries.append(
+            F.struct(cosine(vec, lc).alias("cos"), F.lit(-cid).alias("ncid"))
+        )
+    return F.array(*entries)
+
+
+def ivf_list_id(vec: Column, centroids: list[list[float]]) -> Column:
+    """Voronoi cell id: argmax-cosine centroid (ties -> smallest cid).
+    A literal-centroid codegen projection — zero shuffle at any scale."""
+    return (-F.array_max(_ivf_cos_entries(vec, centroids))["ncid"]).cast("int")
+
+
+def ivf_probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The nprobe nearest cell ids, best-first (cos desc, cid asc)."""
+    ranked = F.slice(F.reverse(F.array_sort(_ivf_cos_entries(vec, centroids))), 1, nprobe)
+    return F.transform(ranked, lambda s: (-s["ncid"]).cast("int"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cos) — IVF ANN top-k: probe the nprobe nearest
+    cells, exact cosine re-rank inside them, tie-break ascending vec_id,
+    self-match excluded.  ``centroids=None`` uses the Forgy seed set (the
+    oracle-reproducible quantizer); pass ``train_ivf_centroids(...)`` for
+    the k-means quantizer."""
+    if centroids is None:
+        centroids = seed_centroids(emb, nlist, id_col, vec_col)
+    withl = emb.select(
+        id_col, vec_col, ivf_list_id(F.col(vec_col), centroids).alias("list_id")
+    )
+    probes = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe)).alias("probe_cid"),
+        )
+    )
+    joined = withl.join(
+        F.broadcast(probes),
+        (F.col("list_id") == F.col("probe_cid")) & (F.col(id_col) != F.col("query_id")),
+    )
+    # a candidate matches at most one probe of a query (probe cids are
+    # distinct), so no dedup is needed before the re-rank
+    scored = joined.select(
+        "query_id", id_col, cosine(F.col("qvec"), F.col(vec_col)).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos")
+        .orderBy("query_id", F.col("cos").desc(), id_col)
+    )
+
+
 def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding", n_bits: int = N_BITS) -> DataFrame:
     """ANN: candidates share the query's LSH bucket; exact cosine re-rank.
     At scale the bucket equi-join replaces the all-pairs nested loop."""

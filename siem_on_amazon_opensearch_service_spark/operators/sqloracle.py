@@ -14,6 +14,7 @@ from ..functions.bm25 import sql_idf_expr, sql_score_expr
 from ..functions.smallfloat import sql_decode_case
 from ..plans.query import (
     And,
+    Fuzzy,
     Node,
     Not,
     Or,
@@ -26,8 +27,8 @@ from ..plans.query import (
     wildcard_to_like,
 )
 
-#: scoring leaf node types (Wildcard renders as a grouped term-set leaf)
-LEAVES = (Term, Phrase, Wildcard)
+#: scoring leaf node types (Wildcard/Fuzzy render as grouped term-set leaves)
+LEAVES = (Term, Phrase, Wildcard, Fuzzy)
 
 
 def _base_ctes(path: str) -> str:
@@ -72,15 +73,25 @@ def _q(t: str) -> str:
 def _leaf_ctes(leaves: list[Node]) -> str:
     parts = []
     for i, leaf in enumerate(leaves):
-        if isinstance(leaf, Wildcard):
-            # wildcard leaf = the OR of its dictionary matches (engine:
-            # expand_wildcards SCORING_BOOLEAN_REWRITE).  Rendered as a
+        if isinstance(leaf, (Wildcard, Fuzzy)):
+            # multi-term leaf = the OR of its dictionary matches (engine:
+            # expand_multiterm SCORING_BOOLEAN_REWRITE).  Rendered as a
             # grouped term-set: per-(doc, term) float32 scores with
             # PER-TERM idf weights, summed in float64 per doc.  s_i stays
             # DOUBLE — _combine_sql casts the overall total to float32
-            # once, exactly like the engine's flat-Or aggregation.
-            like, _ = wildcard_to_like(leaf.pattern)
-            like_sql = like.replace("'", "''")
+            # once, exactly like the engine's flat-Or aggregation.  The
+            # fuzzy predicate is DuckDB's classic levenshtein — the exact
+            # arithmetic the engine's dictionary expansion uses.
+            if isinstance(leaf, Fuzzy):
+                q = leaf.term.replace("'", "''")
+                pred = (
+                    f"abs(length(term) - {len(leaf.term)}) <= {leaf.max_edits} "
+                    f"AND levenshtein(term, '{q}') <= {leaf.max_edits}"
+                )
+            else:
+                like, _ = wildcard_to_like(leaf.pattern)
+                like_sql = like.replace("'", "''")
+                pred = f"term LIKE '{like_sql}' ESCAPE '\\'"
             score = sql_score_expr(
                 "f.tf",
                 "n.dl_dec",
@@ -89,7 +100,7 @@ def _leaf_ctes(leaves: list[Node]) -> str:
             )
             parts.append(
                 f"ptf_{i} AS (SELECT docid, term, count(*) AS tf FROM tok "
-                f"WHERE term LIKE '{like_sql}' ESCAPE '\\' GROUP BY docid, term)"
+                f"WHERE {pred} GROUP BY docid, term)"
             )
             parts.append(
                 f"pdf_{i} AS (SELECT term, count(*) AS df FROM ptf_{i} GROUP BY term)"

@@ -18,15 +18,27 @@ Grammar:
              | 'text' ':' word              # field-scoped term
              | 'ts' ('>='|'<=') isodate     # inclusive time-range filter
              | word-with-*-or-?             # wildcard/prefix term query
+             | word '~' [0|1|2]             # fuzzy term query (bare ~ = AUTO)
              | word
 
 Field atoms on keyword fields (role, tool) are NON-SCORING filters, the
 DQL/filter-context semantics of the reference's saved searches; they are
 legal only as the whole query or as direct positive conjuncts of the
-top-level AND (``extract_filters``).  Wildcard atoms expand against the
-index term dictionary into a scoring OR-of-terms (Lucene
+top-level AND (``extract_filters``).  Wildcard and fuzzy atoms expand
+against the index term dictionary into a scoring OR-of-terms (Lucene
 SCORING_BOOLEAN_REWRITE), capped at MAX_CLAUSE_COUNT like Lucene's
 BooleanQuery.maxClauseCount.
+
+Fuzzy semantics (Lucene FuzzyQuery / the OpenSearch ``fuzziness`` param):
+``term~N`` matches dictionary terms within N edits, N <= 2 like Lucene's
+``LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE``; bare ``term~`` uses
+the OpenSearch AUTO:3,6 ladder (0 edits below length 3, 1 below 6, else
+2).  Distance is classic Levenshtein (insert/delete/substitute) — NOT
+Damerau: Spark's ``levenshtein`` and DuckDB's ``levenshtein`` both
+implement the classic form, so choosing it keeps the engine, the
+distributed expansion, and the SQL oracle bit-identical; Lucene's default
+``transpositions=true`` is the one deliberate divergence (a transposition
+costs 2 here, documented, like FuzzyQuery(transpositions=false)).
 
 Scoring semantics (Lucene bool): the document score is the float64 sum of
 the float32 scores of the *matching* positive clauses, rounded to float32;
@@ -66,6 +78,17 @@ class Wildcard(Node):
 
 
 @dataclass(frozen=True)
+class Fuzzy(Node):
+    """Fuzzy term query (``timeout~1``): dictionary terms within
+    ``max_edits`` classic-Levenshtein edits of ``term``.  Expanded against
+    the term dictionary before execution, exactly like ``Wildcard``
+    (SCORING_BOOLEAN_REWRITE; FuzzyQuery under BooleanQuery rewrite)."""
+
+    term: str
+    max_edits: int
+
+
+@dataclass(frozen=True)
 class FieldFilter(Node):
     """Keyword-field predicate (``role:assistant``, ``tool:*``): a
     non-scoring filter, the reference's DQL phrase/exists filter.  value
@@ -100,6 +123,22 @@ MAX_CLAUSE_COUNT = 1024
 
 _WILDCARD_CHARS = ("*", "?")
 _WILDCARD_OK = re.compile(r"^[A-Za-z0-9_*?]+$")
+
+#: Lucene LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE: ``term~N`` with
+#: N above this raises, as FuzzyQuery's constructor does
+MAX_FUZZY_EDITS = 2
+
+_FUZZY_SUFFIX = re.compile(r"^(.*?)~(\d*)$")
+
+
+def auto_fuzzy_edits(length: int) -> int:
+    """The OpenSearch ``fuzziness: AUTO`` (AUTO:3,6) ladder used for a bare
+    trailing ``~``: exact below 3 chars, 1 edit for 3-5, 2 for 6+."""
+    if length < 3:
+        return 0
+    if length < 6:
+        return 1
+    return 2
 
 #: time-range atom: ts>=2025-06-05T00:00:00 (ISO, 'T' or none; value is
 #: normalized to the space form the filter machinery / SQL oracles use).
@@ -208,9 +247,33 @@ def parse(query: str) -> Node:
 
 
 def _word_atom(t: str, query: str) -> Node:
-    """A bare word: a Wildcard if it carries * / ?, else a single analyzed
-    term (the analyzer would strip wildcard chars, so check first —
-    Lucene likewise does not analyze wildcard patterns)."""
+    """A bare word: a Fuzzy if it carries a ``~`` suffix, a Wildcard if it
+    carries * / ?, else a single analyzed term (the analyzer would strip
+    wildcard/fuzzy markers, so check first — Lucene likewise does not
+    analyze wildcard or fuzzy patterns)."""
+    if "~" in t:
+        m = _FUZZY_SUFFIX.match(t)
+        if not m or "~" in m.group(1) or not m.group(1):
+            raise ValueError(f"bad fuzzy atom {t!r} in {query!r}: expected term~[0-2]")
+        body, digits = m.group(1), m.group(2)
+        if any(c in body for c in _WILDCARD_CHARS):
+            raise ValueError(
+                f"fuzzy and wildcard cannot combine in {t!r} in {query!r}"
+            )
+        analyzed = tokenize(body)
+        if len(analyzed) != 1:
+            raise ValueError(f"bad fuzzy term {body!r} in {query!r}")
+        term = analyzed[0]
+        edits = int(digits) if digits else auto_fuzzy_edits(len(term))
+        if edits > MAX_FUZZY_EDITS:
+            raise ValueError(
+                f"fuzzy distance {edits} in {t!r} exceeds the supported "
+                f"maximum {MAX_FUZZY_EDITS} (Lucene "
+                "LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE)"
+            )
+        if edits == 0:
+            return Term(term)  # FuzzyQuery(maxEdits=0) degenerates to TermQuery
+        return Fuzzy(term, edits)
     if any(c in t for c in _WILDCARD_CHARS):
         if not _WILDCARD_OK.match(t):
             raise ValueError(f"bad wildcard pattern {t!r} in {query!r}")
@@ -346,33 +409,64 @@ def wildcard_regex(pattern: str):
     return re.compile("^" + "".join(parts) + "$")
 
 
-def expand_wildcards(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -> Node:
-    """Replace every Wildcard leaf with the scoring OR of its dictionary
-    matches (Lucene SCORING_BOOLEAN_REWRITE).  ``expander(pattern)`` must
-    return the matching index terms sorted ascending.  Zero matches
-    become a Term of the raw pattern — ``*``/``?`` can never appear in an
-    analyzed token, so that term is guaranteed absent (df 0, matches
-    nothing) on every execution path.  More than ``max_clauses`` matches
-    raises, like BooleanQuery.maxClauseCount."""
-    if isinstance(ast, Wildcard):
-        terms = list(expander(ast.pattern))
+#: multi-term leaf types: rewritten against the term dictionary before
+#: execution (Lucene MultiTermQuery subclasses)
+MULTITERM = (Wildcard, Fuzzy)
+
+
+def expand_multiterm(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -> Node:
+    """Replace every multi-term leaf (Wildcard, Fuzzy) with the scoring OR
+    of its dictionary matches (Lucene SCORING_BOOLEAN_REWRITE).
+    ``expander(leaf)`` receives the leaf node and must return the matching
+    index terms sorted ascending.  Zero matches become a Term that is
+    guaranteed absent: for wildcards the raw pattern (``*``/``?`` can never
+    appear in an analyzed token); for fuzzy the query term itself (the
+    dictionary holds every corpus term, so an empty expansion proves the
+    term has df 0) — matching nothing on every execution path.  More than
+    ``max_clauses`` matches raises, like BooleanQuery.maxClauseCount."""
+    if isinstance(ast, MULTITERM):
+        terms = list(expander(ast))
+        label = ast.pattern if isinstance(ast, Wildcard) else f"{ast.term}~{ast.max_edits}"
         if len(terms) > max_clauses:
             raise ValueError(
-                f"too_many_clauses: pattern {ast.pattern!r} expands to "
+                f"too_many_clauses: {label!r} expands to "
                 f"{len(terms)} terms (cap {max_clauses})"
             )
         if not terms:
-            return Term(ast.pattern)
+            return Term(ast.pattern if isinstance(ast, Wildcard) else ast.term)
         if len(terms) == 1:
             return Term(terms[0])
         return Or(tuple(Term(t) for t in terms))
     if isinstance(ast, And):
-        return And(tuple(expand_wildcards(c, expander, max_clauses) for c in ast.children))
+        return And(tuple(expand_multiterm(c, expander, max_clauses) for c in ast.children))
     if isinstance(ast, Or):
-        return Or(tuple(expand_wildcards(c, expander, max_clauses) for c in ast.children))
+        return Or(tuple(expand_multiterm(c, expander, max_clauses) for c in ast.children))
     if isinstance(ast, Not):
-        return Not(expand_wildcards(ast.child, expander, max_clauses))
+        return Not(expand_multiterm(ast.child, expander, max_clauses))
     return ast
+
+
+def levenshtein_within(a: str, b: str, max_edits: int) -> bool:
+    """Banded classic-Levenshtein predicate (no transpositions), early-exit
+    when the band minimum exceeds ``max_edits`` — the driver-side analogue
+    of the SQL ``levenshtein(a, b) <= e`` predicate the distributed
+    expansion and the DuckDB oracle use."""
+    if abs(len(a) - len(b)) > max_edits:
+        return False
+    if a == b:
+        return True
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        lo = len(b) + 1
+        for j, cb in enumerate(b, start=1):
+            c = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(c)
+            lo = min(lo, c)
+        if lo > max_edits:
+            return False
+        prev = cur
+    return prev[-1] <= max_edits
 
 
 def query_terms(node: Node) -> list[str]:

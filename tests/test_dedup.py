@@ -89,6 +89,66 @@ class TestMultiTableLsh:
         assert rm >= 0.5  # recall amplification must actually bite
 
 
+class TestIvfAnn:
+    """IVF coarse quantizer (r4b): seed-centroid assignment must be
+    deterministic and candidate-bounded; the k-means quantizer must be
+    parallelism-independent and give usable recall; probing every cell
+    must equal the exact top-k (IVF with nprobe=nlist is exhaustive)."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_full_probe_equals_exact(self, emb):
+        from siem_on_amazon_opensearch_service_spark.operators import similarity as sim
+
+        exact = sim.cosine_topk(emb, [0, 1, 2], k=5).toPandas()
+        full = sim.ivf_topk(emb, [0, 1, 2], k=5, nlist=8, nprobe=8).toPandas()
+        assert list(zip(exact.query_id, exact.vec_id, exact.cos)) == list(
+            zip(full.query_id, full.vec_id, full.cos)
+        )
+
+    def test_assignment_partitions_corpus(self, emb):
+        from pyspark.sql import functions as F
+
+        from siem_on_amazon_opensearch_service_spark.operators import similarity as sim
+
+        cents = sim.seed_centroids(emb, nlist=8)
+        withl = emb.select(
+            "vec_id", sim.ivf_list_id(F.col("embedding"), cents).alias("list_id")
+        )
+        sizes = {r.list_id: r.n for r in withl.groupBy("list_id").agg(F.count("*").alias("n")).collect()}
+        assert sum(sizes.values()) == emb.count()  # every vector in exactly one cell
+        assert all(0 <= c < 8 for c in sizes)
+
+    def test_kmeans_deterministic_and_recall(self, emb):
+        from siem_on_amazon_opensearch_service_spark.operators import similarity as sim
+
+        c1 = sim.train_ivf_centroids(emb, nlist=8, iters=5, sample_cap=256)
+        c2 = sim.train_ivf_centroids(emb.repartition(7), nlist=8, iters=5, sample_cap=256)
+        assert c1 == c2  # sorted-limit sample -> parallelism-independent
+
+        exact = sim.cosine_topk(emb, [0, 1, 2], k=5).toPandas()
+        ex = set(zip(exact.query_id, exact.vec_id))
+        got = sim.ivf_topk(emb, [0, 1, 2], k=5, nlist=8, nprobe=3, centroids=c1).toPandas()
+        recall = len(ex & set(zip(got.query_id, got.vec_id))) / len(ex)
+        assert recall >= 0.5  # 3/8 cells probed must still find most true neighbors
+
+    def test_probe_lists_are_distinct_best_first(self, emb):
+        from pyspark.sql import functions as F
+
+        from siem_on_amazon_opensearch_service_spark.operators import similarity as sim
+
+        cents = sim.seed_centroids(emb, nlist=8)
+        rows = (
+            emb.limit(20)
+            .select("vec_id", sim.ivf_probe_lists(F.col("embedding"), cents, 4).alias("p"))
+            .collect()
+        )
+        for r in rows:
+            assert len(r.p) == 4 and len(set(r.p)) == 4
+
+
 class TestShingleHashes:
     """r4: polynomial (Karp-Rabin) shingle hashing — the production
     shingle domain.  Engine arithmetic must match the DuckDB rendering

@@ -307,6 +307,15 @@ DQL_QUERIES = [
     # DQL filter merged with explicit kwargs
     ("role:assistant AND error", {"tool": None}),
     ("err*", {"role": "assistant"}),
+    # fuzzy term queries (r4b): multi-match, degenerate single-match,
+    # AUTO ladder, zero-match, fuzzy + filter combined
+    ("w00042~1", {}),
+    ("w00042~2", {}),
+    ("timeout~1 AND error", {}),
+    ("timeout~", {}),
+    ("zzzznomatch~2", {}),
+    ("w00042~1 AND role:assistant", {}),
+    ("refused~1 OR denied~1", {}),
 ]
 
 
@@ -325,7 +334,9 @@ class TestDQL:
         got = [(r["docid"], np.float32(r["score"])) for r in rows]
         _assert_hits_equal(got, oracle.search(q, k=10, **kw), f"df:{q}")
 
-    @pytest.mark.parametrize("q", ["w0004*", "err* AND timeout", "timeout OR w0004?"])
+    @pytest.mark.parametrize(
+        "q", ["w0004*", "err* AND timeout", "timeout OR w0004?", "w00042~1"]
+    )
     def test_wand_rank_identity(self, local, q):
         assert local.search_wand(q, k=10) == local.search(q, k=10)
 
@@ -341,7 +352,8 @@ class TestDQL:
         p = str(tmp_path / "corpus.parquet")
         tiny_corpus_pdf.to_parquet(p)
         for q in ["w0004*", "role:assistant AND (error OR timeout)",
-                  "tool:* AND file", "err* AND timeout"]:
+                  "tool:* AND file", "err* AND timeout",
+                  "w00042~1", "timeout~1 AND error"]:
             got = duckdb.sql(bm25_sql(p, q, k=10)).fetchall()
             exp = [(h.docid, round(float(h.score), 3)) for h in oracle.search(q, k=10)]
             assert [(int(d), float(s)) for d, s in got] == exp, q
@@ -354,7 +366,8 @@ class TestDQL:
 
         p = str(tmp_path / "corpus.parquet")
         tiny_corpus_pdf.to_parquet(p)
-        for q in ["tool:* AND file", "role:assistant AND (error OR timeout)", "err* AND timeout"]:
+        for q in ["tool:* AND file", "role:assistant AND (error OR timeout)",
+                  "err* AND timeout", "w00042~1 AND error"]:
             got = match_count_df(spark, tiny_index[0], q).first()[0]
             exp = duckdb.sql(match_count_sql(p, q)).fetchone()[0]
             assert got == exp, q
@@ -364,7 +377,8 @@ class TestDQL:
 
         qs = QuerySession(spark, tiny_index[0])
         try:
-            for q in ["w0004*", "tool:* AND file", "role:assistant AND (error OR timeout)"]:
+            for q in ["w0004*", "tool:* AND file",
+                      "role:assistant AND (error OR timeout)", "w00042~1"]:
                 cold = search_df(spark, tiny_index[0], q, k=10).collect()
                 warm = qs.search(q, k=10).collect()
                 warm2 = qs.search(q, k=10).collect()  # memoized expansion
@@ -394,12 +408,60 @@ class TestDQL:
 
     def test_max_clause_count(self):
         from siem_on_amazon_opensearch_service_spark.plans.query import (
-            expand_wildcards,
+            expand_multiterm,
             parse,
         )
 
         with pytest.raises(ValueError, match="too_many_clauses"):
-            expand_wildcards(parse("w*"), lambda p: [f"w{i}" for i in range(10)], max_clauses=5)
+            expand_multiterm(parse("w*"), lambda lf: [f"w{i}" for i in range(10)], max_clauses=5)
+
+    def test_fuzzy_parse_semantics(self):
+        from siem_on_amazon_opensearch_service_spark.plans.query import (
+            Fuzzy,
+            Term,
+            parse,
+        )
+
+        assert parse("w00042~1") == Fuzzy("w00042", 1)
+        assert parse("timeout~") == Fuzzy("timeout", 2)  # AUTO: len>=6 -> 2
+        assert parse("abcd~") == Fuzzy("abcd", 1)  # AUTO: 3-5 -> 1
+        assert parse("ab~") == Term("ab")  # AUTO: <3 -> exact
+        assert parse("error~0") == Term("error")  # maxEdits=0 == TermQuery
+        for bad, msg in [
+            ("foo~3", "exceeds the supported maximum"),
+            ("~1", "bad fuzzy atom"),
+            ("err*~1", "cannot combine"),
+        ]:
+            with pytest.raises(ValueError, match=msg):
+                parse(bad)
+
+    def test_levenshtein_within_matches_duckdb(self):
+        import duckdb
+
+        from siem_on_amazon_opensearch_service_spark.plans.query import (
+            levenshtein_within,
+        )
+
+        words = ["w00042", "w00043", "w10042", "timeout", "timeouts", "time",
+                 "reset", "restt", "ab", "ba", "abc", ""]
+        for a in words:
+            for b in words:
+                if not a or not b:
+                    continue
+                d = duckdb.sql(f"SELECT levenshtein('{a}','{b}')").fetchone()[0]
+                for e in (1, 2):
+                    assert levenshtein_within(a, b, e) == (d <= e), (a, b, e)
+
+    def test_fuzzy_expansion_against_dictionary(self, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            _expand_leaf,
+        )
+        from siem_on_amazon_opensearch_service_spark.plans.query import Fuzzy
+
+        terms = _expand_leaf(tiny_index[0], Fuzzy("w00042", 1))
+        assert "w00042" in terms  # distance 0: the term itself
+        assert terms == sorted(terms)
+        assert all(len(t) in (5, 6, 7) for t in terms)
 
 
 class TestShardedQuerySession:
@@ -437,6 +499,8 @@ class TestShardedQuerySession:
             ("w0004*", {}),
             ("tool:* AND file", {}),
             ("role:assistant AND (error OR timeout)", {}),
+            ("w00042~1", {}),
+            ("timeout~1 AND error", {}),
         ],
     )
     def test_sharded_equals_cold(self, spark, tiny_index, sharded, q, kw):
