@@ -285,6 +285,45 @@ def q_events_range_agg(spark, sf_dir):
     return aggs.range_agg(_events(spark, sf_dir), "value", [0.0, 30.0, 70.0])
 
 
+def q_events_significant_terms(spark, sf_dir):
+    """OpenSearch significant_terms (JLH): users over-represented in
+    error events vs the whole stream — the stock SIEM 'which entity is
+    anomalous in this slice' aggregation."""
+    return aggs.significant_terms(
+        _events(spark, sf_dir), "user_id", F.col("event_type") == "error",
+        n=10, min_doc_count=3,
+    )
+
+
+def q_events_rare_terms(spark, sf_dir):
+    """OpenSearch rare_terms over the props 'k' attribute: the long tail
+    of a ~100-value domain (count <= 85 at sf0.01)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "k", F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    )
+    return aggs.rare_terms(ev, "k", max_doc_count=85)
+
+
+def q_events_composite_page(spark, sf_dir):
+    """OpenSearch composite agg: one size-7 page of (event_type, day)
+    buckets resumed AFTER the cursor ('click', 2024-01-25) — the
+    pagination path that streams unbounded-cardinality buckets out of a
+    dashboard."""
+    return aggs.composite_agg(
+        _events(spark, sf_dir),
+        [("event_type", F.col("event_type")), ("day", F.date_trunc("day", F.col("ts")))],
+        size=7,
+        after=("click", "2024-01-25 00:00:00"),
+        metrics=[F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value_r")],
+    )
+
+
+def q_events_extended_stats(spark, sf_dir):
+    """OpenSearch extended_stats per event_type (ES's naive
+    variance = sum_sq/n - mean² arithmetic, mirrored by the oracle)."""
+    return aggs.extended_stats(_events(spark, sf_dir), "value", by="event_type")
+
+
 def q_events_moving_avg(spark, sf_dir):
     """OpenSearch moving_avg pipeline agg over a daily date_histogram."""
     return aggs.moving_avg(_events(spark, sf_dir), "ts", "day", window_size=3)
@@ -1076,6 +1115,49 @@ FROM documents ORDER BY doc_id"""
             "              WHEN value >= 70 THEN '70-*' END AS range_key FROM events"
             ") WHERE range_key IS NOT NULL GROUP BY range_key ORDER BY range_key"
         ),
+        "events_significant_terms": (
+            "WITH counts AS ("
+            "  SELECT user_id, count(*) AS bg_cnt, "
+            "         count(*) FILTER (WHERE event_type = 'error') AS fg_cnt "
+            "  FROM events GROUP BY user_id"
+            "), tot AS ("
+            "  SELECT count(*) AS superset_size, "
+            "         count(*) FILTER (WHERE event_type = 'error') AS subset_size "
+            "  FROM events"
+            ") "
+            "SELECT user_id, fg_cnt, bg_cnt, "
+            "  round((fg_cnt / CAST(subset_size AS DOUBLE) - bg_cnt / CAST(superset_size AS DOUBLE)) "
+            "      * ((fg_cnt / CAST(subset_size AS DOUBLE)) / (bg_cnt / CAST(superset_size AS DOUBLE))), 6) AS score_r "
+            "FROM counts, tot "
+            "WHERE fg_cnt >= 3 "
+            "  AND fg_cnt / CAST(subset_size AS DOUBLE) > bg_cnt / CAST(superset_size AS DOUBLE) "
+            "ORDER BY score_r DESC, user_id ASC LIMIT 10"
+        ),
+        "events_rare_terms": (
+            "SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k, "
+            "count(*) AS cnt FROM events GROUP BY 1 HAVING count(*) <= 85 "
+            "ORDER BY cnt ASC, k ASC"
+        ),
+        "events_composite_page": (
+            "SELECT * FROM ("
+            "  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt, "
+            "         round(sum(value), 4) AS sum_value_r "
+            "  FROM events GROUP BY 1, 2"
+            ") WHERE (event_type > 'click') "
+            "   OR (event_type = 'click' AND day > TIMESTAMP '2024-01-25 00:00:00') "
+            "ORDER BY event_type, day LIMIT 7"
+        ),
+        "events_extended_stats": (
+            "SELECT event_type, count(value) AS cnt, "
+            "round(min(value), 6) AS min_r, round(max(value), 6) AS max_r, "
+            "round(sum(value), 6) AS sum_r, round(sum(value) / count(value), 6) AS avg_r, "
+            "round(sum(value * value), 6) AS sum_sq_r, "
+            "round(sum(value * value) / count(value) - (sum(value) / count(value)) * (sum(value) / count(value)), 6) AS variance_r, "
+            "round(sqrt(sum(value * value) / count(value) - (sum(value) / count(value)) * (sum(value) / count(value))), 6) AS std_dev_r, "
+            "round(sum(value) / count(value) + 2.0 * sqrt(sum(value * value) / count(value) - (sum(value) / count(value)) * (sum(value) / count(value))), 6) AS std_upper_r, "
+            "round(sum(value) / count(value) - 2.0 * sqrt(sum(value * value) / count(value) - (sum(value) / count(value)) * (sum(value) / count(value))), 6) AS std_lower_r "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
         "events_moving_avg": (
             "SELECT bucket, cnt, round(avg(cnt) OVER ("
             "  ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg "
@@ -1234,6 +1316,10 @@ def queries_map() -> dict:
             "events_approx_cardinality": q_events_approx_cardinality,
             "events_value_histogram": q_events_value_histogram,
             "events_range_agg": q_events_range_agg,
+            "events_significant_terms": q_events_significant_terms,
+            "events_rare_terms": q_events_rare_terms,
+            "events_composite_page": q_events_composite_page,
+            "events_extended_stats": q_events_extended_stats,
             "events_moving_avg": q_events_moving_avg,
             "events_derivative": q_events_derivative,
             "events_cumulative_sum": q_events_cumulative_sum,

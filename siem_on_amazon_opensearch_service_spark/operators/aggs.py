@@ -161,3 +161,127 @@ def cumulative_sum(df: DataFrame, ts: str = "ts", interval: str = "day") -> Data
     per = date_histogram(df, ts, interval)
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return per.withColumn("cum", F.sum("cnt").over(w)).orderBy("bucket")
+
+
+def significant_terms(
+    df: DataFrame,
+    field: str,
+    foreground: Column,
+    n: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """OpenSearch ``significant_terms`` with the default JLH heuristic:
+    terms over-represented in the foreground (filtered) set relative to
+    the whole table.  score = (p_fg - p_bg) * (p_fg / p_bg), terms with
+    p_fg <= p_bg dropped (JLH scores them 0), ES-style min_doc_count
+    floor on the foreground count; top-n by (score desc, key asc).
+
+    Scale shape: two partial-aggregated groupBys over the same scan (fg
+    counts via a conditional count, so ONE pass computes both), a 1-row
+    totals frame broadcast-crossed in, no UDFs — at 10^12 rows this is a
+    single shuffle of the distinct keys."""
+    kc = F.col(field)
+    counts = df.groupBy(kc.alias(field)).agg(
+        F.count("*").alias("bg_cnt"),
+        F.count(F.when(foreground, 1)).alias("fg_cnt"),
+    )
+    totals = df.agg(
+        F.count("*").alias("superset_size"),
+        F.count(F.when(foreground, 1)).alias("subset_size"),
+    )
+    p_fg = F.col("fg_cnt") / F.col("subset_size")
+    p_bg = F.col("bg_cnt") / F.col("superset_size")
+    score = (p_fg - p_bg) * (p_fg / p_bg)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("fg_cnt") >= min_doc_count)
+        .withColumn("score_r", F.round(score, 6))
+        .filter(p_fg > p_bg)
+        .select(field, "fg_cnt", "bg_cnt", "score_r")
+        .orderBy(F.col("score_r").desc(), F.col(field).asc())
+        .limit(n)
+    )
+
+
+def rare_terms(df: DataFrame, field: str, max_doc_count: int = 1) -> DataFrame:
+    """OpenSearch ``rare_terms``: the long tail — terms appearing in at
+    most ``max_doc_count`` documents, ordered count asc then key asc.
+    (OpenSearch implements this with a CuckooFilter to bound memory; a
+    groupBy + HAVING is the exact-set equivalent and partial aggregation
+    keeps the shuffle at distinct-key volume.)"""
+    return (
+        df.groupBy(field)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") <= max_doc_count)
+        .orderBy(F.col("cnt").asc(), F.col(field).asc())
+    )
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: list[tuple[str, Column]],
+    size: int = 10,
+    after: tuple | None = None,
+    metrics: list[Column] | None = None,
+) -> DataFrame:
+    """OpenSearch ``composite`` agg: paginated multi-source buckets in
+    composite-key order, resumed from the ``after`` cursor (the standard
+    way to stream ALL buckets of an unbounded-cardinality aggregation
+    out of a dashboard, page by page).
+
+    The cursor filter compiles to a lexicographic key comparison pushed
+    below the aggregation (groupBy still sees only post-cursor rows is
+    NOT possible since bucket membership needs all rows of a key — so the
+    filter applies to the aggregated keys; partial aggregation still
+    collapses each key map-side).  orderBy + limit = TakeOrdered, no full
+    sort at scale."""
+    if not sources:
+        raise ValueError("composite_agg requires at least one source")
+    metrics = metrics or [F.count("*").alias("cnt")]
+    keys = [c.alias(name) for name, c in sources]
+    grouped = df.groupBy(*keys).agg(*metrics)
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError(
+                f"after cursor has {len(after)} values for {len(sources)} sources"
+            )
+        cond = F.lit(False)
+        for (name, _), av in reversed(list(zip(sources, after))):
+            cond = (F.col(name) > F.lit(av)) | ((F.col(name) == F.lit(av)) & cond)
+        grouped = grouped.filter(cond)
+    names = [name for name, _ in sources]
+    return grouped.orderBy(*[F.col(n).asc() for n in names]).limit(size)
+
+
+def extended_stats(df: DataFrame, field: str, by: str | None = None, sigma: float = 2.0) -> DataFrame:
+    """OpenSearch ``extended_stats``: count/min/max/sum/avg plus
+    sum_of_squares, variance, std_deviation and the ±sigma bounds —
+    computed with ES's own naive formula (variance = sum_sq/n - mean²)
+    so the SQL oracle can replicate the arithmetic exactly (Welford-style
+    built-ins would differ in the last ulps)."""
+    c = F.col(field).cast("double")
+    base = df.groupBy(by) if by else df.groupBy()
+    out = base.agg(
+        F.count(c).alias("cnt"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.sum(c).alias("sum_v"),
+        F.sum(c * c).alias("sum_sq"),
+    )
+    mean = F.col("sum_v") / F.col("cnt")
+    variance = F.col("sum_sq") / F.col("cnt") - mean * mean
+    std = F.sqrt(variance)
+    out = out.select(
+        *([by] if by else []),
+        "cnt",
+        F.round("min_v", 6).alias("min_r"),
+        F.round("max_v", 6).alias("max_r"),
+        F.round("sum_v", 6).alias("sum_r"),
+        F.round(mean, 6).alias("avg_r"),
+        F.round("sum_sq", 6).alias("sum_sq_r"),
+        F.round(variance, 6).alias("variance_r"),
+        F.round(std, 6).alias("std_dev_r"),
+        F.round(mean + sigma * std, 6).alias("std_upper_r"),
+        F.round(mean - sigma * std, 6).alias("std_lower_r"),
+    )
+    return out.orderBy(by) if by else out

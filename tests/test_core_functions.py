@@ -218,3 +218,78 @@ class TestRangeAgg:
 
         with _pytest.raises(ValueError):
             range_agg(self._df(spark), "v", [])
+
+
+class TestSignificantRareComposite:
+    """r4b agg additions: significant_terms (JLH), rare_terms, composite
+    pagination, extended_stats."""
+
+    def _ev(self, spark):
+        # term 'a' dominates the foreground (flag=1), 'b' the background
+        rows = [("a", 1)] * 6 + [("a", 0)] * 2 + [("b", 1)] * 1 + [("b", 0)] * 11 + [("c", 0)] * 4
+        return spark.createDataFrame(rows, "term string, flag int")
+
+    def test_significant_terms_jlh(self, spark):
+        from pyspark.sql import functions as F
+
+        from siem_on_amazon_opensearch_service_spark.operators.aggs import significant_terms
+
+        got = significant_terms(
+            self._ev(spark), "term", F.col("flag") == 1, n=5, min_doc_count=1
+        ).collect()
+        # only 'a' is over-represented in the foreground: p_fg=6/7 vs
+        # p_bg=8/24; 'b' (1/7 < 12/24) and 'c' (0 fg) are dropped
+        assert [r["term"] for r in got] == ["a"]
+        p_fg, p_bg = 6 / 7, 8 / 24
+        assert got[0]["score_r"] == round((p_fg - p_bg) * (p_fg / p_bg), 6)
+        assert (got[0]["fg_cnt"], got[0]["bg_cnt"]) == (6, 8)
+
+    def test_rare_terms(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators.aggs import rare_terms
+
+        got = rare_terms(self._ev(spark), "term", max_doc_count=8).collect()
+        assert [(r["term"], r["cnt"]) for r in got] == [("c", 4), ("a", 8)]
+
+    def test_composite_pages_tile_the_full_listing(self, spark):
+        """Concatenating size-3 pages through the after cursor must equal
+        the unpaginated composite listing — the pagination invariant."""
+        from pyspark.sql import functions as F
+
+        from siem_on_amazon_opensearch_service_spark.operators.aggs import composite_agg
+
+        df = self._ev(spark)
+        srcs = [("term", F.col("term")), ("flag", F.col("flag"))]
+        full = composite_agg(df, srcs, size=100)
+        all_rows = [(r["term"], r["flag"], r["cnt"]) for r in full.collect()]
+        pages, after = [], None
+        while True:
+            page = composite_agg(df, srcs, size=3, after=after).collect()
+            if not page:
+                break
+            pages += [(r["term"], r["flag"], r["cnt"]) for r in page]
+            after = (page[-1]["term"], page[-1]["flag"])
+        assert pages == all_rows
+        assert len(all_rows) == 5  # a0 a1 b0 b1 c0
+
+    def test_composite_cursor_arity_checked(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from siem_on_amazon_opensearch_service_spark.operators.aggs import composite_agg
+
+        with _pytest.raises(ValueError, match="after cursor"):
+            composite_agg(self._ev(spark), [("term", F.col("term"))], after=("a", 1))
+
+    def test_extended_stats_matches_numpy(self, spark):
+        import numpy as np
+
+        from siem_on_amazon_opensearch_service_spark.operators.aggs import extended_stats
+
+        vals = [1.0, 2.0, 4.0, 8.0, 16.0]
+        df = spark.createDataFrame([(v,) for v in vals], "value double")
+        r = extended_stats(df, "value").collect()[0]
+        a = np.array(vals)
+        assert r["cnt"] == 5 and r["min_r"] == 1.0 and r["max_r"] == 16.0
+        assert r["avg_r"] == round(float(a.mean()), 6)
+        assert r["variance_r"] == round(float((a * a).mean() - a.mean() ** 2), 6)
+        assert r["std_upper_r"] == round(float(a.mean() + 2 * np.sqrt((a * a).mean() - a.mean() ** 2)), 6)
