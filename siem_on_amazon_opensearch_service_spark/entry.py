@@ -181,6 +181,15 @@ BM25_QUERIES: dict[str, dict] = {
     "bm25_fuzzy": {"query": "w00042~1", "k": 10},
     "bm25_fuzzy_wide": {"query": "w00042~2", "k": 10},
     "bm25_fuzzy_and": {"query": "timeout~1 AND error", "k": 10},
+    # r4b: the reference's remaining saved-search filter shapes
+    # (saved_objects searchSourceJSON filter[].meta): 'phrases' / is-one-of
+    # (15 in the reference, e.g. securityhub Workflow.Status NEW|NOTIFIED),
+    # negate:true phrase (3, e.g. clientvpn event.outcome failure), negated
+    # phrases (1, web user_agent.original) and negated exists
+    "bm25_filter_is_one_of": {"query": "error AND role:(user OR assistant)", "k": 10},
+    "bm25_filter_negated": {"query": "error AND NOT role:assistant", "k": 10},
+    "bm25_filter_negated_phrases": {"query": "timeout AND NOT role:(system OR tool)", "k": 10},
+    "bm25_filter_not_exists": {"query": "error AND NOT tool:*", "k": 10},
 }
 
 
@@ -867,6 +876,9 @@ def oracle_sql_map() -> dict[str, str]:
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
     bm["bm25_prefix_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w0004*", k=10)
     bm["bm25_fuzzy_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w00042~1", k=10)
+    bm["bm25_filter_negated_warm"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, "error AND NOT role:assistant", k=10
+    )
 
     rel = {
         "events_terms_topn": (
@@ -1303,6 +1315,7 @@ def queries_map() -> dict:
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)
     q["bm25_fuzzy_warm"] = _bm25_warm("w00042~1", 10)
+    q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,

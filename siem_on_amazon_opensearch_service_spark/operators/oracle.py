@@ -34,6 +34,8 @@ from ..plans.query import (
     Term,
     expand_multiterm,
     extract_filters,
+    filter_mask,
+    filters_active,
     levenshtein_within,
     merge_filters,
     parse,
@@ -136,17 +138,20 @@ class LuceneOracle:
         self,
         query: str,
         k: int = 10,
-        role: str | None = None,
-        tool: str | None = None,
+        role=None,
+        tool=None,
         ts_min=None,
         ts_max=None,
+        role_not: tuple = (),
+        tool_not: tuple = (),
     ) -> list[OracleHit]:
         ast, dqlf = extract_filters(parse(query), query)
         filt = merge_filters(
-            query, {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max}, dqlf
+            query,
+            {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
+             "role_not": tuple(role_not), "tool_not": tuple(tool_not)},
+            dqlf,
         )
-        role, tool = filt.get("role"), filt.get("tool")
-        ts_min, ts_max = filt.get("ts_min"), filt.get("ts_max")
 
         def expander(leaf) -> list[str]:
             if isinstance(leaf, Fuzzy):
@@ -159,18 +164,8 @@ class LuceneOracle:
 
         ast = expand_multiterm(ast, expander, MAX_CLAUSE_COUNT)
         mask, acc = self._eval(ast)
-        if role is not None:
-            mask &= (self.meta["role"] == role).to_numpy()
-        if tool is not None:
-            mask &= (self.meta["tool"] == tool).to_numpy()
-        if ts_min is not None:
-            mask &= (self.meta["ts"] >= ts_min).to_numpy()
-        if ts_max is not None:
-            mask &= (self.meta["ts"] <= ts_max).to_numpy()
-        if filt.get("role_exists"):
-            mask &= self.meta["role"].notna().to_numpy()
-        if filt.get("tool_exists"):
-            mask &= self.meta["tool"].notna().to_numpy()
+        if filters_active(filt):
+            mask &= filter_mask(self.meta["role"], self.meta["tool"], self.meta["ts"], filt)
         docids = np.nonzero(mask)[0]
         scores = acc[docids].astype(np.float32)
         order = np.lexsort((docids, -scores.astype(np.float64)))[:k]

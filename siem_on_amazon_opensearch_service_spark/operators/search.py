@@ -59,6 +59,8 @@ from ..plans.query import (
     Wildcard,
     expand_multiterm,
     extract_filters,
+    filter_mask,
+    filters_active,
     merge_filters,
     parse,
     wildcard_regex,
@@ -278,6 +280,33 @@ def _expand_leaf(index_dir: str, leaf) -> list[str]:
     return [r[0] for r in rows]
 
 
+def _docs_filter_conditions(filt: dict) -> list:
+    """Spark Column predicates for the keyword/time filter dict — the
+    DataFrame rendering of plans.query.filter_mask (same Lucene
+    filter/must_not semantics: exclusion keeps missing-field docs, so the
+    NOT-IN condition ORs an isNull; is-one-of renders as isin)."""
+    conds = []
+    for fld in ("role", "tool"):
+        v = filt.get(fld)
+        if v is not None:
+            if isinstance(v, (tuple, list)):
+                conds.append(F.col(fld).isin(list(v)))
+            else:
+                conds.append(F.col(fld) == v)
+        nv = filt.get(f"{fld}_not")
+        if nv:
+            conds.append(F.col(fld).isNull() | ~F.col(fld).isin(list(nv)))
+        if filt.get(f"{fld}_exists"):
+            conds.append(F.col(fld).isNotNull())
+        if filt.get(f"{fld}_not_exists"):
+            conds.append(F.col(fld).isNull())
+    if filt.get("ts_min") is not None:
+        conds.append(F.col("ts") >= filt["ts_min"])
+    if filt.get("ts_max") is not None:
+        conds.append(F.col("ts") <= filt["ts_max"])
+    return conds
+
+
 def _has_multiterm(node: Node) -> bool:
     if isinstance(node, MULTITERM):
         return True
@@ -452,19 +481,7 @@ def _conj_seed_totals(index_dir, ast, leaves, rows, rare_maps, weights, mult, df
         f"WHERE docid IN ({idl})"
     ).df().set_index("docid")
     if filters:
-        ok = pd.Series(True, index=nd.index)
-        if filters.get("role") is not None:
-            ok &= nd["role"] == filters["role"]
-        if filters.get("tool") is not None:
-            ok &= nd["tool"] == filters["tool"]
-        if filters.get("ts_min") is not None:
-            ok &= nd["ts"] >= pd.Timestamp(filters["ts_min"])
-        if filters.get("ts_max") is not None:
-            ok &= nd["ts"] <= pd.Timestamp(filters["ts_max"])
-        if filters.get("role_exists"):
-            ok &= nd["role"].notna()
-        if filters.get("tool_exists"):
-            ok &= nd["tool"].notna()
+        ok = filter_mask(nd["role"], nd["tool"], nd["ts"], filters)
         passing = set(int(x) for x in nd.index[ok])
     else:
         passing = None
@@ -671,19 +688,7 @@ def _plan_block_prune(
         # PASS the filters (an unfiltered seed could overshoot the
         # filtered k-th total).  Seed docs failing filters drop from the
         # pool; their absence only lowers theta (stays a valid bound).
-        ok = pd.Series(True, index=nd.index)
-        if filters.get("role") is not None:
-            ok &= nd["role"] == filters["role"]
-        if filters.get("tool") is not None:
-            ok &= nd["tool"] == filters["tool"]
-        if filters.get("ts_min") is not None:
-            ok &= nd["ts"] >= pd.Timestamp(filters["ts_min"])
-        if filters.get("ts_max") is not None:
-            ok &= nd["ts"] <= pd.Timestamp(filters["ts_max"])
-        if filters.get("role_exists"):
-            ok &= nd["role"].notna()
-        if filters.get("tool_exists"):
-            ok &= nd["tool"].notna()
+        ok = filter_mask(nd["role"], nd["tool"], nd["ts"], filters)
         passing = set(nd.index[ok])
         keep_ent = np.fromiter((int(d) in passing for d in docids), dtype=bool, count=docids.size)
         # rebuild the pooled streams with only passing docs
@@ -1014,24 +1019,34 @@ def _shard_size_of(index_dir: str) -> int | None:
         return None
 
 
-def _ranged_norms(docs_dir: str, shard_size: int, d: np.ndarray) -> np.ndarray:
+def _ranged_norms(
+    docs_dir: str, shard_size: int, d: np.ndarray, filters: dict | None = None
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """norm bytes aligned to docid array ``d`` via per-shard ranged reads
     of the docid-sorted docs parquet (row-group pruned — the executor-side
     norm-slice fetch shared by the sharded warm paths).  Relies on the
-    dense-docid invariant (every docid present in docs)."""
+    dense-docid invariant (every docid present in docs).  With ``filters``
+    the SAME read also evaluates the keyword/time filter dict and a
+    (norms, pass_mask) pair returns — filtered sharded queries pay no
+    second fetch."""
     import duckdb
 
+    sel = "docid, norm, role, tool, ts" if filters else "docid, norm"
     out = np.zeros(d.size, dtype=np.uint8)
+    passing = np.ones(d.size, dtype=bool) if filters else None
     for s in np.unique(d // shard_size):
         lo, hi = int(s) * shard_size, (int(s) + 1) * shard_size - 1
         nd = duckdb.sql(
-            f"SELECT docid, norm FROM read_parquet('{docs_dir}/*.parquet') "
+            f"SELECT {sel} FROM read_parquet('{docs_dir}/*.parquet') "
             f"WHERE docid >= {lo} AND docid <= {hi} ORDER BY docid"
         ).df()
         fd = nd["docid"].to_numpy()
         m = (d >= lo) & (d <= hi)
-        out[m] = nd["norm"].to_numpy()[np.searchsorted(fd, d[m])].astype(np.uint8)
-    return out
+        idx = np.searchsorted(fd, d[m])
+        out[m] = nd["norm"].to_numpy()[idx].astype(np.uint8)
+        if filters:
+            passing[m] = filter_mask(nd["role"], nd["tool"], nd["ts"], filters)[idx]
+    return (out, passing) if filters else out
 
 
 def _decode_postings_df(
@@ -1129,6 +1144,8 @@ def _decode_postings_df(
         docs_dir = score_ctx.get("docs_dir")
         shard_size = score_ctx.get("shard_size")
 
+        filters_d = score_ctx.get("filters")
+
         def decode_score(batches):
             norms = norms_bc.value if norms_bc is not None else None
             fmask = mask_bc.value if mask_bc is not None else None
@@ -1143,8 +1160,18 @@ def _decode_postings_df(
                     if not d.size:
                         continue
                 # sharded mode: norm slices fetched per shard range (the
-                # decoded rows of a batch cluster into few shards)
-                nvals = norms[d] if norms is not None else _ranged_norms(docs_dir, shard_size, d)
+                # decoded rows of a batch cluster into few shards); with
+                # filters the same ranged read evaluates the filter mask
+                if norms is not None:
+                    nvals = norms[d]
+                elif filters_d:
+                    nvals, keep = _ranged_norms(docs_dir, shard_size, d, filters_d)
+                    if not keep.all():
+                        d, ci, tf, nvals = d[keep], ci[keep], tf[keep], nvals[keep]
+                    if not d.size:
+                        continue
+                else:
+                    nvals = _ranged_norms(docs_dir, shard_size, d)
                 w = w64[ci]
                 sc = (w - w / (1.0 + tf * cache[nvals])).astype(np.float32)
                 yield pd.DataFrame({"clause": ci.astype(np.int32), "docid": d, "score": sc})
@@ -1367,19 +1394,7 @@ def _shard_local_topk(
                 okm = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == fd)
                 norms[idx[okm]] = nd["norm"].to_numpy()[okm].astype(np.uint8)
                 if need_fetch_filters:
-                    fm = np.ones(len(nd), dtype=bool)
-                    if filters_b.get("role") is not None:
-                        fm &= (nd["role"] == filters_b["role"]).to_numpy()
-                    if filters_b.get("tool") is not None:
-                        fm &= (nd["tool"] == filters_b["tool"]).to_numpy()
-                    if filters_b.get("ts_min") is not None:
-                        fm &= (nd["ts"] >= pd.Timestamp(filters_b["ts_min"])).to_numpy()
-                    if filters_b.get("ts_max") is not None:
-                        fm &= (nd["ts"] <= pd.Timestamp(filters_b["ts_max"])).to_numpy()
-                    if filters_b.get("role_exists"):
-                        fm &= nd["role"].notna().to_numpy()
-                    if filters_b.get("tool_exists"):
-                        fm &= nd["tool"].notna().to_numpy()
+                    fm = filter_mask(nd["role"], nd["tool"], nd["ts"], filters_b)
                     fmask[idx[okm]] = fm[okm]
 
         tot = np.zeros(cand.size, dtype=np.float64)
@@ -1520,6 +1535,10 @@ def search_df(
     ts_max=None,
     role_exists: bool = False,
     tool_exists: bool = False,
+    role_not: tuple = (),
+    tool_not: tuple = (),
+    role_not_exists: bool = False,
+    tool_not_exists: bool = False,
     *,
     _stats: dict | None = None,
     _dfs: dict | None = None,
@@ -1533,10 +1552,12 @@ def search_df(
     """Distributed BM25 top-k; returns DataFrame(docid long, score float).
 
     The query string is full DQL: boolean/phrase plus ``role:``/``tool:``
-    keyword filters, ``field:*`` exists filters, and ``*``/``?`` wildcard
-    terms (expanded against the term dictionary, SCORING_BOOLEAN_REWRITE,
-    capped at MAX_CLAUSE_COUNT).  Field filters merge with the explicit
-    kwargs; conflicts raise.
+    keyword filters (single value or ``role:(a OR b)`` is-one-of),
+    negated filters (``NOT role:x``, ``NOT tool:*``), ``field:*`` exists
+    filters, and ``*``/``?``/``~N`` wildcard/fuzzy terms (expanded
+    against the term dictionary, SCORING_BOOLEAN_REWRITE, capped at
+    MAX_CLAUSE_COUNT).  Field filters merge with the explicit kwargs;
+    conflicts raise.
 
     ``_stats`` / ``_dfs`` / ``_docs`` are warm-session injection points
     (QuerySession): pre-loaded corpus stats, term dfs superset, and a
@@ -1546,13 +1567,19 @@ def search_df(
     filt = merge_filters(
         query,
         {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
-         "role_exists": role_exists, "tool_exists": tool_exists},
+         "role_exists": role_exists, "tool_exists": tool_exists,
+         "role_not": tuple(role_not), "tool_not": tuple(tool_not),
+         "role_not_exists": role_not_exists, "tool_not_exists": tool_not_exists},
         dqlf,
     )
     role, tool = filt.get("role"), filt.get("tool")
     ts_min, ts_max = filt.get("ts_min"), filt.get("ts_max")
     role_exists = bool(filt.get("role_exists"))
     tool_exists = bool(filt.get("tool_exists"))
+    role_not = tuple(filt.get("role_not") or ())
+    tool_not = tuple(filt.get("tool_not") or ())
+    role_not_exists = bool(filt.get("role_not_exists"))
+    tool_not_exists = bool(filt.get("tool_not_exists"))
     if _has_multiterm(ast):
         def _exp(leaf) -> list[str]:
             if _expand_memo is not None and leaf in _expand_memo:
@@ -1600,19 +1627,20 @@ def search_df(
     #   >=2 required terms; a pure superset argument, filter-safe)
     prune = None
     if k > 0 and "blk_first" in postings.columns:  # r2 format only
-        memo_key = (query, k, role, tool, str(ts_min), str(ts_max), role_exists, tool_exists)
+        memo_key = (query, k, role, tool, str(ts_min), str(ts_max), role_exists,
+                    tool_exists, role_not, tool_not, role_not_exists, tool_not_exists)
         if _prune_memo is not None and memo_key in _prune_memo:
             prune = _prune_memo[memo_key]
         else:
             plans = []
             filters = {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
-                       "role_exists": role_exists, "tool_exists": tool_exists}
-            # gate on 'is not None', NOT truthiness: role="" / tool="" are
-            # legitimate equality filters and must constrain theta seeding
-            f_active = (
-                any(v is not None for v in (role, tool, ts_min, ts_max))
-                or role_exists or tool_exists
-            )
+                       "role_exists": role_exists, "tool_exists": tool_exists,
+                       "role_not": role_not, "tool_not": tool_not,
+                       "role_not_exists": role_not_exists, "tool_not_exists": tool_not_exists}
+            # gate via filters_active ('is not None' for values: role="" /
+            # tool="" are legitimate equality filters and must constrain
+            # theta seeding)
+            f_active = filters_active(filters)
             p = _plan_block_prune(
                 index_dir, ast, leaves, dfs, stats, k,
                 filters=filters if f_active else None,
@@ -1630,15 +1658,23 @@ def search_df(
             if _prune_memo is not None:
                 _prune_memo[memo_key] = prune
     any_phrase_q = any(isinstance(lf, Phrase) for lf in leaves)
-    has_filters = any(v is not None for v in (role, tool, ts_min, ts_max)) or role_exists or tool_exists
+    has_filters = filters_active(filt)
     sharded_warm = _postings is not None and _norms_bc is None
     shard_sz = _shard_size_of(index_dir) if sharded_warm else None
+    filters_d = (
+        {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
+         "role_exists": role_exists, "tool_exists": tool_exists,
+         "role_not": role_not, "tool_not": tool_not,
+         "role_not_exists": role_not_exists, "tool_not_exists": tool_not_exists}
+        if has_filters
+        else None
+    )
     if (
         isinstance(ast, Term)
         and len(leaves) == 1
         and (
             (_norms_bc is not None and (not has_filters or _filter_mask_bc is not None))
-            or (sharded_warm and not has_filters and shard_sz is not None)
+            or (sharded_warm and shard_sz is not None)
         )
     ):
         # Warm single-term fast path (QuerySession): scoring is FUSED into
@@ -1656,6 +1692,9 @@ def search_df(
             "mask_bc": _filter_mask_bc,
             "docs_dir": os.path.join(index_dir, "docs"),
             "shard_size": shard_sz,
+            # sharded + filtered single terms stay zero-exchange: the
+            # filter evaluates inside the generator's ranged norm fetch
+            "filters": filters_d if (sharded_warm and _filter_mask_bc is None) else None,
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
     elif _postings is not None and k > 0:
@@ -1664,12 +1703,6 @@ def search_df(
         # repartition on shard_min; handles every query shape including
         # phrases and works both with broadcast norms and with the
         # sharded ranged-fetch fallback past the broadcast cap.
-        filters_d = (
-            {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
-             "role_exists": role_exists, "tool_exists": tool_exists}
-            if has_filters
-            else None
-        )
         return _shard_local_topk(
             spark, index_dir, ast, leaves, weights, stats, k,
             postings, prune, filters_d, _norms_bc, _filter_mask_bc,
@@ -1687,16 +1720,8 @@ def search_df(
         cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
         docs = _docs if _docs is not None else spark.read.parquet(os.path.join(index_dir, "docs"))
-        for cond in (
-            (F.col("role") == role) if role is not None else None,
-            (F.col("tool") == tool) if tool is not None else None,
-            (F.col("ts") >= ts_min) if ts_min is not None else None,
-            (F.col("ts") <= ts_max) if ts_max is not None else None,
-            F.col("role").isNotNull() if role_exists else None,
-            F.col("tool").isNotNull() if tool_exists else None,
-        ):
-            if cond is not None:
-                docs = docs.filter(cond)
+        for cond in _docs_filter_conditions(filt):
+            docs = docs.filter(cond)
         docs = docs.select("docid", "norm")
 
         scored = cand.join(docs, "docid").withColumn(
@@ -1834,16 +1859,8 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
     matched = combine(ast)
     if dqlf:
         docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-        for cond in (
-            (F.col("role") == dqlf["role"]) if dqlf.get("role") is not None else None,
-            (F.col("tool") == dqlf["tool"]) if dqlf.get("tool") is not None else None,
-            (F.col("ts") >= dqlf["ts_min"]) if dqlf.get("ts_min") is not None else None,
-            (F.col("ts") <= dqlf["ts_max"]) if dqlf.get("ts_max") is not None else None,
-            F.col("role").isNotNull() if dqlf.get("role_exists") else None,
-            F.col("tool").isNotNull() if dqlf.get("tool_exists") else None,
-        ):
-            if cond is not None:
-                docs = docs.filter(cond)
+        for cond in _docs_filter_conditions(dqlf):
+            docs = docs.filter(cond)
         matched = matched.join(docs.select("docid"), "docid", "left_semi")
     return matched.agg(F.count("*").alias("n_matches"))
 
@@ -1965,31 +1982,24 @@ class LocalIndex:
         self,
         query: str,
         k: int = 10,
-        role: str | None = None,
-        tool: str | None = None,
+        role=None,
+        tool=None,
         ts_min=None,
         ts_max=None,
+        role_not: tuple = (),
+        tool_not: tuple = (),
     ) -> list[tuple[int, np.float32]]:
         ast, dqlf = self._compile(query)
         filt = merge_filters(
-            query, {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max}, dqlf
+            query,
+            {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
+             "role_not": tuple(role_not), "tool_not": tuple(tool_not)},
+            dqlf,
         )
-        role, tool = filt.get("role"), filt.get("tool")
-        ts_min, ts_max = filt.get("ts_min"), filt.get("ts_max")
         _check_positions(self.dir, _leaves(ast))
         mask, acc = self._eval(ast)
-        if role is not None:
-            mask &= self.role == role
-        if tool is not None:
-            mask &= self.tool == tool
-        if ts_min is not None:
-            mask &= self.ts >= np.datetime64(ts_min)
-        if ts_max is not None:
-            mask &= self.ts <= np.datetime64(ts_max)
-        if filt.get("role_exists"):
-            mask &= pd.notna(self.role)
-        if filt.get("tool_exists"):
-            mask &= pd.notna(self.tool)
+        if filters_active(filt):
+            mask &= filter_mask(self.role, self.tool, self.ts, filt)
         docids = np.nonzero(mask)[0]
         scores = acc[docids].astype(np.float32)
         order = np.lexsort((docids, -scores.astype(np.float64)))[:k]
@@ -2460,26 +2470,16 @@ class QuerySession:
         self._mask_memo: dict = {}
         self._expand_memo: dict = {}
 
-    def _filter_mask_bc(self, role, tool, ts_min, ts_max, role_exists=False, tool_exists=False):
+    def _filter_mask_bc(self, filt: dict):
         if self.sharded:
             return None  # filters evaluate from the ranged fetch instead
-        if all(v is None for v in (role, tool, ts_min, ts_max)) and not (role_exists or tool_exists):
+        if not filters_active(filt):
             return None
-        key = (role, tool, str(ts_min), str(ts_max), role_exists, tool_exists)
+        key = tuple(
+            (k, str(filt.get(k))) for k in sorted(filt) if filt.get(k) not in (None, (), False)
+        )
         if key not in self._mask_memo:
-            m = np.ones(self._role.shape[0], dtype=bool)
-            if role is not None:
-                m &= self._role == role
-            if tool is not None:
-                m &= self._tool == tool
-            if ts_min is not None:
-                m &= self._ts >= np.datetime64(ts_min)
-            if ts_max is not None:
-                m &= self._ts <= np.datetime64(ts_max)
-            if role_exists:
-                m &= pd.notna(self._role)
-            if tool_exists:
-                m &= pd.notna(self._tool)
+            m = filter_mask(self._role, self._tool, self._ts, filt)
             self._mask_memo[key] = self.spark.sparkContext.broadcast(m)
         return self._mask_memo[key]
 
@@ -2487,12 +2487,16 @@ class QuerySession:
         self,
         query: str,
         k: int = 10,
-        role: str | None = None,
-        tool: str | None = None,
+        role=None,
+        tool=None,
         ts_min=None,
         ts_max=None,
         role_exists: bool = False,
         tool_exists: bool = False,
+        role_not: tuple = (),
+        tool_not: tuple = (),
+        role_not_exists: bool = False,
+        tool_not_exists: bool = False,
     ) -> DataFrame:
         # DQL field filters must reach the broadcast mask, so extract them
         # here as well (search_df re-extracts; the merge is idempotent)
@@ -2500,7 +2504,9 @@ class QuerySession:
         filt = merge_filters(
             query,
             {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
-             "role_exists": role_exists, "tool_exists": tool_exists},
+             "role_exists": role_exists, "tool_exists": tool_exists,
+             "role_not": tuple(role_not), "tool_not": tuple(tool_not),
+             "role_not_exists": role_not_exists, "tool_not_exists": tool_not_exists},
             dqlf,
         )
         return search_df(
@@ -2514,16 +2520,17 @@ class QuerySession:
             ts_max=filt.get("ts_max"),
             role_exists=bool(filt.get("role_exists")),
             tool_exists=bool(filt.get("tool_exists")),
+            role_not=tuple(filt.get("role_not") or ()),
+            tool_not=tuple(filt.get("tool_not") or ()),
+            role_not_exists=bool(filt.get("role_not_exists")),
+            tool_not_exists=bool(filt.get("tool_not_exists")),
             _stats=self.stats,
             _dfs=self._dfs,
             _docs=self.docs,
             _postings=self.postings,
             _prune_memo=self._prune_memo,
             _norms_bc=self.norms_bc,
-            _filter_mask_bc=self._filter_mask_bc(
-                filt.get("role"), filt.get("tool"), filt.get("ts_min"), filt.get("ts_max"),
-                bool(filt.get("role_exists")), bool(filt.get("tool_exists")),
-            ),
+            _filter_mask_bc=self._filter_mask_bc(filt),
             _expand_memo=self._expand_memo,
         )
 

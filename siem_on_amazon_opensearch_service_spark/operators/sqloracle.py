@@ -199,19 +199,30 @@ def _combine_sql(ast: Node, leaves: list[Node]) -> str:
 
 
 def _filters_sql(filt: dict, alias: str = "d") -> str:
+    """SQL rendering of plans.query.filter_mask: is-one-of tuples render
+    as IN lists; *_not exclusions OR an IS NULL (Lucene must_not keeps
+    missing-field docs); *_not_exists requires NULL."""
     conds = []
-    if filt.get("role") is not None:
-        conds.append(f"{alias}.role = {_q(filt['role'])}")
-    if filt.get("tool") is not None:
-        conds.append(f"{alias}.tool = {_q(filt['tool'])}")
+    for fld in ("role", "tool"):
+        v = filt.get(fld)
+        if v is not None:
+            if isinstance(v, (tuple, list)):
+                vals = ", ".join(_q(x) for x in v)
+                conds.append(f"{alias}.{fld} IN ({vals})")
+            else:
+                conds.append(f"{alias}.{fld} = {_q(v)}")
+        nv = filt.get(f"{fld}_not")
+        if nv:
+            vals = ", ".join(_q(x) for x in nv)
+            conds.append(f"({alias}.{fld} IS NULL OR {alias}.{fld} NOT IN ({vals}))")
+        if filt.get(f"{fld}_exists"):
+            conds.append(f"{alias}.{fld} IS NOT NULL")
+        if filt.get(f"{fld}_not_exists"):
+            conds.append(f"{alias}.{fld} IS NULL")
     if filt.get("ts_min") is not None:
         conds.append(f"{alias}.ts >= TIMESTAMP '{filt['ts_min']}'")
     if filt.get("ts_max") is not None:
         conds.append(f"{alias}.ts <= TIMESTAMP '{filt['ts_max']}'")
-    if filt.get("role_exists"):
-        conds.append(f"{alias}.role IS NOT NULL")
-    if filt.get("tool_exists"):
-        conds.append(f"{alias}.tool IS NOT NULL")
     return (" WHERE " + " AND ".join(conds)) if conds else ""
 
 

@@ -14,8 +14,13 @@ Grammar:
     unary   := NOT unary | atom
     atom    := '(' expr ')' | '"' phrase words '"'
              | field ':' value              # role:/tool: keyword filter
+             | field ':' '"' value '"'      # quoted keyword value (spaces ok)
+             | field ':' '(' v (OR v)* ')'  # is-one-of filter ('phrases')
              | field ':' '*'                # exists filter
+             | NOT field-atom               # negated filter (negate: true)
              | 'text' ':' word              # field-scoped term
+             | 'text' ':' '"' words '"'     # field-scoped phrase
+             | 'text' ':' '(' w (OR w)* ')' # scoring OR of words
              | 'ts' ('>='|'<=') isodate     # inclusive time-range filter
              | word-with-*-or-?             # wildcard/prefix term query
              | word '~' [0|1|2]             # fuzzy term query (bare ~ = AUTO)
@@ -90,12 +95,20 @@ class Fuzzy(Node):
 
 @dataclass(frozen=True)
 class FieldFilter(Node):
-    """Keyword-field predicate (``role:assistant``, ``tool:*``): a
-    non-scoring filter, the reference's DQL phrase/exists filter.  value
-    None means exists (field is non-null)."""
+    """Keyword-field predicate: a non-scoring filter, the reference's DQL
+    filter shapes (saved_objects searchSourceJSON ``filter[].meta``):
+
+    - ``role:assistant`` — phrase filter (value: str);
+    - ``role:(user OR assistant)`` — phrases / is-one-of filter (value:
+      sorted tuple of str; 15 of these in the reference's saved objects,
+      e.g. securityhub.ndjson Workflow.Status NEW|NOTIFIED);
+    - ``tool:*`` — exists filter (value: None).
+
+    Negation (``negate: true`` in the reference, 4 occurrences) is the
+    enclosing Not node, legal as a top-level AND conjunct."""
 
     field: str
-    value: str | None
+    value: str | tuple[str, ...] | None
 
 
 @dataclass(frozen=True)
@@ -146,7 +159,9 @@ def auto_fuzzy_edits(length: int) -> int:
 _TS_RANGE = re.compile(r"^ts(>=|<=|>|<)(\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2})?)$")
 
 
-_TOKEN_PAT = re.compile(r'\(|\)|"[^"]*"|[^\s()]+')
+#: field:"quoted value" must tokenize as ONE atom (kuery quoted keyword
+#: values / field-scoped phrases), so it precedes the bare-word branch
+_TOKEN_PAT = re.compile(r'\(|\)|[^\s()"]+:"[^"]*"|"[^"]*"|[^\s()]+')
 
 
 def parse(query: str) -> Node:
@@ -214,10 +229,60 @@ def parse(query: str) -> Node:
                     "inclusive — use ts>= or ts<="
                 )
             return FieldFilter("ts_min" if op == ">=" else "ts_max", val.replace("T", " "))
-        if ":" in t:
+        if ":" in t and not t.startswith('"'):
             field, _, val = t.partition(":")
             field = field.lower()
+            if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+                # quoted value: field:"security hub" — exact keyword match
+                # on keyword fields (value NOT analyzed, spaces allowed);
+                # a field-scoped phrase on the analyzed text field
+                inner = val[1:-1]
+                if field in KEYWORD_FIELDS:
+                    if not inner:
+                        raise ValueError(f"empty quoted value for field {field!r} in {query!r}")
+                    return FieldFilter(field, inner)
+                if field == "text":
+                    words = tokenize(inner)
+                    if not words:
+                        raise ValueError(f"empty phrase for field 'text' in {query!r}")
+                    return Term(words[0]) if len(words) == 1 else Phrase(tuple(words))
+                raise ValueError(
+                    f"unknown field {field!r} in {query!r} (fields: role, tool, text)"
+                )
             if field in KEYWORD_FIELDS:
+                if not val and peek() == "(":
+                    # is-one-of filter: role:(user OR assistant) — the
+                    # reference's 'phrases' filter / kuery value group
+                    take()
+                    vals: list[str] = []
+                    while True:
+                        v = peek()
+                        if v is None:
+                            raise ValueError(f"unterminated value group in {query!r}")
+                        if v == ")":
+                            take()
+                            break
+                        if v.upper() == "OR":
+                            take()
+                            continue
+                        if v == "(" or v.upper() in ("AND", "NOT") or (
+                            ":" in v and not v.startswith('"')
+                        ):
+                            raise ValueError(
+                                f"only OR-separated keyword values are allowed in "
+                                f"{field}:(...) groups, got {v!r} in {query!r}"
+                            )
+                        tok = take()
+                        if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+                            tok = tok[1:-1]  # quoted keyword value in a group
+                            if not tok:
+                                raise ValueError(f"empty quoted value in {query!r}")
+                        vals.append(tok)
+                    if not vals:
+                        raise ValueError(f"empty value group for field {field!r} in {query!r}")
+                    if len(vals) == 1:
+                        return FieldFilter(field, vals[0])
+                    return FieldFilter(field, tuple(sorted(set(vals))))
                 if not val:
                     raise ValueError(f"empty value for field {field!r} in {query!r}")
                 if val == "*":
@@ -232,6 +297,30 @@ def parse(query: str) -> Node:
                     )
                 return FieldFilter(field, val)  # keyword: NOT analyzed
             if field == "text":
+                if not val and peek() == "(":
+                    # text:(a OR b) — kuery value group on the analyzed
+                    # field: sugar for the scoring OR of its words
+                    take()
+                    atoms: list[Node] = []
+                    while True:
+                        v = peek()
+                        if v is None:
+                            raise ValueError(f"unterminated value group in {query!r}")
+                        if v == ")":
+                            take()
+                            break
+                        if v.upper() == "OR":
+                            take()
+                            continue
+                        if v in ("(",) or v.upper() in ("AND", "NOT") or ":" in v:
+                            raise ValueError(
+                                f"only OR-separated words are allowed in "
+                                f"text:(...) groups, got {v!r} in {query!r}"
+                            )
+                        atoms.append(_word_atom(take(), query))
+                    if not atoms:
+                        raise ValueError(f"empty value group for field 'text' in {query!r}")
+                    return atoms[0] if len(atoms) == 1 else Or(tuple(atoms))
                 if not val:
                     raise ValueError(f"empty value for field 'text' in {query!r}")
                 return _word_atom(val, query)
@@ -289,15 +378,22 @@ def _word_atom(t: str, query: str) -> Node:
 def extract_filters(ast: Node, query: str = "") -> tuple[Node, dict]:
     """Split DQL keyword-field atoms out of the tree into a filter dict.
 
-    FieldFilter atoms are legal ONLY as direct positive conjuncts of the
-    top-level AND (or as the whole query): that is exactly the shape the
-    reference's saved searches use (a filter array ANDed with the scored
-    query).  Anywhere else — under OR, under NOT, nested — the filter
-    semantics would not be expressible as a docs-side predicate, so we
-    reject loudly.  Returns (core_ast, filters) where filters has keys
-    role / tool (equality) and role_exists / tool_exists (exists).
-    Raises on conflicting equality filters and on pure-filter queries
-    (no scoring leaf — those need a full docs scan, not an index read)."""
+    FieldFilter atoms — positive (``role:x``, ``role:(x OR y)``,
+    ``role:*``) or negated (``NOT role:x``, ``NOT role:(x OR y)``,
+    ``NOT tool:*``; the reference's ``negate: true`` filters) — are legal
+    ONLY as direct conjuncts of the top-level AND (or as the whole
+    query): that is exactly the shape the reference's saved searches use
+    (a filter array ANDed with the scored query).  Anywhere else — under
+    OR, doubly negated, nested — the filter semantics would not be
+    expressible as a docs-side predicate, so we reject loudly.
+
+    Returns (core_ast, filters); filter keys per field: ``role`` (str
+    equality or is-one-of tuple), ``role_not`` (excluded-values tuple,
+    Lucene must_not semantics — a missing field passes), ``role_exists``,
+    ``role_not_exists`` (must be missing), same for tool, plus
+    ts_min/ts_max.  Raises on conflicting equality filters and on
+    pure-filter queries (no scoring leaf — those need a full docs scan,
+    not an index read)."""
     filters: dict = {}
 
     def add(ff: FieldFilter) -> None:
@@ -310,6 +406,14 @@ def extract_filters(ast: Node, query: str = "") -> tuple[Node, dict]:
                 f"conflicting filters {key}:{filters[key]} vs {key}:{ff.value} in {query!r}"
             )
         filters[key] = ff.value
+
+    def add_negated(ff: FieldFilter) -> None:
+        if ff.value is None:
+            filters[f"{ff.field}_not_exists"] = True
+            return
+        key = f"{ff.field}_not"
+        vals = (ff.value,) if isinstance(ff.value, str) else ff.value
+        filters[key] = tuple(sorted(set(filters.get(key, ())) | set(vals)))
 
     def check_no_filters(n: Node) -> None:
         if isinstance(n, FieldFilter):
@@ -326,11 +430,16 @@ def extract_filters(ast: Node, query: str = "") -> tuple[Node, dict]:
     if isinstance(ast, FieldFilter):
         add(ast)
         core = None
+    elif isinstance(ast, Not) and isinstance(ast.child, FieldFilter):
+        add_negated(ast.child)
+        core = None
     elif isinstance(ast, And):
         rest = []
         for c in ast.children:
             if isinstance(c, FieldFilter):
                 add(c)
+            elif isinstance(c, Not) and isinstance(c.child, FieldFilter):
+                add_negated(c.child)
             else:
                 check_no_filters(c)
                 rest.append(c)
@@ -349,10 +458,14 @@ def extract_filters(ast: Node, query: str = "") -> tuple[Node, dict]:
 def merge_filters(query: str, kwargs: dict, dql: dict) -> dict:
     """Merge explicit filter kwargs with DQL-extracted filters.  Equal
     values merge (ts bounds compare as instants, so a pd.Timestamp kwarg
-    equals its normalized DQL string); different values conflict."""
+    equals its normalized DQL string; is-one-of tuples compare as sets);
+    different values conflict.  ``*_not`` exclusion tuples union (both
+    exclusions apply); ``*_exists``/``*_not_exists`` booleans OR."""
     def same(a, b, key: str) -> bool:
         if a == b:
             return True
+        if isinstance(a, (tuple, list)) and isinstance(b, (tuple, list)):
+            return set(a) == set(b)
         if key in ("ts_min", "ts_max"):
             try:
                 import pandas as _pd
@@ -366,11 +479,78 @@ def merge_filters(query: str, kwargs: dict, dql: dict) -> dict:
     for k, v in dql.items():
         if k.endswith("_exists"):
             out[k] = bool(out.get(k)) or v
+        elif k.endswith("_not"):
+            out[k] = tuple(sorted(set(out.get(k) or ()) | set(v)))
         elif out.get(k) is None:
             out[k] = v
         elif not same(out[k], v, k):
             raise ValueError(f"query {query!r} filter {k}:{v} conflicts with {k}={out[k]!r} kwarg")
     return out
+
+
+def filter_mask(role, tool, ts, filt: dict):
+    """Boolean numpy mask applying the keyword/time filter dict to
+    parallel role/tool/ts columns (numpy arrays or pandas Series) — the
+    ONE implementation of filter semantics every local evaluator
+    (LocalIndex, LuceneOracle, QuerySession masks, prune seeding,
+    shard-local ranged fetch) shares, so negation/null behavior cannot
+    drift between engines.
+
+    Semantics (Lucene filter/must_not): positive value filters (str or
+    is-one-of tuple) require the field present AND matching; ``*_not``
+    excludes the listed values but a MISSING field passes (must_not of a
+    term query matches docs without the field); ``*_exists`` requires
+    present, ``*_not_exists`` requires missing; ts bounds are inclusive."""
+    import numpy as np
+    import pandas as pd
+
+    role = pd.Series(role).reset_index(drop=True)
+    tool = pd.Series(tool).reset_index(drop=True)
+    m = np.ones(len(role), dtype=bool)
+    for fld, col in (("role", role), ("tool", tool)):
+        v = filt.get(fld)
+        if v is not None:
+            if isinstance(v, (tuple, list)):
+                m &= col.isin(list(v)).to_numpy()
+            else:
+                m &= (col == v).to_numpy()
+        nv = filt.get(f"{fld}_not")
+        if nv:
+            m &= (col.isna() | ~col.isin(list(nv))).to_numpy()
+        if filt.get(f"{fld}_exists"):
+            m &= col.notna().to_numpy()
+        if filt.get(f"{fld}_not_exists"):
+            m &= col.isna().to_numpy()
+    if filt.get("ts_min") is not None or filt.get("ts_max") is not None:
+        ts = pd.Series(ts).reset_index(drop=True)
+        if filt.get("ts_min") is not None:
+            m &= (ts >= pd.Timestamp(filt["ts_min"])).to_numpy()
+        if filt.get("ts_max") is not None:
+            m &= (ts <= pd.Timestamp(filt["ts_max"])).to_numpy()
+    return m
+
+
+#: every key filter_mask understands — memo keys and "filters active?"
+#: checks iterate this, so adding a filter type cannot silently miss one
+FILTER_KEYS = (
+    "role", "tool", "role_not", "tool_not",
+    "role_exists", "tool_exists", "role_not_exists", "tool_not_exists",
+    "ts_min", "ts_max",
+)
+
+
+def filters_active(filt: dict) -> bool:
+    """True if any filter constrains the query.  Value filters gate on
+    ``is not None`` — role="" is a legitimate equality filter (r4 review
+    fix) — while exclusion tuples / exists flags gate on truthiness
+    (an empty exclusion list constrains nothing)."""
+    if any(filt.get(k) is not None for k in ("role", "tool", "ts_min", "ts_max")):
+        return True
+    return any(
+        filt.get(k)
+        for k in ("role_not", "tool_not", "role_exists", "tool_exists",
+                  "role_not_exists", "tool_not_exists")
+    )
 
 
 def wildcard_to_like(pattern: str) -> tuple[str, str]:

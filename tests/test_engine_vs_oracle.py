@@ -316,6 +316,21 @@ DQL_QUERIES = [
     ("zzzznomatch~2", {}),
     ("w00042~1 AND role:assistant", {}),
     ("refused~1 OR denied~1", {}),
+    # is-one-of / negated filters (r4b; the reference's phrases and
+    # negate:true saved-search filters)
+    ("error AND role:(user OR assistant)", {}),
+    ("error AND NOT role:assistant", {}),
+    ("error AND NOT tool:*", {}),
+    ("timeout AND NOT role:(system OR tool)", {}),
+    ("file AND tool:* AND NOT tool:bash", {}),
+    ("error AND role:(user OR assistant) AND NOT tool:web", {}),
+    ("text:(error OR timeout) AND role:user", {}),
+    ("error AND NOT role:assistant", {"ts_min": "2025-06-05 00:00:00"}),
+    ("error", {"role_not": ("assistant",)}),
+    ("error", {"role": ("user", "assistant")}),
+    ('role:"assistant" AND error', {}),  # quoted == bare keyword value
+    ('error AND NOT role:"no such role"', {}),  # spacey value excludes nothing
+    ('text:"connection reset" AND error', {}),  # field-scoped phrase
 ]
 
 
@@ -353,7 +368,10 @@ class TestDQL:
         tiny_corpus_pdf.to_parquet(p)
         for q in ["w0004*", "role:assistant AND (error OR timeout)",
                   "tool:* AND file", "err* AND timeout",
-                  "w00042~1", "timeout~1 AND error"]:
+                  "w00042~1", "timeout~1 AND error",
+                  "error AND NOT role:assistant",
+                  "error AND role:(user OR assistant)",
+                  "error AND NOT tool:*"]:
             got = duckdb.sql(bm25_sql(p, q, k=10)).fetchall()
             exp = [(h.docid, round(float(h.score), 3)) for h in oracle.search(q, k=10)]
             assert [(int(d), float(s)) for d, s in got] == exp, q
@@ -367,7 +385,9 @@ class TestDQL:
         p = str(tmp_path / "corpus.parquet")
         tiny_corpus_pdf.to_parquet(p)
         for q in ["tool:* AND file", "role:assistant AND (error OR timeout)",
-                  "err* AND timeout", "w00042~1 AND error"]:
+                  "err* AND timeout", "w00042~1 AND error",
+                  "error AND NOT role:assistant",
+                  "file AND role:(user OR assistant)"]:
             got = match_count_df(spark, tiny_index[0], q).first()[0]
             exp = duckdb.sql(match_count_sql(p, q)).fetchone()[0]
             assert got == exp, q
@@ -378,7 +398,9 @@ class TestDQL:
         qs = QuerySession(spark, tiny_index[0])
         try:
             for q in ["w0004*", "tool:* AND file",
-                      "role:assistant AND (error OR timeout)", "w00042~1"]:
+                      "role:assistant AND (error OR timeout)", "w00042~1",
+                      "error AND NOT role:assistant",
+                      "error AND role:(user OR assistant)"]:
                 cold = search_df(spark, tiny_index[0], q, k=10).collect()
                 warm = qs.search(q, k=10).collect()
                 warm2 = qs.search(q, k=10).collect()  # memoized expansion
@@ -392,12 +414,18 @@ class TestDQL:
         from siem_on_amazon_opensearch_service_spark.plans.query import extract_filters, parse
 
         for bad, msg in [
-            ("NOT role:assistant AND error", "top-level AND conjunct"),
+            # r4b: NOT role:x as a top-level conjunct became legal (the
+            # reference's negate:true filters); deeper placements still raise
+            ("error OR NOT role:assistant", "top-level AND conjunct"),
+            ("error AND NOT NOT role:assistant", "top-level AND conjunct"),
             ("error OR role:assistant", "top-level AND conjunct"),
             ("role:assistant", "no scoring clause"),
+            ("NOT role:assistant", "no scoring clause"),
             ("role:a AND role:b AND error", "conflicting"),
             ("badfield:x AND error", "unknown field"),
             ("*** AND error", "no literal characters"),
+            ("role:(a AND b) AND error", "OR-separated keyword values"),
+            ("role:() AND error", "empty value group"),
         ]:
             with pytest.raises(ValueError, match=msg):
                 extract_filters(parse(bad), bad)
@@ -501,6 +529,9 @@ class TestShardedQuerySession:
             ("role:assistant AND (error OR timeout)", {}),
             ("w00042~1", {}),
             ("timeout~1 AND error", {}),
+            ("error AND NOT role:assistant", {}),
+            ("error AND role:(user OR assistant)", {}),
+            ("error AND NOT tool:*", {}),
         ],
     )
     def test_sharded_equals_cold(self, spark, tiny_index, sharded, q, kw):
@@ -638,5 +669,29 @@ class TestShardedSingleTermZeroExchange:
             assert [(r["docid"], np.float32(r["score"])) for r in df.collect()] == [
                 (r["docid"], np.float32(r["score"])) for r in cold
             ]
+        finally:
+            qs.close()
+
+    def test_filtered_single_term_stays_zero_exchange(self, spark, tiny_index):
+        """r4b: filtered single terms keep the fused plan in sharded mode —
+        the filter evaluates inside the generator's ranged norm fetch
+        (one read serves norms AND the filter columns)."""
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        qs = QuerySession(spark, tiny_index[0], broadcast_cap=0)
+        try:
+            for q, kw in [
+                ("error AND role:assistant", {}),
+                ("error", {"role": "assistant", "ts_min": "2025-06-01 00:00:00"}),
+                ("error AND NOT role:assistant", {}),
+                ("error AND role:(user OR assistant)", {}),
+            ]:
+                df = qs.search(q, k=10, **kw)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange" not in plan, q
+                cold = search_df(spark, tiny_index[0], q, k=10, **kw).collect()
+                assert [(r["docid"], np.float32(r["score"])) for r in df.collect()] == [
+                    (r["docid"], np.float32(r["score"])) for r in cold
+                ], q
         finally:
             qs.close()
