@@ -333,6 +333,31 @@ def q_events_extended_stats(spark, sf_dir):
     return aggs.extended_stats(_events(spark, sf_dir), "value", by="event_type")
 
 
+def q_events_bucket_script(spark, sf_dir):
+    """OpenSearch bucket_script pipeline agg: per-day error rate
+    (errors / total) computed over sibling metrics in one pass."""
+    return aggs.bucket_script(
+        _events(spark, sf_dir),
+        F.date_trunc("day", F.col("ts")),
+        {"errors": F.count(F.when(F.col("event_type") == "error", 1)),
+         "total": F.count("*")},
+        lambda errors, total: errors / total,
+        out="error_rate_r",
+    )
+
+
+def q_events_bucket_selector(spark, sf_dir):
+    """OpenSearch bucket_selector pipeline agg: only days whose error
+    count exceeds their purchase count (a HAVING over sibling metrics)."""
+    return aggs.bucket_selector(
+        _events(spark, sf_dir),
+        F.date_trunc("day", F.col("ts")),
+        {"errors": F.count(F.when(F.col("event_type") == "error", 1)),
+         "purchases": F.count(F.when(F.col("event_type") == "purchase", 1))},
+        lambda errors, purchases: errors > purchases,
+    )
+
+
 def q_events_moving_avg(spark, sf_dir):
     """OpenSearch moving_avg pipeline agg over a daily date_histogram."""
     return aggs.moving_avg(_events(spark, sf_dir), "ts", "day", window_size=3)
@@ -1170,6 +1195,23 @@ FROM documents ORDER BY doc_id"""
             "round(sum(value) / count(value) - 2.0 * sqrt(sum(value * value) / count(value) - (sum(value) / count(value)) * (sum(value) / count(value))), 6) AS std_lower_r "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
+        "events_bucket_script": (
+            "SELECT date_trunc('day', ts) AS bucket, "
+            "count(*) FILTER (WHERE event_type = 'error') AS errors, "
+            "count(*) AS total, "
+            "round(CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) "
+            "      / count(*), 6) AS error_rate_r "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "events_bucket_selector": (
+            "SELECT date_trunc('day', ts) AS bucket, "
+            "count(*) FILTER (WHERE event_type = 'error') AS errors, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS purchases "
+            "FROM events GROUP BY 1 "
+            "HAVING count(*) FILTER (WHERE event_type = 'error') > "
+            "       count(*) FILTER (WHERE event_type = 'purchase') "
+            "ORDER BY 1"
+        ),
         "events_moving_avg": (
             "SELECT bucket, cnt, round(avg(cnt) OVER ("
             "  ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg "
@@ -1333,6 +1375,8 @@ def queries_map() -> dict:
             "events_rare_terms": q_events_rare_terms,
             "events_composite_page": q_events_composite_page,
             "events_extended_stats": q_events_extended_stats,
+            "events_bucket_script": q_events_bucket_script,
+            "events_bucket_selector": q_events_bucket_selector,
             "events_moving_avg": q_events_moving_avg,
             "events_derivative": q_events_derivative,
             "events_cumulative_sum": q_events_cumulative_sum,

@@ -163,6 +163,39 @@ def cumulative_sum(df: DataFrame, ts: str = "ts", interval: str = "day") -> Data
     return per.withColumn("cum", F.sum("cnt").over(w)).orderBy("bucket")
 
 
+def bucket_script(
+    df: DataFrame,
+    bucket: Column,
+    metrics: dict[str, Column],
+    script,
+    out: str = "value_r",
+) -> DataFrame:
+    """OpenSearch ``bucket_script`` pipeline agg: a per-bucket expression
+    over sibling metrics (e.g. error_rate = errors / total).  ``script``
+    receives the metric Columns by name and returns a Column; computed in
+    the same single groupBy pass (no second shuffle — OpenSearch likewise
+    evaluates it on the reduced buckets)."""
+    agged = df.groupBy(bucket.alias("bucket")).agg(
+        *[m.alias(n) for n, m in metrics.items()]
+    )
+    expr = script(**{n: F.col(n) for n in metrics})
+    return agged.withColumn(out, F.round(expr, 6)).orderBy("bucket")
+
+
+def bucket_selector(
+    df: DataFrame,
+    bucket: Column,
+    metrics: dict[str, Column],
+    predicate,
+) -> DataFrame:
+    """OpenSearch ``bucket_selector`` pipeline agg: keep only buckets whose
+    metrics satisfy the predicate (a HAVING clause over the bucket agg)."""
+    agged = df.groupBy(bucket.alias("bucket")).agg(
+        *[m.alias(n) for n, m in metrics.items()]
+    )
+    return agged.filter(predicate(**{n: F.col(n) for n in metrics})).orderBy("bucket")
+
+
 def significant_terms(
     df: DataFrame,
     field: str,
