@@ -190,6 +190,9 @@ BM25_QUERIES: dict[str, dict] = {
     "bm25_filter_negated": {"query": "error AND NOT role:assistant", "k": 10},
     "bm25_filter_negated_phrases": {"query": "timeout AND NOT role:(system OR tool)", "k": 10},
     "bm25_filter_not_exists": {"query": "error AND NOT tool:*", "k": 10},
+    # r4b: search_after deep pagination — the page strictly after the
+    # (score=2.5, docid=0) cursor in (score desc, docid asc) order
+    "bm25_search_after": {"query": "error", "k": 10, "search_after": (2.5, 0)},
 }
 
 
@@ -331,6 +334,31 @@ def q_events_extended_stats(spark, sf_dir):
     """OpenSearch extended_stats per event_type (ES's naive
     variance = sum_sq/n - mean² arithmetic, mirrored by the oracle)."""
     return aggs.extended_stats(_events(spark, sf_dir), "value", by="event_type")
+
+
+def q_events_date_histogram_dense(spark, sf_dir):
+    """OpenSearch date_histogram with min_doc_count=0: hourly purchase
+    counts with empty hours zero-filled (the Dashboards default — a
+    continuous time axis)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return aggs.date_histogram_dense(ev, "ts", "hour")
+
+
+def q_events_adjacency_matrix(spark, sf_dir):
+    """OpenSearch adjacency_matrix agg: error / big_value / night filter
+    counts and their pairwise intersections."""
+    return aggs.adjacency_matrix(
+        _events(spark, sf_dir),
+        {"err": F.col("event_type") == "error",
+         "big": F.col("value") > 90,
+         "night": F.hour("ts") < 6},
+    )
+
+
+def q_events_serial_diff(spark, sf_dir):
+    """OpenSearch serial_diff pipeline agg (lag-2 difference of the daily
+    histogram)."""
+    return aggs.serial_diff(_events(spark, sf_dir), "ts", "day", lag=2)
 
 
 def q_events_bucket_script(spark, sf_dir):
@@ -1195,6 +1223,33 @@ FROM documents ORDER BY doc_id"""
             "round(sum(value) / count(value) - 2.0 * sqrt(sum(value * value) / count(value) - (sum(value) / count(value)) * (sum(value) / count(value))), 6) AS std_lower_r "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
+        "events_date_histogram_dense": (
+            "WITH sparse AS ("
+            "  SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt "
+            "  FROM events WHERE event_type = 'purchase' GROUP BY 1"
+            "), bounds AS ("
+            "  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi "
+            "  FROM events WHERE event_type = 'purchase'"
+            ") "
+            "SELECT g.bucket, coalesce(s.cnt, 0) AS cnt "
+            "FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds) g "
+            "LEFT JOIN sparse s USING (bucket) ORDER BY g.bucket"
+        ),
+        "events_adjacency_matrix": (
+            "SELECT key, doc_count FROM ("
+            "  SELECT 'big' AS key, count(*) FILTER (WHERE value > 90) AS doc_count FROM events"
+            "  UNION ALL SELECT 'big&err', count(*) FILTER (WHERE value > 90 AND event_type = 'error') FROM events"
+            "  UNION ALL SELECT 'big&night', count(*) FILTER (WHERE value > 90 AND hour(ts) < 6) FROM events"
+            "  UNION ALL SELECT 'err', count(*) FILTER (WHERE event_type = 'error') FROM events"
+            "  UNION ALL SELECT 'err&night', count(*) FILTER (WHERE event_type = 'error' AND hour(ts) < 6) FROM events"
+            "  UNION ALL SELECT 'night', count(*) FILTER (WHERE hour(ts) < 6) FROM events"
+            ") WHERE doc_count > 0 ORDER BY key"
+        ),
+        "events_serial_diff": (
+            "SELECT bucket, cnt, cnt - lag(cnt, 2) OVER (ORDER BY bucket) AS diff FROM ("
+            "  SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt FROM events GROUP BY 1"
+            ") ORDER BY bucket"
+        ),
         "events_bucket_script": (
             "SELECT date_trunc('day', ts) AS bucket, "
             "count(*) FILTER (WHERE event_type = 'error') AS errors, "
@@ -1377,6 +1432,9 @@ def queries_map() -> dict:
             "events_extended_stats": q_events_extended_stats,
             "events_bucket_script": q_events_bucket_script,
             "events_bucket_selector": q_events_bucket_selector,
+            "events_date_histogram_dense": q_events_date_histogram_dense,
+            "events_adjacency_matrix": q_events_adjacency_matrix,
+            "events_serial_diff": q_events_serial_diff,
             "events_moving_avg": q_events_moving_avg,
             "events_derivative": q_events_derivative,
             "events_cumulative_sum": q_events_cumulative_sum,

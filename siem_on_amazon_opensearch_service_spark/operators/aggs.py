@@ -163,6 +163,71 @@ def cumulative_sum(df: DataFrame, ts: str = "ts", interval: str = "day") -> Data
     return per.withColumn("cum", F.sum("cnt").over(w)).orderBy("bucket")
 
 
+def date_histogram_dense(
+    df: DataFrame,
+    ts: str = "ts",
+    interval: str = "hour",
+    extended_bounds: tuple[str, str] | None = None,
+) -> DataFrame:
+    """OpenSearch ``date_histogram`` with ``min_doc_count: 0`` (the
+    Dashboards default): every interval bucket between min and max (or
+    ``extended_bounds``) is emitted, zero-count when empty — dashboards
+    need the continuous time axis.
+
+    Scale shape: the bucket spine is a ``sequence()`` of interval
+    timestamps exploded from the 1-row min/max aggregate — its row count
+    is time-range/interval (bounded like the pipeline aggs, never data
+    volume) — left-joined with the sparse histogram."""
+    sparse = date_histogram(df, ts, interval)
+    if extended_bounds is not None:
+        lo, hi = extended_bounds
+        bounds = sparse.sparkSession.range(1).select(
+            F.date_trunc(interval, F.lit(lo).cast("timestamp")).alias("lo"),
+            F.date_trunc(interval, F.lit(hi).cast("timestamp")).alias("hi"),
+        )
+    else:
+        bounds = df.agg(
+            F.date_trunc(interval, F.min(ts)).alias("lo"),
+            F.date_trunc(interval, F.max(ts)).alias("hi"),
+        )
+    step = F.expr(f"interval 1 {interval}")
+    spine = bounds.select(F.explode(F.sequence("lo", "hi", step)).alias("bucket"))
+    return (
+        spine.join(sparse, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """OpenSearch ``adjacency_matrix`` agg: doc counts for each named
+    filter and each pairwise intersection (keys 'a', 'a&b' like
+    OpenSearch, '&' joining the names sorted) — the correlation matrix
+    dashboards build from it.  One conditional-count pass; empty buckets
+    are omitted (OpenSearch behavior)."""
+    names = sorted(filters)
+    cells: dict[str, Column] = {}
+    for i, a in enumerate(names):
+        cells[a] = F.count(F.when(filters[a], 1))
+        for b in names[i + 1:]:
+            cells[f"{a}&{b}"] = F.count(F.when(filters[a] & filters[b], 1))
+    wide = df.agg(*[c.alias(n) for n, c in cells.items()])
+    stack = ", ".join(f"'{n}', `{n}`" for n in cells)
+    return (
+        wide.selectExpr(f"stack({len(cells)}, {stack}) as (key, doc_count)")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+def serial_diff(df: DataFrame, ts: str = "ts", interval: str = "day", lag: int = 1) -> DataFrame:
+    """OpenSearch ``serial_diff`` pipeline agg: lag-n difference of a
+    date_histogram count (null for the first ``lag`` buckets)."""
+    per = date_histogram(df, ts, interval)
+    w = Window.orderBy("bucket")
+    return per.withColumn("diff", F.col("cnt") - F.lag("cnt", lag).over(w)).orderBy("bucket")
+
+
 def bucket_script(
     df: DataFrame,
     bucket: Column,

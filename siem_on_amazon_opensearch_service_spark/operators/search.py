@@ -280,6 +280,20 @@ def _expand_leaf(index_dir: str, leaf) -> list[str]:
     return [r[0] for r in rows]
 
 
+def _order_page(df: DataFrame, k: int, search_after: tuple | None) -> DataFrame:
+    """Final (score desc, docid asc) page: with a ``search_after`` cursor
+    (the OpenSearch deep-pagination API — (score, docid) of the previous
+    page's last hit) only strictly-later rows survive, so concatenated
+    pages tile the full ranking without a growing offset."""
+    if search_after is not None:
+        s, d = float(search_after[0]), int(search_after[1])
+        df = df.filter(
+            (F.col("score") < F.lit(s))
+            | ((F.col("score") == F.lit(s)) & (F.col("docid") > F.lit(d)))
+        )
+    return df.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
 def _docs_filter_conditions(filt: dict) -> list:
     """Spark Column predicates for the keyword/time filter dict — the
     DataFrame rendering of plans.query.filter_mask (same Lucene
@@ -1539,6 +1553,7 @@ def search_df(
     tool_not: tuple = (),
     role_not_exists: bool = False,
     tool_not_exists: bool = False,
+    search_after: tuple | None = None,
     *,
     _stats: dict | None = None,
     _dfs: dict | None = None,
@@ -1626,7 +1641,9 @@ def search_df(
     # - required-term block-coverage intersection (any query shape with
     #   >=2 required terms; a pure superset argument, filter-safe)
     prune = None
-    if k > 0 and "blk_first" in postings.columns:  # r2 format only
+    # search_after disables score pruning: the cursor asks for docs BELOW
+    # the top-k score frontier, exactly what theta pruning cuts
+    if k > 0 and search_after is None and "blk_first" in postings.columns:  # r2 format only
         memo_key = (query, k, role, tool, str(ts_min), str(ts_max), role_exists,
                     tool_exists, role_not, tool_not, role_not_exists, tool_not_exists)
         if _prune_memo is not None and memo_key in _prune_memo:
@@ -1697,7 +1714,7 @@ def search_df(
             "filters": filters_d if (sharded_warm and _filter_mask_bc is None) else None,
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
-    elif _postings is not None and k > 0:
+    elif _postings is not None and k > 0 and search_after is None:
         # Warm multi-clause / phrase path (r4): shard-local fused
         # evaluation — ONE Python stage after a compressed-bytes
         # repartition on shard_min; handles every query shape including
@@ -1731,10 +1748,9 @@ def search_df(
     if len(leaves) == 1 and isinstance(ast, (Term, Phrase)):
         # single-clause queries (most dashboard searches): one row per
         # docid already — skip the pivot shuffle entirely
-        return (
-            scored.select("docid", F.col("score").cast("double").cast("float").alias("score"))
-            .orderBy(F.col("score").desc(), F.col("docid").asc())
-            .limit(k)
+        return _order_page(
+            scored.select("docid", F.col("score").cast("double").cast("float").alias("score")),
+            k, search_after,
         )
 
     if isinstance(ast, Or) and all(isinstance(c, (Term, Phrase)) for c in ast.children):
@@ -1749,12 +1765,11 @@ def search_df(
         s = F.col("score").cast("double")
         if any(m != 1.0 for m in mw):
             s = s * F.element_at(_sql_double_array(mw), F.col("clause").cast("int") + 1)
-        return (
+        return _order_page(
             scored.groupBy("docid")
             .agg(F.sum(s).alias("_t"))
-            .select("docid", F.col("_t").cast("float").alias("score"))
-            .orderBy(F.col("score").desc(), F.col("docid").asc())
-            .limit(k)
+            .select("docid", F.col("_t").cast("float").alias("score")),
+            k, search_after,
         )
 
     # one conditional max per clause instead of pivot(): pivotfirst plans
@@ -1779,14 +1794,12 @@ def search_df(
         if m:
             piece = F.coalesce(F.col(f"c{ci}").cast("double"), F.lit(0.0))
             total = total + (piece if m == 1 else F.lit(float(m)) * piece)
-    out = (
+    return _order_page(
         pivoted.filter(_mask_expr(ast, leaves))
         .withColumn("score", total.cast("float"))
-        .select("docid", "score")
-        .orderBy(F.col("score").desc(), F.col("docid").asc())
-        .limit(k)
+        .select("docid", "score"),
+        k, search_after,
     )
-    return out
 
 
 def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
@@ -2497,6 +2510,7 @@ class QuerySession:
         tool_not: tuple = (),
         role_not_exists: bool = False,
         tool_not_exists: bool = False,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         # DQL field filters must reach the broadcast mask, so extract them
         # here as well (search_df re-extracts; the merge is idempotent)
@@ -2524,6 +2538,7 @@ class QuerySession:
             tool_not=tuple(filt.get("tool_not") or ()),
             role_not_exists=bool(filt.get("role_not_exists")),
             tool_not_exists=bool(filt.get("tool_not_exists")),
+            search_after=search_after,
             _stats=self.stats,
             _dfs=self._dfs,
             _docs=self.docs,

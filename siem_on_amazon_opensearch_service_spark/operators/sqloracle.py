@@ -264,12 +264,15 @@ def bm25_sql(
     ts_max: str | None = None,
     role_exists: bool = False,
     tool_exists: bool = False,
+    search_after: tuple | None = None,
 ) -> str:
     """Full DuckDB statement: (docid BIGINT, score_r DOUBLE) top-k.  The
     query string is the same DQL surface as search_df — field filters
     extract and merge with the kwargs, wildcard leaves render as grouped
     term-set CTEs (no expansion needed: the SQL itself scans the
-    vocabulary the engine's dictionary was built from)."""
+    vocabulary the engine's dictionary was built from).  ``search_after``
+    is the engine's deep-pagination cursor: only rows strictly after
+    (score, docid) in ranking order survive."""
     ast, dqlf = extract_filters(parse(query), query)
     filt = merge_filters(
         query,
@@ -291,13 +294,20 @@ def bm25_sql(
 
     collect(ast)
     fsql = _filters_sql(filt)
+    cursor = ""
+    if search_after is not None:
+        s, d = float(search_after[0]), int(search_after[1])
+        cursor = (
+            f"{' AND' if fsql else ' WHERE'} "
+            f"(c.s < {s!r} OR (c.s = {s!r} AND c.docid > {d}))"
+        )
     return f"""WITH {_base_ctes(path)},
 {_leaf_ctes(leaves)},
 combined AS ({_combine_sql(ast, leaves)})
 SELECT docid, round(CAST(s AS DOUBLE), 3) AS score_r
 FROM (
   SELECT c.docid, c.s
-  FROM combined c JOIN d USING (docid){fsql}
+  FROM combined c JOIN d USING (docid){fsql}{cursor}
   ORDER BY c.s DESC, c.docid ASC
   LIMIT {k}
 )"""

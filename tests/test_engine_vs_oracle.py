@@ -672,6 +672,37 @@ class TestShardedSingleTermZeroExchange:
         finally:
             qs.close()
 
+    def test_search_after_pages_tile_the_ranking(self, spark, tiny_index):
+        """OpenSearch search_after semantics: concatenating size-5 pages
+        through the (score, docid) cursor must equal the top-20 ranking,
+        on both the cold path and a warm session (where the cursor also
+        disables theta pruning — pruned scoring would cut the very docs
+        the cursor asks for)."""
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        for q in ["error", "error AND timeout", "timeout OR refused OR denied"]:
+            full = search_df(spark, tiny_index[0], q, k=20).collect()
+            pages, cursor = [], None
+            for _ in range(4):
+                page = search_df(spark, tiny_index[0], q, k=5, search_after=cursor).collect()
+                if not page:
+                    break
+                pages += page
+                cursor = (float(page[-1]["score"]), int(page[-1]["docid"]))
+            key = lambda rows: [(r["docid"], np.float32(r["score"])) for r in rows]
+            assert key(pages) == key(full), q
+
+        qs = QuerySession(spark, tiny_index[0])
+        try:
+            full = search_df(spark, tiny_index[0], "error", k=20).collect()
+            p1 = qs.search("error", k=10).collect()
+            cur = (float(p1[-1]["score"]), int(p1[-1]["docid"]))
+            p2 = qs.search("error", k=10, search_after=cur).collect()
+            key = lambda rows: [(r["docid"], np.float32(r["score"])) for r in rows]
+            assert key(p1 + p2) == key(full)
+        finally:
+            qs.close()
+
     def test_filtered_single_term_stays_zero_exchange(self, spark, tiny_index):
         """r4b: filtered single terms keep the fused plan in sharded mode —
         the filter evaluates inside the generator's ranged norm fetch
