@@ -255,6 +255,90 @@ class TestSessionize:
             assert (r["n_turns"], r["t_start"], r["t_end"]) == batch[key], key
 
 
+class TestWindowedCountsStream:
+    """§2.10 watermarked windowed agg (r4b): the streaming date_histogram
+    must emit, for every finalized window, exactly the batch histogram's
+    row; in-watermark late rows update their window, beyond-watermark
+    rows drop."""
+
+    def _rows(self, spark, data):
+        return spark.createDataFrame(data, "event_type string, ts timestamp")
+
+    def test_watermark_late_data_semantics(self, spark, tmp_path):
+        """Two micro-batches (maxFilesPerTrigger=1).  Batch A ends with
+        watermark 02:05 (max 03:05 - 1h).  Batch B carries: a 00:30 row
+        (beyond-watermark late -> DROPPED), a 02:30 row (within the open
+        02:00 window -> merged), and a 06:00 row (advances the watermark
+        to 05:00, finalizing hours 0-3)."""
+        import datetime as dt
+        import time
+
+        from siem_on_amazon_opensearch_service_spark.streaming.windowed import (
+            windowed_counts_batch,
+            windowed_counts_stream,
+        )
+
+        t0 = dt.datetime(2025, 6, 1, 0, 0, 0)
+        m, h = (lambda x: t0 + dt.timedelta(minutes=x)), (lambda x: t0 + dt.timedelta(hours=x))
+        file_a = [("a", t0), ("a", m(10)), ("b", m(50)), ("a", h(3)),
+                  ("a", t0 + dt.timedelta(hours=3, minutes=5))]
+        file_b = [("a", m(30)), ("a", t0 + dt.timedelta(hours=2, minutes=30)), ("b", h(6))]
+        src = str(tmp_path / "events")
+
+        out = str(tmp_path / "out")
+
+        def run_batch():
+            # one availableNow run per file on a SHARED checkpoint (file
+            # sink: the one sink that supports checkpoint recovery): a
+            # deterministic micro-batch sequence (part-file names are
+            # random UUIDs, so a single multi-file run has no stable
+            # batch order)
+            stream = spark.readStream.schema("event_type string, ts timestamp").parquet(src)
+            q = (
+                windowed_counts_stream(stream, "ts", "1 hour", "1 hour", keys=("event_type",))
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            return {
+                (r["bucket"], r["event_type"]): r["cnt"]
+                for r in spark.read.parquet(out).collect()
+            }
+
+        self._rows(spark, file_a).coalesce(1).write.mode("append").parquet(src)
+        got_a = run_batch()
+        time.sleep(0.1)
+        self._rows(spark, file_b).coalesce(1).write.mode("append").parquet(src)
+        got_b = run_batch()
+
+        # run 1: watermark ends at 02:05 -> hour-0 windows finalized
+        assert got_a == {(h(0), "a"): 2, (h(0), "b"): 1}
+        # run 2 (got_b is the cumulative sink): the 00:30 row is
+        # beyond-watermark late -> DROPPED (hour 0 neither re-emitted nor
+        # updated: append finality); the 02:30 row lands in the
+        # still-open hour-2 window; the 06:00 row moves the watermark to
+        # 05:00, finalizing hours 2-3; hour 6 stays open
+        new_b = {k: v for k, v in got_b.items() if k not in got_a}
+        assert new_b == {(h(2), "a"): 1, (h(3), "a"): 2}
+        assert got_b[(h(0), "a")] == 2  # the dropped row never updated it
+        # batch oracle over ALL rows: the dropped row is the only
+        # divergence from streaming's finalized windows
+        batch = {
+            (r["bucket"], r["event_type"]): r["cnt"]
+            for r in windowed_counts_batch(
+                self._rows(spark, file_a + file_b), "ts", "1 hour", keys=("event_type",)
+            ).collect()
+        }
+        assert batch[(h(0), "a")] == 3
+        for key, cnt in got_b.items():
+            if key != (h(0), "a"):
+                assert batch[key] == cnt, key
+
+
 class TestDistributedSearchOnGrownIndex:
     def test_search_df_equals_local_after_appends(self, spark, tiny_corpus_pdf, tmp_path):
         """The distributed path (incl. the r2 pruning planners, which read
