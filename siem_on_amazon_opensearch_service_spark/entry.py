@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.analysis import SQL_SPLIT_RE
-from .operators import aggs, dedup, search, similarity, sqloracle, textstats
+from .operators import aggs, dedup, sampling, search, similarity, sqloracle, textstats
 from .operators.build import build_index
 from .sources import transcripts as tsrc
 
@@ -690,6 +690,58 @@ def q_emb_ivf_recall(spark, sf_dir):
     )
 
 
+def q_emb_int8_topk(spark, sf_dir):
+    """Brute-force cosine top-k over int8-quantized embeddings (FAISS
+    SQ8-style symmetric per-vector quantization, 4x storage) — the
+    quantization arithmetic is order-independent (max, round), so the
+    oracle reproduces codes exactly and this is a full value match."""
+    return similarity.int8_cosine_topk(_emb(spark, sf_dir), [0, 1, 2], k=5)
+
+
+def q_emb_int8_recall(spark, sf_dir):
+    """recall@5 of int8-quantized brute-force search vs the float32 exact
+    top-k — the measured quantization-quality bound."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk(emb, [0, 1, 2], k=5)
+    ann = similarity.int8_cosine_topk(emb, [0, 1, 2], k=5)
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / 5.0, 2).alias("recall_int8_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def q_doc_split_stats(spark, sf_dir):
+    """Deterministic hash train/val/test split (80/10/10): per-split row
+    count and doc_id checksum — identical at any parallelism and stable
+    under appends (assignment is a pure function of doc_id)."""
+    d = sampling.split_by_hash(
+        _docs(spark, sf_dir), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        d.groupBy("split")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("split")
+    )
+
+
+def q_doc_sample_stats(spark, sf_dir):
+    """Deterministic 5% hash sample of the documents table (nested-sample
+    property: subset of any larger rate)."""
+    s = sampling.sample_by_hash(_docs(spark, sf_dir), "doc_id", 0.05)
+    return s.agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum"))
+
+
 def q_emb_lsh_recall(spark, sf_dir):
     """recall@5 of both ANN variants against the exact cosine top-k, per
     query — the explicit quality metric for the approximate path."""
@@ -909,6 +961,36 @@ cand AS (
   JOIN q ON q.query_id = p.query_id
   WHERE e.vec_id <> p.query_id
 )"""
+
+
+def _int8_sql() -> str:
+    """CTE prefix reproducing similarity.int8_cosine_topk: per-vector
+    symmetric int8 quantization (s = max|x|/127, codes round(x/s)) then
+    cosine over dequantized vectors.  round() already lands on integer
+    values in [-127, 127], so the tinyint cast is numerically a no-op."""
+    return f"""
+WITH qs AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id,
+         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding, x -> round(CAST(x AS DOUBLE) / s) * s)
+         END AS v
+  FROM qs
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id IN (0, 1, 2)),
+cand AS (
+  SELECT q.query_id, e.vec_id, {_sql_cos('q.qv', 'e.v')} AS cos
+  FROM dq e JOIN q ON e.vec_id <> q.query_id
+)"""
+
+
+_SPLIT_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+)
 
 
 def _mh_exprs() -> str:
@@ -1288,6 +1370,36 @@ FROM documents ORDER BY doc_id"""
 SELECT query_id, vec_id, cos FROM cand
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
 ORDER BY query_id, cos DESC, vec_id""",
+        "emb_int8_topk": _int8_sql() + """
+SELECT query_id, vec_id, cos FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+ORDER BY query_id, cos DESC, vec_id""",
+        "emb_int8_recall": _int8_sql() + f""",
+ann AS (
+  SELECT query_id, vec_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+),
+fq AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
+exact AS (
+  SELECT fq.query_id, e.vec_id, {_sql_cos('fq.qvec', 'e.embedding')} AS cos
+  FROM embeddings e JOIN fq ON e.vec_id <> fq.query_id
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+)
+SELECT x.query_id,
+       round(CAST(count(a.vec_id) AS DOUBLE) / 5.0, 2) AS recall_int8_at_5
+FROM exact x
+LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id""",
+        "doc_split_stats": (
+            f"SELECT CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train' "
+            f"WHEN {_SPLIT_BUCKET} < 9000 THEN 'val' ELSE 'test' END AS split, "
+            "count(*) AS n, sum(doc_id) AS id_sum "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "doc_sample_stats": (
+            f"SELECT count(*) AS n, sum(doc_id) AS id_sum FROM documents "
+            f"WHERE {_SPLIT_BUCKET} < 500"
+        ),
         "emb_ivf_topk": _ivf_sql() + """
 SELECT query_id, vec_id, cos FROM cand
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
@@ -1460,6 +1572,10 @@ def queries_map() -> dict:
             "emb_lsh_topk": q_emb_lsh_topk,
             "emb_ivf_topk": q_emb_ivf_topk,
             "emb_ivf_recall": q_emb_ivf_recall,
+            "emb_int8_topk": q_emb_int8_topk,
+            "emb_int8_recall": q_emb_int8_recall,
+            "doc_split_stats": q_doc_split_stats,
+            "doc_sample_stats": q_doc_sample_stats,
             "emb_lsh_multi_topk": q_emb_lsh_multi_topk,
             "emb_near_dup_stats": q_emb_near_dup_stats,
             "emb_lsh_recall": q_emb_lsh_recall,

@@ -169,6 +169,69 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization — the 4x-storage-cut path for embedding columns
+#
+# Per-vector symmetric quantization (the FAISS SQ8 / ONNX-style scheme):
+# scale s = max|x| / 127, codes q_i = round(x_i / s) in [-127, 127].
+# Every step is order-independent arithmetic (max, round), so the DuckDB
+# oracle reproduces codes bit-for-bit and quantized search is value-match
+# testable, not just recall-bounded.
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qvec array<tinyint>, qscale double): symmetric per-vector int8
+    codes.  A zero vector gets scale 0 and all-zero codes.  Pure column
+    expressions — at 100 TB this is a projection over the scan, and the
+    parquet written from it is ~4x smaller than float32."""
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    s = (amax / F.lit(127.0)).alias("qscale")
+    q = F.when(
+        amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x.cast("double") / (amax / 127.0)).cast("tinyint"))
+    )
+    return emb.select(F.col(id_col), q.alias("qvec"), s)
+
+
+def dequantized_vec(qvec: Column, qscale: Column) -> Column:
+    return F.transform(qvec, lambda x: x.cast("double") * qscale)
+
+
+def int8_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors (queries
+    quantized too — the symmetric search setting).  Same plan shape as
+    ``cosine_topk``; the quantization error is measured by the recall row
+    rather than assumed."""
+    qd = quantize_embeddings(emb, id_col, vec_col).select(
+        id_col, dequantized_vec(F.col("qvec"), F.col("qscale")).alias("dq")
+    )
+    q = qd.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("dq").alias("qvec")
+    )
+    joined = qd.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id", id_col, cosine(F.col("qvec"), F.col("dq")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos")
+        .orderBy("query_id", F.col("cos").desc(), id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 #
 # The corpus is partitioned into nlist Voronoi cells around centroid

@@ -149,6 +149,88 @@ class TestIvfAnn:
             assert len(r.p) == 4 and len(set(r.p)) == 4
 
 
+class TestSamplingAndQuantization:
+    """r4b: deterministic hash sampling/splits and int8 embedding
+    quantization."""
+
+    @pytest.fixture(scope="class")
+    def d(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+
+    def test_sample_nested_and_parallelism_invariant(self, spark, d):
+        from siem_on_amazon_opensearch_service_spark.operators import sampling
+
+        s05 = {r.doc_id for r in sampling.sample_by_hash(d, "doc_id", 0.05).collect()}
+        s20 = {r.doc_id for r in sampling.sample_by_hash(d, "doc_id", 0.20).collect()}
+        assert s05 <= s20  # nested samples
+        s05b = {r.doc_id for r in sampling.sample_by_hash(d.repartition(7), "doc_id", 0.05).collect()}
+        assert s05 == s05b  # parallelism-invariant
+        n = d.count()
+        assert abs(len(s20) / n - 0.20) < 0.05  # ~rate
+
+    def test_split_covers_disjointly_and_is_stable(self, spark, d):
+        from pyspark.sql import functions as F
+
+        from siem_on_amazon_opensearch_service_spark.operators import sampling
+
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        s1 = sampling.split_by_hash(d, "doc_id", w)
+        assert s1.filter(F.col("split").isNull()).count() == 0
+        counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == d.count()  # partition (each row exactly one split)
+        m1 = {r.doc_id: r.split for r in s1.collect()}
+        m2 = {r.doc_id: r.split for r in sampling.split_by_hash(d.repartition(5), "doc_id", w).collect()}
+        assert m1 == m2
+
+    def test_split_validation(self, spark, d):
+        from siem_on_amazon_opensearch_service_spark.operators import sampling
+
+        with pytest.raises(ValueError, match="sum to"):
+            sampling.split_by_hash(d, "doc_id", {"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError, match="outside"):
+            sampling.sample_by_hash(d, "doc_id", 1.5)
+
+    def test_int8_recall_near_exact(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = sim.cosine_topk(emb, [0, 1, 2], k=5).toPandas()
+        q = sim.int8_cosine_topk(emb, [0, 1, 2], k=5).toPandas()
+        ex = set(zip(exact.query_id, exact.vec_id))
+        recall = len(ex & set(zip(q.query_id, q.vec_id))) / len(ex)
+        assert recall >= 0.8  # 8-bit symmetric quantization barely moves cosines
+
+    def test_quantization_bounds(self, spark):
+        from pyspark.sql import functions as F
+
+        from siem_on_amazon_opensearch_service_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+        qd = sim.quantize_embeddings(emb)
+        rows = qd.select(
+            F.array_max("qvec").alias("hi"), F.array_min("qvec").alias("lo")
+        ).collect()
+        assert all(-127 <= r.lo and r.hi <= 127 for r in rows)
+        # round-trip error bounded by s/2 per component
+        err = (
+            emb.join(qd, "vec_id")
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        sim.dequantized_vec(F.col("qvec"), F.col("qscale")),
+                        lambda a, b: F.abs(a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                ).alias("maxerr"),
+                (F.col("qscale") / 2 + 1e-12).alias("bound"),
+            )
+            .collect()
+        )
+        assert all(r.maxerr <= r.bound for r in err)
+
+
 class TestShingleHashes:
     """r4: polynomial (Karp-Rabin) shingle hashing — the production
     shingle domain.  Engine arithmetic must match the DuckDB rendering
