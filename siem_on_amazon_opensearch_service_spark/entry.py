@@ -109,6 +109,17 @@ def _bm25_count(query: str):
     return run
 
 
+def _bm25_match_agg(query: str, agg):
+    """The reference's query-plus-aggregations request shape: dashboard
+    aggs over the documents matching a DQL query."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        idx = ensure_index(spark, _sf_label(sf_dir))
+        return search.match_agg_df(spark, idx, query, agg)
+
+    return run
+
+
 #: module-level warm-session cache (VERDICT r3 item 6): driver-callable
 #: warm entries construct the QuerySession once per (process, index) and
 #: reuse it, so the driver's hash check covers the warm path — pinned
@@ -1006,6 +1017,16 @@ def oracle_sql_map() -> dict[str, str]:
         kw = {k: v for k, v in spec.items() if k not in ("query", "k")}
         bm[name] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, spec["query"], k=spec["k"], **kw)
     bm["bm25_match_count"] = sqloracle.match_count_sql(ORACLE_TRANSCRIPTS, "error AND timeout")
+    bm["bm25_matches_role_terms"] = sqloracle.match_agg_sql(
+        ORACLE_TRANSCRIPTS, "error AND timeout",
+        "SELECT role, count(*) AS cnt FROM m GROUP BY role "
+        "ORDER BY cnt DESC, role ASC LIMIT 5",
+    )
+    bm["bm25_matches_daily_histogram"] = sqloracle.match_agg_sql(
+        ORACLE_TRANSCRIPTS, 'error AND "connection reset"',
+        "SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt FROM m "
+        "GROUP BY 1 ORDER BY 1",
+    )
     # warm-session entries score identically to cold — same oracle SQL
     bm["bm25_term_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error", k=10)
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
@@ -1520,6 +1541,13 @@ def queries_map() -> dict:
         kw = {k: v for k, v in spec.items() if k not in ("query", "k")}
         q[name] = _bm25(spec["query"], spec["k"], **kw)
     q["bm25_match_count"] = _bm25_count("error AND timeout")
+    q["bm25_matches_role_terms"] = _bm25_match_agg(
+        "error AND timeout", lambda d: aggs.terms_topn(d, "role", n=5)
+    )
+    q["bm25_matches_daily_histogram"] = _bm25_match_agg(
+        'error AND "connection reset"',
+        lambda d: aggs.date_histogram(d, "ts", "day"),
+    )
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)

@@ -1802,14 +1802,19 @@ def search_df(
     )
 
 
-def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
-    """Boolean match count (no scoring): posting-set algebra as DataFrame
-    set ops — intersect = inner join, union = distinct union, NOT =
-    left_anti (SURVEY.md §2.3 bool query).  NOT is supported as a direct
-    child of AND (the 'a AND NOT b' filter shape); other NOT placements
-    need a complement scan — rejected with ValueError.  DQL field filters
-    become a left-semi join against the filtered docs projection;
-    wildcards expand against the dictionary like search_df."""
+def match_docids_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
+    """The boolean MATCH SET of a query as DataFrame(docid) — posting-set
+    algebra as DataFrame set ops: intersect = inner join, union =
+    distinct union, NOT = left_anti (SURVEY.md §2.3 bool query).  NOT is
+    supported as a direct child of AND (the 'a AND NOT b' filter shape);
+    other NOT placements need a complement scan — rejected with
+    ValueError.  DQL field filters become a left-semi join against the
+    filtered docs projection; wildcards/fuzzy expand against the
+    dictionary like search_df.
+
+    The building block for the reference's query-plus-aggregations
+    request shape: ``match_count_df`` counts it, ``match_agg_df`` runs
+    dashboard aggregations over it."""
     ast, dqlf = extract_filters(parse(query), query)
     if _has_multiterm(ast):
         ast = expand_multiterm(
@@ -1875,7 +1880,35 @@ def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame
         for cond in _docs_filter_conditions(dqlf):
             docs = docs.filter(cond)
         matched = matched.join(docs.select("docid"), "docid", "left_semi")
-    return matched.agg(F.count("*").alias("n_matches"))
+    return matched
+
+
+def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
+    """Boolean match count (no scoring): count over ``match_docids_df``."""
+    return match_docids_df(spark, index_dir, query).agg(
+        F.count("*").alias("n_matches")
+    )
+
+
+def match_agg_df(
+    spark: SparkSession, index_dir: str, query: str, agg
+) -> DataFrame:
+    """The reference's standard request shape — a DQL query plus
+    aggregations evaluated over the MATCHING documents (every dashboard
+    panel is this: query context + visState aggs).  ``agg(docs)``
+    receives the matched docs projection (docid, conv_id, turn_idx,
+    role, tool, ts, norm) and returns any aggregation DataFrame (the
+    operators in ``operators.aggs`` compose directly).
+
+    Plan shape: the match set (posting algebra, candidate-sized) joins
+    the docs projection once, then the aggregation runs with normal
+    partial+final aggregation — at 100 TB the join input is the match
+    set, never the corpus."""
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    matched = docs.join(
+        match_docids_df(spark, index_dir, query), "docid", "left_semi"
+    )
+    return agg(matched)
 
 
 # ---------------------------------------------------------------------------

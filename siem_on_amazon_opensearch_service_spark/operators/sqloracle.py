@@ -254,6 +254,34 @@ combined AS ({_combine_sql(ast, leaves)})
 {body}"""
 
 
+def match_agg_sql(path: str, query: str, agg_body: str) -> str:
+    """DuckDB statement: ``agg_body`` evaluated over the matched docs
+    (exposed as CTE ``m`` carrying the docs projection columns) — the
+    oracle for search.match_agg_df's query-plus-aggregations request
+    shape."""
+    ast, dqlf = extract_filters(parse(query), query)
+    leaves: list[Node] = []
+
+    def collect(n: Node) -> None:
+        if isinstance(n, LEAVES):
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                collect(c)
+        elif isinstance(n, Not):
+            collect(n.child)
+
+    collect(ast)
+    fsql = _filters_sql(dqlf)
+    where_m = f"{fsql.replace(' WHERE ', ' WHERE (')})" if fsql else ""
+    return f"""WITH {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)}),
+m AS (SELECT d.* FROM d JOIN combined USING (docid){where_m})
+{agg_body}"""
+
+
 def bm25_sql(
     path: str,
     query: str,
