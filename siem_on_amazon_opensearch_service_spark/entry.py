@@ -109,6 +109,19 @@ def _bm25_count(query: str):
     return run
 
 
+def q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch highlight block: top-5 hits for 'error AND timeout'
+    with query terms <em>-wrapped in the analyzed token stream."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = search.highlight_df(spark, idx, "error AND timeout", k=5)
+    return out.select(
+        "docid",
+        F.round(F.col("score").cast("double"), 3).alias("score_r"),
+        "highlight",
+    )
+
+
 def _bm25_match_agg(query: str, agg):
     """The reference's query-plus-aggregations request shape: dashboard
     aggs over the documents matching a DQL query."""
@@ -1027,6 +1040,23 @@ def oracle_sql_map() -> dict[str, str]:
         "SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt FROM m "
         "GROUP BY 1 ORDER BY 1",
     )
+    from .functions.analysis import sql_truncate_expr as _ste
+
+    bm["bm25_highlight"] = f"""
+WITH d2 AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+         {_ste('text')} AS text
+  FROM read_parquet('{ORACLE_TRANSCRIPTS}')
+)
+SELECT t.docid, t.score_r,
+  array_to_string(list_transform(
+    list_filter(string_split_regex(lower(coalesce(d2.text, '')), '{SQL_SPLIT_RE}'),
+                x -> x <> ''),
+    x -> CASE WHEN x IN ('error', 'timeout') THEN '<em>' || x || '</em>' ELSE x END),
+    ' ') AS highlight
+FROM ({sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=5)}) t
+JOIN d2 USING (docid)
+ORDER BY t.score_r DESC, t.docid"""
     # warm-session entries score identically to cold — same oracle SQL
     bm["bm25_term_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error", k=10)
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
@@ -1548,6 +1578,7 @@ def queries_map() -> dict:
         'error AND "connection reset"',
         lambda d: aggs.date_histogram(d, "ts", "day"),
     )
+    q["bm25_highlight"] = q_bm25_highlight
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import analysis as _analysis
 from ..functions import bm25, varint
 from ..plans.query import (
     MAX_CLAUSE_COUNT,
@@ -63,6 +64,7 @@ from ..plans.query import (
     filters_active,
     merge_filters,
     parse,
+    query_terms,
     wildcard_regex,
     wildcard_to_like,
 )
@@ -1881,6 +1883,69 @@ def match_docids_df(spark: SparkSession, index_dir: str, query: str) -> DataFram
             docs = docs.filter(cond)
         matched = matched.join(docs.select("docid"), "docid", "left_semi")
     return matched
+
+
+def _truncate_text_col(text: Column) -> Column:
+    """ASCII column form of analysis.truncate_big_field (bytes == chars,
+    exactly like sql_truncate_expr — the corpus contract)."""
+    return F.when(
+        F.length(text) > _analysis.TRUNCATE_BYTES,
+        F.concat(
+            F.substring(text, 1, _analysis.TRUNCATE_KEEP),
+            F.lit(_analysis.TRUNCATE_MARK),
+        ),
+    ).otherwise(text)
+
+
+def highlight_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    pre: str = "<em>",
+    post: str = "</em>",
+    **filters,
+) -> DataFrame:
+    """Hit highlighting for the top-k results — the OpenSearch
+    ``highlight`` response block (Dashboards wraps matches in <em> by
+    default).  Works over the frozen analyzer's TOKEN STREAM: the stored
+    text is re-tokenized (truncate -> lowercase -> word runs, identical
+    to indexing) and every token in the query's term set — after
+    wildcard/fuzzy dictionary expansion — wraps in pre/post.  Phrase
+    terms highlight individually (a documented simplification of
+    positional phrase highlighting).  Returns (docid, score, highlight).
+
+    Plan: top-k (k rows) broadcast-joined into the docs projection —
+    the highlight projection runs on k rows, never the corpus."""
+    ast, _ = extract_filters(parse(query), query)
+    if _has_multiterm(ast):
+        ast = expand_multiterm(
+            ast, lambda lf: _expand_leaf(index_dir, lf), MAX_CLAUSE_COUNT
+        )
+    terms = sorted(set(query_terms(ast)))
+    hits = search_df(spark, index_dir, query, k=k, **filters)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("docid", "text")
+    joined = docs.join(F.broadcast(hits), "docid")
+    toks = F.filter(
+        F.split(
+            F.lower(F.coalesce(_truncate_text_col(F.col("text")), F.lit(""))),
+            _analysis.SQL_SPLIT_RE,
+        ),
+        lambda x: x != "",
+    )
+    tset = F.array(*[F.lit(t) for t in terms])
+    hl = F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                F.array_contains(tset, t), F.concat(F.lit(pre), t, F.lit(post))
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    return joined.select("docid", "score", hl.alias("highlight")).orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
 
 
 def match_count_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame:

@@ -703,6 +703,23 @@ class TestShardedSingleTermZeroExchange:
         finally:
             qs.close()
 
+    def test_highlight_wraps_expanded_terms(self, spark, tiny_index):
+        """highlight_df must wrap every analyzed token in the query's
+        EXPANDED term set — including wildcard/fuzzy dictionary matches —
+        and nothing else."""
+        import re
+
+        from siem_on_amazon_opensearch_service_spark.operators.search import highlight_df
+
+        rows = highlight_df(spark, tiny_index[0], "w0004* AND error", k=5).collect()
+        assert rows
+        for r in rows:
+            marked = re.findall(r"<em>([a-z0-9_]+)</em>", r["highlight"])
+            assert marked, r  # a hit must contain at least one match
+            assert all(m == "error" or m.startswith("w0004") for m in marked), marked
+            # round-trip: stripping tags yields the analyzed token stream
+            assert "<em>" not in re.sub(r"</?em>", "", r["highlight"])
+
     def test_filtered_single_term_stays_zero_exchange(self, spark, tiny_index):
         """r4b: filtered single terms keep the fused plan in sharded mode —
         the filter evaluates inside the generator's ranged norm fetch
