@@ -78,6 +78,34 @@ def ensure_index(spark: SparkSession, label: str) -> str:
     return out
 
 
+def ensure_rotated_indexes(
+    spark: SparkSession, label: str, interval: str = "week"
+) -> list[str]:
+    """One index per ``interval`` time bucket of the corpus — the
+    reference's index-rotation deployment (aws.ini index_rotation
+    monthly/weekly/daily; ``__index_name`` routing).  Each sub-index has
+    its OWN stats/docids, exactly like a rotated OpenSearch index.
+    Returns the index dirs in bucket order (the alias ordering)."""
+    path = ensure_corpus(label, spark)
+    df = spark.read.parquet(path)
+    keys = sorted(
+        r["b"]
+        for r in df.select(F.date_trunc(interval, "ts").alias("b")).distinct().collect()
+    )
+    dirs = []
+    for kts in keys:
+        lab = f"{label}_{interval}{kts.strftime('%Y%m%d')}"
+        out = index_dir(lab)
+        if not os.path.exists(os.path.join(out, "postings", "_SUCCESS")) or not _index_current_format(out):
+            shutil.rmtree(out, ignore_errors=True)
+            sub = df.filter(F.date_trunc(interval, F.col("ts")) == F.lit(kts))
+            # a conversation crossing the bucket boundary keeps a
+            # contiguous but non-0-based turn range -> skip the dense gate
+            build_index(spark, sub, out, n_salts=8, validate_dense=False)
+        dirs.append(out)
+    return dirs
+
+
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # AQE's byte-based partition coalescing collapses the explode/UDF-heavy
@@ -107,6 +135,27 @@ def _bm25_count(query: str):
         return search.match_count_df(spark, idx, query)
 
     return run
+
+
+def q_bm25_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias search over weekly-rotated indexes: per-index top-5 for
+    'error AND timeout', each index scored with its OWN stats (the
+    reference's rotation deployment; OpenSearch query_then_fetch
+    per-shard-stats semantics).  docids are index-local."""
+    _prep(spark)
+    dirs = ensure_rotated_indexes(spark, _sf_label(sf_dir), "week")
+    parts = [
+        search.search_df(spark, d, "error AND timeout", k=5).select(
+            F.lit(i).alias("index_ord"),
+            "docid",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"),
+        )
+        for i, d in enumerate(dirs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("index_ord", F.col("score_r").desc(), "docid")
 
 
 def q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,6 +1089,32 @@ def oracle_sql_map() -> dict[str, str]:
         "SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt FROM m "
         "GROUP BY 1 ORDER BY 1",
     )
+    # rotated-alias oracle: one subset-scored bm25 block per ISO week of
+    # the corpus (source_where restricts stats + docids to the bucket,
+    # exactly like the per-week engine indexes)
+    import duckdb as _duckdb
+
+    ensure_corpus(ORACLE_SF)
+    _weeks = [
+        r[0]
+        for r in _duckdb.sql(
+            f"SELECT DISTINCT date_trunc('week', ts) AS w "
+            f"FROM read_parquet('{ORACLE_TRANSCRIPTS}') ORDER BY w"
+        ).fetchall()
+    ]
+    _blocks = [
+        f"SELECT {i} AS index_ord, docid, score_r FROM ("
+        + sqloracle.bm25_sql(
+            ORACLE_TRANSCRIPTS, "error AND timeout", k=5,
+            source_where=f"date_trunc('week', ts) = TIMESTAMP '{w}'",
+        )
+        + ")"
+        for i, w in enumerate(_weeks)
+    ]
+    bm["bm25_multi_index"] = (
+        " UNION ALL ".join(_blocks) + " ORDER BY index_ord, score_r DESC, docid"
+    )
+
     from .functions.analysis import sql_truncate_expr as _ste
 
     bm["bm25_highlight"] = f"""
@@ -1579,6 +1654,7 @@ def queries_map() -> dict:
         lambda d: aggs.date_histogram(d, "ts", "day"),
     )
     q["bm25_highlight"] = q_bm25_highlight
+    q["bm25_multi_index"] = q_bm25_multi_index
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)

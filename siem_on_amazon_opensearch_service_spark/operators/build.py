@@ -145,9 +145,14 @@ def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True, b
     agg = ranged.groupBy("pid").agg(
         F.sum("n").alias("s"),
         F.sum(F.when((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1), 1).otherwise(0)).alias("bad"),
+        F.sum(F.when(F.col("mx") - F.col("mn") + 1 != F.col("n"), 1).otherwise(0)).alias("holes"),
     ).collect()
     if validate and sum(r["bad"] for r in agg):
         raise ValueError("turn_idx is not dense 0-based within some conversation")
+    if sum(r["holes"] for r in agg):
+        # contiguity is load-bearing in all modes: docid = base + (turn_idx
+        # - mn) is a bijection onto [base, base+n) only for gap-free ranges
+        raise ValueError("turn_idx has holes within some conversation")
     psums = {r["pid"]: r["s"] for r in agg}
     bases: dict[int, int] = {}
     acc = base
@@ -161,7 +166,12 @@ def assign_docids(df: DataFrame, num_buckets: int = 64, validate: bool = True, b
         pdf = pdf.sort_values("conv_id", kind="mergesort")
         base = b_bases.value[int(pdf["pid"].iloc[0])]
         csum = pdf["n"].cumsum() - pdf["n"]
-        return pd.DataFrame({"conv_id": pdf["conv_id"], "conv_base": base + csum})
+        # conv_base is shifted by -mn so docid = conv_base + turn_idx stays
+        # a dense rank even when a conversation's retained turn range is
+        # contiguous-but-offset (time-bucket subsets under rotation)
+        return pd.DataFrame(
+            {"conv_id": pdf["conv_id"], "conv_base": base + csum - pdf["mn"]}
+        )
 
     conv_base = ranged.groupBy("pid").applyInPandas(offsets, schema="conv_id string, conv_base long")
     # the per-conversation offset table has no stats (UDF output), so Spark
@@ -275,8 +285,15 @@ def build_index(
     resume: bool = True,
     write_partitions: int | None = None,
     n_buckets: int | None = None,
+    validate_dense: bool = True,
 ) -> dict:
     """Build (or resume) the index at ``out_dir``; returns build stats.
+
+    ``validate_dense=False`` skips the dense-turn_idx corpus-contract
+    check — required for indexes over time-bucket SUBSETS (rotation:
+    a conversation crossing a bucket boundary keeps a contiguous but
+    non-0-based turn range).  docid stability only needs DISTINCT
+    (conv_id, turn_idx) sort keys, which any subset preserves.
 
     AQE partition coalescing is disabled for the duration: it sizes
     partitions by shuffle BYTES, but the shard/merge stages carry small
@@ -291,7 +308,7 @@ def build_index(
     try:
         return _build_index_inner(
             spark, transcripts, out_dir, n_shards, n_salts, positions, resume,
-            write_partitions, n_buckets,
+            write_partitions, n_buckets, validate_dense,
         )
     finally:
         spark_conf.set(coalesce_key, prev_coalesce)
@@ -307,6 +324,7 @@ def _build_index_inner(
     resume: bool,
     write_partitions: int | None,
     n_buckets: int | None,
+    validate_dense: bool = True,
 ) -> dict:
     import time as _time
 
@@ -343,7 +361,7 @@ def _build_index_inner(
 
     docs_ready = params is not None and os.path.exists(os.path.join(docs_path, "_SUCCESS"))
     if not docs_ready:
-        with_ids, total, conv_cache = assign_docids(transcripts)
+        with_ids, total, conv_cache = assign_docids(transcripts, validate=validate_dense)
         if n_shards is None:
             # data-driven shard count: ~32k docs per shard.  Fixed by DATA
             # SIZE (content-deterministic across cluster sizes); small

@@ -1885,6 +1885,43 @@ def match_docids_df(spark: SparkSession, index_dir: str, query: str) -> DataFram
     return matched
 
 
+def search_multi_df(
+    spark: SparkSession,
+    index_dirs: list[str],
+    query: str,
+    k: int = 10,
+    **filters,
+) -> DataFrame:
+    """Alias search over rotated indexes — the reference's deployment
+    shape (the es-loader writes monthly/weekly/daily rotated indexes via
+    ``__index_name`` routing; every dashboard queries the ``log-*``
+    alias).  Faithfully reproduces OpenSearch's default query_then_fetch
+    semantics: EACH index scores with its OWN statistics (idf/avgdl
+    local to the index, like per-shard stats) and results merge by score
+    value even though scores are not strictly comparable across indexes
+    — that is exactly what an OpenSearch alias search returns.
+
+    Merge order: score desc, index order asc, docid asc.  Returns
+    (index_ord, docid, score); docids are index-local.  Scatter/gather:
+    per-index top-k (each its own pruned plan) then a k×n_indexes-row
+    merge — the global top-k is provably inside the union of per-index
+    top-ks."""
+    if not index_dirs:
+        raise ValueError("search_multi_df needs at least one index")
+    parts = [
+        search_df(spark, d, query, k=k, **filters).select(
+            F.lit(i).alias("index_ord"), "docid", "score"
+        )
+        for i, d in enumerate(index_dirs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        F.col("score").desc(), F.col("index_ord").asc(), F.col("docid").asc()
+    ).limit(k)
+
+
 def _truncate_text_col(text: Column) -> Column:
     """ASCII column form of analysis.truncate_big_field (bytes == chars,
     exactly like sql_truncate_expr — the corpus contract)."""

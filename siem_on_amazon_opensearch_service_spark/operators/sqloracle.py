@@ -31,12 +31,13 @@ from ..plans.query import (
 LEAVES = (Term, Phrase, Wildcard, Fuzzy)
 
 
-def _base_ctes(path: str) -> str:
+def _base_ctes(path: str, source_where: str | None = None) -> str:
     trunc = sql_truncate_expr("text")
+    where = f"\n  WHERE {source_where}" if source_where else ""
     return f"""
 raw AS (
   SELECT conv_id, turn_idx, role, tool, ts, {trunc} AS text
-  FROM read_parquet('{path}')
+  FROM read_parquet('{path}'){where}
 ),
 d AS (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
@@ -293,6 +294,7 @@ def bm25_sql(
     role_exists: bool = False,
     tool_exists: bool = False,
     search_after: tuple | None = None,
+    source_where: str | None = None,
 ) -> str:
     """Full DuckDB statement: (docid BIGINT, score_r DOUBLE) top-k.  The
     query string is the same DQL surface as search_df — field filters
@@ -300,7 +302,10 @@ def bm25_sql(
     term-set CTEs (no expansion needed: the SQL itself scans the
     vocabulary the engine's dictionary was built from).  ``search_after``
     is the engine's deep-pagination cursor: only rows strictly after
-    (score, docid) in ranking order survive."""
+    (score, docid) in ranking order survive.  ``source_where`` restricts
+    the CORPUS before docid assignment and stats — the oracle for an
+    index built over a subset (rotation: one index per time bucket),
+    whose idf/avgdl and docids are local to that subset."""
     ast, dqlf = extract_filters(parse(query), query)
     filt = merge_filters(
         query,
@@ -329,7 +334,7 @@ def bm25_sql(
             f"{' AND' if fsql else ' WHERE'} "
             f"(c.s < {s!r} OR (c.s = {s!r} AND c.docid > {d}))"
         )
-    return f"""WITH {_base_ctes(path)},
+    return f"""WITH {_base_ctes(path, source_where)},
 {_leaf_ctes(leaves)},
 combined AS ({_combine_sql(ast, leaves)})
 SELECT docid, round(CAST(s AS DOUBLE), 3) AS score_r

@@ -703,6 +703,57 @@ class TestShardedSingleTermZeroExchange:
         finally:
             qs.close()
 
+    def test_multi_index_rotation_merge(self, spark, tiny_index, tiny_corpus_pdf, tmp_path):
+        """Alias search over day-rotated sub-indexes: each index scores
+        with its OWN stats (same doc scores differently than in the full
+        index), docids stay dense per index despite boundary-split
+        conversations, and the merged top-k equals the python merge of
+        per-index results."""
+        import numpy as np
+
+        from siem_on_amazon_opensearch_service_spark.operators.build import build_index
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            search_df,
+            search_multi_df,
+        )
+
+        from pyspark.sql import functions as F
+
+        full = spark.createDataFrame(tiny_corpus_pdf)
+        days = sorted(tiny_corpus_pdf["ts"].dt.floor("D").unique())[:3]
+        dirs = []
+        for i, day in enumerate(days):
+            sub = full.filter(F.date_trunc("day", F.col("ts")) == F.lit(day))
+            out = str(tmp_path / f"day{i}")
+            build_index(spark, sub, out, n_salts=2, validate_dense=False)
+            dirs.append(out)
+        # dense-docid invariant per sub-index
+        import duckdb
+
+        for d in dirs:
+            lo, hi, n = duckdb.sql(
+                f"SELECT min(docid), max(docid), count(*) FROM read_parquet('{d}/docs/*.parquet')"
+            ).fetchone()
+            assert (lo, hi) == (0, n - 1), d
+
+        q = "error AND timeout"
+        per = []
+        for i, d in enumerate(dirs):
+            for r in search_df(spark, d, q, k=10).collect():
+                per.append((i, r["docid"], np.float32(r["score"])))
+        exp = sorted(per, key=lambda t: (-float(t[2]), t[0], t[1]))[:10]
+        got = [
+            (r["index_ord"], r["docid"], np.float32(r["score"]))
+            for r in search_multi_df(spark, dirs, q, k=10).collect()
+        ]
+        assert got == exp
+        # per-index stats differ from the full index's (idf locality)
+        full_scores = {
+            r["docid"]: np.float32(r["score"])
+            for r in search_df(spark, tiny_index[0], q, k=50).collect()
+        }
+        assert any(s not in set(full_scores.values()) for _, _, s in got)
+
     def test_highlight_wraps_expanded_terms(self, spark, tiny_index):
         """highlight_df must wrap every analyzed token in the query's
         EXPANDED term set — including wildcard/fuzzy dictionary matches —
