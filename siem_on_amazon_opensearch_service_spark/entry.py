@@ -137,6 +137,23 @@ def _bm25_count(query: str):
     return run
 
 
+def q_bm25_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch term suggester (did-you-mean): dictionary candidates
+    within 2 edits for three misspelled tokens, ranked (distance asc,
+    df desc, term asc) like Lucene's DirectSpellChecker."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    sugg = search.suggest_terms(idx, "erorr timeuot w0042", max_edits=2, n=5)
+    rows = [
+        (s["token"], t, d, df)
+        for s in sugg
+        for t, d, df in s["suggestions"]
+    ]
+    return spark.createDataFrame(
+        rows, "token string, term string, dist int, df long"
+    ).orderBy("token", "dist", F.col("df").desc(), "term")
+
+
 def q_bm25_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alias search over weekly-rotated indexes: per-index top-5 for
     'error AND timeout', each index scored with its OWN stats (the
@@ -1089,6 +1106,24 @@ def oracle_sql_map() -> dict[str, str]:
         "SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt FROM m "
         "GROUP BY 1 ORDER BY 1",
     )
+    # term-suggester oracle: dictionary = distinct corpus terms with doc
+    # frequency; per misspelled token the top-5 by (distance, df desc)
+    _sugg_blocks = []
+    for t in ("erorr", "timeuot", "w0042"):
+        _sugg_blocks.append(
+            f"(SELECT '{t}' AS token, term, levenshtein(term, '{t}') AS dist, df "
+            f"FROM dict WHERE abs(length(term) - {len(t)}) <= 2 "
+            f"AND levenshtein(term, '{t}') <= 2 AND df >= 1 "
+            f"QUALIFY row_number() OVER (ORDER BY levenshtein(term, '{t}') ASC, "
+            f"df DESC, term ASC) <= 5)"
+        )
+    bm["bm25_term_suggest"] = (
+        f"WITH {sqloracle._base_ctes(ORACLE_TRANSCRIPTS)}, "
+        "dict AS (SELECT term, count(DISTINCT docid) AS df FROM tok GROUP BY term) "
+        + " UNION ALL ".join(_sugg_blocks)
+        + " ORDER BY token, dist, df DESC, term"
+    )
+
     # rotated-alias oracle: one subset-scored bm25 block per ISO week of
     # the corpus (source_where restricts stats + docids to the bucket,
     # exactly like the per-week engine indexes)
@@ -1655,6 +1690,7 @@ def queries_map() -> dict:
     )
     q["bm25_highlight"] = q_bm25_highlight
     q["bm25_multi_index"] = q_bm25_multi_index
+    q["bm25_term_suggest"] = q_bm25_term_suggest
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)

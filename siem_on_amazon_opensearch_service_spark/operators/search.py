@@ -1885,6 +1885,46 @@ def match_docids_df(spark: SparkSession, index_dir: str, query: str) -> DataFram
     return matched
 
 
+def suggest_terms(
+    index_dir: str,
+    text: str,
+    max_edits: int = 2,
+    n: int = 5,
+    min_df: int = 1,
+) -> list[dict]:
+    """OpenSearch ``term`` suggester (the _search ``suggest`` block /
+    did-you-mean): for every analyzed token of ``text``, candidate
+    dictionary terms within ``max_edits`` classic-Levenshtein edits,
+    ranked the way Lucene's DirectSpellChecker does — distance asc, doc
+    frequency desc, term asc — top ``n`` per token.  Tokens already in
+    the dictionary (distance 0) return themselves first, like the
+    suggester's default missing-mode still reporting matches.
+
+    Driver-side dictionary scan (bounded by vocabulary, memoizable like
+    fuzzy expansion); returns
+    [{token, suggestions: [(term, distance, df), ...]}, ...]."""
+    import duckdb
+
+    from ..functions.analysis import tokenize as _tok
+
+    out = []
+    for token in _tok(text):
+        q = token.replace("'", "''")
+        e = int(max_edits)
+        rows = duckdb.sql(
+            f"SELECT term, levenshtein(term, '{q}') AS dist, df "
+            f"FROM {_dict_sources(index_dir)} "
+            f"WHERE abs(length(term) - {len(token)}) <= {e} "
+            f"AND levenshtein(term, '{q}') <= {e} AND df >= {int(min_df)} "
+            f"ORDER BY dist ASC, df DESC, term ASC LIMIT {int(n)}"
+        ).fetchall()
+        out.append(
+            {"token": token,
+             "suggestions": [(t, int(d), int(df)) for t, d, df in rows]}
+        )
+    return out
+
+
 def search_multi_df(
     spark: SparkSession,
     index_dirs: list[str],
