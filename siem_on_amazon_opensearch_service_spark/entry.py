@@ -283,6 +283,11 @@ BM25_QUERIES: dict[str, dict] = {
     # r4b: search_after deep pagination — the page strictly after the
     # (score=2.5, docid=0) cursor in (score desc, docid asc) order
     "bm25_search_after": {"query": "error", "k": 10, "search_after": (2.5, 0)},
+    # r4b: query-time boosts (Lucene term^N / phrase^N): the boost
+    # multiplies the clause's float64 contribution before the final
+    # float32 cast, identically in every engine and the SQL oracle
+    "bm25_boosted_or": {"query": "error^2 OR timeout", "k": 10},
+    "bm25_boosted_phrase": {"query": '"connection reset"^2 OR error^0.5', "k": 10},
 }
 
 

@@ -93,11 +93,13 @@ class LuceneOracle:
     def _eval(self, node: Node) -> tuple[np.ndarray, np.ndarray]:
         if isinstance(node, Term):
             docids, tfs = self._term_tf(node.term)
-            return self._score_clause(docids, tfs, [docids.size])
+            mask, acc = self._score_clause(docids, tfs, [docids.size])
+            return mask, acc * node.boost
         if isinstance(node, Phrase):
             docids, pfs = self._phrase_freq(node.terms)
             dfs = [len(self.postings.get(t, {})) for t in node.terms]
-            return self._score_clause(docids, pfs, dfs)
+            mask, acc = self._score_clause(docids, pfs, dfs)
+            return mask, acc * node.boost
         if isinstance(node, And):
             masks, accs = zip(*(self._eval(c) for c in node.children))
             mask = np.logical_and.reduce(masks)

@@ -158,16 +158,18 @@ def _positive_leaves(node: Node) -> list[Node]:
     return out
 
 
-def _positive_multiplicity(node: Node) -> dict[Node, int]:
-    """Not-free occurrence count per leaf.  Lucene scores each bool clause
+def _positive_multiplicity(node: Node) -> dict[Node, float]:
+    """Not-free score weight per leaf.  Lucene scores each bool clause
     independently, so a leaf appearing twice on positive paths contributes
     its score TWICE (the frozen oracle's per-occurrence _eval reproduces
-    this); deduped execution paths must weight by multiplicity."""
-    counts: dict[Node, int] = {}
+    this), and a query-time boost multiplies the clause's contribution —
+    each occurrence adds its ``boost``.  Deduped execution paths must
+    weight by this value."""
+    counts: dict[Node, float] = {}
 
     def walk(n: Node) -> None:
         if isinstance(n, (Term, Phrase)):
-            counts[n] = counts.get(n, 0) + 1
+            counts[n] = counts.get(n, 0.0) + n.boost
         elif isinstance(n, (And, Or)):
             for c in n.children:
                 walk(c)
@@ -578,7 +580,11 @@ def _plan_block_prune(
             shard_size = json.load(f)["shard_size"]
     except (OSError, KeyError):
         return None
-    mult = {lf.term: m for lf, m in _positive_multiplicity(ast).items()}
+    mult: dict[str, float] = {}
+    for lf, m in _positive_multiplicity(ast).items():
+        # accumulate: boost-distinct leaves of the same term are separate
+        # clauses whose weights sum (Term('x',1) and Term('x',2) -> 3.0)
+        mult[lf.term] = mult.get(lf.term, 0.0) + m
     terms = sorted(mult)
     # fetch metadata for ALL leaf terms: NOT-subtree terms contribute no
     # envelope/weight, but the conjunction seeder needs their rows for
@@ -1749,9 +1755,14 @@ def search_df(
 
     if len(leaves) == 1 and isinstance(ast, (Term, Phrase)):
         # single-clause queries (most dashboard searches): one row per
-        # docid already — skip the pivot shuffle entirely
+        # docid already — skip the pivot shuffle entirely.  A boost scales
+        # the float64 clause score before the final float32 cast, the
+        # same arithmetic as the multi-clause paths.
+        s = F.col("score").cast("double")
+        if ast.boost != 1.0:
+            s = s * F.lit(float(ast.boost))
         return _order_page(
-            scored.select("docid", F.col("score").cast("double").cast("float").alias("score")),
+            scored.select("docid", s.cast("float").alias("score")),
             k, search_after,
         )
 
@@ -2131,7 +2142,7 @@ class LocalIndex:
                 w = bm25.clause_weight(dfs, self.stats["doc_count"])
                 s = bm25.score_tf(tfs, self.norms[docids], w, self.cache)
                 mask[docids] = True
-                acc[docids] = s.astype(np.float64)
+                acc[docids] = s.astype(np.float64) * node.boost
             return mask, acc
         if isinstance(node, And):
             ms, accs = zip(*(self._eval(c) for c in node.children))
@@ -2210,9 +2221,15 @@ class LocalIndex:
                 "search_wand does not evaluate field filters; use search() "
                 "or search_df for filtered queries"
             )
-        if isinstance(ast, Term):
+        def unboosted(n: Node) -> bool:
+            return isinstance(n, Term) and n.boost == 1.0
+
+        # boosted terms take the general tree evaluator (its positive-
+        # weight dict carries boosts); the classic pivot path assumes
+        # weight-1 clauses
+        if unboosted(ast):
             return self._wand_or_terms([ast.term], k)
-        if isinstance(ast, Or) and all(isinstance(c, Term) for c in ast.children):
+        if isinstance(ast, Or) and all(unboosted(c) for c in ast.children):
             return self._wand_or_terms([c.term for c in ast.children], k)
         return self._wand_tree(ast, k)
 
@@ -2329,11 +2346,12 @@ class LocalIndex:
         if any(isinstance(lf, Phrase) for lf in leaves):
             raise ValueError("WAND handles term trees; phrases use search()")
         _require_positive_coverage(ast, "search_wand")
-        # positive occurrence count per term (a repeated clause scores
-        # repeatedly in Lucene bool semantics)
-        positive: dict[str, int] = {
-            lf.term: m for lf, m in _positive_multiplicity(ast).items()
-        }
+        # positive score weight per term (a repeated clause scores
+        # repeatedly in Lucene bool semantics; boosts accumulate the
+        # same way)
+        positive: dict[str, float] = {}
+        for lf, m in _positive_multiplicity(ast).items():
+            positive[lf.term] = positive.get(lf.term, 0.0) + m
         terms = [lf.term for lf in leaves]
         dfs = _load_dfs(self.dir, terms)
         tbs: dict[str, _TermBlocks] = {}

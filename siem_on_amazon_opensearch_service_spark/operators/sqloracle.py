@@ -143,16 +143,17 @@ def _leaf_ctes(leaves: list[Node]) -> str:
     return ",\n".join(parts)
 
 
-def _positive_multiplicity(node: Node) -> dict[Node, int]:
-    """Not-free occurrence count per leaf — the only score contributors
+def _positive_multiplicity(node: Node) -> dict[Node, float]:
+    """Not-free score weight per leaf — the only score contributors
     (Lucene bool semantics: must_not filters, never scores; a clause
-    appearing twice scores twice).  Mirrors operators/search and
+    appearing twice scores twice, and a query-time boost multiplies its
+    occurrence's contribution).  Mirrors operators/search and
     oracle.LuceneOracle._eval (per-occurrence accumulation, Not = zero)."""
-    counts: dict[Node, int] = {}
+    counts: dict[Node, float] = {}
 
     def walk(n: Node) -> None:
         if isinstance(n, LEAVES):
-            counts[n] = counts.get(n, 0) + 1
+            counts[n] = counts.get(n, 0.0) + n.boost
         elif isinstance(n, (And, Or)):
             for c in n.children:
                 walk(c)

@@ -66,11 +66,15 @@ class Node:
 @dataclass(frozen=True)
 class Term(Node):
     term: str
+    #: query-time boost (Lucene ``term^2``): multiplies the clause score;
+    #: leaves with different boosts are distinct clauses
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Phrase(Node):
     terms: tuple[str, ...]
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -80,6 +84,7 @@ class Wildcard(Node):
     execution (``expand_wildcards``)."""
 
     pattern: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -91,6 +96,7 @@ class Fuzzy(Node):
 
     term: str
     max_edits: int
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -142,6 +148,11 @@ _WILDCARD_OK = re.compile(r"^[A-Za-z0-9_*?]+$")
 MAX_FUZZY_EDITS = 2
 
 _FUZZY_SUFFIX = re.compile(r"^(.*?)~(\d*)$")
+
+#: trailing query-time boost on a word atom: term^2, err*^1.5, word~1^3
+_BOOST_SUFFIX = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+#: a standalone boost token following a quoted phrase / group: ^2
+_BOOST_TOKEN = re.compile(r"^\^(\d+(?:\.\d+)?)$")
 
 
 def auto_fuzzy_edits(length: int) -> int:
@@ -201,6 +212,30 @@ def parse(query: str) -> Node:
             return Not(parse_unary())
         return parse_atom()
 
+    def maybe_boost(node: Node) -> Node:
+        """Consume a standalone ``^N`` token after a quoted phrase /
+        field-scoped phrase (``"a b"^2``).  Boosting a parenthesized
+        group is rejected — Lucene allows it, but the engine's boost
+        model is per-clause (push the boost onto each atom instead)."""
+        nxt = peek()
+        if nxt is None:
+            return node
+        m = _BOOST_TOKEN.match(nxt)
+        if not m:
+            return node
+        take()
+        b = float(m.group(1))
+        if b <= 0:
+            raise ValueError(f"boost must be positive, got {nxt!r} in {query!r}")
+        if isinstance(node, (Term, Phrase, Wildcard, Fuzzy)):
+            import dataclasses
+
+            return dataclasses.replace(node, boost=node.boost * b)
+        raise ValueError(
+            f"boost {nxt!r} applies to terms and phrases only in {query!r} "
+            "(boost each atom inside a group instead)"
+        )
+
     def parse_atom() -> Node:
         t = take()
         if t.upper() in ("AND", "OR", "NOT"):
@@ -212,14 +247,14 @@ def parse(query: str) -> Node:
             if peek() != ")":
                 raise ValueError(f"missing ')' in {query!r}")
             take()
-            return node
+            return maybe_boost(node)
         if t.startswith('"'):
             words = tokenize(t.strip('"'))
             if not words:
                 raise ValueError(f"empty phrase in {query!r}")
             if len(words) == 1:
-                return Term(words[0])
-            return Phrase(tuple(words))
+                return maybe_boost(Term(words[0]))
+            return maybe_boost(Phrase(tuple(words)))
         m = _TS_RANGE.match(t)
         if m:
             op, val = m.group(1), m.group(2)
@@ -245,7 +280,9 @@ def parse(query: str) -> Node:
                     words = tokenize(inner)
                     if not words:
                         raise ValueError(f"empty phrase for field 'text' in {query!r}")
-                    return Term(words[0]) if len(words) == 1 else Phrase(tuple(words))
+                    return maybe_boost(
+                        Term(words[0]) if len(words) == 1 else Phrase(tuple(words))
+                    )
                 raise ValueError(
                     f"unknown field {field!r} in {query!r} (fields: role, tool, text)"
                 )
@@ -295,6 +332,13 @@ def parse(query: str) -> Node:
                         f"wildcard in keyword filter {t!r} in {query!r}: only "
                         f"{field}:<literal> and {field}:* (exists) are supported"
                     )
+                if _BOOST_SUFFIX.match(val):
+                    # filters are non-scoring; a silent 'x^2' literal would
+                    # surprise — quote the value if the caret is literal
+                    raise ValueError(
+                        f"boost on keyword filter {t!r} in {query!r}: filters "
+                        f'do not score (use {field}:"{val}" for a literal caret)'
+                    )
                 return FieldFilter(field, val)  # keyword: NOT analyzed
             if field == "text":
                 if not val and peek() == "(":
@@ -339,7 +383,18 @@ def _word_atom(t: str, query: str) -> Node:
     """A bare word: a Fuzzy if it carries a ``~`` suffix, a Wildcard if it
     carries * / ?, else a single analyzed term (the analyzer would strip
     wildcard/fuzzy markers, so check first — Lucene likewise does not
-    analyze wildcard or fuzzy patterns)."""
+    analyze wildcard or fuzzy patterns).  A trailing ``^N`` boost applies
+    to whichever atom the remainder parses to (``err*^2``, ``word~1^3``)."""
+    if "^" in t:
+        m = _BOOST_SUFFIX.match(t)
+        if not m or "^" in m.group(1):
+            raise ValueError(f"bad boost syntax in {t!r} in {query!r}: expected atom^number")
+        b = float(m.group(2))
+        if b <= 0:
+            raise ValueError(f"boost must be positive in {t!r} in {query!r}")
+        import dataclasses
+
+        return dataclasses.replace(_word_atom(m.group(1), query), boost=b)
     if "~" in t:
         m = _FUZZY_SUFFIX.match(t)
         if not m or "~" in m.group(1) or not m.group(1):
@@ -612,11 +667,12 @@ def expand_multiterm(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -
                 f"too_many_clauses: {label!r} expands to "
                 f"{len(terms)} terms (cap {max_clauses})"
             )
+        b = ast.boost  # the multi-term query's boost scales every expansion
         if not terms:
-            return Term(ast.pattern if isinstance(ast, Wildcard) else ast.term)
+            return Term(ast.pattern if isinstance(ast, Wildcard) else ast.term, b)
         if len(terms) == 1:
-            return Term(terms[0])
-        return Or(tuple(Term(t) for t in terms))
+            return Term(terms[0], b)
+        return Or(tuple(Term(t, b) for t in terms))
     if isinstance(ast, And):
         return And(tuple(expand_multiterm(c, expander, max_clauses) for c in ast.children))
     if isinstance(ast, Or):

@@ -331,6 +331,16 @@ DQL_QUERIES = [
     ('role:"assistant" AND error', {}),  # quoted == bare keyword value
     ('error AND NOT role:"no such role"', {}),  # spacey value excludes nothing
     ('text:"connection reset" AND error', {}),  # field-scoped phrase
+    # query-time boosts (r4b): term / phrase / wildcard / fuzzy /
+    # fractional / repeated-with-different-boosts
+    ("error^2 OR timeout", {}),
+    ("error^2 AND timeout", {}),
+    ('"connection reset"^2 OR error', {}),
+    ("w0004*^2 AND error", {}),
+    ("error^0.5", {}),
+    ("timeout~1^2 AND error", {}),
+    ("error^2 OR error^3", {}),
+    ("error^2 AND role:assistant", {}),
 ]
 
 
@@ -350,7 +360,8 @@ class TestDQL:
         _assert_hits_equal(got, oracle.search(q, k=10, **kw), f"df:{q}")
 
     @pytest.mark.parametrize(
-        "q", ["w0004*", "err* AND timeout", "timeout OR w0004?", "w00042~1"]
+        "q", ["w0004*", "err* AND timeout", "timeout OR w0004?", "w00042~1",
+              "error^2 OR timeout", "error^2", "error^2 AND w00042"]
     )
     def test_wand_rank_identity(self, local, q):
         assert local.search_wand(q, k=10) == local.search(q, k=10)
@@ -443,6 +454,41 @@ class TestDQL:
         with pytest.raises(ValueError, match="too_many_clauses"):
             expand_multiterm(parse("w*"), lambda lf: [f"w{i}" for i in range(10)], max_clauses=5)
 
+    def test_boost_parse_semantics(self):
+        from siem_on_amazon_opensearch_service_spark.plans.query import (
+            Fuzzy,
+            Phrase,
+            Term,
+            Wildcard,
+            parse,
+        )
+
+        assert parse("error^2") == Term("error", 2.0)
+        assert parse("error^0.5") == Term("error", 0.5)
+        assert parse('"connection reset"^2') == Phrase(("connection", "reset"), 2.0)
+        assert parse("err*^2") == Wildcard("err*", 2.0)
+        assert parse("timeout~1^2") == Fuzzy("timeout", 1, 2.0)
+        for bad, msg in [
+            ("error^0", "must be positive"),
+            ("error^-1", "bad boost syntax"),
+            ("error^2^3", "bad boost syntax"),
+            ("(error OR timeout)^2", "terms and phrases only"),
+            ("role:assistant^2 AND error", "boost on keyword filter"),
+        ]:
+            with pytest.raises(ValueError, match=msg):
+                parse(bad)
+
+    def test_boost_scales_scores(self, local, oracle):
+        """error^2's scores must be exactly 2x error's (same docs, same
+        order), on both the local engine and the frozen oracle."""
+        base = local.search("error", k=10)
+        boosted = local.search("error^2", k=10)
+        assert [d for d, _ in base] == [d for d, _ in boosted]
+        for (d1, s1), (d2, s2) in zip(base, boosted):
+            assert s2 == np.float32(np.float64(s1) * 2.0), (d1, s1, s2)
+        ob = oracle.search("error^2", k=10)
+        assert [(h.docid, h.score) for h in ob] == boosted
+
     def test_fuzzy_parse_semantics(self):
         from siem_on_amazon_opensearch_service_spark.plans.query import (
             Fuzzy,
@@ -532,6 +578,8 @@ class TestShardedQuerySession:
             ("error AND NOT role:assistant", {}),
             ("error AND role:(user OR assistant)", {}),
             ("error AND NOT tool:*", {}),
+            ("error^2 OR timeout", {}),
+            ('"connection reset"^2 OR error', {}),
         ],
     )
     def test_sharded_equals_cold(self, spark, tiny_index, sharded, q, kw):
