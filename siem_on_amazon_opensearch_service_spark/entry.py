@@ -288,6 +288,12 @@ BM25_QUERIES: dict[str, dict] = {
     # float32 cast, identically in every engine and the SQL oracle
     "bm25_boosted_or": {"query": "error^2 OR timeout", "k": 10},
     "bm25_boosted_phrase": {"query": '"connection reset"^2 OR error^0.5', "k": 10},
+    # r4b: bool minimum_should_match — >= 2 of the 4 should-clauses
+    "bm25_msm": {
+        "query": "timeout OR refused OR denied OR w00042",
+        "k": 10,
+        "minimum_should_match": 2,
+    },
 }
 
 

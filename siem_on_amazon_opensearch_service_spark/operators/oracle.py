@@ -26,12 +26,14 @@ from ..functions.smallfloat import encode_lengths
 from ..plans.query import (
     MAX_CLAUSE_COUNT,
     And,
+    AtLeast,
     Fuzzy,
     Node,
     Not,
     Or,
     Phrase,
     Term,
+    apply_minimum_should_match,
     expand_multiterm,
     extract_filters,
     filter_mask,
@@ -108,6 +110,9 @@ class LuceneOracle:
             masks, accs = zip(*(self._eval(c) for c in node.children))
             mask = np.logical_or.reduce(masks)
             return mask, np.sum(accs, axis=0)
+        if isinstance(node, AtLeast):
+            masks, accs = zip(*(self._eval(c) for c in node.children))
+            return np.sum(masks, axis=0) >= node.m, np.sum(accs, axis=0)
         if isinstance(node, Not):
             m, _ = self._eval(node.child)
             return ~m, np.zeros(self.n_docs, dtype=np.float64)
@@ -146,8 +151,10 @@ class LuceneOracle:
         ts_max=None,
         role_not: tuple = (),
         tool_not: tuple = (),
+        minimum_should_match: int | None = None,
     ) -> list[OracleHit]:
         ast, dqlf = extract_filters(parse(query), query)
+        ast = apply_minimum_should_match(ast, minimum_should_match, query)
         filt = merge_filters(
             query,
             {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,

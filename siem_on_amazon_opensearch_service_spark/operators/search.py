@@ -51,6 +51,7 @@ from ..plans.query import (
     MAX_CLAUSE_COUNT,
     MULTITERM,
     And,
+    AtLeast,
     Fuzzy,
     Node,
     Not,
@@ -58,6 +59,7 @@ from ..plans.query import (
     Phrase,
     Term,
     Wildcard,
+    apply_minimum_should_match,
     expand_multiterm,
     extract_filters,
     filter_mask,
@@ -127,7 +129,7 @@ def _leaves(node: Node) -> list[Node]:
         if isinstance(n, (Term, Phrase)):
             if n not in out:
                 out.append(n)
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c)
         elif isinstance(n, Not):
@@ -149,7 +151,7 @@ def _positive_leaves(node: Node) -> list[Node]:
         if isinstance(n, (Term, Phrase)):
             if n not in out:
                 out.append(n)
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c)
         # Not: do not descend — its subtree never contributes score
@@ -170,7 +172,7 @@ def _positive_multiplicity(node: Node) -> dict[Node, float]:
     def walk(n: Node) -> None:
         if isinstance(n, (Term, Phrase)):
             counts[n] = counts.get(n, 0.0) + n.boost
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c)
 
@@ -187,7 +189,7 @@ def _covered_by_positive(node: Node) -> bool:
         return True
     if isinstance(node, And):
         return any(_covered_by_positive(c) for c in node.children)
-    if isinstance(node, Or):
+    if isinstance(node, (Or, AtLeast)):
         return all(_covered_by_positive(c) for c in node.children)
     if isinstance(node, Not):
         return False
@@ -328,7 +330,7 @@ def _docs_filter_conditions(filt: dict) -> list:
 def _has_multiterm(node: Node) -> bool:
     if isinstance(node, MULTITERM):
         return True
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, AtLeast)):
         return any(_has_multiterm(c) for c in node.children)
     if isinstance(node, Not):
         return _has_multiterm(node.child)
@@ -385,6 +387,8 @@ def _eval_membership(node: Node, has: dict) -> bool:
         return all(_eval_membership(c, has) for c in node.children)
     if isinstance(node, Or):
         return any(_eval_membership(c, has) for c in node.children)
+    if isinstance(node, AtLeast):
+        return sum(_eval_membership(c, has) for c in node.children) >= node.m
     if isinstance(node, Not):
         return not _eval_membership(node.child, has)
     raise TypeError(node)
@@ -817,7 +821,7 @@ def _required_terms(node: Node) -> set[str]:
         for c in node.children:
             out |= _required_terms(c)
         return out
-    if isinstance(node, Or):
+    if isinstance(node, (Or, AtLeast)):
         sets = [_required_terms(c) for c in node.children]
         out = sets[0]
         for s in sets[1:]:
@@ -919,7 +923,9 @@ def _coverage_ranges(node: Node, per_term: dict) -> tuple[np.ndarray, np.ndarray
             if r[0].size == 0:
                 break
         return r
-    if isinstance(node, Or):
+    if isinstance(node, (Or, AtLeast)):
+        # AtLeast(m, ...) matches a SUBSET of the Or of its children, so
+        # the union stays a valid superset coverage
         r = empty
         for ch in node.children:
             c = _coverage_ranges(ch, per_term)
@@ -1434,6 +1440,8 @@ def _shard_local_topk(
                 return np.logical_and.reduce([ev(c) for c in n.children])
             if isinstance(n, Or):
                 return np.logical_or.reduce([ev(c) for c in n.children])
+            if isinstance(n, AtLeast):
+                return np.sum([ev(c) for c in n.children], axis=0) >= n.m
             if isinstance(n, Not):
                 return ~ev(n.child)
             raise TypeError(n)
@@ -1541,6 +1549,12 @@ def _mask_expr(node: Node, leaves: list[Node]):
         for c in node.children[1:]:
             e = e | _mask_expr(c, leaves)
         return e
+    if isinstance(node, AtLeast):
+        cnt = None
+        for c in node.children:
+            piece = F.when(_mask_expr(c, leaves), 1).otherwise(0)
+            cnt = piece if cnt is None else cnt + piece
+        return cnt >= node.m
     if isinstance(node, Not):
         return ~_mask_expr(node.child, leaves)
     raise TypeError(node)
@@ -1562,6 +1576,7 @@ def search_df(
     role_not_exists: bool = False,
     tool_not_exists: bool = False,
     search_after: tuple | None = None,
+    minimum_should_match: int | None = None,
     *,
     _stats: dict | None = None,
     _dfs: dict | None = None,
@@ -1587,6 +1602,7 @@ def search_df(
     persisted docs projection replace the per-query stats/dict reads and
     the docs parquet scan."""
     ast, dqlf = extract_filters(parse(query), query)
+    ast = apply_minimum_should_match(ast, minimum_should_match, query)
     filt = merge_filters(
         query,
         {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
@@ -1653,7 +1669,8 @@ def search_df(
     # the top-k score frontier, exactly what theta pruning cuts
     if k > 0 and search_after is None and "blk_first" in postings.columns:  # r2 format only
         memo_key = (query, k, role, tool, str(ts_min), str(ts_max), role_exists,
-                    tool_exists, role_not, tool_not, role_not_exists, tool_not_exists)
+                    tool_exists, role_not, tool_not, role_not_exists,
+                    tool_not_exists, minimum_should_match)
         if _prune_memo is not None and memo_key in _prune_memo:
             prune = _prune_memo[memo_key]
         else:
@@ -2150,6 +2167,9 @@ class LocalIndex:
         if isinstance(node, Or):
             ms, accs = zip(*(self._eval(c) for c in node.children))
             return np.logical_or.reduce(ms), np.sum(accs, axis=0)
+        if isinstance(node, AtLeast):
+            ms, accs = zip(*(self._eval(c) for c in node.children))
+            return np.sum(ms, axis=0) >= node.m, np.sum(accs, axis=0)
         if isinstance(node, Not):
             m, _ = self._eval(node.child)
             return ~m, np.zeros(n, dtype=np.float64)
@@ -2187,8 +2207,12 @@ class LocalIndex:
         ts_max=None,
         role_not: tuple = (),
         tool_not: tuple = (),
+        minimum_should_match: int | None = None,
     ) -> list[tuple[int, np.float32]]:
         ast, dqlf = self._compile(query)
+        # a multi-term child expands into ONE nested node, so the root Or
+        # keeps its clause count and msm can apply post-expansion
+        ast = apply_minimum_should_match(ast, minimum_should_match, query)
         filt = merge_filters(
             query,
             {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
@@ -2206,7 +2230,9 @@ class LocalIndex:
 
     # -- block-max WAND top-k for disjunctions of terms
 
-    def search_wand(self, query: str, k: int = 10) -> list[tuple[int, np.float32]]:
+    def search_wand(
+        self, query: str, k: int = 10, minimum_should_match: int | None = None
+    ) -> list[tuple[int, np.float32]]:
         """Block-max WAND top-k, rank- and score-identical to search(),
         for any And/Or/Not tree of terms (phrases -> search()).
 
@@ -2221,6 +2247,10 @@ class LocalIndex:
                 "search_wand does not evaluate field filters; use search() "
                 "or search_df for filtered queries"
             )
+        if minimum_should_match is not None and minimum_should_match > 1:
+            # the WAND walkers assume and/or/not trees; msm queries take
+            # the exhaustive evaluator (identical results)
+            return self.search(query, k, minimum_should_match=minimum_should_match)
         def unboosted(n: Node) -> bool:
             return isinstance(n, Term) and n.boost == 1.0
 
@@ -2463,6 +2493,8 @@ class LocalIndex:
                         return np.logical_and.reduce([ev(c) for c in n.children])
                     if isinstance(n, Or):
                         return np.logical_or.reduce([ev(c) for c in n.children])
+                    if isinstance(n, AtLeast):
+                        return np.sum([ev(c) for c in n.children], axis=0) >= n.m
                     raise TypeError(n)
 
                 sel = ev(ast)
@@ -2704,6 +2736,7 @@ class QuerySession:
         role_not_exists: bool = False,
         tool_not_exists: bool = False,
         search_after: tuple | None = None,
+        minimum_should_match: int | None = None,
     ) -> DataFrame:
         # DQL field filters must reach the broadcast mask, so extract them
         # here as well (search_df re-extracts; the merge is idempotent)
@@ -2732,6 +2765,7 @@ class QuerySession:
             role_not_exists=bool(filt.get("role_not_exists")),
             tool_not_exists=bool(filt.get("tool_not_exists")),
             search_after=search_after,
+            minimum_should_match=minimum_should_match,
             _stats=self.stats,
             _dfs=self._dfs,
             _docs=self.docs,

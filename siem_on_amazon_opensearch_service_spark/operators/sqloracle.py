@@ -14,6 +14,7 @@ from ..functions.bm25 import sql_idf_expr, sql_score_expr
 from ..functions.smallfloat import sql_decode_case
 from ..plans.query import (
     And,
+    AtLeast,
     Fuzzy,
     Node,
     Not,
@@ -21,6 +22,7 @@ from ..plans.query import (
     Phrase,
     Term,
     Wildcard,
+    apply_minimum_should_match,
     extract_filters,
     merge_filters,
     parse,
@@ -154,7 +156,7 @@ def _positive_multiplicity(node: Node) -> dict[Node, float]:
     def walk(n: Node) -> None:
         if isinstance(n, LEAVES):
             counts[n] = counts.get(n, 0.0) + n.boost
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c)
 
@@ -174,6 +176,15 @@ def _match_sql(ast: Node, leaves: list[Node]) -> str:
         return " INTERSECT ".join(f"({_match_sql(c, leaves)})" for c in ast.children)
     if isinstance(ast, Or):
         return " UNION ".join(f"({_match_sql(c, leaves)})" for c in ast.children)
+    if isinstance(ast, AtLeast):
+        branches = " UNION ALL ".join(
+            f"SELECT DISTINCT docid, {i} AS _br FROM ({_match_sql(c, leaves)})"
+            for i, c in enumerate(ast.children)
+        )
+        return (
+            f"SELECT docid FROM ({branches}) "
+            f"GROUP BY docid HAVING count(*) >= {ast.m}"
+        )
     if isinstance(ast, Not):
         return f"SELECT docid FROM d EXCEPT ({_match_sql(ast.child, leaves)})"
     raise TypeError(ast)
@@ -237,7 +248,7 @@ def match_count_sql(path: str, query: str) -> str:
         if isinstance(n, LEAVES):
             if n not in leaves:
                 leaves.append(n)
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 collect(c)
         elif isinstance(n, Not):
@@ -268,7 +279,7 @@ def match_agg_sql(path: str, query: str, agg_body: str) -> str:
         if isinstance(n, LEAVES):
             if n not in leaves:
                 leaves.append(n)
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 collect(c)
         elif isinstance(n, Not):
@@ -296,6 +307,7 @@ def bm25_sql(
     tool_exists: bool = False,
     search_after: tuple | None = None,
     source_where: str | None = None,
+    minimum_should_match: int | None = None,
 ) -> str:
     """Full DuckDB statement: (docid BIGINT, score_r DOUBLE) top-k.  The
     query string is the same DQL surface as search_df — field filters
@@ -303,11 +315,13 @@ def bm25_sql(
     term-set CTEs (no expansion needed: the SQL itself scans the
     vocabulary the engine's dictionary was built from).  ``search_after``
     is the engine's deep-pagination cursor: only rows strictly after
-    (score, docid) in ranking order survive.  ``source_where`` restricts
+    (score, docid) in ranking order survive.  ``minimum_should_match``
+    requires >= m of a top-level OR's clauses.  ``source_where`` restricts
     the CORPUS before docid assignment and stats — the oracle for an
     index built over a subset (rotation: one index per time bucket),
     whose idf/avgdl and docids are local to that subset."""
     ast, dqlf = extract_filters(parse(query), query)
+    ast = apply_minimum_should_match(ast, minimum_should_match, query)
     filt = merge_filters(
         query,
         {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
@@ -320,7 +334,7 @@ def bm25_sql(
         if isinstance(n, LEAVES):
             if n not in leaves:
                 leaves.append(n)
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 collect(c)
         elif isinstance(n, Not):

@@ -132,6 +132,39 @@ class Not(Node):
     child: Node
 
 
+@dataclass(frozen=True)
+class AtLeast(Node):
+    """``minimum_should_match``: matches when >= ``m`` of ``children``
+    match; every matching child scores (Lucene bool should semantics).
+    1 < m < len(children) always — ``apply_minimum_should_match``
+    degenerates m=1 to Or and m=n to And."""
+
+    m: int
+    children: tuple[Node, ...]
+
+
+def apply_minimum_should_match(ast: Node, m: int | None, query: str = "") -> Node:
+    """OpenSearch's bool ``minimum_should_match`` parameter, applied to a
+    top-level OR (the should-clause list): require >= m of its children.
+    m=1 is the OR itself; m=n degenerates to AND (same match set AND the
+    same score — this engine scores every positive-path leaf, so the
+    rewrite is exact); anything else wraps in AtLeast."""
+    if m is None or m <= 1:
+        return ast
+    if not isinstance(ast, Or):
+        raise ValueError(
+            f"minimum_should_match={m} requires a top-level OR query, got {query!r}"
+        )
+    if m > len(ast.children):
+        raise ValueError(
+            f"minimum_should_match={m} exceeds the {len(ast.children)} "
+            f"should-clauses in {query!r}"
+        )
+    if m == len(ast.children):
+        return And(ast.children)
+    return AtLeast(m, ast.children)
+
+
 #: keyword (non-analyzed) fields of the transcript schema; field atoms on
 #: these compile to the filter machinery (role=/tool= in search_df)
 KEYWORD_FIELDS = ("role", "tool")
@@ -476,7 +509,7 @@ def extract_filters(ast: Node, query: str = "") -> tuple[Node, dict]:
                 f"field filter {n.field}:{n.value if n.value is not None else '*'} "
                 f"must be a top-level AND conjunct in {query!r}"
             )
-        if isinstance(n, (And, Or)):
+        if isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 check_no_filters(c)
         elif isinstance(n, Not):
@@ -677,6 +710,8 @@ def expand_multiterm(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -
         return And(tuple(expand_multiterm(c, expander, max_clauses) for c in ast.children))
     if isinstance(ast, Or):
         return Or(tuple(expand_multiterm(c, expander, max_clauses) for c in ast.children))
+    if isinstance(ast, AtLeast):
+        return AtLeast(ast.m, tuple(expand_multiterm(c, expander, max_clauses) for c in ast.children))
     if isinstance(ast, Not):
         return Not(expand_multiterm(ast.child, expander, max_clauses))
     return ast
@@ -717,7 +752,7 @@ def query_terms(node: Node) -> list[str]:
             for t in n.terms:
                 if t not in out:
                     out.append(t)
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c)
         elif isinstance(n, Not):

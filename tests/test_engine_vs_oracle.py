@@ -341,6 +341,13 @@ DQL_QUERIES = [
     ("timeout~1^2 AND error", {}),
     ("error^2 OR error^3", {}),
     ("error^2 AND role:assistant", {}),
+    # minimum_should_match (r4b): >=m of the should clauses
+    ("timeout OR refused OR denied", {"minimum_should_match": 2}),
+    ("timeout OR refused OR denied OR error", {"minimum_should_match": 3}),
+    ("error OR w0004* OR timeout", {"minimum_should_match": 2}),
+    ("timeout OR refused", {"minimum_should_match": 2}),  # m=n -> AND
+    ("timeout^2 OR refused OR error", {"minimum_should_match": 2}),  # + boost
+    ("timeout OR refused OR denied", {"minimum_should_match": 2, "role": "user"}),
 ]
 
 
@@ -453,6 +460,22 @@ class TestDQL:
 
         with pytest.raises(ValueError, match="too_many_clauses"):
             expand_multiterm(parse("w*"), lambda lf: [f"w{i}" for i in range(10)], max_clauses=5)
+
+    def test_msm_semantics(self, local, oracle):
+        """minimum_should_match: matches need >= m should clauses; every
+        matching clause still scores; WAND falls back exhaustively with
+        identical results; invalid m raises."""
+        q = "timeout OR refused OR denied"
+        base = {d for d, _ in local.search(q, k=1000)}
+        msm2 = local.search(q, k=1000, minimum_should_match=2)
+        assert {d for d, _ in msm2} < base  # strictly fewer matches
+        assert local.search_wand(q, k=10, minimum_should_match=2) == local.search(
+            q, k=10, minimum_should_match=2
+        )
+        with pytest.raises(ValueError, match="top-level OR"):
+            local.search("error AND timeout", k=5, minimum_should_match=2)
+        with pytest.raises(ValueError, match="exceeds"):
+            local.search("error OR timeout", k=5, minimum_should_match=3)
 
     def test_boost_parse_semantics(self):
         from siem_on_amazon_opensearch_service_spark.plans.query import (
@@ -580,6 +603,7 @@ class TestShardedQuerySession:
             ("error AND NOT tool:*", {}),
             ("error^2 OR timeout", {}),
             ('"connection reset"^2 OR error', {}),
+            ("timeout OR refused OR denied", {"minimum_should_match": 2}),
         ],
     )
     def test_sharded_equals_cold(self, spark, tiny_index, sharded, q, kw):
