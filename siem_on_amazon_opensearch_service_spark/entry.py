@@ -137,6 +137,37 @@ def _bm25_count(query: str):
     return run
 
 
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch _explain: the per-clause scoring breakdown of the top-1
+    hit for 'error AND timeout' (tf, clause weight, clause score, match
+    flag, float32 total — the exact arithmetic search would produce)."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    li = search.LocalIndex(idx)
+    top1 = li.search("error AND timeout", k=1)[0][0]
+    ex = li.explain("error AND timeout", int(top1))
+    rows = [
+        (c["clause"], c["kind"], c["terms"], c["tf"],
+         float(c["weight"]), float(c["score"]), bool(c["matched"]),
+         float(ex["total"]))
+        for c in ex["clauses"]
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clause int, kind string, terms string, tf long, weight double, "
+        "score double, matched boolean, total double",
+    )
+    # rounding happens in Spark (half-away like DuckDB round; python's
+    # round is banker's and would diverge on boundaries)
+    return df.select(
+        "clause", "kind", "terms", "tf",
+        F.round("weight", 6).alias("weight_r"),
+        F.round("score", 6).alias("score_r"),
+        "matched",
+        F.round("total", 3).alias("total_r"),
+    ).orderBy("clause")
+
+
 def q_bm25_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch term suggester (did-you-mean): dictionary candidates
     within 2 edits for three misspelled tokens, ranked (distance asc,
@@ -1117,6 +1148,52 @@ def oracle_sql_map() -> dict[str, str]:
         "SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt FROM m "
         "GROUP BY 1 ORDER BY 1",
     )
+    # _explain oracle: re-derive tf / idf weight / clause score / total for
+    # the top-1 'error AND timeout' doc with the identical arithmetic
+    from .functions.bm25 import sql_idf_expr as _idf
+    from .functions.bm25 import sql_score_expr as _scr
+    from .plans.query import Term as _Term
+
+    _w0 = _idf("(SELECT count(*) FROM tf_0)", "(SELECT doc_count FROM stats)")
+    _w1 = _idf("(SELECT count(*) FROM tf_1)", "(SELECT doc_count FROM stats)")
+    bm["bm25_explain"] = f"""WITH {sqloracle._base_ctes(ORACLE_TRANSCRIPTS)},
+{sqloracle._leaf_ctes([_Term("error"), _Term("timeout")])},
+t1 AS (SELECT docid FROM ({sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=1)})),
+vals AS (
+  SELECT
+    coalesce((SELECT tf FROM tf_0 JOIN t1 USING (docid)), 0) AS tf0,
+    coalesce((SELECT tf FROM tf_1 JOIN t1 USING (docid)), 0) AS tf1,
+    (SELECT dl_dec FROM dln JOIN t1 USING (docid)) AS dld,
+    {_w0} AS w0,
+    {_w1} AS w1
+),
+vals2 AS (
+  SELECT *,
+    CASE WHEN tf0 > 0 THEN {_scr('tf0', 'dld', 'w0', '(SELECT avgdl FROM stats)')}
+         ELSE CAST(0.0 AS FLOAT) END AS s0,
+    CASE WHEN tf1 > 0 THEN {_scr('tf1', 'dld', 'w1', '(SELECT avgdl FROM stats)')}
+         ELSE CAST(0.0 AS FLOAT) END AS s1
+  FROM vals
+),
+vals3 AS (
+  SELECT *,
+    CASE WHEN tf0 > 0 AND tf1 > 0
+         THEN CAST(CAST(s0 AS DOUBLE) + CAST(s1 AS DOUBLE) AS FLOAT)
+         ELSE CAST(0.0 AS FLOAT) END AS total
+  FROM vals2
+)
+SELECT 0 AS clause, 'term' AS kind, 'error' AS terms, tf0 AS tf,
+       round(CAST(w0 AS DOUBLE), 6) AS weight_r,
+       round(CAST(s0 AS DOUBLE), 6) AS score_r,
+       tf0 > 0 AS matched, round(CAST(total AS DOUBLE), 3) AS total_r
+FROM vals3
+UNION ALL
+SELECT 1, 'term', 'timeout', tf1,
+       round(CAST(w1 AS DOUBLE), 6), round(CAST(s1 AS DOUBLE), 6),
+       tf1 > 0, round(CAST(total AS DOUBLE), 3)
+FROM vals3
+ORDER BY clause"""
+
     # term-suggester oracle: dictionary = distinct corpus terms with doc
     # frequency; per misspelled token the top-5 by (distance, df desc)
     _sugg_blocks = []
@@ -1702,6 +1779,7 @@ def queries_map() -> dict:
     q["bm25_highlight"] = q_bm25_highlight
     q["bm25_multi_index"] = q_bm25_multi_index
     q["bm25_term_suggest"] = q_bm25_term_suggest
+    q["bm25_explain"] = q_bm25_explain
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)

@@ -2228,6 +2228,54 @@ class LocalIndex:
         order = np.lexsort((docids, -scores.astype(np.float64)))[:k]
         return [(int(docids[i]), np.float32(scores[i])) for i in order]
 
+    def explain(self, query: str, docid: int) -> dict:
+        """The OpenSearch ``_explain`` API: the per-clause scoring
+        breakdown of one document against a query — per clause its kind,
+        terms, tf at the doc, float32 clause weight (idf / summed idf for
+        phrases), float32 clause score, match flag, and the float32 total
+        exactly as ``search`` would produce it (a debugging tool, like
+        the reference's endpoint — driver-side by design)."""
+        ast, dqlf = self._compile(query)
+        if dqlf:
+            raise ValueError("explain takes an unfiltered scoring query")
+        leaves = _leaves(ast)
+        _check_positions(self.dir, leaves)
+        mult = _positive_multiplicity(ast)
+        norm = np.array([self.norms[docid]], dtype=np.uint8)
+        clauses = []
+        total = np.float64(0.0)
+        for ci, lf in enumerate(leaves):
+            if isinstance(lf, Term):
+                docids, tfs = self._term_postings(lf.term)
+                dfs = [docids.size]
+                terms = (lf.term,)
+            else:
+                docids, tfs = self._phrase_postings(lf.terms)
+                dfs = [self._term_postings(t)[0].size for t in lf.terms]
+                terms = lf.terms
+            w = bm25.clause_weight(dfs, self.stats["doc_count"])
+            i = np.searchsorted(docids, docid)
+            tf = int(tfs[i]) if i < docids.size and docids[i] == docid else 0
+            s = (
+                np.float32(bm25.score_tf(np.array([tf]), norm, w, self.cache)[0])
+                if tf
+                else np.float32(0.0)
+            )
+            m = mult.get(lf, 0.0)
+            total += m * np.float64(s)
+            clauses.append(
+                {"clause": ci, "kind": type(lf).__name__.lower(),
+                 "terms": " ".join(terms), "tf": tf,
+                 "weight": np.float32(w), "score": s,
+                 "matched": tf > 0, "boost_weight": m}
+            )
+        mask, _ = self._eval(ast)
+        return {
+            "matches": bool(mask[docid]),
+            "total": np.float32(total) if mask[docid] else np.float32(0.0),
+            "clauses": clauses,
+        }
+
     # -- block-max WAND top-k for disjunctions of terms
 
     def search_wand(

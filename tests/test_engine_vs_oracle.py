@@ -461,6 +461,25 @@ class TestDQL:
         with pytest.raises(ValueError, match="too_many_clauses"):
             expand_multiterm(parse("w*"), lambda lf: [f"w{i}" for i in range(10)], max_clauses=5)
 
+    def test_explain_totals_equal_search_scores(self, local):
+        """explain()'s float32 total must equal the score search() ranks
+        by, clause for clause, for every hit of several query shapes."""
+        for q in ["error", "error AND timeout", "timeout OR refused",
+                  '"connection reset" OR error', "error^2 AND timeout"]:
+            for docid, score in local.search(q, k=5):
+                ex = local.explain(q, docid)
+                assert ex["matches"] is True
+                assert ex["total"] == score, (q, docid)
+                tot = np.float32(sum(
+                    c["boost_weight"] * np.float64(c["score"]) for c in ex["clauses"]
+                ))
+                assert tot == score, (q, docid)
+        # a non-matching doc explains as unmatched with total 0
+        hits = {d for d, _ in local.search("w00042", k=100000)}
+        miss = next(d for d in range(200) if d not in hits)
+        ex = local.explain("w00042", miss)
+        assert ex["matches"] is False and ex["total"] == np.float32(0.0)
+
     def test_msm_semantics(self, local, oracle):
         """minimum_should_match: matches need >= m should clauses; every
         matching clause still scores; WAND falls back exhaustively with
