@@ -246,6 +246,51 @@ class TestWandStress:
             k = rng.choice([1, 5, 10, 50])
             assert local.search_wand(q, k=k) == local.search(q, k=k), (q, k)
 
+    def test_wand_equals_exhaustive_random_boosted_trees(self, local, oracle):
+        """r4b hardening: random trees with random boosts on random
+        leaves — WAND == exhaustive == frozen oracle, and random msm on
+        flat disjunctions across all three."""
+        import random
+
+        rng = random.Random(41)
+        vocab = ["error", "timeout", "refused", "denied", "connection",
+                 "assistant", "file", "request", "reset"] + [
+            f"w{rng.randrange(3000):05d}" for _ in range(20)
+        ]
+
+        def leaf() -> str:
+            t = rng.choice(vocab)
+            if rng.random() < 0.5:
+                t += "^" + rng.choice(["2", "3", "0.5", "1.5"])
+            return t
+
+        def rand_tree(depth: int) -> str:
+            if depth == 0 or rng.random() < 0.4:
+                return leaf()
+            op = rng.choice(["AND", "OR"])
+            parts = [rand_tree(depth - 1) for _ in range(rng.choice([2, 3]))]
+            if op == "AND" and rng.random() < 0.3:
+                parts.append("NOT " + rng.choice(vocab))
+            return "(" + f" {op} ".join(parts) + ")"
+
+        for trial in range(30):
+            q = rand_tree(2)
+            k = rng.choice([1, 5, 10])
+            got = local.search_wand(q, k=k)
+            assert got == local.search(q, k=k), (q, k)
+            assert got == [(h.docid, h.score) for h in oracle.search(q, k=k)], q
+
+        for trial in range(20):
+            nt = rng.choice([3, 4, 5])
+            terms = rng.sample(vocab, nt)
+            m = rng.randrange(2, nt + 1)
+            q = " OR ".join(terms)
+            got = local.search(q, k=10, minimum_should_match=m)
+            exp = [(h.docid, h.score)
+                   for h in oracle.search(q, k=10, minimum_should_match=m)]
+            assert got == exp, (q, m)
+            assert local.search_wand(q, k=10, minimum_should_match=m) == got, (q, m)
+
 
 class TestWarmQuerySession:
     """QuerySession (warm path): cached stats/dfs/docs/postings + the
