@@ -325,6 +325,11 @@ BM25_QUERIES: dict[str, dict] = {
         "k": 10,
         "minimum_should_match": 2,
     },
+    # r4c: regexp term queries (Lucene RegexpQuery via /.../): anchored
+    # full-term dictionary expansion; the character-class pattern expands
+    # to the w0004x/w0005x id family, the alternation to timeout|timer
+    "bm25_regexp": {"query": "/w000[45][0-9]/", "k": 10},
+    "bm25_regexp_and": {"query": "/time(out|r)/ AND error", "k": 10},
 }
 
 

@@ -22,6 +22,7 @@ import pandas as pd
 
 from ..functions import bm25
 from ..functions.analysis import tokenize
+from ..functions.sloppy import sloppy_freq
 from ..functions.smallfloat import encode_lengths
 from ..plans.query import (
     MAX_CLAUSE_COUNT,
@@ -32,6 +33,7 @@ from ..plans.query import (
     Not,
     Or,
     Phrase,
+    Regexp,
     Term,
     apply_minimum_should_match,
     expand_multiterm,
@@ -98,7 +100,7 @@ class LuceneOracle:
             mask, acc = self._score_clause(docids, tfs, [docids.size])
             return mask, acc * node.boost
         if isinstance(node, Phrase):
-            docids, pfs = self._phrase_freq(node.terms)
+            docids, pfs = self._phrase_freq(node.terms, node.slop)
             dfs = [len(self.postings.get(t, {})) for t in node.terms]
             mask, acc = self._score_clause(docids, pfs, dfs)
             return mask, acc * node.boost
@@ -118,26 +120,31 @@ class LuceneOracle:
             return ~m, np.zeros(self.n_docs, dtype=np.float64)
         raise TypeError(node)
 
-    def _phrase_freq(self, terms: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
-        """Docs where terms appear at consecutive positions; freq = count."""
+    def _phrase_freq(self, terms: tuple[str, ...], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Docs where terms appear at consecutive positions (slop = 0;
+        freq = adjacency count) or within ``slop`` total displacement
+        (freq = Lucene sloppy frequency, functions/sloppy.py)."""
         maps = [self.postings.get(t, {}) for t in terms]
         if any(not m for m in maps):
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         common = set(maps[0])
         for m in maps[1:]:
             common &= set(m)
         docids, pfs = [], []
         for d in sorted(common):
-            base = np.asarray(maps[0][d], dtype=np.int64)
-            ok = np.ones(base.shape, dtype=bool)
-            for i, m in enumerate(maps[1:], start=1):
-                nxt = np.asarray(m[d], dtype=np.int64)
-                ok &= np.isin(base + i, nxt)
-            pf = int(ok.sum())
+            if slop > 0:
+                pf = float(sloppy_freq([np.asarray(m[d], dtype=np.int64) for m in maps], slop))
+            else:
+                base = np.asarray(maps[0][d], dtype=np.int64)
+                ok = np.ones(base.shape, dtype=bool)
+                for i, m in enumerate(maps[1:], start=1):
+                    nxt = np.asarray(m[d], dtype=np.int64)
+                    ok &= np.isin(base + i, nxt)
+                pf = int(ok.sum())
             if pf:
                 docids.append(d)
                 pfs.append(pf)
-        return np.asarray(docids, dtype=np.int64), np.asarray(pfs, dtype=np.int64)
+        return np.asarray(docids, dtype=np.int64), np.asarray(pfs, dtype=np.float64)
 
     # ---- public API
 
@@ -168,7 +175,12 @@ class LuceneOracle:
                     t for t in self.postings
                     if levenshtein_within(t, leaf.term, leaf.max_edits)
                 )
-            rx = wildcard_regex(leaf.pattern)
+            if isinstance(leaf, Regexp):
+                import re as _re
+
+                rx = _re.compile(f"^(?:{leaf.pattern})$")
+            else:
+                rx = wildcard_regex(leaf.pattern)
             return sorted(t for t in self.postings if rx.match(t))
 
         ast = expand_multiterm(ast, expander, MAX_CLAUSE_COUNT)

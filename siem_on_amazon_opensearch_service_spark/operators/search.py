@@ -57,6 +57,7 @@ from ..plans.query import (
     Not,
     Or,
     Phrase,
+    Regexp,
     Term,
     Wildcard,
     apply_minimum_should_match,
@@ -67,6 +68,7 @@ from ..plans.query import (
     merge_filters,
     parse,
     query_terms,
+    regexp_prefix,
     wildcard_regex,
     wildcard_to_like,
 )
@@ -270,6 +272,24 @@ def _expand_leaf(index_dir: str, leaf) -> list[str]:
             f"SELECT term FROM {_dict_sources(index_dir)} "
             f"WHERE abs(length(term) - {len(leaf.term)}) <= {e} "
             f"AND levenshtein(term, '{q}') <= {e} ORDER BY term"
+        ).fetchall()
+        return [r[0] for r in rows]
+    if isinstance(leaf, Regexp):
+        # anchored full-term match (Lucene RegexpQuery semantics); the
+        # grammar restricts patterns to the RE2/Python-re common core so
+        # this DuckDB (RE2) scan and the oracle's Python re agree.  A
+        # literal pattern prefix adds the same zonemap range predicate
+        # wildcards get.
+        pat_sql = leaf.pattern.replace("'", "''")
+        conds_r = [f"regexp_full_match(term, '{pat_sql}')"]
+        pre = regexp_prefix(leaf.pattern)
+        if pre:
+            p = pre.replace("'", "''")
+            hi = (pre[:-1] + chr(ord(pre[-1]) + 1)).replace("'", "''")
+            conds_r.append(f"term >= '{p}' AND term < '{hi}'")
+        rows = duckdb.sql(
+            f"SELECT term FROM {_dict_sources(index_dir)} "
+            f"WHERE {' AND '.join(conds_r)} ORDER BY term"
         ).fetchall()
         return [r[0] for r in rows]
     like, prefix = wildcard_to_like(leaf.pattern)
@@ -1252,6 +1272,8 @@ def _shard_local_topk(
     float64 sum of mult-weighted positive clauses, one final float32
     round — rank/score-identical to the cold path (tested)."""
     any_phrase = any(isinstance(lf, Phrase) for lf in leaves)
+    if any(isinstance(lf, Phrase) and lf.slop > 0 for lf in leaves):
+        raise NotImplementedError("sloppy phrase pending in the shard-local path")
     term_clauses: dict[str, list[tuple[int, int, bool]]] = {}
     for ci, leaf in enumerate(leaves):
         if isinstance(leaf, Term):
@@ -1481,6 +1503,8 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
     docid keeps each doc's slots together and the per-bucket resolution
     independent."""
     n_slots = {ci: len(leaf.terms) for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)}
+    if any(isinstance(lf, Phrase) and lf.slop > 0 for lf in leaves):
+        raise NotImplementedError("sloppy phrase pending in the distributed path")
     if not n_slots:
         return None
     b_n = n_slots
@@ -2151,7 +2175,7 @@ class LocalIndex:
                 docids, tfs = self._term_postings(node.term)
                 dfs = [docids.size]
             else:
-                docids, tfs = self._phrase_postings(node.terms)
+                docids, tfs = self._phrase_postings(node.terms, node.slop)
                 dfs = [self._term_postings(t)[0].size for t in node.terms]
             mask = np.zeros(n, dtype=bool)
             acc = np.zeros(n, dtype=np.float64)
@@ -2175,7 +2199,9 @@ class LocalIndex:
             return ~m, np.zeros(n, dtype=np.float64)
         raise TypeError(node)
 
-    def _phrase_postings(self, terms: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
+    def _phrase_postings(self, terms: tuple[str, ...], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        if slop > 0:
+            raise NotImplementedError("sloppy phrase pending in LocalIndex")
         SHIFT = np.int64(1) << np.int64(21)  # positions < 2^21 (dl <= 32k)
         keys = None
         for i, t in enumerate(terms):
@@ -2250,7 +2276,7 @@ class LocalIndex:
                 dfs = [docids.size]
                 terms = (lf.term,)
             else:
-                docids, tfs = self._phrase_postings(lf.terms)
+                docids, tfs = self._phrase_postings(lf.terms, lf.slop)
                 dfs = [self._term_postings(t)[0].size for t in lf.terms]
                 terms = lf.terms
             w = bm25.clause_weight(dfs, self.stats["doc_count"])

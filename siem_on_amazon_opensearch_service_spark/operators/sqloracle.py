@@ -20,6 +20,7 @@ from ..plans.query import (
     Not,
     Or,
     Phrase,
+    Regexp,
     Term,
     Wildcard,
     apply_minimum_should_match,
@@ -29,8 +30,9 @@ from ..plans.query import (
     wildcard_to_like,
 )
 
-#: scoring leaf node types (Wildcard/Fuzzy render as grouped term-set leaves)
-LEAVES = (Term, Phrase, Wildcard, Fuzzy)
+#: scoring leaf node types (Wildcard/Fuzzy/Regexp render as grouped
+#: term-set leaves)
+LEAVES = (Term, Phrase, Wildcard, Fuzzy, Regexp)
 
 
 def _base_ctes(path: str, source_where: str | None = None) -> str:
@@ -76,7 +78,7 @@ def _q(t: str) -> str:
 def _leaf_ctes(leaves: list[Node]) -> str:
     parts = []
     for i, leaf in enumerate(leaves):
-        if isinstance(leaf, (Wildcard, Fuzzy)):
+        if isinstance(leaf, (Wildcard, Fuzzy, Regexp)):
             # multi-term leaf = the OR of its dictionary matches (engine:
             # expand_multiterm SCORING_BOOLEAN_REWRITE).  Rendered as a
             # grouped term-set: per-(doc, term) float32 scores with
@@ -91,6 +93,12 @@ def _leaf_ctes(leaves: list[Node]) -> str:
                     f"abs(length(term) - {len(leaf.term)}) <= {leaf.max_edits} "
                     f"AND levenshtein(term, '{q}') <= {leaf.max_edits}"
                 )
+            elif isinstance(leaf, Regexp):
+                # DuckDB regexp_full_match is RE2; the grammar's charset
+                # restriction keeps RE2 and the engine's Python re in the
+                # dialect-common core, so the term sets agree exactly
+                pq = leaf.pattern.replace("'", "''")
+                pred = f"regexp_full_match(term, '{pq}')"
             else:
                 like, _ = wildcard_to_like(leaf.pattern)
                 like_sql = like.replace("'", "''")
@@ -123,6 +131,8 @@ def _leaf_ctes(leaves: list[Node]) -> str:
             )
             weight = sql_idf_expr(f"(SELECT count(*) FROM tf_{i})", "(SELECT doc_count FROM stats)")
         else:  # Phrase: adjacency self-joins on positions
+            if leaf.slop > 0:
+                raise NotImplementedError("sloppy phrase pending in the SQL oracle")
             joins = "tok t0"
             conds = [f"t0.term = {_q(leaf.terms[0])}"]
             for j, t in enumerate(leaf.terms[1:], start=1):

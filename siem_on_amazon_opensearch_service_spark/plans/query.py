@@ -24,6 +24,7 @@ Grammar:
              | 'ts' ('>='|'<=') isodate     # inclusive time-range filter
              | word-with-*-or-?             # wildcard/prefix term query
              | word '~' [0|1|2]             # fuzzy term query (bare ~ = AUTO)
+             | '/' pattern '/'              # regexp term query (anchored)
              | word
 
 Field atoms on keyword fields (role, tool) are NON-SCORING filters, the
@@ -73,8 +74,17 @@ class Term(Node):
 
 @dataclass(frozen=True)
 class Phrase(Node):
+    """Phrase-within-turn.  ``slop`` (``"a b"~2`` / match_phrase ``slop``)
+    permits up to N total position displacements; slop = 0 is the exact
+    adjacency phrase.  Sloppy frequency and its float32 accumulation
+    follow Lucene's SloppyPhraseMatcher (functions/sloppy.py); phrases
+    with REPEATED terms under slop > 0 are rejected at parse time
+    (Lucene's repeating-term rptGroups machinery is out of scope — loud,
+    not silently divergent)."""
+
     terms: tuple[str, ...]
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -82,6 +92,29 @@ class Wildcard(Node):
     """Wildcard/prefix term query (``err*``, ``w0004?``): ``*`` = any run,
     ``?`` = one token char.  Expanded against the term dictionary before
     execution (``expand_wildcards``)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Regexp(Node):
+    """Regexp term query (``/err.r/``, Lucene RegexpQuery through the
+    query_string ``/.../`` syntax): dictionary terms fully matching the
+    anchored pattern.  Expanded against the term dictionary before
+    execution like ``Wildcard`` (SCORING_BOOLEAN_REWRITE, maxClauseCount
+    cap).
+
+    Supported syntax is the common core where Python ``re``, DuckDB/RE2
+    ``regexp_full_match``, and Lucene's RegExp agree on token strings:
+    literals, ``.``, ``*``, ``+``, ``?``, ``{m,n}``, ``|``, groups
+    ``(...)``, and character classes ``[a-z]`` / ``[^a-z]``.  Lucene's
+    optional operators (``~`` complement, ``&`` intersection, ``<n-m>``
+    numeric intervals) and backslash escapes are rejected at parse time —
+    a pattern that silently meant different things to the engine and the
+    SQL oracle would be worse than a loud error.  Patterns are lowercased
+    like wildcards: the dictionary holds analyzer output (lowercase), so
+    an uppercase literal could never match."""
 
     pattern: str
     boost: float = 1.0
@@ -176,6 +209,12 @@ MAX_CLAUSE_COUNT = 1024
 _WILDCARD_CHARS = ("*", "?")
 _WILDCARD_OK = re.compile(r"^[A-Za-z0-9_*?]+$")
 
+#: regexp atom charset: the Python-re / RE2 / Lucene-RegExp common core
+#: (see Regexp docstring).  No backslash (escape dialects differ), no
+#: ``$``/anchors (matching is whole-term), none of Lucene's optional
+#: operators (~ & < > " #).
+_REGEXP_OK = re.compile(r"^[A-Za-z0-9_.*+?|(){}\[\]\-^,]+$")
+
 #: Lucene LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE: ``term~N`` with
 #: N above this raises, as FuzzyQuery's constructor does
 MAX_FUZZY_EDITS = 2
@@ -186,6 +225,9 @@ _FUZZY_SUFFIX = re.compile(r"^(.*?)~(\d*)$")
 _BOOST_SUFFIX = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 #: a standalone boost token following a quoted phrase / group: ^2
 _BOOST_TOKEN = re.compile(r"^\^(\d+(?:\.\d+)?)$")
+#: a slop token following a quoted phrase, optionally with a trailing
+#: boost: "a b"~2  /  "a b"~2^3  (Lucene query-string proximity syntax)
+_SLOP_TOKEN = re.compile(r"^~(\d+)(?:\^(\d+(?:\.\d+)?))?$")
 
 
 def auto_fuzzy_edits(length: int) -> int:
@@ -204,8 +246,13 @@ _TS_RANGE = re.compile(r"^ts(>=|<=|>|<)(\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2})?
 
 
 #: field:"quoted value" must tokenize as ONE atom (kuery quoted keyword
-#: values / field-scoped phrases), so it precedes the bare-word branch
-_TOKEN_PAT = re.compile(r'\(|\)|[^\s()"]+:"[^"]*"|"[^"]*"|[^\s()]+')
+#: values / field-scoped phrases), so it precedes the bare-word branch;
+#: /regexp/ (optionally ^boosted) precedes the paren branches because a
+#: pattern may contain grouping parens
+_TOKEN_PAT = re.compile(
+    r'(?:[^\s()"/]+:)?/[^/\s]+/(?:\^\d+(?:\.\d+)?)?'
+    r'|\(|\)|[^\s()"]+:"[^"]*"|"[^"]*"|[^\s()]+'
+)
 
 
 def parse(query: str) -> Node:
@@ -269,6 +316,36 @@ def parse(query: str) -> Node:
             "(boost each atom inside a group instead)"
         )
 
+    def maybe_slop(node: Node) -> Node:
+        """Consume a ``~N`` (or ``~N^B``) token after a quoted phrase —
+        Lucene's proximity syntax.  On a Phrase it sets the slop (with
+        repeated-term rejection, see Phrase); on a Term (a single-word
+        quoted phrase) it is Lucene's no-op."""
+        nxt = peek()
+        if nxt is None or not isinstance(node, (Phrase, Term)):
+            return node
+        m = _SLOP_TOKEN.match(nxt)
+        if not m:
+            return node
+        take()
+        slop = int(m.group(1))
+        import dataclasses
+
+        if isinstance(node, Phrase) and slop > 0:
+            if len(set(node.terms)) != len(node.terms):
+                raise ValueError(
+                    f"sloppy phrase with repeated terms in {query!r}: "
+                    "Lucene's repeating-term slop semantics (rptGroups) "
+                    "are not implemented — rephrase with distinct terms"
+                )
+            node = dataclasses.replace(node, slop=slop)
+        if m.group(2):
+            b = float(m.group(2))
+            if b <= 0:
+                raise ValueError(f"boost must be positive, got {nxt!r} in {query!r}")
+            node = dataclasses.replace(node, boost=node.boost * b)
+        return node
+
     def parse_atom() -> Node:
         t = take()
         if t.upper() in ("AND", "OR", "NOT"):
@@ -281,13 +358,15 @@ def parse(query: str) -> Node:
                 raise ValueError(f"missing ')' in {query!r}")
             take()
             return maybe_boost(node)
+        if t.startswith("/"):
+            return maybe_boost(_regexp_atom(t, query))
         if t.startswith('"'):
             words = tokenize(t.strip('"'))
             if not words:
                 raise ValueError(f"empty phrase in {query!r}")
             if len(words) == 1:
-                return maybe_boost(Term(words[0]))
-            return maybe_boost(Phrase(tuple(words)))
+                return maybe_boost(maybe_slop(Term(words[0])))
+            return maybe_boost(maybe_slop(Phrase(tuple(words))))
         m = _TS_RANGE.match(t)
         if m:
             op, val = m.group(1), m.group(2)
@@ -313,9 +392,9 @@ def parse(query: str) -> Node:
                     words = tokenize(inner)
                     if not words:
                         raise ValueError(f"empty phrase for field 'text' in {query!r}")
-                    return maybe_boost(
+                    return maybe_boost(maybe_slop(
                         Term(words[0]) if len(words) == 1 else Phrase(tuple(words))
-                    )
+                    ))
                 raise ValueError(
                     f"unknown field {field!r} in {query!r} (fields: role, tool, text)"
                 )
@@ -400,6 +479,8 @@ def parse(query: str) -> Node:
                     return atoms[0] if len(atoms) == 1 else Or(tuple(atoms))
                 if not val:
                     raise ValueError(f"empty value for field 'text' in {query!r}")
+                if val.startswith("/"):
+                    return maybe_boost(_regexp_atom(val, query))
                 return _word_atom(val, query)
             raise ValueError(
                 f"unknown field {field!r} in {query!r} (fields: role, tool, text)"
@@ -410,6 +491,35 @@ def parse(query: str) -> Node:
     if pos != len(toks):
         raise ValueError(f"trailing tokens in {query!r}")
     return node
+
+
+def _regexp_atom(t: str, query: str) -> Node:
+    """A ``/pattern/`` token (optionally ``/pattern/^N`` boosted) -> Regexp.
+    The pattern is validated against the dialect-common charset and
+    compiled once here so malformed patterns fail at parse time, not
+    mid-executor."""
+    body, boost = t, 1.0
+    m = _BOOST_SUFFIX.match(t)
+    if m and m.group(1).endswith("/"):
+        body = m.group(1)
+        boost = float(m.group(2))
+        if boost <= 0:
+            raise ValueError(f"boost must be positive in {t!r} in {query!r}")
+    if not (body.startswith("/") and body.endswith("/") and len(body) >= 3):
+        raise ValueError(f"bad regexp atom {t!r} in {query!r}: expected /pattern/")
+    pat = body[1:-1]
+    if not _REGEXP_OK.match(pat):
+        raise ValueError(
+            f"unsupported regexp {pat!r} in {query!r}: allowed syntax is "
+            "literals, . * + ? {m,n} | (...) and [...] classes (no "
+            "backslash escapes, no Lucene ~ & <> operators)"
+        )
+    pat = pat.lower()
+    try:
+        re.compile(f"^(?:{pat})$")
+    except re.error as e:
+        raise ValueError(f"bad regexp {pat!r} in {query!r}: {e}") from None
+    return Regexp(pat, boost)
 
 
 def _word_atom(t: str, query: str) -> Node:
@@ -679,7 +789,28 @@ def wildcard_regex(pattern: str):
 
 #: multi-term leaf types: rewritten against the term dictionary before
 #: execution (Lucene MultiTermQuery subclasses)
-MULTITERM = (Wildcard, Fuzzy)
+MULTITERM = (Wildcard, Fuzzy, Regexp)
+
+
+def regexp_prefix(pattern: str) -> str:
+    """Literal prefix of a regexp pattern (chars before the first
+    metacharacter, excluding a literal that a following ``*``/``?``/
+    ``{`` quantifier would make optional) — enables the same dictionary
+    range scan wildcards get.  A pattern containing ``|`` gets no prefix:
+    the alternation may apply at top level (``abc|xyz``), where a branch
+    needs no common prefix."""
+    if "|" in pattern:
+        return ""
+    out: list[str] = []
+    for i, ch in enumerate(pattern):
+        if not ("a" <= ch <= "z" or "0" <= ch <= "9" or ch == "_"):
+            # ch is a metachar; a quantifier also makes the PREVIOUS
+            # literal optional
+            if ch in "*?{" and out:
+                out.pop()
+            return "".join(out)
+        out.append(ch)
+    return "".join(out)
 
 
 def expand_multiterm(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -> Node:
@@ -694,7 +825,7 @@ def expand_multiterm(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -
     ``max_clauses`` matches raises, like BooleanQuery.maxClauseCount."""
     if isinstance(ast, MULTITERM):
         terms = list(expander(ast))
-        label = ast.pattern if isinstance(ast, Wildcard) else f"{ast.term}~{ast.max_edits}"
+        label = f"{ast.term}~{ast.max_edits}" if isinstance(ast, Fuzzy) else ast.pattern
         if len(terms) > max_clauses:
             raise ValueError(
                 f"too_many_clauses: {label!r} expands to "
@@ -702,7 +833,13 @@ def expand_multiterm(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -
             )
         b = ast.boost  # the multi-term query's boost scales every expansion
         if not terms:
-            return Term(ast.pattern if isinstance(ast, Wildcard) else ast.term, b)
+            # guaranteed-absent sentinel: for Wildcard the raw pattern
+            # (``*``/``?`` can't appear in an analyzed token); for Fuzzy
+            # the query term (dict holds every corpus term, so empty
+            # expansion proves df 0); for Regexp the raw pattern (either
+            # it contains a metachar no token can hold, or it is a pure
+            # literal whose empty expansion proves it absent)
+            return Term(ast.term if isinstance(ast, Fuzzy) else ast.pattern, b)
         if len(terms) == 1:
             return Term(terms[0], b)
         return Or(tuple(Term(t, b) for t in terms))

@@ -393,6 +393,16 @@ DQL_QUERIES = [
     ("timeout OR refused", {"minimum_should_match": 2}),  # m=n -> AND
     ("timeout^2 OR refused OR error", {"minimum_should_match": 2}),  # + boost
     ("timeout OR refused OR denied", {"minimum_should_match": 2, "role": "user"}),
+    # regexp term queries (r4c): anchored full-term match, expanded like
+    # wildcards; classes, alternation, quantifiers, boost, zero-match
+    ("/w000[45][0-9]/", {}),
+    ("/err.r/", {}),
+    ("/time(out|r)/ AND error", {}),
+    ("/w0004[0-9]/ OR timeout", {}),
+    ("/conn.*/ AND role:assistant", {}),
+    ("/zzz[0-9]+nomatch/", {}),
+    ("/err(or|ors)/^2 OR timeout", {}),
+    ("text:/time.ut/", {}),
 ]
 
 
@@ -413,7 +423,8 @@ class TestDQL:
 
     @pytest.mark.parametrize(
         "q", ["w0004*", "err* AND timeout", "timeout OR w0004?", "w00042~1",
-              "error^2 OR timeout", "error^2", "error^2 AND w00042"]
+              "error^2 OR timeout", "error^2", "error^2 AND w00042",
+              "/w000[45][0-9]/", "/err.r/ AND timeout"]
     )
     def test_wand_rank_identity(self, local, q):
         assert local.search_wand(q, k=10) == local.search(q, k=10)
@@ -434,7 +445,8 @@ class TestDQL:
                   "w00042~1", "timeout~1 AND error",
                   "error AND NOT role:assistant",
                   "error AND role:(user OR assistant)",
-                  "error AND NOT tool:*"]:
+                  "error AND NOT tool:*",
+                  "/w000[45][0-9]/", "/time(out|r)/ AND error"]:
             got = duckdb.sql(bm25_sql(p, q, k=10)).fetchall()
             exp = [(h.docid, round(float(h.score), 3)) for h in oracle.search(q, k=10)]
             assert [(int(d), float(s)) for d, s in got] == exp, q
@@ -463,7 +475,8 @@ class TestDQL:
             for q in ["w0004*", "tool:* AND file",
                       "role:assistant AND (error OR timeout)", "w00042~1",
                       "error AND NOT role:assistant",
-                      "error AND role:(user OR assistant)"]:
+                      "error AND role:(user OR assistant)",
+                      "/w000[45][0-9]/ AND error"]:
                 cold = search_df(spark, tiny_index[0], q, k=10).collect()
                 warm = qs.search(q, k=10).collect()
                 warm2 = qs.search(q, k=10).collect()  # memoized expansion
