@@ -186,6 +186,11 @@ def main() -> None:
     queries["bm25_fuzzy_distributed"] = best3(
         lambda: search_df(spark, idx_dir, "w00042~1", k=10).collect())
 
+    # sloppy phrase (r4c): per-doc greedy min-window sweep over positions
+    # (the SloppyPhraseMatcher arithmetic) instead of exact adjacency
+    queries["bm25_sloppy_distributed"] = best3(
+        lambda: search_df(spark, idx_dir, '"connection reset"~2', k=10).collect())
+
     # warm dashboard session (QuerySession): pinned postings listing;
     # single terms on the zero-exchange fused path, everything else on
     # the r4 one-Python-stage shard-local plan (phrases included)
@@ -209,6 +214,9 @@ def main() -> None:
     qs.search("w00042~1", k=10).collect()
     queries["bm25_fuzzy_distributed_warm"] = best3(
         lambda: qs.search("w00042~1", k=10).collect())
+    qs.search('"connection reset"~2', k=10).collect()
+    queries["bm25_sloppy_distributed_warm"] = best3(
+        lambda: qs.search('"connection reset"~2', k=10).collect())
     qs.close()
 
     # 3) relational / dedup sample over driver tables

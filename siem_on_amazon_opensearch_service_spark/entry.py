@@ -330,6 +330,12 @@ BM25_QUERIES: dict[str, dict] = {
     # to the w0004x/w0005x id family, the alternation to timeout|timer
     "bm25_regexp": {"query": "/w000[45][0-9]/", "k": 10},
     "bm25_regexp_and": {"query": "/time(out|r)/ AND error", "k": 10},
+    # r4c: sloppy phrases ("a b"~N / match_phrase slop): Lucene
+    # SloppyPhraseMatcher greedy min-window sweep, float32 freq
+    # accumulation (functions/sloppy.py); the SQL oracle renders the
+    # SAME sweep as a DuckDB recursive CTE (2-term form)
+    "bm25_sloppy_phrase": {"query": '"connection reset"~2', "k": 10},
+    "bm25_sloppy_or": {"query": '"connection reset"~1 OR timeout', "k": 10},
 }
 
 
@@ -1265,6 +1271,9 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
     bm["bm25_prefix_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w0004*", k=10)
     bm["bm25_fuzzy_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w00042~1", k=10)
+    bm["bm25_sloppy_warm"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, '"connection reset"~2', k=10
+    )
     bm["bm25_filter_negated_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "error AND NOT role:assistant", k=10
     )
@@ -1789,6 +1798,7 @@ def queries_map() -> dict:
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)
     q["bm25_fuzzy_warm"] = _bm25_warm("w00042~1", 10)
+    q["bm25_sloppy_warm"] = _bm25_warm('"connection reset"~2', 10)
     q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)
     q.update(
         {

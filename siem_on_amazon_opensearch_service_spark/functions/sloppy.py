@@ -128,6 +128,7 @@ def sloppy_sim_sql_2(
     lb_expr: str,
     source: str,
     slop: int,
+    name: str = "sim",
 ) -> str:
     """DuckDB recursive-CTE rendering of the SAME greedy sweep for a
     TWO-term sloppy phrase — the SQL-oracle path.
@@ -144,7 +145,7 @@ def sloppy_sim_sql_2(
     # transition helpers: position of the would-be next element of the
     # current list, and the other pointer's current position
     return f"""
-sim AS (
+{name} AS (
   SELECT docid, {la_expr} AS la, {lb_expr} AS lb, 1 AS ia, 1 AS ib,
          CASE WHEN {la_expr}[1] <= {lb_expr}[1] THEN 0 ELSE 1 END AS cur,
          greatest({la_expr}[1], {lb_expr}[1]) AS end_,
@@ -190,5 +191,5 @@ sim AS (
            ELSE freq
          END AS freq,
          (CASE WHEN cur = 0 THEN ia + 1 > len(la) ELSE ib + 1 > len(lb) END) AS done
-  FROM sim WHERE NOT done
+  FROM {name} WHERE NOT done
 )"""

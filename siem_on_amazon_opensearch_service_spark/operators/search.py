@@ -72,6 +72,7 @@ from ..plans.query import (
     wildcard_regex,
     wildcard_to_like,
 )
+from ..functions.sloppy import sloppy_freqs_flat
 from . import build as _build
 from . import segments
 
@@ -1272,8 +1273,9 @@ def _shard_local_topk(
     float64 sum of mult-weighted positive clauses, one final float32
     round — rank/score-identical to the cold path (tested)."""
     any_phrase = any(isinstance(lf, Phrase) for lf in leaves)
-    if any(isinstance(lf, Phrase) and lf.slop > 0 for lf in leaves):
-        raise NotImplementedError("sloppy phrase pending in the shard-local path")
+    phrase_slop = {
+        ci: leaf.slop for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)
+    }
     term_clauses: dict[str, list[tuple[int, int, bool]]] = {}
     for ci, leaf in enumerate(leaves):
         if isinstance(leaf, Term):
@@ -1385,16 +1387,31 @@ def _shard_local_topk(
                 t = np.concatenate([x for _, x in parts_])
                 order = np.argsort(d, kind="mergesort")
                 leaf_posts[ci] = (d[order], t[order])
-            else:  # Phrase: intersect slot position keys locally
-                keys = None
+            else:  # Phrase: resolve frequency from slot positions locally
+                slot_flat = []
                 ok = True
                 for slot in range(phrase_slots[ci]):
                     pp = pos_acc.get((ci, slot))
                     if not pp:
                         ok = False
                         break
-                    doc_flat = np.concatenate([x for x, _ in pp])
-                    pos_flat = np.concatenate([x for _, x in pp])
+                    slot_flat.append((
+                        np.concatenate([x for x, _ in pp]),
+                        np.concatenate([x for _, x in pp]),
+                    ))
+                if not ok:
+                    continue
+                if phrase_slop[ci] > 0:
+                    # sloppy phrase: per-doc greedy sweep, float freq
+                    docs_, freqs = sloppy_freqs_flat(
+                        [d for d, _ in slot_flat], [p for _, p in slot_flat],
+                        phrase_slop[ci],
+                    )
+                    if docs_.size:
+                        leaf_posts[ci] = (docs_, freqs)
+                    continue
+                keys = None
+                for slot, (doc_flat, pos_flat) in enumerate(slot_flat):
                     kk = doc_flat * _POS_SHIFT + (pos_flat - slot)
                     keys = kk if keys is None else keys[np.isin(keys, kk)]
                     if keys.size == 0:
@@ -1418,7 +1435,7 @@ def _shard_local_topk(
             m = np.zeros(cand.size, dtype=bool)
             m[idx[okm]] = True
             present[ci] = m
-            tv = np.zeros(cand.size, dtype=np.int64)
+            tv = np.zeros(cand.size, dtype=np.float64)
             tv[idx[okm]] = t[okm]
             tf_at[ci] = tv
 
@@ -1503,18 +1520,17 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
     docid keeps each doc's slots together and the per-bucket resolution
     independent."""
     n_slots = {ci: len(leaf.terms) for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)}
-    if any(isinstance(lf, Phrase) and lf.slop > 0 for lf in leaves):
-        raise NotImplementedError("sloppy phrase pending in the distributed path")
     if not n_slots:
         return None
     b_n = n_slots
+    slops = {ci: leaf.slop for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)}
     empty = pd.DataFrame({"clause": [], "docid": [], "tf": []}).astype(
-        {"clause": "int32", "docid": "int64", "tf": "int64"}
+        {"clause": "int32", "docid": "int64", "tf": "float64"}
     )
 
     def pf(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ci = int(key[0])
-        keys = None
+        slot_flat = []
         for slot in range(b_n[ci]):
             g = pdf[pdf["slot"] == slot]
             if not len(g):
@@ -1525,18 +1541,28 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
             pos_flat = (
                 np.concatenate(pos_arrs) if pos_arrs else np.empty(0, dtype=np.int64)
             )
+            slot_flat.append((doc_flat, pos_flat))
+        if slops[ci] > 0:
+            # sloppy phrase: per-doc greedy sweep (functions/sloppy.py);
+            # freq is the float Lucene sloppy frequency
+            docs, freqs = sloppy_freqs_flat(
+                [d for d, _ in slot_flat], [p for _, p in slot_flat], slops[ci]
+            )
+            return pd.DataFrame({"clause": ci, "docid": docs, "tf": freqs})
+        keys = None
+        for slot, (doc_flat, pos_flat) in enumerate(slot_flat):
             kk = doc_flat * _POS_SHIFT + (pos_flat - slot)
             keys = kk if keys is None else keys[np.isin(keys, kk)]
             if keys.size == 0:
                 return empty
         docs, counts = np.unique(keys // _POS_SHIFT, return_counts=True)
-        return pd.DataFrame({"clause": ci, "docid": docs, "tf": counts})
+        return pd.DataFrame({"clause": ci, "docid": docs, "tf": counts.astype(np.float64)})
 
     phrase_rows = decoded.filter(F.col("pos").isNotNull())
     nb = max(8, decoded.sparkSession.sparkContext.defaultParallelism)
     return phrase_rows.groupBy(
         "clause", F.pmod(F.col("docid"), F.lit(nb)).alias("_db")
-    ).applyInPandas(pf, schema="clause int, docid long, tf long")
+    ).applyInPandas(pf, schema="clause int, docid long, tf double")
 
 
 def _sql_double_array(vals) -> "F.Column":
@@ -1778,7 +1804,7 @@ def search_df(
 
         term_rows = (
             decoded.filter(F.col("pos").isNull()) if has_phrase else decoded
-        ).select("clause", "docid", "tf")
+        ).select("clause", "docid", F.col("tf").cast("double").alias("tf"))
         parts = [term_rows]
         ph = _phrase_freq_df(decoded, leaves)
         if ph is not None:
@@ -2201,7 +2227,13 @@ class LocalIndex:
 
     def _phrase_postings(self, terms: tuple[str, ...], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
         if slop > 0:
-            raise NotImplementedError("sloppy phrase pending in LocalIndex")
+            # sloppy phrase: per-doc greedy sweep over the same flat
+            # (docid, position) arrays (functions/sloppy.py); freq is
+            # the float Lucene sloppy frequency
+            flat = [self._term_positions(t) for t in terms]
+            return sloppy_freqs_flat(
+                [d for d, _ in flat], [p for _, p in flat], slop
+            )
         SHIFT = np.int64(1) << np.int64(21)  # positions < 2^21 (dl <= 32k)
         keys = None
         for i, t in enumerate(terms):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from ..functions.analysis import SQL_SPLIT_RE, sql_truncate_expr
 from ..functions.bm25 import sql_idf_expr, sql_score_expr
+from ..functions.sloppy import sloppy_sim_sql_2
 from ..functions.smallfloat import sql_decode_case
 from ..plans.query import (
     And,
@@ -130,9 +131,42 @@ def _leaf_ctes(leaves: list[Node]) -> str:
                 f"tf_{i} AS (SELECT docid, count(*) AS tf FROM tok WHERE term = {_q(leaf.term)} GROUP BY docid)"
             )
             weight = sql_idf_expr(f"(SELECT count(*) FROM tf_{i})", "(SELECT doc_count FROM stats)")
+        elif leaf.slop > 0:
+            # sloppy phrase: DuckDB recursive-CTE simulation of the SAME
+            # greedy sweep the engine runs (functions/sloppy.py) — one
+            # step per pointer advance, float32 freq accumulation,
+            # candidates = docs holding both terms.  Rendered for the
+            # 2-term case; engine + frozen oracle support any arity, so
+            # wider sloppy phrases are pytest-verified rather than
+            # SQL-oracled.
+            if len(leaf.terms) != 2:
+                raise NotImplementedError(
+                    "SQL oracle renders sloppy phrases of exactly 2 terms; "
+                    "wider ones are covered by the frozen Python oracle"
+                )
+            t0, t1 = leaf.terms
+            parts.append(
+                f"cand_{i} AS (SELECT a.docid, a.la, b.lb FROM "
+                f"(SELECT docid, list_sort(list(pos)) AS la FROM tok "
+                f"WHERE term = {_q(t0)} GROUP BY docid) a JOIN "
+                f"(SELECT docid, list_sort(list(pos - 1)) AS lb FROM tok "
+                f"WHERE term = {_q(t1)} GROUP BY docid) b USING (docid))"
+            )
+            parts.append(
+                sloppy_sim_sql_2("la", "lb", f"cand_{i}", leaf.slop, name=f"sim_{i}").strip()
+            )
+            parts.append(
+                f"tf_{i} AS (SELECT docid, CAST(freq AS DOUBLE) AS tf "
+                f"FROM sim_{i} WHERE done AND freq > 0)"
+            )
+            idf_sum = " + ".join(
+                f"ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "
+                f"(SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5) / "
+                f"((SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5))"
+                for t in leaf.terms
+            )
+            weight = f"CAST({idf_sum} AS FLOAT)"
         else:  # Phrase: adjacency self-joins on positions
-            if leaf.slop > 0:
-                raise NotImplementedError("sloppy phrase pending in the SQL oracle")
             joins = "tok t0"
             conds = [f"t0.term = {_q(leaf.terms[0])}"]
             for j, t in enumerate(leaf.terms[1:], start=1):
@@ -271,7 +305,7 @@ def match_count_sql(path: str, query: str) -> str:
         if not fsql
         else f"SELECT count(*) AS n_matches FROM combined c JOIN d USING (docid){fsql}"
     )
-    return f"""WITH {_base_ctes(path)},
+    return f"""WITH RECURSIVE {_base_ctes(path)},
 {_leaf_ctes(leaves)},
 combined AS ({_combine_sql(ast, leaves)})
 {body}"""
@@ -298,7 +332,7 @@ def match_agg_sql(path: str, query: str, agg_body: str) -> str:
     collect(ast)
     fsql = _filters_sql(dqlf)
     where_m = f"{fsql.replace(' WHERE ', ' WHERE (')})" if fsql else ""
-    return f"""WITH {_base_ctes(path)},
+    return f"""WITH RECURSIVE {_base_ctes(path)},
 {_leaf_ctes(leaves)},
 combined AS ({_combine_sql(ast, leaves)}),
 m AS (SELECT d.* FROM d JOIN combined USING (docid){where_m})
@@ -359,7 +393,7 @@ def bm25_sql(
             f"{' AND' if fsql else ' WHERE'} "
             f"(c.s < {s!r} OR (c.s = {s!r} AND c.docid > {d}))"
         )
-    return f"""WITH {_base_ctes(path, source_where)},
+    return f"""WITH RECURSIVE {_base_ctes(path, source_where)},
 {_leaf_ctes(leaves)},
 combined AS ({_combine_sql(ast, leaves)})
 SELECT docid, round(CAST(s AS DOUBLE), 3) AS score_r
