@@ -191,6 +191,11 @@ def main() -> None:
     queries["bm25_sloppy_distributed"] = best3(
         lambda: search_df(spark, idx_dir, '"connection reset"~2', k=10).collect())
 
+    # match_phrase_prefix (r4c): last-word dictionary expansion (<=50),
+    # union-of-positions adjacency over the expansion slot
+    queries["bm25_phrase_prefix_distributed"] = best3(
+        lambda: search_df(spark, idx_dir, '"connection re"*', k=10).collect())
+
     # warm dashboard session (QuerySession): pinned postings listing;
     # single terms on the zero-exchange fused path, everything else on
     # the r4 one-Python-stage shard-local plan (phrases included)
@@ -217,6 +222,9 @@ def main() -> None:
     qs.search('"connection reset"~2', k=10).collect()
     queries["bm25_sloppy_distributed_warm"] = best3(
         lambda: qs.search('"connection reset"~2', k=10).collect())
+    qs.search('"connection re"*', k=10).collect()
+    queries["bm25_phrase_prefix_distributed_warm"] = best3(
+        lambda: qs.search('"connection re"*', k=10).collect())
     qs.close()
 
     # 3) relational / dedup sample over driver tables

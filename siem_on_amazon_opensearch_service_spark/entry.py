@@ -137,6 +137,20 @@ def _bm25_count(query: str):
     return run
 
 
+def q_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch more_like_this ('find similar events'): doc 17's
+    tf*idf-selected terms (tf >= 2, df >= 5, top 25) run as a scoring OR
+    with minimum_should_match = 30%, source doc excluded.  The oracle
+    (sqloracle.mlt_sql) derives the ENTIRE pipeline — selection, msm,
+    grouped term-set scoring — independently in SQL."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = search.more_like_this_df(spark, idx, 17, k=10)
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
 def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch _explain: the per-clause scoring breakdown of the top-1
     hit for 'error AND timeout' (tf, clause weight, clause score, match
@@ -336,6 +350,12 @@ BM25_QUERIES: dict[str, dict] = {
     # SAME sweep as a DuckDB recursive CTE (2-term form)
     "bm25_sloppy_phrase": {"query": '"connection reset"~2', "k": 10},
     "bm25_sloppy_or": {"query": '"connection reset"~1 OR timeout', "k": 10},
+    # r4c: match_phrase_prefix ("a b"*): last word expands against the
+    # dictionary (first 50 in term order, Lucene truncation), frequency
+    # over union-of-positions, grouped per-slot weight (bm25.grouped_weight
+    # == the SQL oracle's textual sum + ordered list_reduce fold)
+    "bm25_phrase_prefix": {"query": '"connection re"*', "k": 10},
+    "bm25_phrase_prefix_and": {"query": '"connection re"* AND error', "k": 10},
 }
 
 
@@ -1266,6 +1286,7 @@ SELECT t.docid, t.score_r,
 FROM ({sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=5)}) t
 JOIN d2 USING (docid)
 ORDER BY t.score_r DESC, t.docid"""
+    bm["bm25_more_like_this"] = sqloracle.mlt_sql(ORACLE_TRANSCRIPTS, 17, k=10)
     # warm-session entries score identically to cold — same oracle SQL
     bm["bm25_term_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error", k=10)
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
@@ -1273,6 +1294,9 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_fuzzy_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w00042~1", k=10)
     bm["bm25_sloppy_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, '"connection reset"~2', k=10
+    )
+    bm["bm25_phrase_prefix_warm"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, '"connection re"*', k=10
     )
     bm["bm25_filter_negated_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "error AND NOT role:assistant", k=10
@@ -1794,11 +1818,13 @@ def queries_map() -> dict:
     q["bm25_multi_index"] = q_bm25_multi_index
     q["bm25_term_suggest"] = q_bm25_term_suggest
     q["bm25_explain"] = q_bm25_explain
+    q["bm25_more_like_this"] = q_bm25_more_like_this
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)
     q["bm25_fuzzy_warm"] = _bm25_warm("w00042~1", 10)
     q["bm25_sloppy_warm"] = _bm25_warm('"connection reset"~2', 10)
+    q["bm25_phrase_prefix_warm"] = _bm25_warm('"connection re"*', 10)
     q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)
     q.update(
         {

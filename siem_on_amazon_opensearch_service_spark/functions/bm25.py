@@ -45,6 +45,24 @@ def clause_weight(dfs: list[int], doc_count: int) -> np.float32:
     return np.float32(sum(idf(d, doc_count) for d in dfs))
 
 
+def grouped_weight(slot_dfs: list[list[int]], doc_count: int) -> np.float32:
+    """MultiPhrase (match_phrase_prefix) weight: per-slot float64 idf
+    subtotal (sequential fold from 0.0 over the slot's terms in order),
+    then a sequential fold of the subtotals across slots.  This grouped
+    association — NOT a flat sum over all terms — is what the SQL oracle
+    reproduces (fixed singleton slots as a textual left-associated sum,
+    the expansion slot as an ordered list_reduce fold), so engine and
+    oracle stay bit-identical.  For all-singleton slots the grouping is
+    a no-op ((0.0 + x) == x in IEEE) and this equals ``clause_weight``."""
+    total = 0.0
+    for dfs in slot_dfs:
+        sub = 0.0
+        for d in dfs:
+            sub += idf(d, doc_count)
+        total += sub
+    return np.float32(total)
+
+
 def norm_inverse_cache(avgdl: float) -> np.ndarray:
     """256-entry float64 cache: 1 / K(decoded_length) per norm byte."""
     return 1.0 / (K1 * ((1.0 - B) + B * LENGTH_TABLE.astype(np.float64) / float(avgdl)))

@@ -29,12 +29,15 @@ from ..plans.query import (
     And,
     AtLeast,
     Fuzzy,
+    MultiPhrase,
     Node,
     Not,
     Or,
     Phrase,
+    PhrasePrefix,
     Regexp,
     Term,
+    phrase_slots,
     apply_minimum_should_match,
     expand_multiterm,
     extract_filters,
@@ -100,9 +103,23 @@ class LuceneOracle:
             mask, acc = self._score_clause(docids, tfs, [docids.size])
             return mask, acc * node.boost
         if isinstance(node, Phrase):
-            docids, pfs = self._phrase_freq(node.terms, node.slop)
+            docids, pfs = self._phrase_freq(phrase_slots(node), node.slop)
             dfs = [len(self.postings.get(t, {})) for t in node.terms]
             mask, acc = self._score_clause(docids, pfs, dfs)
+            return mask, acc * node.boost
+        if isinstance(node, MultiPhrase):
+            # match_phrase_prefix: union-of-positions adjacency per slot,
+            # grouped per-slot weight association (bm25.grouped_weight)
+            docids, pfs = self._phrase_freq(node.slots, 0)
+            mask = np.zeros(self.n_docs, dtype=bool)
+            acc = np.zeros(self.n_docs, dtype=np.float64)
+            if docids.size and self.doc_count:
+                weight = bm25.grouped_weight(
+                    [[len(self.postings.get(t, {})) for t in ts] for ts in node.slots],
+                    self.doc_count)
+                sc = bm25.score_tf(pfs, self.norm_bytes[docids], weight, self.cache)
+                mask[docids] = True
+                acc[docids] = sc.astype(np.float64)
             return mask, acc * node.boost
         if isinstance(node, And):
             masks, accs = zip(*(self._eval(c) for c in node.children))
@@ -120,11 +137,21 @@ class LuceneOracle:
             return ~m, np.zeros(self.n_docs, dtype=np.float64)
         raise TypeError(node)
 
-    def _phrase_freq(self, terms: tuple[str, ...], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
-        """Docs where terms appear at consecutive positions (slop = 0;
+    def _phrase_freq(self, slots: tuple[tuple[str, ...], ...], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Docs where each slot matches at consecutive positions (slop = 0;
         freq = adjacency count) or within ``slop`` total displacement
-        (freq = Lucene sloppy frequency, functions/sloppy.py)."""
-        maps = [self.postings.get(t, {}) for t in terms]
+        (freq = Lucene sloppy frequency, functions/sloppy.py).  A slot is
+        a tuple of term alternatives (singleton for plain phrases); its
+        per-doc positions are the union over alternatives — one term per
+        (doc, pos), so the union is a merge of disjoint sorted lists."""
+        def slot_map(ts):
+            out: dict[int, list[int]] = {}
+            for t in ts:
+                for d, pl in self.postings.get(t, {}).items():
+                    out.setdefault(d, []).extend(pl)
+            return {d: sorted(pl) for d, pl in out.items()}
+
+        maps = [slot_map(ts) for ts in slots]
         if any(not m for m in maps):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         common = set(maps[0])
@@ -170,6 +197,11 @@ class LuceneOracle:
         )
 
         def expander(leaf) -> list[str]:
+            if isinstance(leaf, PhrasePrefix):
+                pfx = leaf.terms[-1]
+                return sorted(
+                    t for t in self.postings if t.startswith(pfx)
+                )[: leaf.max_expansions]
             if isinstance(leaf, Fuzzy):
                 return sorted(
                     t for t in self.postings

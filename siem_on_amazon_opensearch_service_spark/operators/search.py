@@ -53,14 +53,17 @@ from ..plans.query import (
     And,
     AtLeast,
     Fuzzy,
+    MultiPhrase,
     Node,
     Not,
     Or,
     Phrase,
+    PhrasePrefix,
     Regexp,
     Term,
     Wildcard,
     apply_minimum_should_match,
+    phrase_slots as _slots_of,
     expand_multiterm,
     extract_filters,
     filter_mask,
@@ -75,6 +78,24 @@ from ..plans.query import (
 from ..functions.sloppy import sloppy_freqs_flat
 from . import build as _build
 from . import segments
+
+#: scoring leaf node types; phrase-like = positional (Phrase, MultiPhrase)
+_LEAF = (Term, Phrase, MultiPhrase)
+_PHRASELIKE = (Phrase, MultiPhrase)
+
+
+def _leaf_terms(leaf: Node) -> list[str]:
+    """Flat term list of a scoring leaf (MultiPhrase slots flattened)."""
+    if isinstance(leaf, Term):
+        return [leaf.term]
+    if isinstance(leaf, Phrase):
+        return list(leaf.terms)
+    return [t for s in leaf.slots for t in s]
+
+
+def _leaf_slop(leaf: Node) -> int:
+    """Phrase slop; MultiPhrase (match_phrase_prefix) is exact-only."""
+    return leaf.slop if isinstance(leaf, Phrase) else 0
 
 
 def _postings_buckets(index_dir: str) -> int:
@@ -129,7 +150,7 @@ def _leaves(node: Node) -> list[Node]:
     out: list[Node] = []
 
     def walk(n: Node) -> None:
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, _LEAF):
             if n not in out:
                 out.append(n)
         elif isinstance(n, (And, Or, AtLeast)):
@@ -151,7 +172,7 @@ def _positive_leaves(node: Node) -> list[Node]:
     out: list[Node] = []
 
     def walk(n: Node) -> None:
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, _LEAF):
             if n not in out:
                 out.append(n)
         elif isinstance(n, (And, Or, AtLeast)):
@@ -173,7 +194,7 @@ def _positive_multiplicity(node: Node) -> dict[Node, float]:
     counts: dict[Node, float] = {}
 
     def walk(n: Node) -> None:
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, _LEAF):
             counts[n] = counts.get(n, 0.0) + n.boost
         elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
@@ -188,7 +209,7 @@ def _covered_by_positive(node: Node) -> bool:
     The distributed path builds candidates from postings rows only, so
     queries whose match set includes docs matching NO positive clause
     (pure 'NOT a', 'a OR NOT b') cannot be answered from postings alone."""
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, _LEAF):
         return True
     if isinstance(node, And):
         return any(_covered_by_positive(c) for c in node.children)
@@ -266,6 +287,20 @@ def _expand_leaf(index_dir: str, leaf) -> list[str]:
     per-query one."""
     import duckdb
 
+    if isinstance(leaf, PhrasePrefix):
+        # match_phrase_prefix: the LAST word's prefix range scan, first
+        # max_expansions terms in dictionary order (Lucene truncates —
+        # no maxClauseCount error).  The SQL oracle mirrors this exact
+        # predicate + ORDER BY term LIMIT over the corpus term set.
+        pfx = leaf.terms[-1]
+        lo = pfx.replace("'", "''")
+        hi = (pfx[:-1] + chr(ord(pfx[-1]) + 1)).replace("'", "''")
+        rows = duckdb.sql(
+            f"SELECT term FROM {_dict_sources(index_dir)} "
+            f"WHERE term >= '{lo}' AND term < '{hi}' "
+            f"ORDER BY term LIMIT {int(leaf.max_expansions)}"
+        ).fetchall()
+        return [r[0] for r in rows]
     if isinstance(leaf, Fuzzy):
         q = leaf.term.replace("'", "''")
         e = int(leaf.max_edits)
@@ -362,7 +397,7 @@ def _check_positions(index_dir: str, leaves: list[Node]) -> None:
     """Phrase queries need positional postings; fail loudly (not silently
     empty) on an index built with positions=False (positions are optional
     per SURVEY.md §7 — they cost ~2-3x index size)."""
-    if not any(isinstance(lf, Phrase) for lf in leaves):
+    if not any(isinstance(lf, _PHRASELIKE) for lf in leaves):
         return
     import json
 
@@ -381,6 +416,12 @@ def _check_positions(index_dir: str, leaves: list[Node]) -> None:
 def _clause_weights(leaves: list[Node], dfs: dict[str, int], doc_count: int) -> list[np.float32]:
     out = []
     for leaf in leaves:
+        if isinstance(leaf, MultiPhrase):
+            # match_phrase_prefix: grouped per-slot association (see
+            # bm25.grouped_weight / the SQL oracle's ordered fold)
+            out.append(bm25.grouped_weight(
+                [[dfs.get(t, 0) for t in s] for s in leaf.slots], doc_count))
+            continue
         ts = [leaf.term] if isinstance(leaf, Term) else list(leaf.terms)
         out.append(bm25.clause_weight([dfs.get(t, 0) for t in ts], doc_count))
     return out
@@ -837,6 +878,10 @@ def _required_terms(node: Node) -> set[str]:
         return {node.term}
     if isinstance(node, Phrase):
         return set(node.terms)
+    if isinstance(node, MultiPhrase):
+        # only SINGLETON slots pin a specific term; a multi-alternative
+        # slot requires one-of, which no single term expresses
+        return {s[0] for s in node.slots if len(s) == 1}
     if isinstance(node, And):
         out: set[str] = set()
         for c in node.children:
@@ -926,6 +971,19 @@ def _coverage_ranges(node: Node, per_term: dict) -> tuple[np.ndarray, np.ndarray
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     if isinstance(node, Term):
         return per_term.get(node.term, empty)
+    if isinstance(node, MultiPhrase):
+        # every slot must match SOME alternative: intersection over
+        # slots of the union of each slot's term coverages (an empty
+        # slot -> empty coverage -> the node provably matches nothing)
+        r = None
+        for ts in node.slots:
+            u = empty
+            for t in ts:
+                u = _union_ranges(u, per_term.get(t, empty))
+            r = u if r is None else _intersect_ranges(r, u)
+            if r[0].size == 0:
+                break
+        return r
     if isinstance(node, Phrase):
         r = None
         for t in node.terms:
@@ -991,7 +1049,7 @@ def _plan_intersection_prune(index_dir: str, ast: Node, stats: dict, dfs: dict |
         return None
     dfs = dfs or {}
     need = sorted({t for lf in _positive_leaves(ast)
-                   for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
+                   for t in _leaf_terms(lf)})
     if not need:
         return None
     rare = [t for t in need if dfs.get(t, 0) <= _RARE_DECODE_MAX]
@@ -1120,10 +1178,15 @@ def _decode_postings_df(
         if isinstance(leaf, Term):
             term_clauses.setdefault(leaf.term, []).append((ci, 0, False))
         else:
-            for slot, t in enumerate(leaf.terms):
-                term_clauses.setdefault(t, []).append((ci, slot, True))
+            # phrase-like: one entry per (slot, alternative term) — a
+            # MultiPhrase slot's alternatives all land on the same slot,
+            # so the union-of-positions frequency falls out of the
+            # existing per-slot accumulation
+            for slot, ts in enumerate(_slots_of(leaf)):
+                for t in ts:
+                    term_clauses.setdefault(t, []).append((ci, slot, True))
 
-    any_phrase = any(isinstance(lf, Phrase) for lf in leaves)
+    any_phrase = any(isinstance(lf, _PHRASELIKE) for lf in leaves)
     cols = ["term", "docs_bytes", "tfs_bytes", "blk_n"] + (["pos_bytes", "blk_pos_off"] if any_phrase else [])
     if prune is not None:
         cols += ["blk_first", "blk_last", "blk_doc_off", "blk_tf_off"]
@@ -1272,19 +1335,24 @@ def _shard_local_topk(
     is the frozen recipe: float32 per-clause scores via bm25.score_tf,
     float64 sum of mult-weighted positive clauses, one final float32
     round — rank/score-identical to the cold path (tested)."""
-    any_phrase = any(isinstance(lf, Phrase) for lf in leaves)
+    any_phrase = any(isinstance(lf, _PHRASELIKE) for lf in leaves)
     phrase_slop = {
-        ci: leaf.slop for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)
+        ci: _leaf_slop(leaf) for ci, leaf in enumerate(leaves) if isinstance(leaf, _PHRASELIKE)
     }
     term_clauses: dict[str, list[tuple[int, int, bool]]] = {}
     for ci, leaf in enumerate(leaves):
         if isinstance(leaf, Term):
             term_clauses.setdefault(leaf.term, []).append((ci, 0, False))
         else:
-            for slot, t in enumerate(leaf.terms):
-                term_clauses.setdefault(t, []).append((ci, slot, True))
+            # phrase-like: one entry per (slot, alternative term) — a
+            # MultiPhrase slot's alternatives all land on the same slot,
+            # so the union-of-positions frequency falls out of the
+            # existing per-slot accumulation
+            for slot, ts in enumerate(_slots_of(leaf)):
+                for t in ts:
+                    term_clauses.setdefault(t, []).append((ci, slot, True))
     phrase_slots = {
-        ci: len(leaf.terms) for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)
+        ci: len(_slots_of(leaf)) for ci, leaf in enumerate(leaves) if isinstance(leaf, _PHRASELIKE)
     }
     mult = _positive_multiplicity(ast)
     mult_arr = np.array([float(mult.get(lf, 0)) for lf in leaves], dtype=np.float64)
@@ -1473,7 +1541,7 @@ def _shard_local_topk(
             tot += mult_arr[ci] * sc
 
         def ev(n: Node) -> np.ndarray:
-            if isinstance(n, (Term, Phrase)):
+            if isinstance(n, _LEAF):
                 return present.get(leaf_index[n], np.zeros(cand.size, dtype=bool))
             if isinstance(n, And):
                 return np.logical_and.reduce([ev(c) for c in n.children])
@@ -1519,11 +1587,11 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
     scale).  All slots of a docid share the docid, so hash-bucketing by
     docid keeps each doc's slots together and the per-bucket resolution
     independent."""
-    n_slots = {ci: len(leaf.terms) for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)}
+    n_slots = {ci: len(_slots_of(leaf)) for ci, leaf in enumerate(leaves) if isinstance(leaf, _PHRASELIKE)}
     if not n_slots:
         return None
     b_n = n_slots
-    slops = {ci: leaf.slop for ci, leaf in enumerate(leaves) if isinstance(leaf, Phrase)}
+    slops = {ci: _leaf_slop(leaf) for ci, leaf in enumerate(leaves) if isinstance(leaf, _PHRASELIKE)}
     empty = pd.DataFrame({"clause": [], "docid": [], "tf": []}).astype(
         {"clause": "int32", "docid": "int64", "tf": "float64"}
     )
@@ -1587,7 +1655,7 @@ def _score_expr(weights: list[np.float32], avgdl: float, clause, tf, norm):
 
 
 def _mask_expr(node: Node, leaves: list[Node]):
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, _LEAF):
         return F.col(f"c{leaves.index(node)}").isNotNull()
     if isinstance(node, And):
         e = _mask_expr(node.children[0], leaves)
@@ -1682,7 +1750,7 @@ def search_df(
     _require_positive_coverage(ast, "search_df")
     leaves = _leaves(ast)
     _check_positions(index_dir, leaves)
-    terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
+    terms = sorted({t for lf in leaves for t in _leaf_terms(lf)})
     stats = _stats if _stats is not None else _load_stats(index_dir)
     if _dfs is not None:
         # session df cache; absent terms are cached as 0 so they are not
@@ -1749,7 +1817,7 @@ def search_df(
                 prune = {"lo": lo, "hi": hi, "shard_size": plans[0]["shard_size"]}
             if _prune_memo is not None:
                 _prune_memo[memo_key] = prune
-    any_phrase_q = any(isinstance(lf, Phrase) for lf in leaves)
+    any_phrase_q = any(isinstance(lf, _PHRASELIKE) for lf in leaves)
     has_filters = filters_active(filt)
     sharded_warm = _postings is not None and _norms_bc is None
     shard_sz = _shard_size_of(index_dir) if sharded_warm else None
@@ -1820,7 +1888,7 @@ def search_df(
             "score", _score_expr(weights, stats["avgdl"], F.col("clause"), F.col("tf"), F.col("norm"))
         )
 
-    if len(leaves) == 1 and isinstance(ast, (Term, Phrase)):
+    if len(leaves) == 1 and isinstance(ast, _LEAF):
         # single-clause queries (most dashboard searches): one row per
         # docid already — skip the pivot shuffle entirely.  A boost scales
         # the float64 clause score before the final float32 cast, the
@@ -1833,7 +1901,7 @@ def search_df(
             k, search_after,
         )
 
-    if isinstance(ast, Or) and all(isinstance(c, (Term, Phrase)) for c in ast.children):
+    if isinstance(ast, Or) and all(isinstance(c, _LEAF) for c in ast.children):
         # flat disjunction (user-written OR and every wildcard expansion):
         # any scored row proves the doc matches, so the boolean mask is
         # free and the total is a single float64 SUM per docid — one
@@ -1919,7 +1987,7 @@ def match_docids_df(spark: SparkSession, index_dir: str, query: str) -> DataFram
 
     check_not_shape(ast)
     leaves = _leaves(ast)
-    terms = sorted({t for lf in leaves for t in ([lf.term] if isinstance(lf, Term) else lf.terms)})
+    terms = sorted({t for lf in leaves for t in _leaf_terms(lf)})
     postings = _read_postings_spark(spark, index_dir, terms)
     decoded, has_phrase = _decode_postings_df(postings, leaves)
     clause_docs: dict[int, DataFrame] = {}
@@ -1932,11 +2000,11 @@ def match_docids_df(spark: SparkSession, index_dir: str, query: str) -> DataFram
     ph = _phrase_freq_df(decoded, leaves)
     if ph is not None:
         for ci, leaf in enumerate(leaves):
-            if isinstance(leaf, Phrase):
+            if isinstance(leaf, _PHRASELIKE):
                 clause_docs[ci] = ph.filter(F.col("clause") == ci).select("docid").distinct()
 
     def combine(node: Node) -> DataFrame:
-        if isinstance(node, (Term, Phrase)):
+        if isinstance(node, _LEAF):
             return clause_docs[leaves.index(node)]
         if isinstance(node, And):
             pos = [c for c in node.children if not isinstance(c, Not)]
@@ -2131,6 +2199,87 @@ def match_agg_df(
     return agg(matched)
 
 
+def more_like_this_terms(
+    index_dir: str,
+    docid: int,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+) -> list[tuple[str, float]]:
+    """The ``more_like_this`` term-selection stage (OpenSearch MLT query,
+    the 'find similar events' investigation tool): from the source doc's
+    analyzed tokens, keep terms with in-doc tf >= min_term_freq and
+    dictionary df >= min_doc_freq, score each term tf * idf (float64,
+    the same BM25 idf the engine scores with — a documented divergence
+    from Lucene MoreLikeThis's classic ``log(N/(df+1)) + 1``), and take
+    the top max_query_terms by (score desc, term asc).  Deterministic:
+    the SQL oracle (sqloracle.mlt_sql) re-derives the identical selection
+    from the corpus, float64 op for float64 op.
+
+    Driver-side by design: one point read of the doc text (docid-sorted
+    docs parquet, row-group pruned) + one dictionary lookup of the doc's
+    candidate terms — O(doc length), never O(corpus)."""
+    import collections
+
+    import duckdb
+
+    from ..functions.analysis import tokenize as _tok
+
+    stats = _load_stats(index_dir)
+    row = duckdb.sql(
+        f"SELECT text FROM read_parquet('{index_dir}/docs/*.parquet') "
+        f"WHERE docid = {int(docid)}"
+    ).fetchone()
+    if row is None:
+        raise ValueError(f"more_like_this: docid {docid} not in index")
+    tf = collections.Counter(_tok(row[0]))
+    cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    dfs = _load_dfs(index_dir, cands)
+    scored = [
+        (t, float(tf[t]) * bm25.idf(dfs[t], stats["doc_count"]))
+        for t in cands
+        if dfs.get(t, 0) >= min_doc_freq
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:max_query_terms]
+
+
+def more_like_this_df(
+    spark: SparkSession,
+    index_dir: str,
+    docid: int,
+    k: int = 10,
+    msm_pct: int = 30,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+) -> DataFrame:
+    """more_like_this search: the selected terms run as a scoring OR with
+    ``minimum_should_match`` = max(1, floor(msm_pct% of the term count))
+    (the OpenSearch MLT '30%' default), excluding the source doc from the
+    ranking (OpenSearch excludes the liked doc).  Exclusion is exact:
+    top-(k+1) is fetched, the source dropped, the page re-cut to k —
+    the filtered top-k is always contained in the unfiltered top-(k+1)."""
+    sel = more_like_this_terms(
+        index_dir, docid, max_query_terms, min_term_freq, min_doc_freq
+    )
+    if not sel:
+        raise ValueError(
+            f"more_like_this: doc {docid} yields no query terms "
+            f"(min_term_freq={min_term_freq}, min_doc_freq={min_doc_freq})"
+        )
+    # quoted: corpus tokens like 'and' / 'or' would otherwise read as
+    # DQL operators; a quoted single word parses as a plain Term
+    q = " OR ".join(f'"{t}"' for t, _ in sel)
+    m = max(1, (msm_pct * len(sel)) // 100)
+    out = search_df(spark, index_dir, q, k=k + 1, minimum_should_match=m)
+    return (
+        out.filter(F.col("docid") != int(docid))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # local path (latency bench + WAND)
 
@@ -2196,17 +2345,24 @@ class LocalIndex:
 
     def _eval(self, node: Node) -> tuple[np.ndarray, np.ndarray]:
         n = self.stats["n_docs"]
-        if isinstance(node, (Term, Phrase)):
+        if isinstance(node, _LEAF):
             if isinstance(node, Term):
                 docids, tfs = self._term_postings(node.term)
-                dfs = [docids.size]
-            else:
-                docids, tfs = self._phrase_postings(node.terms, node.slop)
-                dfs = [self._term_postings(t)[0].size for t in node.terms]
+                w_fn = lambda: bm25.clause_weight([docids.size], self.stats["doc_count"])
+            elif isinstance(node, Phrase):
+                docids, tfs = self._phrase_postings(_slots_of(node), node.slop)
+                w_fn = lambda: bm25.clause_weight(
+                    [self._term_postings(t)[0].size for t in node.terms],
+                    self.stats["doc_count"])
+            else:  # MultiPhrase: grouped per-slot weight association
+                docids, tfs = self._phrase_postings(node.slots, 0)
+                w_fn = lambda: bm25.grouped_weight(
+                    [[self._term_postings(t)[0].size for t in ts] for ts in node.slots],
+                    self.stats["doc_count"])
             mask = np.zeros(n, dtype=bool)
             acc = np.zeros(n, dtype=np.float64)
             if docids.size and self.stats["doc_count"]:
-                w = bm25.clause_weight(dfs, self.stats["doc_count"])
+                w = w_fn()
                 s = bm25.score_tf(tfs, self.norms[docids], w, self.cache)
                 mask[docids] = True
                 acc[docids] = s.astype(np.float64) * node.boost
@@ -2225,19 +2381,33 @@ class LocalIndex:
             return ~m, np.zeros(n, dtype=np.float64)
         raise TypeError(node)
 
-    def _phrase_postings(self, terms: tuple[str, ...], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    def _phrase_postings(self, slots: tuple[tuple[str, ...], ...], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        # per-slot flat (docid, position): the union over the slot's term
+        # alternatives (singleton for plain phrases; the expansion set
+        # for match_phrase_prefix — one term per (doc, pos), so the
+        # union is a concatenation)
+        def slot_flat(ts):
+            parts = [self._term_positions(t) for t in ts]
+            parts = [(d, p) for d, p in parts if d.size] or [
+                (np.empty(0, np.int64), np.empty(0, np.int64))
+            ]
+            return (
+                np.concatenate([d for d, _ in parts]),
+                np.concatenate([p for _, p in parts]),
+            )
+
         if slop > 0:
             # sloppy phrase: per-doc greedy sweep over the same flat
             # (docid, position) arrays (functions/sloppy.py); freq is
             # the float Lucene sloppy frequency
-            flat = [self._term_positions(t) for t in terms]
+            flat = [slot_flat(ts) for ts in slots]
             return sloppy_freqs_flat(
                 [d for d, _ in flat], [p for _, p in flat], slop
             )
         SHIFT = np.int64(1) << np.int64(21)  # positions < 2^21 (dl <= 32k)
         keys = None
-        for i, t in enumerate(terms):
-            doc_flat, pos_flat = self._term_positions(t)
+        for i, ts in enumerate(slots):
+            doc_flat, pos_flat = slot_flat(ts)
             k = doc_flat * SHIFT + (pos_flat - i)
             keys = k if keys is None else keys[np.isin(keys, k)]
             if keys is None or keys.size == 0:
@@ -2305,18 +2475,28 @@ class LocalIndex:
         for ci, lf in enumerate(leaves):
             if isinstance(lf, Term):
                 docids, tfs = self._term_postings(lf.term)
-                dfs = [docids.size]
+                w = bm25.clause_weight([docids.size], self.stats["doc_count"])
                 terms = (lf.term,)
-            else:
-                docids, tfs = self._phrase_postings(lf.terms, lf.slop)
-                dfs = [self._term_postings(t)[0].size for t in lf.terms]
+            elif isinstance(lf, Phrase):
+                docids, tfs = self._phrase_postings(_slots_of(lf), lf.slop)
+                w = bm25.clause_weight(
+                    [self._term_postings(t)[0].size for t in lf.terms],
+                    self.stats["doc_count"])
                 terms = lf.terms
-            w = bm25.clause_weight(dfs, self.stats["doc_count"])
+            else:  # MultiPhrase: grouped weight, slots shown as a|b
+                docids, tfs = self._phrase_postings(lf.slots, 0)
+                w = bm25.grouped_weight(
+                    [[self._term_postings(t)[0].size for t in ts] for ts in lf.slots],
+                    self.stats["doc_count"])
+                terms = tuple("|".join(ts) for ts in lf.slots)
             i = np.searchsorted(docids, docid)
-            tf = int(tfs[i]) if i < docids.size and docids[i] == docid else 0
+            # float tf covers sloppy frequencies; display stays int when
+            # integral so the term/exact-phrase breakdown is unchanged
+            tfv = float(tfs[i]) if i < docids.size and docids[i] == docid else 0.0
+            tf = int(tfv) if tfv == int(tfv) else tfv
             s = (
-                np.float32(bm25.score_tf(np.array([tf]), norm, w, self.cache)[0])
-                if tf
+                np.float32(bm25.score_tf(np.array([tfv]), norm, w, self.cache)[0])
+                if tfv
                 else np.float32(0.0)
             )
             m = mult.get(lf, 0.0)
@@ -2333,6 +2513,27 @@ class LocalIndex:
             "total": np.float32(total) if mask[docid] else np.float32(0.0),
             "clauses": clauses,
         }
+
+    def more_like_this(
+        self,
+        docid: int,
+        k: int = 10,
+        msm_pct: int = 30,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+    ) -> list[tuple[int, np.float32]]:
+        """Local more_like_this: identical selection + scoring to
+        ``more_like_this_df`` (shared ``more_like_this_terms``)."""
+        sel = more_like_this_terms(
+            self.dir, docid, max_query_terms, min_term_freq, min_doc_freq
+        )
+        if not sel:
+            raise ValueError(f"more_like_this: doc {docid} yields no query terms")
+        q = " OR ".join(f'"{t}"' for t, _ in sel)  # quoted: operator-safe
+        m = max(1, (msm_pct * len(sel)) // 100)
+        hits = self.search(q, k=k + 1, minimum_should_match=m)
+        return [h for h in hits if h[0] != docid][:k]
 
     # -- block-max WAND top-k for disjunctions of terms
 
@@ -2479,7 +2680,7 @@ class LocalIndex:
         _require_positive_coverage holds).  Scores = float64 sum of the
         positive-path term float32 scores, like every other path."""
         leaves = _leaves(ast)
-        if any(isinstance(lf, Phrase) for lf in leaves):
+        if any(isinstance(lf, _PHRASELIKE) for lf in leaves):
             raise ValueError("WAND handles term trees; phrases use search()")
         _require_positive_coverage(ast, "search_wand")
         # positive score weight per term (a repeated clause scores

@@ -21,6 +21,7 @@ from ..plans.query import (
     Not,
     Or,
     Phrase,
+    PhrasePrefix,
     Regexp,
     Term,
     Wildcard,
@@ -33,7 +34,7 @@ from ..plans.query import (
 
 #: scoring leaf node types (Wildcard/Fuzzy/Regexp render as grouped
 #: term-set leaves)
-LEAVES = (Term, Phrase, Wildcard, Fuzzy, Regexp)
+LEAVES = (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, Regexp)
 
 
 def _base_ctes(path: str, source_where: str | None = None) -> str:
@@ -124,6 +125,58 @@ def _leaf_ctes(leaves: list[Node]) -> str:
                 f"s_{i} AS (SELECT f.docid, SUM(CAST({score} AS DOUBLE)) AS s "
                 f"FROM ptf_{i} f JOIN pdf_{i} w USING (term) JOIN dln n USING (docid) "
                 f"GROUP BY f.docid)"
+            )
+            continue
+        if isinstance(leaf, PhrasePrefix):
+            # match_phrase_prefix: expansion set = the prefix's corpus
+            # terms, first max_expansions in term order (the engine's
+            # dictionary scan uses the identical predicate + LIMIT);
+            # frequency = adjacency count with the LAST slot matched by
+            # set membership (one term per (doc, pos), so the join count
+            # IS the union-of-positions MultiPhrase frequency); weight =
+            # fixed-slot idfs as a textual left-associated sum plus an
+            # ordered list_reduce fold over the expansion idfs — the
+            # grouped association bm25.grouped_weight freezes.
+            pfx = leaf.terms[-1]
+            hi = pfx[:-1] + chr(ord(pfx[-1]) + 1)
+            parts.append(
+                f"exp_{i} AS (SELECT term FROM (SELECT DISTINCT term FROM tok "
+                f"WHERE term >= {_q(pfx)} AND term < {_q(hi)}) "
+                f"ORDER BY term LIMIT {int(leaf.max_expansions)})"
+            )
+            joins = "tok t0"
+            if len(leaf.terms) == 1:
+                conds = [f"t0.term IN (SELECT term FROM exp_{i})"]
+            else:
+                conds = [f"t0.term = {_q(leaf.terms[0])}"]
+                for j, t in enumerate(leaf.terms[1:-1], start=1):
+                    joins += f" JOIN tok t{j} ON t{j}.docid = t0.docid AND t{j}.pos = t0.pos + {j}"
+                    conds.append(f"t{j}.term = {_q(t)}")
+                j = len(leaf.terms) - 1
+                joins += f" JOIN tok t{j} ON t{j}.docid = t0.docid AND t{j}.pos = t0.pos + {j}"
+                conds.append(f"t{j}.term IN (SELECT term FROM exp_{i})")
+            parts.append(
+                f"tf_{i} AS (SELECT t0.docid, count(*) AS tf FROM {joins} "
+                f"WHERE {' AND '.join(conds)} GROUP BY t0.docid)"
+            )
+            exp_sum = (
+                f"(SELECT coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list(v ORDER BY term)), (a, b) -> a + b), 0.0) FROM "
+                f"(SELECT term, ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) "
+                f"- df + 0.5) / (df + 0.5)) AS v FROM "
+                f"(SELECT term, count(DISTINCT docid) AS df FROM tok "
+                f"WHERE term IN (SELECT term FROM exp_{i}) GROUP BY term)))"
+            )
+            fixed = " + ".join(
+                f"ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "
+                f"(SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5) / "
+                f"((SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5))"
+                for t in leaf.terms[:-1]
+            )
+            weight = f"CAST({fixed + ' + ' if fixed else ''}{exp_sum} AS FLOAT)"
+            score = sql_score_expr("f.tf", "n.dl_dec", weight, "(SELECT avgdl FROM stats)")
+            parts.append(
+                f"s_{i} AS (SELECT f.docid, {score} AS s FROM tf_{i} f JOIN dln n USING (docid))"
             )
             continue
         if isinstance(leaf, Term):
@@ -403,3 +456,63 @@ FROM (
   ORDER BY c.s DESC, c.docid ASC
   LIMIT {k}
 )"""
+
+
+def mlt_sql(
+    path: str,
+    docid: int,
+    k: int = 10,
+    msm_pct: int = 30,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+) -> str:
+    """DuckDB statement for ``more_like_this_df``: the FULL pipeline —
+    term selection (in-doc tf >= min_term_freq, df >= min_doc_freq,
+    tf * idf float64 score, top max_query_terms by (score desc, term)),
+    minimum_should_match = max(1, floor(msm_pct% of selected)), grouped
+    term-set BM25 scoring (per-term idf, float64 sum, one float32 cast),
+    source-doc exclusion — derived independently from the corpus, no
+    engine-side expansion baked in."""
+    D = int(docid)
+    score = sql_score_expr(
+        "f.tf",
+        "n.dl_dec",
+        sql_idf_expr("w.df", "(SELECT doc_count FROM stats)"),
+        "(SELECT avgdl FROM stats)",
+    )
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+src AS (
+  SELECT term, count(*) AS tf FROM tok WHERE docid = {D}
+  GROUP BY term HAVING count(*) >= {int(min_term_freq)}
+),
+sdf AS (
+  SELECT term, count(DISTINCT docid) AS df FROM tok
+  WHERE term IN (SELECT term FROM src) GROUP BY term
+),
+sel AS (
+  SELECT s.term,
+         CAST(s.tf AS DOUBLE) *
+         ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - f.df + 0.5)
+                / (f.df + 0.5)) AS mscore
+  FROM src s JOIN sdf f USING (term) WHERE f.df >= {int(min_doc_freq)}
+  ORDER BY mscore DESC, s.term LIMIT {int(max_query_terms)}
+),
+msm AS (
+  SELECT greatest(1, CAST(floor({int(msm_pct)} * count(*) / 100.0) AS BIGINT)) AS m
+  FROM sel
+),
+ptf AS (
+  SELECT docid, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM sel) GROUP BY docid, term
+),
+pdf AS (SELECT term, count(*) AS df FROM ptf GROUP BY term),
+sc AS (
+  SELECT f.docid, SUM(CAST({score} AS DOUBLE)) AS s, count(*) AS nm
+  FROM ptf f JOIN pdf w USING (term) JOIN dln n USING (docid)
+  GROUP BY f.docid
+)
+SELECT docid, round(CAST(CAST(s AS FLOAT) AS DOUBLE), 3) AS score_r
+FROM sc
+WHERE nm >= (SELECT m FROM msm) AND docid != {D}
+ORDER BY CAST(s AS FLOAT) DESC, docid LIMIT {int(k)}"""

@@ -88,6 +88,39 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class PhrasePrefix(Node):
+    """match_phrase_prefix (``"connection re"*``): a phrase whose LAST
+    word is a term PREFIX.  Expanded against the term dictionary before
+    execution (``expand_multiterm``): the first ``max_expansions``
+    matching terms in dictionary order become the last slot of a
+    ``MultiPhrase`` — Lucene's match_phrase_prefix TRUNCATES at
+    max_expansions (default 50), it does not error like
+    maxClauseCount.  Slop is not supported on phrase prefixes (a ``~N``
+    after the ``*`` is rejected at parse time)."""
+
+    terms: tuple[str, ...]  # fixed leading words + the prefix (last)
+    boost: float = 1.0
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
+class MultiPhrase(Node):
+    """Post-expansion multi-term phrase (Lucene MultiPhraseQuery): slot i
+    matches ANY of ``slots[i]`` (an empty slot matches nothing — the
+    zero-expansion phrase prefix).  Frequency is the exact-adjacency
+    count over the UNION of each slot's term positions (at one
+    (doc, pos) only one term exists, so the union is a concatenation);
+    the clause weight is the float64 sum over slots of each slot's
+    sequential idf subtotal (``bm25.grouped_weight``) — the association
+    the SQL oracle reproduces with textual fixed-slot sums plus an
+    ordered fold over the expansion slot.  Produced only by
+    ``expand_multiterm``; never parsed directly."""
+
+    slots: tuple[tuple[str, ...], ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Wildcard(Node):
     """Wildcard/prefix term query (``err*``, ``w0004?``): ``*`` = any run,
     ``?`` = one token char.  Expanded against the term dictionary before
@@ -307,7 +340,7 @@ def parse(query: str) -> Node:
         b = float(m.group(1))
         if b <= 0:
             raise ValueError(f"boost must be positive, got {nxt!r} in {query!r}")
-        if isinstance(node, (Term, Phrase, Wildcard, Fuzzy)):
+        if isinstance(node, (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy)):
             import dataclasses
 
             return dataclasses.replace(node, boost=node.boost * b)
@@ -315,6 +348,33 @@ def parse(query: str) -> Node:
             f"boost {nxt!r} applies to terms and phrases only in {query!r} "
             "(boost each atom inside a group instead)"
         )
+
+    def maybe_prefix(words: tuple[str, ...]) -> Node | None:
+        """Consume a standalone ``*`` token after a quoted phrase —
+        the match_phrase_prefix rendering ``"connection re"*``.  A slop
+        token after the ``*`` is rejected (Lucene's match_phrase_prefix
+        slop is out of scope here; the error beats a silent trailing-token
+        failure)."""
+        nxt = peek()
+        if nxt is None:
+            return None
+        m = re.match(r"^\*(?:\^(\d+(?:\.\d+)?))?$", nxt)
+        if not m:
+            return None
+        take()
+        after = peek()
+        if after is not None and _SLOP_TOKEN.match(after):
+            raise ValueError(
+                f"slop on a phrase prefix in {query!r}: "
+                '"..."* supports exact adjacency only'
+            )
+        node = PhrasePrefix(tuple(words))
+        if m.group(1):
+            b = float(m.group(1))
+            if b <= 0:
+                raise ValueError(f"boost must be positive, got {nxt!r} in {query!r}")
+            node = PhrasePrefix(tuple(words), boost=b)
+        return node
 
     def maybe_slop(node: Node) -> Node:
         """Consume a ``~N`` (or ``~N^B``) token after a quoted phrase —
@@ -364,6 +424,9 @@ def parse(query: str) -> Node:
             words = tokenize(t.strip('"'))
             if not words:
                 raise ValueError(f"empty phrase in {query!r}")
+            pp = maybe_prefix(tuple(words))
+            if pp is not None:
+                return maybe_boost(pp)
             if len(words) == 1:
                 return maybe_boost(maybe_slop(Term(words[0])))
             return maybe_boost(maybe_slop(Phrase(tuple(words))))
@@ -392,6 +455,9 @@ def parse(query: str) -> Node:
                     words = tokenize(inner)
                     if not words:
                         raise ValueError(f"empty phrase for field 'text' in {query!r}")
+                    pp = maybe_prefix(tuple(words))
+                    if pp is not None:
+                        return maybe_boost(pp)
                     return maybe_boost(maybe_slop(
                         Term(words[0]) if len(words) == 1 else Phrase(tuple(words))
                     ))
@@ -789,7 +855,19 @@ def wildcard_regex(pattern: str):
 
 #: multi-term leaf types: rewritten against the term dictionary before
 #: execution (Lucene MultiTermQuery subclasses)
-MULTITERM = (Wildcard, Fuzzy, Regexp)
+MULTITERM = (Wildcard, Fuzzy, Regexp, PhrasePrefix)
+
+
+def phrase_slots(leaf: Node) -> tuple[tuple[str, ...], ...]:
+    """Per-slot term alternatives of a phrase-like leaf: a ``Phrase`` has
+    singleton slots, a ``MultiPhrase`` its expansion slots.  The shared
+    normalization every engine path uses so exact-adjacency/union logic
+    is written once against slots."""
+    if isinstance(leaf, Phrase):
+        return tuple((t,) for t in leaf.terms)
+    if isinstance(leaf, MultiPhrase):
+        return leaf.slots
+    raise TypeError(leaf)
 
 
 def regexp_prefix(pattern: str) -> str:
@@ -823,6 +901,20 @@ def expand_multiterm(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -
     dictionary holds every corpus term, so an empty expansion proves the
     term has df 0) — matching nothing on every execution path.  More than
     ``max_clauses`` matches raises, like BooleanQuery.maxClauseCount."""
+    if isinstance(ast, PhrasePrefix):
+        # match_phrase_prefix: the expander returns the prefix's
+        # dictionary matches sorted ascending; Lucene TRUNCATES at
+        # max_expansions (no maxClauseCount error).  All-singleton
+        # results collapse to the plain Phrase/Term (identical weight
+        # and frequency semantics), zero expansions keep an empty last
+        # slot — a MultiPhrase that matches nothing on every path.
+        exp = tuple(expander(ast))[: ast.max_expansions]
+        slots = tuple((t,) for t in ast.terms[:-1]) + (exp,)
+        if all(len(s) == 1 for s in slots):
+            if len(slots) == 1:
+                return Term(slots[0][0], ast.boost)
+            return Phrase(tuple(s[0] for s in slots), ast.boost)
+        return MultiPhrase(slots, ast.boost)
     if isinstance(ast, MULTITERM):
         terms = list(expander(ast))
         label = f"{ast.term}~{ast.max_edits}" if isinstance(ast, Fuzzy) else ast.pattern
@@ -889,6 +981,11 @@ def query_terms(node: Node) -> list[str]:
             for t in n.terms:
                 if t not in out:
                     out.append(t)
+        elif isinstance(n, MultiPhrase):
+            for s in n.slots:
+                for t in s:
+                    if t not in out:
+                        out.append(t)
         elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c)
