@@ -137,6 +137,23 @@ def _bm25_count(query: str):
     return run
 
 
+def q_bm25_sorted_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-sorted hits (Discover's time-sorted view): the match set of
+    'error AND timeout' ordered by ts desc, docid asc — no scoring."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    return search.sorted_hits_df(spark, idx, "error AND timeout", k=10)
+
+
+def q_bm25_sorted_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted hits under a DQL keyword filter, ascending ts."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    return search.sorted_hits_df(
+        spark, idx, "error AND role:assistant", k=10, ascending=True
+    )
+
+
 def q_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch more_like_this ('find similar events'): doc 17's
     tf*idf-selected terms (tf >= 2, df >= 5, top 25) run as a scoring OR
@@ -1287,6 +1304,12 @@ FROM ({sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=5)}) t
 JOIN d2 USING (docid)
 ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_more_like_this"] = sqloracle.mlt_sql(ORACLE_TRANSCRIPTS, 17, k=10)
+    bm["bm25_sorted_by_time"] = sqloracle.sorted_hits_sql(
+        ORACLE_TRANSCRIPTS, "error AND timeout", k=10
+    )
+    bm["bm25_sorted_filtered"] = sqloracle.sorted_hits_sql(
+        ORACLE_TRANSCRIPTS, "error AND role:assistant", k=10, ascending=True
+    )
     # warm-session entries score identically to cold — same oracle SQL
     bm["bm25_term_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error", k=10)
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
@@ -1819,6 +1842,8 @@ def queries_map() -> dict:
     q["bm25_term_suggest"] = q_bm25_term_suggest
     q["bm25_explain"] = q_bm25_explain
     q["bm25_more_like_this"] = q_bm25_more_like_this
+    q["bm25_sorted_by_time"] = q_bm25_sorted_by_time
+    q["bm25_sorted_filtered"] = q_bm25_sorted_filtered
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)

@@ -2199,6 +2199,33 @@ def match_agg_df(
     return agg(matched)
 
 
+_SORT_FIELDS = ("ts", "conv_id", "turn_idx", "role", "tool", "docid")
+
+
+def sorted_hits_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    sort_field: str = "ts",
+    ascending: bool = False,
+) -> DataFrame:
+    """Field-sorted hits — the Discover time-sorted view (OpenSearch
+    ``sort: [{"ts": "desc"}]``): the DQL match set (posting-set algebra,
+    NO scoring) joined to the docs projection, top-k by
+    (sort_field, docid asc).  Plan: the match set is candidate-sized, the
+    docs join is a docid equi-join, and the page is a TakeOrdered — at
+    100 TB the sort input is the match set, never the corpus."""
+    if sort_field not in _SORT_FIELDS:
+        raise ValueError(f"sort_field must be one of {_SORT_FIELDS}, got {sort_field!r}")
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "docid", "conv_id", "turn_idx", "role", "tool", "ts"
+    )
+    matched = docs.join(match_docids_df(spark, index_dir, query), "docid", "left_semi")
+    key = F.col(sort_field).asc() if ascending else F.col(sort_field).desc()
+    return matched.orderBy(key, F.col("docid").asc()).limit(k)
+
+
 def more_like_this_terms(
     index_dir: str,
     docid: int,

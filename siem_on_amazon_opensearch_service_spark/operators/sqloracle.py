@@ -516,3 +516,37 @@ SELECT docid, round(CAST(CAST(s AS FLOAT) AS DOUBLE), 3) AS score_r
 FROM sc
 WHERE nm >= (SELECT m FROM msm) AND docid != {D}
 ORDER BY CAST(s AS FLOAT) DESC, docid LIMIT {int(k)}"""
+
+
+def sorted_hits_sql(
+    path: str,
+    query: str,
+    k: int = 10,
+    sort_field: str = "ts",
+    ascending: bool = False,
+) -> str:
+    """DuckDB statement for ``sorted_hits_df``: the match set joined to
+    the doc projection, ordered by (sort_field, docid)."""
+    ast, dqlf = extract_filters(parse(query), query)
+    leaves: list[Node] = []
+
+    def collect(n: Node) -> None:
+        if isinstance(n, LEAVES):
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (And, Or, AtLeast)):
+            for c in n.children:
+                collect(c)
+        elif isinstance(n, Not):
+            collect(n.child)
+
+    collect(ast)
+    fsql = _filters_sql(dqlf)
+    where = f"{fsql.replace(' WHERE ', ' WHERE (')})" if fsql else ""
+    direction = "ASC" if ascending else "DESC"
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)})
+SELECT d.docid, d.conv_id, d.turn_idx, d.role, d.tool, d.ts
+FROM d JOIN combined USING (docid){where}
+ORDER BY d.{sort_field} {direction}, d.docid LIMIT {int(k)}"""
