@@ -137,6 +137,15 @@ def _bm25_count(query: str):
     return run
 
 
+def q_bm25_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch significant_text: JLH-scored terms over-represented in
+    the text of 'timeout'-matching docs vs the corpus (per-doc fg counts,
+    dictionary-df background, subset=|match|, superset=n_docs)."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    return search.significant_text_df(spark, idx, "timeout", n=10)
+
+
 def q_bm25_sorted_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-sorted hits (Discover's time-sorted view): the match set of
     'error AND timeout' ordered by ts desc, docid asc — no scoring."""
@@ -1310,6 +1319,9 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_sorted_filtered"] = sqloracle.sorted_hits_sql(
         ORACLE_TRANSCRIPTS, "error AND role:assistant", k=10, ascending=True
     )
+    bm["bm25_significant_text"] = sqloracle.significant_text_sql(
+        ORACLE_TRANSCRIPTS, "timeout", n=10
+    )
     # warm-session entries score identically to cold — same oracle SQL
     bm["bm25_term_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error", k=10)
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
@@ -1844,6 +1856,7 @@ def queries_map() -> dict:
     q["bm25_more_like_this"] = q_bm25_more_like_this
     q["bm25_sorted_by_time"] = q_bm25_sorted_by_time
     q["bm25_sorted_filtered"] = q_bm25_sorted_filtered
+    q["bm25_significant_text"] = q_bm25_significant_text
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)

@@ -2199,6 +2199,63 @@ def match_agg_df(
     return agg(matched)
 
 
+def significant_text_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    n: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """OpenSearch ``significant_text``: terms statistically
+    over-represented in the TEXT of the query's matching docs vs the
+    whole corpus, scored with the default JLH heuristic
+    ``(p_fg - p_bg) * (p_fg / p_bg)`` exactly like
+    ``aggs.significant_terms`` (p_fg <= p_bg drops, ES min_doc_count
+    floor on the foreground, top-n by rounded score desc / term asc).
+    Foreground counts are per-doc (a term counts once per matching doc,
+    re-tokenized with the frozen analyzer expression); background counts
+    come from the term DICTIONARY (df = docs containing the term), so
+    the background pass reads O(candidate terms), never re-scans the
+    corpus.  Denominators: subset = |match set|, superset = n_docs.
+
+    Scale shape: tokenization runs over the MATCH SET only; the dict
+    join carries only the foreground's distinct terms; one shuffle of
+    those terms, a broadcast 1-row totals frame, no UDFs."""
+    stats = _load_stats(index_dir)
+    matched = match_docids_df(spark, index_dir, query)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("docid", "text")
+    joined = docs.join(matched, "docid", "left_semi")
+    toks = F.filter(
+        F.split(
+            F.lower(F.coalesce(_truncate_text_col(F.col("text")), F.lit(""))),
+            _analysis.SQL_SPLIT_RE,
+        ),
+        lambda x: x != "",
+    )
+    fg = (
+        joined.select("docid", F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_cnt"))
+    )
+    bg = spark.read.parquet(os.path.join(index_dir, "dict")).select(
+        "term", F.col("df").alias("bg_cnt")
+    )
+    totals = matched.agg(F.count("*").alias("subset_size"))
+    p_fg = F.col("fg_cnt") / F.col("subset_size")
+    p_bg = F.col("bg_cnt") / F.lit(int(stats["n_docs"]))
+    score = (p_fg - p_bg) * (p_fg / p_bg)
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("fg_cnt") >= min_doc_count)
+        .withColumn("score_r", F.round(score, 6))
+        .filter(p_fg > p_bg)
+        .select("term", "fg_cnt", "bg_cnt", "score_r")
+        .orderBy(F.col("score_r").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
 _SORT_FIELDS = ("ts", "conv_id", "turn_idx", "role", "tool", "docid")
 
 

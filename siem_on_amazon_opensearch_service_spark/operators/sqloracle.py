@@ -550,3 +550,59 @@ combined AS ({_combine_sql(ast, leaves)})
 SELECT d.docid, d.conv_id, d.turn_idx, d.role, d.tool, d.ts
 FROM d JOIN combined USING (docid){where}
 ORDER BY d.{sort_field} {direction}, d.docid LIMIT {int(k)}"""
+
+
+def significant_text_sql(
+    path: str,
+    query: str,
+    n: int = 10,
+    min_doc_count: int = 3,
+) -> str:
+    """DuckDB statement for ``significant_text_df``: per-doc foreground
+    term counts over the match set, background df over all docs, JLH
+    score, top-n by (rounded score desc, term asc)."""
+    ast, dqlf = extract_filters(parse(query), query)
+    leaves: list[Node] = []
+
+    def collect(node: Node) -> None:
+        if isinstance(node, LEAVES):
+            if node not in leaves:
+                leaves.append(node)
+        elif isinstance(node, (And, Or, AtLeast)):
+            for c in node.children:
+                collect(c)
+        elif isinstance(node, Not):
+            collect(node.child)
+
+    collect(ast)
+    fsql = _filters_sql(dqlf)
+    msel = (
+        "SELECT docid FROM combined"
+        if not fsql
+        else f"SELECT c.docid FROM combined c JOIN d USING (docid){fsql}"
+    )
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)}),
+m AS ({msel}),
+fg AS (
+  SELECT term, count(DISTINCT t.docid) AS fg_cnt
+  FROM tok t JOIN m USING (docid) GROUP BY term
+),
+bg AS (
+  SELECT term, count(DISTINCT docid) AS bg_cnt FROM tok
+  WHERE term IN (SELECT term FROM fg) GROUP BY term
+),
+tot AS (
+  SELECT (SELECT count(*) FROM m) AS subset_size,
+         (SELECT count(*) FROM d) AS superset_size
+)
+SELECT term, fg_cnt, bg_cnt,
+       round((CAST(fg_cnt AS DOUBLE) / subset_size
+              - CAST(bg_cnt AS DOUBLE) / superset_size)
+             * ((CAST(fg_cnt AS DOUBLE) / subset_size)
+                / (CAST(bg_cnt AS DOUBLE) / superset_size)), 6) AS score_r
+FROM fg JOIN bg USING (term) CROSS JOIN tot
+WHERE fg_cnt >= {int(min_doc_count)}
+  AND CAST(fg_cnt AS DOUBLE) / subset_size > CAST(bg_cnt AS DOUBLE) / superset_size
+ORDER BY score_r DESC, term ASC LIMIT {int(n)}"""
