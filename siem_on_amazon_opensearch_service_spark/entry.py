@@ -505,6 +505,30 @@ def q_events_rare_terms(spark, sf_dir):
     return aggs.rare_terms(ev, "k", max_doc_count=85)
 
 
+def q_events_multi_terms(spark, sf_dir):
+    """OpenSearch multi_terms: top compound (event_type, user_id) keys."""
+    return aggs.multi_terms(_events(spark, sf_dir), ["event_type", "user_id"], n=10)
+
+
+def q_events_weighted_avg(spark, sf_dir):
+    """OpenSearch weighted_avg: value weighted by the props 'k' attribute."""
+    ev = _events(spark, sf_dir).withColumn(
+        "k", F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    )
+    return aggs.weighted_avg(ev, F.col("value"), F.col("k"))
+
+
+def q_events_percentile_ranks(spark, sf_dir):
+    """OpenSearch percentile_ranks at value probes 30 / 70 (exact CDF)."""
+    return aggs.percentile_ranks(_events(spark, sf_dir), "value", [30.0, 70.0])
+
+
+def q_events_auto_date_histogram(spark, sf_dir):
+    """OpenSearch auto_date_histogram: ladder-picked interval fitting
+    <= 20 buckets over the events span (weekly at the sf0.01 span)."""
+    return aggs.auto_date_histogram(_events(spark, sf_dir), target_buckets=20)
+
+
 def q_events_composite_page(spark, sf_dir):
     """OpenSearch composite agg: one size-7 page of (event_type, day)
     buckets resumed AFTER the cursor ('click', 2024-01-25) — the
@@ -1607,6 +1631,29 @@ FROM documents ORDER BY doc_id"""
             "count(*) AS cnt FROM events GROUP BY 1 HAVING count(*) <= 85 "
             "ORDER BY cnt ASC, k ASC"
         ),
+        "events_multi_terms": (
+            "SELECT event_type, user_id, count(*) AS cnt FROM events "
+            "GROUP BY 1, 2 ORDER BY cnt DESC, event_type ASC, user_id ASC LIMIT 10"
+        ),
+        "events_weighted_avg": (
+            "SELECT round(sum(value * k) / sum(k), 6) AS weighted_avg_r FROM ("
+            "  SELECT value, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k"
+            "  FROM events) WHERE value IS NOT NULL AND k IS NOT NULL"
+        ),
+        "events_percentile_ranks": (
+            "SELECT round(100.0 * count(*) FILTER (WHERE value <= 30.0) / count(value), 6) AS rank_0, "
+            "round(100.0 * count(*) FILTER (WHERE value <= 70.0) / count(value), 6) AS rank_1 "
+            "FROM events"
+        ),
+        "events_auto_date_histogram": (
+            "WITH span AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS lo, "
+            "CAST(floor(epoch(max(ts))) AS BIGINT) AS hi FROM events), "
+            "iv AS (SELECT coalesce(min(i), 31536000) AS i FROM "
+            "(VALUES (1),(5),(10),(30),(60),(300),(600),(1800),(3600),(10800),(43200),(86400),(604800),(2592000),(31536000)) t(i), span WHERE hi // i - lo // i + 1 <= 20) "
+            "SELECT CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // i) * i) AS TIMESTAMP) AS bucket, "
+            "count(*) AS cnt, CAST(i AS INT) AS interval_sec "
+            "FROM events, iv GROUP BY 1, 3 ORDER BY 1"
+        ),
         "events_composite_page": (
             "SELECT * FROM ("
             "  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt, "
@@ -1879,6 +1926,10 @@ def queries_map() -> dict:
             "events_range_agg": q_events_range_agg,
             "events_significant_terms": q_events_significant_terms,
             "events_rare_terms": q_events_rare_terms,
+            "events_multi_terms": q_events_multi_terms,
+            "events_weighted_avg": q_events_weighted_avg,
+            "events_percentile_ranks": q_events_percentile_ranks,
+            "events_auto_date_histogram": q_events_auto_date_histogram,
             "events_composite_page": q_events_composite_page,
             "events_extended_stats": q_events_extended_stats,
             "events_bucket_script": q_events_bucket_script,

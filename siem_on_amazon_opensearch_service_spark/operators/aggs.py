@@ -383,3 +383,84 @@ def extended_stats(df: DataFrame, field: str, by: str | None = None, sigma: floa
         F.round(mean - sigma * std, 6).alias("std_lower_r"),
     )
     return out.orderBy(by) if by else out
+
+
+def multi_terms(df: DataFrame, fields: list[str], n: int = 10) -> DataFrame:
+    """OpenSearch ``multi_terms``: top-N compound keys by doc count
+    (count desc, then each key asc — the ES tie-break).  Partial
+    aggregation keeps the shuffle at distinct-compound-key volume."""
+    return (
+        df.groupBy(*fields)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), *[F.col(f).asc() for f in fields])
+        .limit(n)
+    )
+
+
+def weighted_avg(df: DataFrame, value: Column, weight: Column) -> DataFrame:
+    """OpenSearch ``weighted_avg``: sum(value*weight)/sum(weight), rows
+    with NULL value or weight skipped (ES skips missing)."""
+    v = value.cast("double")
+    w = weight.cast("double")
+    ok = v.isNotNull() & w.isNotNull()
+    return df.agg(
+        F.round(
+            F.sum(F.when(ok, v * w)) / F.sum(F.when(ok, w)), 6
+        ).alias("weighted_avg_r")
+    )
+
+
+def percentile_ranks(df: DataFrame, field: str, values: list[float]) -> DataFrame:
+    """OpenSearch ``percentile_ranks``: for each probe value, the percent
+    of non-null docs with field <= value.  Exact CDF (ES interpolates a
+    TDigest sketch; the exact form is this engine's frozen contract and
+    is SQL-replicable bit-for-bit)."""
+    c = F.col(field).cast("double")
+    return df.agg(
+        *[
+            F.round(
+                100.0 * F.count(F.when(c <= float(v), 1)) / F.count(c), 6
+            ).alias(f"rank_{i}")
+            for i, v in enumerate(values)
+        ]
+    )
+
+
+#: auto_date_histogram interval ladder, in seconds (fixed intervals — the
+#: calendar-month/year roundings ES also offers are approximated by 30d /
+#: 365d fixed buckets; frozen so the SQL oracle can join the same VALUES)
+AUTO_DH_LADDER = [
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+    86400, 604800, 2_592_000, 31_536_000,
+]
+
+
+def auto_date_histogram(
+    df: DataFrame, ts: str = "ts", target_buckets: int = 20
+) -> DataFrame:
+    """OpenSearch ``auto_date_histogram``: pick the smallest ladder
+    interval whose bucket count (floor(max/i) - floor(min/i) + 1, epoch
+    seconds) fits ``target_buckets``, then histogram on it.  The span
+    scan is a 2-value aggregate (metadata-scale driver action); the
+    histogram itself is one partial-aggregated groupBy."""
+    # NTZ-safe epoch seconds: NTZ -> TZ keeps the wall time under the
+    # UTC session, matching DuckDB's epoch() on naive timestamps
+    epoch = F.col(ts).cast("timestamp").cast("long")
+    row = df.agg(F.min(epoch).alias("lo"), F.max(epoch).alias("hi")).first()
+    if row["lo"] is None:
+        raise ValueError("auto_date_histogram: no rows")
+    lo, hi = int(row["lo"]), int(row["hi"])
+    interval = AUTO_DH_LADDER[-1]
+    for i in AUTO_DH_LADDER:
+        if hi // i - lo // i + 1 <= target_buckets:
+            interval = i
+            break
+    bucket = F.timestamp_seconds(
+        F.floor(epoch / F.lit(interval)) * F.lit(interval)
+    )
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("interval_sec", F.lit(interval))
+        .orderBy("bucket")
+    )
