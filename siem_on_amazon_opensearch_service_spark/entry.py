@@ -137,6 +137,17 @@ def _bm25_count(query: str):
     return run
 
 
+def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch collapse on conv_id: one best-scoring turn per
+    conversation for 'error AND timeout' (score desc, docid asc page)."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = search.search_df(spark, idx, "error AND timeout", k=10, collapse="conv_id")
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
 def q_bm25_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch significant_text: JLH-scored terms over-represented in
     the text of 'timeout'-matching docs vs the corpus (per-doc fg counts,
@@ -1346,6 +1357,9 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_significant_text"] = sqloracle.significant_text_sql(
         ORACLE_TRANSCRIPTS, "timeout", n=10
     )
+    bm["bm25_collapse"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, "error AND timeout", k=10, collapse="conv_id"
+    )
     # warm-session entries score identically to cold — same oracle SQL
     bm["bm25_term_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error", k=10)
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
@@ -1904,6 +1918,7 @@ def queries_map() -> dict:
     q["bm25_sorted_by_time"] = q_bm25_sorted_by_time
     q["bm25_sorted_filtered"] = q_bm25_sorted_filtered
     q["bm25_significant_text"] = q_bm25_significant_text
+    q["bm25_collapse"] = q_bm25_collapse
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)

@@ -1695,6 +1695,7 @@ def search_df(
     tool_not_exists: bool = False,
     search_after: tuple | None = None,
     minimum_should_match: int | None = None,
+    collapse: str | None = None,
     *,
     _stats: dict | None = None,
     _dfs: dict | None = None,
@@ -1788,7 +1789,7 @@ def search_df(
     if k > 0 and search_after is None and "blk_first" in postings.columns:  # r2 format only
         memo_key = (query, k, role, tool, str(ts_min), str(ts_max), role_exists,
                     tool_exists, role_not, tool_not, role_not_exists,
-                    tool_not_exists, minimum_should_match)
+                    tool_not_exists, minimum_should_match, collapse)
         if _prune_memo is not None and memo_key in _prune_memo:
             prune = _prune_memo[memo_key]
         else:
@@ -1801,12 +1802,17 @@ def search_df(
             # tool="" are legitimate equality filters and must constrain
             # theta seeding)
             f_active = filters_active(filters)
-            p = _plan_block_prune(
-                index_dir, ast, leaves, dfs, stats, k,
-                filters=filters if f_active else None,
-            )
-            if p is not None:
-                plans.append(p)
+            # theta pruning cuts docs strictly below the raw top-k score
+            # frontier — under collapse a group's best hit can live
+            # exactly there, so only the match-set-exact coverage prune
+            # applies (same reasoning as the search_after cursor gate)
+            if collapse is None:
+                p = _plan_block_prune(
+                    index_dir, ast, leaves, dfs, stats, k,
+                    filters=filters if f_active else None,
+                )
+                if p is not None:
+                    plans.append(p)
             p = _plan_intersection_prune(index_dir, ast, stats, dfs)
             if p is not None:
                 plans.append(p)
@@ -1829,8 +1835,39 @@ def search_df(
         if has_filters
         else None
     )
+    if collapse is not None and collapse not in ("conv_id", "role", "tool"):
+        raise ValueError(
+            f"collapse supports conv_id/role/tool, got {collapse!r}"
+        )
+
+    def _finalize(scored_all: DataFrame) -> DataFrame:
+        """Optional field collapsing (OpenSearch ``collapse``: ONE best
+        hit per field value — best = (score desc, docid asc) inside the
+        group), then the (score desc, docid asc) page.  The window
+        shuffles on the collapse key; group sizes are conversation-sized,
+        so no skew concern at scale."""
+        if collapse is not None:
+            from pyspark.sql.window import Window as _W
+
+            dc = (
+                _docs
+                if _docs is not None and collapse in _docs.columns
+                else spark.read.parquet(os.path.join(index_dir, "docs"))
+            ).select("docid", collapse)
+            w = _W.partitionBy(collapse).orderBy(
+                F.col("score").desc(), F.col("docid").asc()
+            )
+            scored_all = (
+                scored_all.join(dc, "docid")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("docid", "score", collapse)
+            )
+        return _order_page(scored_all, k, search_after)
+
     if (
-        isinstance(ast, Term)
+        collapse is None
+        and isinstance(ast, Term)
         and len(leaves) == 1
         and (
             (_norms_bc is not None and (not has_filters or _filter_mask_bc is not None))
@@ -1857,7 +1894,7 @@ def search_df(
             "filters": filters_d if (sharded_warm and _filter_mask_bc is None) else None,
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
-    elif _postings is not None and k > 0 and search_after is None:
+    elif _postings is not None and k > 0 and search_after is None and collapse is None:
         # Warm multi-clause / phrase path (r4): shard-local fused
         # evaluation — ONE Python stage after a compressed-bytes
         # repartition on shard_min; handles every query shape including
@@ -1896,9 +1933,8 @@ def search_df(
         s = F.col("score").cast("double")
         if ast.boost != 1.0:
             s = s * F.lit(float(ast.boost))
-        return _order_page(
-            scored.select("docid", s.cast("float").alias("score")),
-            k, search_after,
+        return _finalize(
+            scored.select("docid", s.cast("float").alias("score"))
         )
 
     if isinstance(ast, Or) and all(isinstance(c, _LEAF) for c in ast.children):
@@ -1913,11 +1949,10 @@ def search_df(
         s = F.col("score").cast("double")
         if any(m != 1.0 for m in mw):
             s = s * F.element_at(_sql_double_array(mw), F.col("clause").cast("int") + 1)
-        return _order_page(
+        return _finalize(
             scored.groupBy("docid")
             .agg(F.sum(s).alias("_t"))
-            .select("docid", F.col("_t").cast("float").alias("score")),
-            k, search_after,
+            .select("docid", F.col("_t").cast("float").alias("score"))
         )
 
     # one conditional max per clause instead of pivot(): pivotfirst plans
@@ -1942,11 +1977,10 @@ def search_df(
         if m:
             piece = F.coalesce(F.col(f"c{ci}").cast("double"), F.lit(0.0))
             total = total + (piece if m == 1 else F.lit(float(m)) * piece)
-    return _order_page(
+    return _finalize(
         pivoted.filter(_mask_expr(ast, leaves))
         .withColumn("score", total.cast("float"))
-        .select("docid", "score"),
-        k, search_after,
+        .select("docid", "score")
     )
 
 
@@ -2378,10 +2412,11 @@ class LocalIndex:
         self.dir = index_dir
         self.stats = _load_stats(index_dir)
         d = duckdb.sql(
-            f"SELECT docid, norm, role, tool, ts, dl FROM read_parquet('{index_dir}/docs/*.parquet') ORDER BY docid"
+            f"SELECT docid, norm, conv_id, role, tool, ts, dl FROM read_parquet('{index_dir}/docs/*.parquet') ORDER BY docid"
         ).df()
         assert (d["docid"].to_numpy() == np.arange(len(d))).all(), "docids must be dense"
         self.norms = d["norm"].to_numpy().astype(np.uint8)
+        self.conv = d["conv_id"].to_numpy()
         self.role = d["role"].to_numpy()
         self.tool = d["tool"].to_numpy()
         self.ts = d["ts"].to_numpy()
@@ -2520,6 +2555,7 @@ class LocalIndex:
         role_not: tuple = (),
         tool_not: tuple = (),
         minimum_should_match: int | None = None,
+        collapse: str | None = None,
     ) -> list[tuple[int, np.float32]]:
         ast, dqlf = self._compile(query)
         # a multi-term child expands into ONE nested node, so the root Or
@@ -2537,7 +2573,21 @@ class LocalIndex:
             mask &= filter_mask(self.role, self.tool, self.ts, filt)
         docids = np.nonzero(mask)[0]
         scores = acc[docids].astype(np.float32)
-        order = np.lexsort((docids, -scores.astype(np.float64)))[:k]
+        if collapse is not None:
+            # OpenSearch collapse: best (score desc, docid asc) hit per
+            # group — sort once, keep each group's first occurrence
+            grp = {"conv_id": self.conv, "role": self.role, "tool": self.tool}[collapse]
+            order_all = np.lexsort((docids, -scores.astype(np.float64)))
+            seen: set = set()
+            keep = []
+            for i in order_all:
+                g = grp[docids[i]]
+                if g not in seen:
+                    seen.add(g)
+                    keep.append(i)
+            order = np.asarray(keep, dtype=np.int64)[:k]
+        else:
+            order = np.lexsort((docids, -scores.astype(np.float64)))[:k]
         return [(int(docids[i]), np.float32(scores[i])) for i in order]
 
     def explain(self, query: str, docid: int) -> dict:
@@ -3128,6 +3178,7 @@ class QuerySession:
         tool_not_exists: bool = False,
         search_after: tuple | None = None,
         minimum_should_match: int | None = None,
+        collapse: str | None = None,
     ) -> DataFrame:
         # DQL field filters must reach the broadcast mask, so extract them
         # here as well (search_df re-extracts; the merge is idempotent)
@@ -3157,6 +3208,7 @@ class QuerySession:
             tool_not_exists=bool(filt.get("tool_not_exists")),
             search_after=search_after,
             minimum_should_match=minimum_should_match,
+            collapse=collapse,
             _stats=self.stats,
             _dfs=self._dfs,
             _docs=self.docs,

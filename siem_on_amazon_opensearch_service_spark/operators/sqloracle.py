@@ -405,6 +405,7 @@ def bm25_sql(
     search_after: tuple | None = None,
     source_where: str | None = None,
     minimum_should_match: int | None = None,
+    collapse: str | None = None,
 ) -> str:
     """Full DuckDB statement: (docid BIGINT, score_r DOUBLE) top-k.  The
     query string is the same DQL surface as search_df — field filters
@@ -419,6 +420,19 @@ def bm25_sql(
     whose idf/avgdl and docids are local to that subset."""
     ast, dqlf = extract_filters(parse(query), query)
     ast = apply_minimum_should_match(ast, minimum_should_match, query)
+    if collapse and search_after is not None:
+        raise NotImplementedError(
+            "collapse + search_after: the engine collapses BEFORE the "
+            "cursor; this rendering would cursor first — not supported"
+        )
+    # OpenSearch collapse: keep the (s desc, docid asc)-best hit per
+    # group before paging — a QUALIFY on the grouped row_number
+    coll = (
+        f" QUALIFY row_number() OVER (PARTITION BY d.{collapse} "
+        f"ORDER BY c.s DESC, c.docid ASC) = 1"
+        if collapse
+        else ""
+    )
     filt = merge_filters(
         query,
         {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
@@ -452,7 +466,7 @@ combined AS ({_combine_sql(ast, leaves)})
 SELECT docid, round(CAST(s AS DOUBLE), 3) AS score_r
 FROM (
   SELECT c.docid, c.s
-  FROM combined c JOIN d USING (docid){fsql}{cursor}
+  FROM combined c JOIN d USING (docid){fsql}{cursor}{coll}
   ORDER BY c.s DESC, c.docid ASC
   LIMIT {k}
 )"""
