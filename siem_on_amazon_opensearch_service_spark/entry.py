@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.analysis import SQL_SPLIT_RE
-from .operators import aggs, dedup, sampling, search, similarity, sqloracle, textstats
+from .operators import aggs
+from .operators import percolate, dedup, sampling, search, similarity, sqloracle, textstats
 from .operators.build import build_index
 from .sources import transcripts as tsrc
 
@@ -135,6 +136,14 @@ def _bm25_count(query: str):
         return search.match_count_df(spark, idx, query)
 
     return run
+
+
+def q_bm25_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch _terms_enum: 're'-prefixed dictionary terms by df desc
+    (autocomplete over the index vocabulary; pure dict range scan)."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    return search.terms_enum_df(spark, idx, "re", n=10)
 
 
 def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,6 +711,30 @@ def q_index_manifest_stats(spark, sf_dir):
     )
 
 
+PERCOLATE_QUERIES = {
+    # the SIEM alerting shape: saved searches evaluated per incoming turn
+    "err_timeout": "error AND timeout",
+    "reset_phrase": '"connection reset"',
+    "assistant_err": "error AND role:assistant",
+    "denials": "denied OR refused",
+}
+
+
+def q_transcripts_percolate(spark, sf_dir):
+    """Percolator: the saved queries above matched against every turn of
+    the corpus (index-free column predicates; the streaming alerting
+    path) -> (conv_id, turn_idx, query_name) match pairs, counted per
+    query for a compact driver row."""
+    _prep(spark)
+    t = spark.read.parquet(ensure_corpus(_sf_label(sf_dir), spark))
+    pairs = percolate.percolate_df(t, PERCOLATE_QUERIES)
+    return (
+        pairs.groupBy("query_name")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("query_name")
+    )
+
+
 def q_transcripts_role_topn(spark, sf_dir):
     """terms agg over the SIEM corpus itself (role = keyword field)."""
     _prep(spark)
@@ -1224,6 +1257,12 @@ def _mh_exprs() -> str:
     )
 
 
+def sqloracle_percolate_sql() -> str:
+    from .operators.percolate import percolate_sql
+
+    return percolate_sql(ORACLE_TRANSCRIPTS, PERCOLATE_QUERIES)
+
+
 def oracle_sql_map() -> dict[str, str]:
     bm = {}
     for name, spec in BM25_QUERIES.items():
@@ -1360,6 +1399,7 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_collapse"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "error AND timeout", k=10, collapse="conv_id"
     )
+    bm["bm25_terms_enum"] = sqloracle.terms_enum_sql(ORACLE_TRANSCRIPTS, "re", n=10)
     # warm-session entries score identically to cold — same oracle SQL
     bm["bm25_term_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error", k=10)
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
@@ -1440,6 +1480,11 @@ ORDER BY t.score_r DESC, t.docid"""
             f"CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
             f"min(min_docid) AS min_docid, max(max_docid) AS max_docid "
             f"FROM read_parquet('{index_dir(ORACLE_SF)}/manifest/*.parquet')"
+        ),
+        "transcripts_percolate": (
+            "SELECT query_name, count(*) AS n_matches FROM (\n"
+            + sqloracle_percolate_sql()
+            + "\n) GROUP BY 1 ORDER BY 1"
         ),
         "transcripts_role_topn": (
             f"SELECT role, count(*) AS cnt FROM read_parquet('{ORACLE_TRANSCRIPTS}') "
@@ -1919,6 +1964,7 @@ def queries_map() -> dict:
     q["bm25_sorted_filtered"] = q_bm25_sorted_filtered
     q["bm25_significant_text"] = q_bm25_significant_text
     q["bm25_collapse"] = q_bm25_collapse
+    q["bm25_terms_enum"] = q_bm25_terms_enum
     q["bm25_term_warm"] = _bm25_warm("error", 10)
     q["bm25_bool_and_warm"] = _bm25_warm("error AND timeout", 10)
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)
@@ -1959,6 +2005,7 @@ def queries_map() -> dict:
             "events_props_extract": q_events_props_extract,
             "events_range_join": q_events_range_join,
             "index_manifest_stats": q_index_manifest_stats,
+            "transcripts_percolate": q_transcripts_percolate,
             "transcripts_role_topn": q_transcripts_role_topn,
             "transcripts_daily_histogram": q_transcripts_daily_histogram,
             "transcripts_sessionize": q_transcripts_sessionize,

@@ -1,0 +1,235 @@
+"""Percolator: reverse search — match INCOMING documents against a set of
+saved queries (the OpenSearch percolate query; operationally, the SIEM
+alerting shape: every saved investigation search evaluated against each
+new batch of transcript turns, no index required).
+
+Re-expression: each DQL query compiles ONCE to a pure Spark Column
+predicate over the frozen-analyzer token array —
+``array_contains`` for terms, boolean algebra for bool trees,
+``exists``-over-positions chains for exact phrases and phrase prefixes,
+``LIKE`` / ``levenshtein`` / ``rlike`` exists-scans for
+wildcard/fuzzy/regexp (no dictionary: the doc's own tokens are the
+candidate set — semantically identical to dictionary expansion because
+a term matching the pattern matches it whether or not it is in a
+dictionary), and keyword/ts predicates for DQL field filters.  The
+whole evaluation is JVM whole-stage-codegen — no Python in the per-row
+path — so percolating N queries over a batch is one projection pass.
+
+Sloppy phrases are refused (their float frequency needs the positional
+sweep; membership via slop windows is expressible but deliberately out
+of percolation scope — loud, not divergent).  minimum_should_match is
+honored via ``AtLeast``.
+
+Scale shape: tokenize once per row (shared subexpression across
+queries), each query a boolean column; the explode to (doc, query_name)
+rows emits only matches.  Streaming-safe: the predicate columns work
+unchanged under ``readStream`` micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import analysis as _analysis
+from ..plans.query import (
+    And,
+    AtLeast,
+    FieldFilter,
+    Fuzzy,
+    MultiPhrase,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    PhrasePrefix,
+    Regexp,
+    Term,
+    Wildcard,
+    parse,
+    wildcard_to_like,
+)
+
+
+def tokens_col(text: Column) -> Column:
+    """Frozen-analyzer token array (truncate -> lowercase -> word runs) —
+    the identical expression the SQL oracles' ``tok`` CTE uses."""
+    from .search import _truncate_text_col
+
+    return F.filter(
+        F.split(
+            F.lower(F.coalesce(_truncate_text_col(text), F.lit(""))),
+            _analysis.SQL_SPLIT_RE,
+        ),
+        lambda x: x != "",
+    )
+
+
+def _positions(toks: Column, pred) -> Column:
+    """0-based positions (as a long array) of tokens satisfying ``pred``."""
+    idx = F.transform(toks, lambda x, i: F.when(pred(x), i).otherwise(F.lit(-1)))
+    return F.filter(idx, lambda p: p >= 0)
+
+
+def _slots_predicate(toks: Column, slot_preds: list) -> Column:
+    """Exact-adjacency membership over per-slot token predicates:
+    EXISTS p in positions(slot0) with p+i in positions(slot_i) for all i
+    — the MultiPhrase/Phrase match condition without an index."""
+    pos = [_positions(toks, sp) for sp in slot_preds]
+
+    def chain(p):
+        cond = F.lit(True)
+        for i in range(1, len(pos)):
+            cond = cond & F.array_contains(pos[i], p + i)
+        return cond
+
+    return F.exists(pos[0], chain)
+
+
+def _escape_like(term_like: str) -> Column:
+    return F.lit(term_like)
+
+
+def compile_predicate(query: str) -> "callable":
+    """Compile a DQL query to ``f(toks, role, tool, ts) -> Column``
+    (boolean).  Raises on sloppy phrases."""
+    ast = parse(query)
+
+    def field_cond(ff: FieldFilter, role, tool, ts) -> Column:
+        if ff.field in ("ts_min", "ts_max"):
+            return (ts >= F.lit(ff.value)) if ff.field == "ts_min" else (ts <= F.lit(ff.value))
+        col = {"role": role, "tool": tool}[ff.field]
+        if ff.value is None:
+            return col.isNotNull()
+        if isinstance(ff.value, tuple):
+            return col.isin(list(ff.value))
+        return col == ff.value
+
+    def walk(n: Node, toks, role, tool, ts) -> Column:
+        if isinstance(n, Term):
+            return F.array_contains(toks, n.term)
+        if isinstance(n, Phrase):
+            if n.slop > 0:
+                raise NotImplementedError(
+                    "percolate: sloppy phrases are out of scope (index-side "
+                    "search_df supports them)"
+                )
+            return _slots_predicate(
+                toks, [(lambda t: (lambda x: x == F.lit(t)))(t) for t in n.terms]
+            )
+        if isinstance(n, PhrasePrefix):
+            preds = [
+                (lambda t: (lambda x: x == F.lit(t)))(t) for t in n.terms[:-1]
+            ] + [(lambda p: (lambda x: x.startswith(p)))(n.terms[-1])]
+            return _slots_predicate(toks, preds)
+        if isinstance(n, MultiPhrase):  # pragma: no cover — parse never emits
+            raise TypeError("MultiPhrase is a post-expansion node")
+        if isinstance(n, Wildcard):
+            like, _ = wildcard_to_like(n.pattern)
+            return F.exists(
+                toks, lambda x: F.like(x, F.lit(like), F.lit("\\"))
+            )
+        if isinstance(n, Fuzzy):
+            e = n.max_edits
+            t = F.lit(n.term)
+            return F.exists(
+                toks,
+                lambda x: (F.abs(F.length(x) - F.length(t)) <= e)
+                & (F.levenshtein(x, t) <= e),
+            )
+        if isinstance(n, Regexp):
+            return F.exists(toks, lambda x: x.rlike(f"^(?:{n.pattern})$"))
+        if isinstance(n, FieldFilter):
+            return field_cond(n, role, tool, ts)
+        if isinstance(n, And):
+            out = F.lit(True)
+            for c in n.children:
+                out = out & walk(c, toks, role, tool, ts)
+            return out
+        if isinstance(n, Or):
+            out = F.lit(False)
+            for c in n.children:
+                out = out | walk(c, toks, role, tool, ts)
+            return out
+        if isinstance(n, AtLeast):
+            total = F.lit(0)
+            for c in n.children:
+                total = total + walk(c, toks, role, tool, ts).cast("int")
+            return total >= n.m
+        if isinstance(n, Not):
+            # percolation is per-document membership; NOT is plain
+            # negation (no coverage constraint — there is no index)
+            return ~walk(n.child, toks, role, tool, ts)
+        raise TypeError(n)
+
+    return lambda toks, role, tool, ts: walk(ast, toks, role, tool, ts)
+
+
+def percolate_df(
+    df: DataFrame,
+    queries: dict[str, str],
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Match every row of a transcript-shaped DataFrame against every
+    saved query: returns (id_cols..., query_name) rows, one per
+    (document, matching query), ordered for stable comparison.  Works
+    identically on a streaming DataFrame (drop the orderBy downstream)."""
+    if not queries:
+        raise ValueError("percolate: no queries")
+    toks = tokens_col(F.col(text_col))
+    role, tool, ts = F.col("role"), F.col("tool"), F.col("ts")
+    flags = [
+        compile_predicate(q)(toks, role, tool, ts).alias(name)
+        for name, q in sorted(queries.items())
+    ]
+    wide = df.select(*id_cols, *flags)
+    names = sorted(queries)
+    pairs = F.array(
+        *[
+            F.when(F.col(n), F.lit(n)).otherwise(F.lit(None))
+            for n in names
+        ]
+    )
+    out = wide.select(
+        *id_cols,
+        F.explode(F.filter(pairs, lambda x: x.isNotNull())).alias("query_name"),
+    )
+    return out
+
+
+def percolate_sql(path: str, queries: dict[str, str]) -> str:
+    """DuckDB statement mirroring ``percolate_df`` over the raw corpus
+    parquet: one match-set subquery per saved query (each with its own
+    CTE scope), UNION ALL'd with the query name attached."""
+    from . import sqloracle as _sq
+    from ..plans.query import extract_filters
+
+    parts = []
+    for name in sorted(queries):
+        q = queries[name]
+        ast, dqlf = extract_filters(parse(q), q)
+        leaves: list[Node] = []
+
+        def collect(n: Node) -> None:
+            if isinstance(n, _sq.LEAVES):
+                if n not in leaves:
+                    leaves.append(n)
+            elif isinstance(n, (And, Or, AtLeast)):
+                for c in n.children:
+                    collect(c)
+            elif isinstance(n, Not):
+                collect(n.child)
+
+        collect(ast)
+        fsql = _sq._filters_sql(dqlf)
+        where = f"{fsql.replace(' WHERE ', ' WHERE (')})" if fsql else ""
+        parts.append(
+            f"SELECT conv_id, turn_idx, '{name}' AS query_name FROM (\n"
+            f"WITH RECURSIVE {_sq._base_ctes(path)},\n"
+            f"{_sq._leaf_ctes(leaves)},\n"
+            f"combined AS ({_sq._combine_sql(ast, leaves)})\n"
+            f"SELECT d.conv_id, d.turn_idx FROM d JOIN combined USING (docid){where}\n"
+            f")"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY conv_id, turn_idx, query_name"

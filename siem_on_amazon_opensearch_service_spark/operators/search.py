@@ -2233,6 +2233,34 @@ def match_agg_df(
     return agg(matched)
 
 
+def terms_enum_df(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    n: int = 10,
+    by_df: bool = True,
+) -> DataFrame:
+    """The OpenSearch ``_terms_enum`` API (field-value autocomplete):
+    dictionary terms with the given prefix — by descending doc frequency
+    (term asc tie-break) when ``by_df``, else plain dictionary order
+    (the _terms_enum default).  A pure dictionary range scan: the dict
+    parquet is term-sorted within files, so zonemaps prune to the
+    matching region — O(prefix region), never O(vocabulary)."""
+    pfx = prefix.lower()
+    if not pfx:
+        raise ValueError("terms_enum: empty prefix")
+    hi = pfx[:-1] + chr(ord(pfx[-1]) + 1)
+    d = (
+        spark.read.parquet(os.path.join(index_dir, "dict"))
+        .select("term", "df")
+        .filter((F.col("term") >= pfx) & (F.col("term") < hi))
+    )
+    order = (
+        [F.col("df").desc(), F.col("term").asc()] if by_df else [F.col("term").asc()]
+    )
+    return d.orderBy(*order).limit(n)
+
+
 def significant_text_df(
     spark: SparkSession,
     index_dir: str,

@@ -620,3 +620,15 @@ FROM fg JOIN bg USING (term) CROSS JOIN tot
 WHERE fg_cnt >= {int(min_doc_count)}
   AND CAST(fg_cnt AS DOUBLE) / subset_size > CAST(bg_cnt AS DOUBLE) / superset_size
 ORDER BY score_r DESC, term ASC LIMIT {int(n)}"""
+
+
+def terms_enum_sql(path: str, prefix: str, n: int = 10, by_df: bool = True) -> str:
+    """DuckDB statement for ``terms_enum_df``: dictionary region = the
+    corpus's distinct terms with the prefix, df = docs containing."""
+    pfx = prefix.lower()
+    hi = pfx[:-1] + chr(ord(pfx[-1]) + 1)
+    order = "df DESC, term ASC" if by_df else "term ASC"
+    return f"""WITH {_base_ctes(path)}
+SELECT term, count(DISTINCT docid) AS df FROM tok
+WHERE term >= {_q(pfx)} AND term < {_q(hi)}
+GROUP BY term ORDER BY {order} LIMIT {int(n)}"""

@@ -1,0 +1,175 @@
+"""Percolator (reverse search): saved DQL queries compiled to pure column
+predicates over the frozen-analyzer token array, matched against raw
+transcript rows — engine vs the per-query SQL-oracle union, plus the
+reference saved-search tie-in and streaming-plan compatibility."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+    compile_predicate,
+    percolate_df,
+    percolate_sql,
+    tokens_col,
+)
+
+QUERIES = {
+    "err_timeout": "error AND timeout",
+    "reset_phrase": '"connection reset"',
+    "assistant_err": "error AND role:assistant",
+    "w_prefix": "w0004*",
+    "fuzzy_req": "request~1",
+    "pp": '"connection re"*',
+    "msm_or": "timeout OR refused OR denied",
+    "not_q": "error AND NOT timeout",
+    "regex": "/time(out|r)/",
+    "ts_gate": "error AND ts>=2025-06-05T00:00:00",
+}
+
+
+@pytest.fixture(scope="module")
+def parquet(tmp_path_factory, tiny_corpus_pdf):
+    p = str(tmp_path_factory.mktemp("perc") / "corpus.parquet")
+    tiny_corpus_pdf.to_parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def tdf(spark, tiny_corpus_pdf):
+    return spark.createDataFrame(tiny_corpus_pdf)
+
+
+class TestPercolate:
+    def test_engine_matches_sql_oracle(self, tdf, parquet):
+        got = [
+            (r["conv_id"], int(r["turn_idx"]), r["query_name"])
+            for r in percolate_df(tdf, QUERIES)
+            .orderBy("conv_id", "turn_idx", "query_name")
+            .collect()
+        ]
+        exp = [
+            (a, int(b), c)
+            for a, b, c in duckdb.sql(percolate_sql(parquet, QUERIES)).fetchall()
+        ]
+        assert got == exp and len(got) > 100
+
+    def test_matches_equal_index_match_sets(self, tdf, tiny_index, spark):
+        """Percolation of a query == the index-side match set of the same
+        query (two completely different evaluation strategies)."""
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            match_docids_df,
+        )
+
+        for q in ["error AND timeout", '"connection reset"', "w0004*"]:
+            perc = percolate_df(tdf, {"q": q})
+            docs = spark.read.parquet(os.path.join(tiny_index[0], "docs"))
+            perc_ids = {
+                (r["conv_id"], r["turn_idx"]) for r in perc.collect()
+            }
+            idx_ids = {
+                (r["conv_id"], r["turn_idx"])
+                for r in docs.join(
+                    match_docids_df(spark, tiny_index[0], q), "docid", "left_semi"
+                ).collect()
+            }
+            assert perc_ids == idx_ids, q
+
+    def test_nested_field_filter_allowed(self, tdf):
+        """Index search restricts filters to top-level AND; percolation has
+        no such constraint — OR over field filters evaluates directly."""
+        n = percolate_df(tdf, {"q": "error AND (role:assistant OR tool:bash)"}).count()
+        a = percolate_df(tdf, {"q": "error AND role:assistant"}).count()
+        b = percolate_df(tdf, {"q": "error AND tool:bash"}).count()
+        assert 0 < max(a, b) <= n <= a + b
+
+    def test_sloppy_refused(self, tdf):
+        with pytest.raises(NotImplementedError, match="sloppy"):
+            percolate_df(tdf, {"q": '"connection reset"~2'}).count()
+
+    def test_streaming_plan_builds(self, spark, tiny_corpus_pdf, tmp_path):
+        src = str(tmp_path / "stream_src")
+        tiny_corpus_pdf.head(500).to_parquet(src + ".parquet")
+        os.makedirs(src, exist_ok=True)
+        os.rename(src + ".parquet", os.path.join(src, "part.parquet"))
+        sdf = (
+            spark.readStream.schema(
+                spark.createDataFrame(tiny_corpus_pdf.head(2)).schema
+            ).parquet(src)
+        )
+        out = percolate_df(sdf, {"q": "error AND timeout"})
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("perc_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT count(*) c FROM perc_stream").collect()[0]["c"]
+        batch = percolate_df(
+            spark.createDataFrame(tiny_corpus_pdf.head(500)), {"q": "error AND timeout"}
+        ).count()
+        assert rows == batch
+
+    def test_tokens_col_matches_frozen_analyzer(self, tdf, tiny_corpus_pdf):
+        from siem_on_amazon_opensearch_service_spark.functions.analysis import tokenize
+
+        rows = (
+            tdf.select("conv_id", "turn_idx", tokens_col(F.col("text")).alias("t"))
+            .orderBy("conv_id", "turn_idx")
+            .limit(50)
+            .collect()
+        )
+        src = tiny_corpus_pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        for r, (_, s) in zip(rows, src.iterrows()):
+            assert list(r["t"]) == tokenize(s["text"])
+
+
+REF_SAVED = "/root/reference/source/saved_objects"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SAVED), reason="reference not present")
+class TestReferenceSavedSearchPercolation:
+    def test_compiled_saved_searches_percolate(self, tdf):
+        """The saved-search compiler's DQL output percolates directly —
+        the reference's saved investigations as streaming alert rules."""
+        import json
+
+        from siem_on_amazon_opensearch_service_spark.plans.savedsearch import (
+            compile_search_source,
+        )
+
+        field_map = {"event.outcome": "role", "user.name": "tool"}
+        compiled: dict[str, str] = {}
+        base = os.path.join(REF_SAVED, "each-indexpattern-search")
+        for fn in sorted(os.listdir(base))[:40]:
+            for line in open(os.path.join(base, fn)):
+                try:
+                    obj = json.loads(line)
+                    ss = json.loads(
+                        obj["attributes"]["kibanaSavedObjectMeta"]["searchSourceJSON"]
+                    )
+                    dql = compile_search_source(ss, field_map=field_map)
+                except Exception:
+                    continue
+                if dql:
+                    try:
+                        # only queries on mapped/engine fields percolate;
+                        # others parse-fail (unknown field) — skip those
+                        compile_predicate(dql)
+                    except (ValueError, NotImplementedError):
+                        continue
+                    compiled[f"q{len(compiled)}"] = dql
+                if len(compiled) >= 5:
+                    break
+            if len(compiled) >= 5:
+                break
+        if not compiled:
+            pytest.skip("no compilable saved searches in sample")
+        # values reference fields/terms absent from the synthetic corpus —
+        # the assertion is that compilation + percolation RUN end-to-end
+        percolate_df(tdf, compiled).count()
