@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from .functions.analysis import SQL_SPLIT_RE
 from .operators import aggs
-from .operators import percolate, dedup, sampling, search, similarity, sqloracle, textstats
+from .operators import percolate, dedup, relevance, sampling, search, similarity, sqloracle, textstats
 from .operators.build import build_index
 from .sources import transcripts as tsrc
 
@@ -403,6 +403,91 @@ BM25_QUERIES: dict[str, dict] = {
     "bm25_phrase_prefix": {"query": '"connection re"*', "k": 10},
     "bm25_phrase_prefix_and": {"query": '"connection re"* AND error', "k": 10},
 }
+
+
+# ---------------------------------------------------------------------------
+# r4d: function_score / rescore / rank_eval specs (operators/relevance.py).
+# One literal spec per row, shared verbatim by the Spark plan and the SQL
+# oracle so every derived constant (sigma^2, DCG coefficients, IDCG) is the
+# same double on both sides.
+
+FS_RECENCY = {
+    "query": "error OR timeout",
+    "k": 10,
+    "functions": [{
+        "kind": "gauss", "field": "ts", "origin": "2025-06-15T00:00:00",
+        "scale": 7 * 86400.0, "offset": 86400.0, "decay": 0.5,
+    }],
+}
+FS_FACTOR = {
+    "query": "error AND timeout",
+    "k": 10,
+    "functions": [{
+        "kind": "field_value_factor", "field": "turn_idx",
+        "factor": 0.5, "modifier": "sqrt", "missing": 1.0,
+    }],
+    "boost_mode": "sum",
+}
+FS_RANDOM = {
+    "query": "timeout",
+    "k": 10,
+    "functions": [{"kind": "random", "seed": 20250817}],
+    "boost_mode": "replace",
+}
+RESCORE_SPEC = {
+    "query": "error",
+    "rescore_query": '"connection reset"',
+    "k": 10,
+    "window_size": 50,
+    "query_weight": 1.0,
+    "rescore_weight": 2.0,
+}
+# graded judgments over the sf0.01 'error' ranking (ranks 1/4/8/10 relevant
+# + one rated doc the query never retrieves, so recall < 1)
+RANK_EVAL_SPEC = {
+    "query": "error",
+    "ratings": {6869: 2, 14721: 1, 11479: 2, 9720: 1, 999999: 3},
+    "k": 10,
+}
+
+
+def _fs(spec: dict):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        idx = ensure_index(spark, _sf_label(sf_dir))
+        out = relevance.function_score_df(
+            spark, idx, spec["query"], k=spec["k"],
+            functions=spec["functions"],
+            score_mode=spec.get("score_mode", "multiply"),
+            boost_mode=spec.get("boost_mode", "multiply"),
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+        )
+
+    return run
+
+
+def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch rescore: re-rank the base query's top-50 window by
+    base + 2x phrase score (operators/relevance.py)."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = relevance.rescore_df(spark, idx, **RESCORE_SPEC)
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
+def q_bm25_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch _rank_eval: precision/recall/MRR/NDCG@10 for graded
+    judgments against the 'error' ranking."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    return relevance.rank_eval_df(
+        spark, idx, RANK_EVAL_SPEC["query"], RANK_EVAL_SPEC["ratings"],
+        k=RANK_EVAL_SPEC["k"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1414,6 +1499,23 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_filter_negated_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "error AND NOT role:assistant", k=10
     )
+    # r4d: score-rewriting layer (operators/relevance.py)
+    for nm, spec in (
+        ("bm25_function_score_recency", FS_RECENCY),
+        ("bm25_function_score_factor", FS_FACTOR),
+        ("bm25_random_score", FS_RANDOM),
+    ):
+        bm[nm] = relevance.function_score_sql(
+            ORACLE_TRANSCRIPTS, spec["query"], k=spec["k"],
+            functions=spec["functions"],
+            score_mode=spec.get("score_mode", "multiply"),
+            boost_mode=spec.get("boost_mode", "multiply"),
+        )
+    bm["bm25_rescore"] = relevance.rescore_sql(ORACLE_TRANSCRIPTS, **RESCORE_SPEC)
+    bm["bm25_rank_eval"] = relevance.rank_eval_sql(
+        ORACLE_TRANSCRIPTS, RANK_EVAL_SPEC["query"],
+        RANK_EVAL_SPEC["ratings"], k=RANK_EVAL_SPEC["k"],
+    )
 
     rel = {
         "events_terms_topn": (
@@ -1972,6 +2074,11 @@ def queries_map() -> dict:
     q["bm25_sloppy_warm"] = _bm25_warm('"connection reset"~2', 10)
     q["bm25_phrase_prefix_warm"] = _bm25_warm('"connection re"*', 10)
     q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)
+    q["bm25_function_score_recency"] = _fs(FS_RECENCY)
+    q["bm25_function_score_factor"] = _fs(FS_FACTOR)
+    q["bm25_random_score"] = _fs(FS_RANDOM)
+    q["bm25_rescore"] = q_bm25_rescore
+    q["bm25_rank_eval"] = q_bm25_rank_eval
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,

@@ -464,3 +464,196 @@ def auto_date_histogram(
         .withColumn("interval_sec", F.lit(interval))
         .orderBy("bucket")
     )
+
+
+def median_absolute_deviation(df: DataFrame, field: str) -> DataFrame:
+    """OpenSearch ``median_absolute_deviation``: median(|x - median(x)|).
+
+    ES computes both medians on a TDigest sketch; the exact interpolated
+    median (SQL quantile_cont arithmetic) is this engine's frozen
+    contract.  Two aggregation passes; the 1-row median frame joins back
+    by broadcast-able cross join, so the second pass stays one
+    partial+final aggregate with no extra shuffle of the data."""
+    c = F.col(field).cast("double")
+    med = df.agg(F.percentile(c, 0.5).alias("_med"))
+    dev = df.crossJoin(F.broadcast(med)).select(
+        F.abs(c - F.col("_med")).alias("_dev")
+    )
+    return dev.agg(F.round(F.percentile(F.col("_dev"), 0.5), 6).alias("mad_r"))
+
+
+def top_metrics(
+    df: DataFrame, sort_field: str, metric_fields: list[str], desc: bool = True,
+    n: int = 1,
+) -> DataFrame:
+    """OpenSearch ``top_metrics``: the metric fields of the top-``n`` rows
+    by ``sort_field`` (e.g. 'the value at the latest timestamp').  Ties
+    break on the metric fields ascending so the page is deterministic —
+    a TakeOrdered, no full sort."""
+    order = [F.col(sort_field).desc() if desc else F.col(sort_field).asc()]
+    order += [F.col(f).asc() for f in metric_fields]
+    return df.select(sort_field, *metric_fields).orderBy(*order).limit(n)
+
+
+def stats_bucket(
+    df: DataFrame, ts: str = "ts", interval: str = "day",
+    metric: Column | None = None,
+) -> DataFrame:
+    """OpenSearch ``stats_bucket`` pipeline agg: count/min/max/avg/sum over
+    a date_histogram's bucket metrics, one row out."""
+    per = date_histogram(df, ts, interval, [
+        (metric if metric is not None else F.count("*")).alias("m")
+    ])
+    return per.agg(
+        F.count("m").alias("n_buckets"),
+        F.min("m").alias("min_m"),
+        F.max("m").alias("max_m"),
+        F.round(F.avg("m"), 6).alias("avg_m_r"),
+        F.sum("m").alias("sum_m"),
+    )
+
+
+def cumulative_cardinality(
+    df: DataFrame, ts: str = "ts", interval: str = "day", field: str = "user_id"
+) -> DataFrame:
+    """OpenSearch ``cumulative_cardinality`` pipeline agg: distinct count
+    of ``field`` accumulated across date_histogram buckets ("new users
+    per day" when differenced).
+
+    Scale shape: a windowed COUNT(DISTINCT) would hold per-bucket state;
+    instead each key contributes only its FIRST bucket (min-aggregate per
+    key — partial-aggregated, one shuffle at distinct-key volume), the
+    per-bucket first-seen counts cum-sum over the tiny bucket frame, and
+    a left join onto the bucket spine carries the running total forward."""
+    bucket = F.date_trunc(interval, F.col(ts)).alias("bucket")
+    buckets = df.groupBy(bucket).agg(F.count("*").alias("cnt"))
+    firsts = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(F.min(F.date_trunc(interval, F.col(ts))).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("first_seen"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    joined = buckets.join(firsts, "bucket", "left").withColumn(
+        "cum_cardinality",
+        F.sum(F.coalesce(F.col("first_seen"), F.lit(0))).over(w),
+    )
+    return joined.select("bucket", "cnt", "cum_cardinality").orderBy("bucket")
+
+
+def sampler_terms(
+    df: DataFrame, id_field: str, field: str, shard_size: int = 100, n: int = 10
+) -> DataFrame:
+    """OpenSearch ``sampler`` agg + nested terms: run the terms agg over a
+    bounded sample of docs.  ES samples the best-scoring shard_size docs
+    per shard; with no scoring context this engine freezes a
+    deterministic variant — the ``shard_size`` docs with the lowest
+    md5(id) (a uniform, engine-independent hash order), so the oracle
+    reproduces the exact sample."""
+    sample = (
+        df.withColumn("_h", F.md5(F.col(id_field).cast("string")))
+        .orderBy(F.col("_h").asc(), F.col(id_field).asc())
+        .limit(shard_size)
+    )
+    return terms_topn(sample, field, n=n)
+
+
+def missing_agg(df: DataFrame, field: str) -> DataFrame:
+    """OpenSearch ``missing`` agg: docs without a value for the field."""
+    return df.agg(
+        F.count(F.when(F.col(field).isNull(), 1)).alias("missing_cnt")
+    )
+
+
+def bucket_sort(
+    df: DataFrame, ts: str = "ts", interval: str = "day",
+    by: str = "cnt", desc: bool = True, size: int = 5, offset: int = 0,
+) -> DataFrame:
+    """OpenSearch ``bucket_sort`` pipeline agg: reorder/truncate a
+    date_histogram's buckets by a metric (the "top 5 busiest days"
+    dashboard shape).  Offset + limit over the bucket-count-sized frame."""
+    per = date_histogram(df, ts, interval)
+    order = [F.col(by).desc() if desc else F.col(by).asc(), F.col("bucket").asc()]
+    out = per.orderBy(*order)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(size)
+
+
+def normalize_agg(
+    df: DataFrame, ts: str = "ts", interval: str = "day"
+) -> DataFrame:
+    """OpenSearch ``normalize`` pipeline agg (percent_of_sum): each
+    bucket's share of the histogram total.  The total joins back as a
+    1-row broadcast, division exact in float64."""
+    per = date_histogram(df, ts, interval)
+    total = per.agg(F.sum("cnt").alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "bucket", "cnt",
+            F.round(100.0 * F.col("cnt") / F.col("_total"), 6).alias("pct_of_sum_r"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def moving_fn(
+    df: DataFrame, ts: str = "ts", interval: str = "day",
+    window_size: int = 3, how: str = "max",
+) -> DataFrame:
+    """OpenSearch ``moving_fn`` with the stock MovingFunctions
+    (max/min/sum/unweightedAvg) over a trailing bucket window; same
+    bucket-count-sized single-task window as moving_avg (see its
+    docstring for the scale argument)."""
+    per = date_histogram(df, ts, interval)
+    w = Window.orderBy("bucket").rowsBetween(-(window_size - 1), 0)
+    fn = {"max": F.max, "min": F.min, "sum": F.sum, "avg": F.avg}[how]
+    col = fn(F.col("cnt")).over(w)
+    if how == "avg":
+        col = F.round(col, 6)
+    return per.withColumn(f"mov_{how}", col).orderBy("bucket")
+
+
+def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
+    """OpenSearch ``matrix_stats``: per-field mean/variance plus pairwise
+    covariance and Pearson correlation.  ES's streaming estimator is
+    re-expressed with the naive sum formulas (cov = E[xy] - E[x]E[y]) so
+    the SQL oracle replicates the arithmetic; one partial+final aggregate
+    over sums of products, rows with any NULL field skipped (ES drops
+    incomplete documents)."""
+    cols = [F.col(f).cast("double") for f in fields]
+    ok = cols[0].isNotNull()
+    for c in cols[1:]:
+        ok = ok & c.isNotNull()
+    sums = [F.sum(F.when(ok, c)).alias(f"s_{i}") for i, c in enumerate(cols)]
+    sqs = [F.sum(F.when(ok, c * c)).alias(f"q_{i}") for i, c in enumerate(cols)]
+    prods = [
+        F.sum(F.when(ok, cols[i] * cols[j])).alias(f"p_{i}_{j}")
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    wide = df.agg(F.count(F.when(ok, 1)).alias("n"), *sums, *sqs, *prods)
+    n = F.col("n").cast("double")
+    out_cols = [F.col("n").alias("doc_count")]
+    for i, f in enumerate(fields):
+        mean = F.col(f"s_{i}") / n
+        var = F.col(f"q_{i}") / n - mean * mean
+        out_cols += [
+            F.round(mean, 6).alias(f"mean_{f}_r"),
+            F.round(var, 6).alias(f"variance_{f}_r"),
+        ]
+    for i in range(len(fields)):
+        for j in range(i + 1, len(fields)):
+            mi = F.col(f"s_{i}") / n
+            mj = F.col(f"s_{j}") / n
+            cov = F.col(f"p_{i}_{j}") / n - mi * mj
+            vi = F.col(f"q_{i}") / n - mi * mi
+            vj = F.col(f"q_{j}") / n - mj * mj
+            corr = cov / F.sqrt(vi * vj)
+            out_cols += [
+                F.round(cov, 6).alias(f"cov_{fields[i]}_{fields[j]}_r"),
+                F.round(corr, 6).alias(f"corr_{fields[i]}_{fields[j]}_r"),
+            ]
+    return wide.select(*out_cols)

@@ -1,0 +1,555 @@
+"""OpenSearch relevance-rewriting layer: function_score, rescore, rank_eval.
+
+The reference delegates every scoring feature to OpenSearch; these are the
+three score-level APIs users layer on top of its saved searches
+(``function_score`` recency decay on dashboards, ``rescore`` windows for
+precision tuning, ``_rank_eval`` for relevance regression tests).  Spark-first
+re-expression: the BM25 match set comes from ``search_df(k=None)`` (the full
+scored set, no sort), score rewriting is pure JVM column algebra over a docid
+join with the docs projection, and the page is a TakeOrdered top-k.
+
+Numeric contract (frozen, mirrored textually by the SQL oracles):
+
+* the query score is the engine's float32 BM25 score, widened to float64;
+* every function value is computed in float64; derived constants
+  (``2*sigma^2``, lambda, the pivot scale, DCG rank coefficients, IDCG) are
+  computed ONCE in Python and embedded as the *same* double literal in both
+  the Spark plan and the DuckDB SQL, so no transcendental function is ever
+  evaluated independently by the two engines unless unavoidable
+  (``gauss``/``exp`` decay evaluate ``exp`` engine-side; the result is cast
+  to float32 before combining to absorb last-ulp libm/JVM differences);
+* the combined score is cast to float32 once, then ranked
+  ``(score desc, docid asc)``.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.query import (
+    And,
+    AtLeast,
+    Node,
+    Not,
+    Or,
+    extract_filters,
+    merge_filters,
+    parse,
+)
+from .search import search_df
+from .sqloracle import LEAVES, _base_ctes, _combine_sql, _filters_sql, _leaf_ctes
+
+_HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# shared constants / leaf collection
+
+def ts_epoch(origin: str) -> float:
+    """Naive-UTC timestamp string -> epoch seconds (the corpus convention:
+    naive timestamps are UTC, matching the UTC Spark session and DuckDB's
+    naive TIMESTAMP epoch())."""
+    dt = datetime.fromisoformat(origin).replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def decay_constants(kind: str, scale: float, decay: float) -> dict:
+    """The decay family's derived constant, computed once in Python.
+
+    OpenSearch decay semantics: the function value is ``decay`` exactly at
+    distance ``scale`` past ``offset``.
+      linear: pivot = scale / (1 - decay);   v = max(0, (pivot - dist)/pivot)
+      exp:    lambda = ln(decay) / scale;    v = exp(lambda * dist)
+      gauss:  two_sigma2 = -scale^2 / ln(decay); v = exp(-dist^2 / two_sigma2)
+    """
+    if kind == "linear":
+        return {"pivot": scale / (1.0 - decay)}
+    if kind == "exp":
+        return {"lam": math.log(decay) / scale}
+    if kind == "gauss":
+        return {"two_sigma2": -(scale * scale) / math.log(decay)}
+    raise ValueError(f"unknown decay kind {kind!r}")
+
+
+def _collect_leaves(ast: Node) -> list[Node]:
+    leaves: list[Node] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, LEAVES):
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (And, Or, AtLeast)):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, Not):
+            walk(n.child)
+        else:  # pragma: no cover - parser guarantees the node set
+            raise TypeError(n)
+
+    walk(ast)
+    return leaves
+
+
+# ---------------------------------------------------------------------------
+# score functions: paired Column / SQL renderings
+
+def _dist(x, origin: float, offset: float, is_sql: bool):
+    if is_sql:
+        return f"greatest(abs({x} - {origin!r}) - {offset!r}, 0.0)"
+    return F.greatest(F.abs(x - F.lit(origin)) - F.lit(offset), F.lit(0.0))
+
+
+def decay_col(kind: str, x: Column, origin: float, scale: float,
+              offset: float, decay: float) -> Column:
+    c = decay_constants(kind, scale, decay)
+    d = _dist(x, origin, offset, is_sql=False)
+    if kind == "linear":
+        p = c["pivot"]
+        return F.greatest((F.lit(p) - d) / F.lit(p), F.lit(0.0))
+    if kind == "exp":
+        v = F.exp(F.lit(c["lam"]) * d)
+    else:  # gauss
+        v = F.exp(-(d * d) / F.lit(c["two_sigma2"]))
+    # float32 absorb: exp() is the one engine-evaluated transcendental
+    return v.cast("float").cast("double")
+
+
+def decay_sql(kind: str, x: str, origin: float, scale: float,
+              offset: float, decay: float) -> str:
+    c = decay_constants(kind, scale, decay)
+    d = _dist(x, origin, offset, is_sql=True)
+    if kind == "linear":
+        p = c["pivot"]
+        return f"greatest(({p!r} - {d}) / {p!r}, 0.0)"
+    if kind == "exp":
+        v = f"exp({c['lam']!r} * {d})"
+    else:
+        v = f"exp(-({d} * {d}) / {c['two_sigma2']!r})"
+    return f"CAST(CAST({v} AS FLOAT) AS DOUBLE)"
+
+
+def random_uniform_col(seed: int, docid: Column) -> Column:
+    """Deterministic uniform in [0, 1): the first 8 hex nibbles of
+    md5('seed:docid') as a 32-bit integer over 2^32.  Pure string+integer
+    arithmetic so Spark and DuckDB agree bit-for-bit (OpenSearch
+    random_score with a seed+field is likewise a deterministic hash)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), docid.cast("string")))
+    val = F.lit(0).cast("long")
+    for i in range(8):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - F.lit(1)
+        val = val + nib.cast("long") * F.lit(16 ** (7 - i))
+    return val.cast("double") / F.lit(float(2**32))
+
+
+def random_uniform_sql(seed: int, docid: str) -> str:
+    h = f"md5('{seed}:' || CAST({docid} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(CAST({terms} AS DOUBLE) / {float(2**32)!r})"
+
+
+def field_value_factor_col(field: Column, factor: float, modifier: str,
+                           missing: float) -> Column:
+    x = F.coalesce(field.cast("double"), F.lit(missing)) * F.lit(factor)
+    if modifier == "none":
+        return x
+    if modifier == "sqrt":  # IEEE-exact, identical cross-engine
+        return F.sqrt(x)
+    if modifier == "log1p":
+        return F.log1p(x).cast("float").cast("double")
+    raise ValueError(f"unknown modifier {modifier!r}")
+
+
+def field_value_factor_sql(field: str, factor: float, modifier: str,
+                           missing: float) -> str:
+    x = f"(COALESCE(CAST({field} AS DOUBLE), {missing!r}) * {factor!r})"
+    if modifier == "none":
+        return x
+    if modifier == "sqrt":
+        return f"sqrt({x})"
+    if modifier == "log1p":
+        return f"CAST(CAST(ln(1.0 + {x}) AS FLOAT) AS DOUBLE)"
+    raise ValueError(f"unknown modifier {modifier!r}")
+
+
+def _function_value(fn: dict, is_sql: bool):
+    """One function spec -> its float64 value (Column or SQL string).
+
+    Spec kinds (the OpenSearch function_score families that need no
+    script engine): ``linear``/``exp``/``gauss`` decay on a numeric or
+    ts field, ``field_value_factor``, ``random`` (seeded hash), and
+    ``weight`` (constant).  Every kind accepts a ``weight`` multiplier.
+    """
+    kind = fn["kind"]
+    w = float(fn.get("weight", 1.0))
+    if kind in ("linear", "exp", "gauss"):
+        field = fn.get("field", "ts")
+        origin = fn["origin"]
+        if isinstance(origin, str):
+            origin = ts_epoch(origin)
+        x = (
+            (f"epoch(d.{field})" if field == "ts" else f"CAST(d.{field} AS DOUBLE)")
+            if is_sql
+            else F.col(field).cast("double")
+        )
+        v = (decay_sql if is_sql else decay_col)(
+            kind, x, float(origin), float(fn["scale"]),
+            float(fn.get("offset", 0.0)), float(fn.get("decay", 0.5)),
+        )
+    elif kind == "field_value_factor":
+        field = fn["field"]
+        args = (float(fn.get("factor", 1.0)), fn.get("modifier", "none"),
+                float(fn.get("missing", 1.0)))
+        v = (
+            field_value_factor_sql(f"d.{field}", *args)
+            if is_sql
+            else field_value_factor_col(F.col(field), *args)
+        )
+    elif kind == "random":
+        seed = int(fn["seed"])
+        v = (
+            random_uniform_sql(seed, "c.docid")
+            if is_sql
+            else random_uniform_col(seed, F.col("docid"))
+        )
+    elif kind == "weight":
+        v = repr(1.0) if is_sql else F.lit(1.0)
+    else:
+        raise ValueError(f"unknown function kind {kind!r}")
+    if w != 1.0:
+        v = f"({v} * {w!r})" if is_sql else v * F.lit(w)
+    return v
+
+
+def _combine_functions(vals, score_mode: str, is_sql: bool):
+    if not vals:
+        return repr(1.0) if is_sql else F.lit(1.0)
+    if score_mode == "first":
+        return vals[0]
+    if is_sql:
+        if score_mode == "multiply":
+            out = vals[0]
+            for v in vals[1:]:
+                out = f"({out} * {v})"
+            return out
+        if score_mode == "sum":
+            return "(" + " + ".join(vals) + ")"
+        if score_mode == "avg":
+            return f"(({' + '.join(vals)}) / {float(len(vals))!r})"
+        if score_mode in ("max", "min"):
+            fn = "greatest" if score_mode == "max" else "least"
+            return f"{fn}({', '.join(vals)})"
+    else:
+        if score_mode == "multiply":
+            out = vals[0]
+            for v in vals[1:]:
+                out = out * v
+            return out
+        if score_mode == "sum":
+            out = vals[0]
+            for v in vals[1:]:
+                out = out + v
+            return out
+        if score_mode == "avg":
+            out = vals[0]
+            for v in vals[1:]:
+                out = out + v
+            return out / F.lit(float(len(vals)))
+        if score_mode in ("max", "min"):
+            fn = F.greatest if score_mode == "max" else F.least
+            return fn(*vals)
+    raise ValueError(f"unknown score_mode {score_mode!r}")
+
+
+def _boost_combine(s, fval, boost_mode: str, is_sql: bool):
+    if is_sql:
+        table = {
+            "multiply": f"({s} * {fval})",
+            "sum": f"({s} + {fval})",
+            "replace": fval,
+            "max": f"greatest({s}, {fval})",
+            "min": f"least({s}, {fval})",
+            "avg": f"(({s} + {fval}) / 2.0)",
+        }
+    else:
+        table = {
+            "multiply": s * fval,
+            "sum": s + fval,
+            "replace": fval,
+            "max": F.greatest(s, fval),
+            "min": F.least(s, fval),
+            "avg": (s + fval) / F.lit(2.0),
+        }
+    try:
+        return table[boost_mode]
+    except KeyError:
+        raise ValueError(f"unknown boost_mode {boost_mode!r}") from None
+
+
+# ---------------------------------------------------------------------------
+# function_score
+
+def function_score_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    *,
+    functions: list[dict],
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    **filt,
+) -> DataFrame:
+    """OpenSearch function_score: rewrite every matching doc's BM25 score
+    with decay / field-value / random functions, then top-k.
+
+    Plan shape: full scored match set (``search_df(k=None)`` — no sort)
+    joined on docid with the docs projection (only the fields the
+    functions read), the combined score as one JVM column expression, and
+    a TakeOrdered page.  The docid join is the only exchange beyond the
+    base query's own; at cluster scale both sides are docid-partitioned
+    parquet so AQE plans a shuffle-free sort-merge or broadcasts the
+    match set when the query is selective."""
+    import os
+
+    base = search_df(spark, index_dir, query, k=None, **filt)
+    fields = sorted(
+        {fn.get("field", "ts") for fn in functions if fn["kind"] != "random" and fn["kind"] != "weight"}
+    )
+    scored = base
+    if fields:
+        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("docid", *fields)
+        scored = base.join(docs, "docid")
+    vals = [_function_value(fn, is_sql=False) for fn in functions]
+    fval = _combine_functions(vals, score_mode, is_sql=False)
+    s = F.col("score").cast("double")
+    final = _boost_combine(s, fval, boost_mode, is_sql=False).cast("float")
+    out = scored.select("docid", final.alias("score"))
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def function_score_sql(
+    path: str,
+    query: str,
+    k: int = 10,
+    *,
+    functions: list[dict],
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    **kwargs,
+) -> str:
+    """DuckDB oracle for function_score_df: (docid BIGINT, score_r DOUBLE)."""
+    ast, dqlf = extract_filters(parse(query), query)
+    filt = merge_filters(query, dict(kwargs), dqlf)
+    leaves = _collect_leaves(ast)
+    fsql = _filters_sql(filt)
+    vals = [_function_value(fn, is_sql=True) for fn in functions]
+    fval = _combine_functions(vals, score_mode, is_sql=True)
+    final = _boost_combine("CAST(c.s AS DOUBLE)", fval, boost_mode, is_sql=True)
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)})
+SELECT docid, round(CAST(score AS DOUBLE), 3) AS score_r
+FROM (
+  SELECT c.docid, CAST({final} AS FLOAT) AS score
+  FROM combined c JOIN d USING (docid){fsql}
+  ORDER BY score DESC, c.docid ASC
+  LIMIT {k}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# rescore
+
+def rescore_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    rescore_query: str,
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    **filt,
+) -> DataFrame:
+    """OpenSearch rescore: re-rank the top ``window_size`` hits of the base
+    query by ``query_weight * base + rescore_weight * secondary`` (docs the
+    secondary query misses keep their base component — Lucene
+    QueryRescorer semantics), then return the top ``k``.
+
+    The secondary match set is cut down to the window by a broadcast semi
+    join (window_size docids), so the expensive side is touched once and
+    the final combine involves only window-sized frames."""
+    window = search_df(spark, index_dir, query, k=window_size, **filt)
+    second = search_df(spark, index_dir, rescore_query, k=None)
+    second = second.join(
+        F.broadcast(window.select("docid")), "docid"
+    ).withColumnRenamed("score", "score2")
+    combined = window.join(F.broadcast(second), "docid", "left")
+    total = (
+        F.col("score").cast("double") * F.lit(float(query_weight))
+        + F.coalesce(F.col("score2").cast("double"), F.lit(0.0))
+        * F.lit(float(rescore_weight))
+    ).cast("float")
+    out = combined.select("docid", total.alias("score"))
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def rescore_sql(
+    path: str,
+    query: str,
+    rescore_query: str,
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    **kwargs,
+) -> str:
+    """DuckDB oracle for rescore_df: (docid BIGINT, score_r DOUBLE)."""
+    ast1, dqlf = extract_filters(parse(query), query)
+    filt = merge_filters(query, dict(kwargs), dqlf)
+    ast2, dqlf2 = extract_filters(parse(rescore_query), rescore_query)
+    if any(v for v in dqlf2.values()):
+        raise NotImplementedError("rescore_query with DQL filters")
+    leaves = _collect_leaves(ast1)
+    for lf in _collect_leaves(ast2):
+        if lf not in leaves:
+            leaves.append(lf)
+    fsql = _filters_sql(filt)
+    qw, rw = float(query_weight), float(rescore_weight)
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+c1 AS ({_combine_sql(ast1, leaves)}),
+c2 AS ({_combine_sql(ast2, leaves)}),
+win AS (
+  SELECT c.docid, c.s
+  FROM c1 c JOIN d USING (docid){fsql}
+  ORDER BY c.s DESC, c.docid ASC
+  LIMIT {window_size}
+)
+SELECT docid, round(CAST(score AS DOUBLE), 3) AS score_r
+FROM (
+  SELECT w.docid,
+         CAST(CAST(w.s AS DOUBLE) * {qw!r}
+              + COALESCE(CAST(c2.s AS DOUBLE), 0.0) * {rw!r} AS FLOAT) AS score
+  FROM win w LEFT JOIN c2 USING (docid)
+  ORDER BY score DESC, w.docid ASC
+  LIMIT {k}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# rank_eval
+
+def _dcg_coefs(k: int) -> list[float]:
+    """1 / log2(rank + 1) for ranks 1..k, computed once in Python and
+    embedded as literals in BOTH engines (no transcendental divergence)."""
+    return [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+
+
+def ideal_dcg(ratings: dict[int, int], k: int) -> float:
+    coefs = _dcg_coefs(k)
+    rels = sorted((r for r in ratings.values() if r > 0), reverse=True)[:k]
+    return sum((2**rel - 1) * c for rel, c in zip(rels, coefs))
+
+
+def rank_eval_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    ratings: dict[int, int],
+    k: int = 10,
+    **filt,
+) -> DataFrame:
+    """OpenSearch _rank_eval over one request: precision@k, recall@k, MRR,
+    and NDCG@k for a query against graded relevance judgments.
+
+    ``ratings`` maps docid -> integer grade (0 = irrelevant).  Metrics
+    follow the _rank_eval module: precision divides by RETRIEVED count,
+    recall by the number of docs with grade > 0, MRR uses the first
+    ranked doc with grade > 0, NDCG uses gain ``2^grade - 1`` with the
+    rank coefficients embedded as shared literals (see _dcg_coefs).
+    Everything after the top-k page is k-row-sized arithmetic."""
+    from pyspark.sql.window import Window
+
+    hits = search_df(spark, index_dir, query, k=k, **filt)
+    w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+    ranked = hits.withColumn("rnk", F.row_number().over(w))
+    rated = spark.createDataFrame(
+        [(int(d), int(r)) for d, r in sorted(ratings.items())], "docid long, rel int"
+    )
+    j = ranked.join(F.broadcast(rated), "docid", "left").withColumn(
+        "rel", F.coalesce(F.col("rel"), F.lit(0))
+    )
+    coefs = _dcg_coefs(k)
+    coef = F.element_at(
+        F.array(*[F.lit(c) for c in coefs]), F.col("rnk").cast("int")
+    )
+    total_rel = sum(1 for r in ratings.values() if r > 0)
+    idcg = ideal_dcg(ratings, k)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("_hits"),
+        F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("_first"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0)) * coef
+        ).alias("_dcg"),
+    )
+    return agg.select(
+        F.round(F.col("_hits").cast("double") / F.col("_n"), 6).alias("precision_k"),
+        F.round(F.col("_hits").cast("double") / F.lit(float(total_rel)), 6).alias("recall_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("_first").cast("double"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(F.col("_dcg") / F.lit(float(idcg)), 6).alias("ndcg_k"),
+    )
+
+
+def rank_eval_sql(
+    path: str,
+    query: str,
+    ratings: dict[int, int],
+    k: int = 10,
+    **kwargs,
+) -> str:
+    """DuckDB oracle for rank_eval_df: one row
+    (precision_k, recall_k, mrr, ndcg_k), all DOUBLE rounded to 6."""
+    ast, dqlf = extract_filters(parse(query), query)
+    filt = merge_filters(query, dict(kwargs), dqlf)
+    leaves = _collect_leaves(ast)
+    fsql = _filters_sql(filt)
+    coefs = _dcg_coefs(k)
+    coef_list = ", ".join(repr(c) for c in coefs)
+    rated_rows = ", ".join(f"({int(d)}, {int(r)})" for d, r in sorted(ratings.items()))
+    total_rel = sum(1 for r in ratings.values() if r > 0)
+    idcg = ideal_dcg(ratings, k)
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)}),
+hits AS (
+  SELECT c.docid, c.s,
+         row_number() OVER (ORDER BY c.s DESC, c.docid ASC) AS rnk
+  FROM combined c JOIN d USING (docid){fsql}
+  ORDER BY c.s DESC, c.docid ASC
+  LIMIT {k}
+),
+rated(rdocid, rel) AS (VALUES {rated_rows}),
+coefs AS (SELECT unnest([{coef_list}]) AS coef,
+                 generate_subscripts([{coef_list}], 1) AS rnk),
+j AS (
+  SELECT h.rnk, COALESCE(r.rel, 0) AS rel, c.coef
+  FROM hits h
+  LEFT JOIN rated r ON r.rdocid = h.docid
+  JOIN coefs c USING (rnk)
+)
+SELECT round(CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS precision_k,
+       round(CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE) / {float(total_rel)!r}, 6) AS recall_k,
+       round(COALESCE(1.0 / min(CASE WHEN rel > 0 THEN rnk END), 0.0), 6) AS mrr,
+       round(sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * coef) / {float(idcg)!r}, 6) AS ndcg_k
+FROM j"""

@@ -342,17 +342,23 @@ def _expand_leaf(index_dir: str, leaf) -> list[str]:
     return [r[0] for r in rows]
 
 
-def _order_page(df: DataFrame, k: int, search_after: tuple | None) -> DataFrame:
+def _order_page(df: DataFrame, k: int | None, search_after: tuple | None) -> DataFrame:
     """Final (score desc, docid asc) page: with a ``search_after`` cursor
     (the OpenSearch deep-pagination API — (score, docid) of the previous
     page's last hit) only strictly-later rows survive, so concatenated
-    pages tile the full ranking without a growing offset."""
+    pages tile the full ranking without a growing offset.
+
+    ``k=None`` returns the ENTIRE scored match set, unordered — the
+    building block for score-rewriting wrappers (function_score decay,
+    rescore) that re-rank downstream and would waste a full sort here."""
     if search_after is not None:
         s, d = float(search_after[0]), int(search_after[1])
         df = df.filter(
             (F.col("score") < F.lit(s))
             | ((F.col("score") == F.lit(s)) & (F.col("docid") > F.lit(d)))
         )
+    if k is None:
+        return df
     return df.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
@@ -1682,7 +1688,7 @@ def search_df(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    k: int = 10,
+    k: int | None = 10,
     role: str | None = None,
     tool: str | None = None,
     ts_min=None,
@@ -1707,6 +1713,10 @@ def search_df(
     _expand_memo: dict | None = None,
 ) -> DataFrame:
     """Distributed BM25 top-k; returns DataFrame(docid long, score float).
+
+    ``k=None`` skips the final sort+limit and returns every matching
+    doc's score (unordered) — used by function_score / rescore, which
+    re-rank on a rewritten score downstream.
 
     The query string is full DQL: boolean/phrase plus ``role:``/``tool:``
     keyword filters (single value or ``role:(a OR b)`` is-one-of),
@@ -1786,7 +1796,7 @@ def search_df(
     prune = None
     # search_after disables score pruning: the cursor asks for docs BELOW
     # the top-k score frontier, exactly what theta pruning cuts
-    if k > 0 and search_after is None and "blk_first" in postings.columns:  # r2 format only
+    if k is not None and k > 0 and search_after is None and "blk_first" in postings.columns:  # r2 format only
         memo_key = (query, k, role, tool, str(ts_min), str(ts_max), role_exists,
                     tool_exists, role_not, tool_not, role_not_exists,
                     tool_not_exists, minimum_should_match, collapse)
@@ -1894,7 +1904,7 @@ def search_df(
             "filters": filters_d if (sharded_warm and _filter_mask_bc is None) else None,
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
-    elif _postings is not None and k > 0 and search_after is None and collapse is None:
+    elif _postings is not None and k is not None and k > 0 and search_after is None and collapse is None:
         # Warm multi-clause / phrase path (r4): shard-local fused
         # evaluation — ONE Python stage after a compressed-bytes
         # repartition on shard_min; handles every query shape including

@@ -1,0 +1,194 @@
+"""function_score / rescore / rank_eval: engine vs DuckDB oracle identity.
+
+Every assertion is a value-level comparison at the rounding the driver
+hash uses (3 dp for scores, 6 dp for rank_eval metrics)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.operators import relevance as rel
+from siem_on_amazon_opensearch_service_spark.operators.search import search_df
+
+
+@pytest.fixture(scope="module")
+def parquet(tmp_path_factory, tiny_corpus_pdf):
+    p = str(tmp_path_factory.mktemp("relevance") / "corpus.parquet")
+    tiny_corpus_pdf.to_parquet(p)
+    return p
+
+
+ORIGIN = "2025-06-15T00:00:00"
+WEEK = 7 * 86400.0
+
+
+def _engine_pairs(df):
+    rows = df.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("s")
+    ).collect()
+    return [(int(r["docid"]), float(r["s"])) for r in rows]
+
+
+def _oracle_pairs(sql):
+    return [(int(d), float(s)) for d, s in duckdb.sql(sql).fetchall()]
+
+
+class TestFunctionScore:
+    @pytest.mark.parametrize("kind", ["linear", "exp", "gauss"])
+    def test_decay_matches_oracle(self, spark, tiny_index, parquet, kind):
+        fns = [{"kind": kind, "field": "ts", "origin": ORIGIN,
+                "scale": WEEK, "offset": 86400.0, "decay": 0.5}]
+        got = _engine_pairs(
+            rel.function_score_df(spark, tiny_index[0], "error", k=15, functions=fns)
+        )
+        exp = _oracle_pairs(
+            rel.function_score_sql(parquet, "error", k=15, functions=fns)
+        )
+        assert got == exp, f"{kind} decay diverged"
+
+    def test_decay_value_spec(self, spark, tiny_index):
+        """At distance exactly `scale` past the offset the value is `decay`
+        (the OpenSearch decay contract), checked on the linear family via
+        a synthetic distance column."""
+        c = rel.decay_constants("linear", WEEK, 0.5)
+        assert c["pivot"] == WEEK / 0.5  # scale/(1-decay)
+        v = (c["pivot"] - WEEK) / c["pivot"]
+        assert abs(v - 0.5) < 1e-12
+
+    def test_boost_and_score_modes(self, spark, tiny_index, parquet):
+        fns = [
+            {"kind": "linear", "field": "ts", "origin": ORIGIN,
+             "scale": WEEK, "decay": 0.5, "weight": 2.0},
+            {"kind": "field_value_factor", "field": "turn_idx",
+             "factor": 0.5, "modifier": "sqrt", "missing": 1.0},
+        ]
+        for score_mode in ("multiply", "sum", "max", "avg"):
+            for boost_mode in ("multiply", "sum", "replace"):
+                got = _engine_pairs(rel.function_score_df(
+                    spark, tiny_index[0], "error AND timeout", k=10,
+                    functions=fns, score_mode=score_mode, boost_mode=boost_mode,
+                ))
+                exp = _oracle_pairs(rel.function_score_sql(
+                    parquet, "error AND timeout", k=10,
+                    functions=fns, score_mode=score_mode, boost_mode=boost_mode,
+                ))
+                assert got == exp, (score_mode, boost_mode)
+
+    def test_random_score_deterministic_and_matches(self, spark, tiny_index, parquet):
+        fns = [{"kind": "random", "seed": 42}]
+        a = _engine_pairs(rel.function_score_df(
+            spark, tiny_index[0], "timeout", k=12, functions=fns,
+            boost_mode="replace",
+        ))
+        b = _engine_pairs(rel.function_score_df(
+            spark, tiny_index[0], "timeout", k=12, functions=fns,
+            boost_mode="replace",
+        ))
+        assert a == b  # seeded: stable across runs
+        exp = _oracle_pairs(rel.function_score_sql(
+            parquet, "timeout", k=12, functions=fns, boost_mode="replace",
+        ))
+        assert a == exp
+
+    def test_filters_carry_through(self, spark, tiny_index, parquet):
+        fns = [{"kind": "linear", "field": "ts", "origin": ORIGIN,
+                "scale": WEEK, "decay": 0.5}]
+        got = _engine_pairs(rel.function_score_df(
+            spark, tiny_index[0], "role:assistant AND error", k=10, functions=fns,
+        ))
+        exp = _oracle_pairs(rel.function_score_sql(
+            parquet, "role:assistant AND error", k=10, functions=fns,
+        ))
+        assert got == exp
+
+    def test_no_functions_is_plain_bm25(self, spark, tiny_index):
+        got = _engine_pairs(rel.function_score_df(
+            spark, tiny_index[0], "error", k=10, functions=[],
+        ))
+        base = _engine_pairs(search_df(spark, tiny_index[0], "error", k=10))
+        assert got == base
+
+
+class TestScoreAll:
+    def test_k_none_returns_full_match_set(self, spark, tiny_index):
+        full = search_df(spark, tiny_index[0], "error", k=None)
+        n = full.count()
+        top = search_df(spark, tiny_index[0], "error", k=n + 10)
+        assert n == top.count()
+        # same (docid, score) multiset
+        a = sorted(_engine_pairs(full))
+        b = sorted(_engine_pairs(top))
+        assert a == b
+
+
+class TestRescore:
+    def test_rescore_matches_oracle(self, spark, tiny_index, parquet):
+        got = _engine_pairs(rel.rescore_df(
+            spark, tiny_index[0], "error", '"connection reset"',
+            k=10, window_size=40, query_weight=1.0, rescore_weight=2.0,
+        ))
+        exp = _oracle_pairs(rel.rescore_sql(
+            parquet, "error", '"connection reset"',
+            k=10, window_size=40, query_weight=1.0, rescore_weight=2.0,
+        ))
+        assert got == exp
+
+    def test_window_restricts_candidates(self, spark, tiny_index):
+        """A doc outside the base top-window can never appear, however well
+        it scores on the rescore query (Lucene QueryRescorer semantics)."""
+        win = _engine_pairs(search_df(spark, tiny_index[0], "error", k=5))
+        win_ids = {d for d, _ in win}
+        out = _engine_pairs(rel.rescore_df(
+            spark, tiny_index[0], "error", "timeout", k=5, window_size=5,
+            rescore_weight=100.0,
+        ))
+        assert {d for d, _ in out} <= win_ids
+
+    def test_zero_rescore_weight_keeps_base_order(self, spark, tiny_index):
+        base = _engine_pairs(search_df(spark, tiny_index[0], "error", k=10))
+        out = _engine_pairs(rel.rescore_df(
+            spark, tiny_index[0], "error", "timeout", k=10, window_size=50,
+            rescore_weight=0.0,
+        ))
+        assert out == base
+
+
+class TestRankEval:
+    def _ratings(self, spark, tiny_index):
+        hits = _engine_pairs(search_df(spark, tiny_index[0], "error", k=10))
+        ids = [d for d, _ in hits]
+        # grade a mix: 2 highly relevant, 2 partial, rest unrated; plus a
+        # rated doc the query never returns (recall < 1)
+        return {ids[0]: 2, ids[3]: 1, ids[7]: 2, ids[5]: 1, 10**6: 3}
+
+    def test_metrics_match_oracle(self, spark, tiny_index, parquet):
+        ratings = self._ratings(spark, tiny_index)
+        got = rel.rank_eval_df(spark, tiny_index[0], "error", ratings, k=10).collect()[0]
+        exp = duckdb.sql(rel.rank_eval_sql(parquet, "error", ratings, k=10)).fetchall()[0]
+        for g, e in zip([got[c] for c in ("mrr", "ndcg_k", "precision_k", "recall_k")],
+                        [exp[2], exp[3], exp[0], exp[1]]):
+            assert float(g) == float(e)
+
+    def test_hand_computed_values(self, spark, tiny_index):
+        ratings = self._ratings(spark, tiny_index)
+        row = rel.rank_eval_df(spark, tiny_index[0], "error", ratings, k=10).collect()[0]
+        # ranks 1,4,6,8 are relevant out of 10 retrieved; 5 rated-relevant total
+        assert float(row["precision_k"]) == round(4 / 10, 6)
+        assert float(row["recall_k"]) == round(4 / 5, 6)
+        assert float(row["mrr"]) == 1.0  # rank 1 is graded 2
+        import math
+        coefs = rel._dcg_coefs(10)
+        dcg = (2**2 - 1) * coefs[0] + (2**1 - 1) * coefs[3] \
+            + (2**1 - 1) * coefs[5] + (2**2 - 1) * coefs[7]
+        idcg = rel.ideal_dcg(ratings, 10)
+        assert abs(float(row["ndcg_k"]) - round(dcg / idcg, 6)) <= 1e-6
+
+    def test_no_relevant_retrieved(self, spark, tiny_index):
+        row = rel.rank_eval_df(
+            spark, tiny_index[0], "error", {10**6: 2}, k=10
+        ).collect()[0]
+        assert float(row["precision_k"]) == 0.0
+        assert float(row["mrr"]) == 0.0
+        assert float(row["ndcg_k"]) == 0.0
