@@ -491,6 +491,72 @@ def q_bm25_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r4d: aggregation batch 3 (operators/aggs.py)
+
+def q_events_mad(spark, sf_dir):
+    """OpenSearch median_absolute_deviation over value (exact medians)."""
+    return aggs.median_absolute_deviation(_events(spark, sf_dir), "value")
+
+
+def q_events_top_metrics(spark, sf_dir):
+    """OpenSearch top_metrics: (event_id, value) of the 3 latest events."""
+    return aggs.top_metrics(
+        _events(spark, sf_dir), "ts", ["event_id", "value"], desc=True, n=3
+    )
+
+
+def q_events_stats_bucket(spark, sf_dir):
+    """OpenSearch stats_bucket over the daily histogram's counts."""
+    return aggs.stats_bucket(_events(spark, sf_dir), "ts", "day")
+
+
+def q_events_cumulative_cardinality(spark, sf_dir):
+    """OpenSearch cumulative_cardinality: running distinct users per day
+    (each user counted in their first bucket; windowed cum-sum)."""
+    return aggs.cumulative_cardinality(_events(spark, sf_dir), "ts", "day", "user_id")
+
+
+def q_doc_sampler_terms(spark, sf_dir):
+    """OpenSearch sampler agg + terms: language mix inside the
+    deterministic lowest-md5(doc_id) 200-doc sample."""
+    return aggs.sampler_terms(_docs(spark, sf_dir), "doc_id", "lang",
+                              shard_size=200, n=10)
+
+
+def q_transcripts_missing_tool(spark, sf_dir):
+    """OpenSearch missing agg: turns with no tool field."""
+    _prep(spark)
+    t = spark.read.parquet(ensure_corpus(_sf_label(sf_dir), spark))
+    return aggs.missing_agg(t, "tool")
+
+
+def q_events_bucket_sort(spark, sf_dir):
+    """OpenSearch bucket_sort: the 5 busiest days of the histogram."""
+    return aggs.bucket_sort(_events(spark, sf_dir), "ts", "day",
+                            by="cnt", desc=True, size=5)
+
+
+def q_events_normalize(spark, sf_dir):
+    """OpenSearch normalize (percent_of_sum) over the daily histogram."""
+    return aggs.normalize_agg(_events(spark, sf_dir), "ts", "day")
+
+
+def q_events_moving_fn(spark, sf_dir):
+    """OpenSearch moving_fn (MovingFunctions.max) over a 3-day window."""
+    return aggs.moving_fn(_events(spark, sf_dir), "ts", "day",
+                          window_size=3, how="max")
+
+
+def q_events_matrix_stats(spark, sf_dir):
+    """OpenSearch matrix_stats between value and the props 'k' attribute
+    (mean/variance per field + covariance/correlation)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "k", F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    )
+    return aggs.matrix_stats(ev, ["value", "k"])
+
+
+# ---------------------------------------------------------------------------
 # relational operators over the driver tables
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1645,6 +1711,75 @@ FROM x GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name ORDER BY r_name, n_name"
         ),
+        # r4d aggregation batch 3
+        "events_mad": (
+            "SELECT round(median(abs(value - "
+            "(SELECT median(value) FROM events))), 6) AS mad_r FROM events"
+        ),
+        "events_top_metrics": (
+            "SELECT ts, event_id, value FROM events "
+            "ORDER BY ts DESC, event_id ASC, value ASC LIMIT 3"
+        ),
+        "events_stats_bucket": (
+            "WITH per AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS m "
+            "FROM events GROUP BY 1) "
+            "SELECT count(m) AS n_buckets, min(m) AS min_m, max(m) AS max_m, "
+            "round(avg(m), 6) AS avg_m_r, sum(m) AS sum_m FROM per"
+        ),
+        "events_cumulative_cardinality": (
+            "WITH b AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt "
+            "FROM events GROUP BY 1), "
+            "f AS (SELECT user_id, min(date_trunc('day', ts)) AS bucket "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY 1), "
+            "fc AS (SELECT bucket, count(*) AS first_seen FROM f GROUP BY 1) "
+            "SELECT b.bucket, b.cnt, CAST(sum(coalesce(fc.first_seen, 0)) OVER "
+            "(ORDER BY b.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cardinality "
+            "FROM b LEFT JOIN fc USING (bucket) ORDER BY bucket"
+        ),
+        "doc_sampler_terms": (
+            "WITH sample AS (SELECT * FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 200) "
+            "SELECT lang, count(*) AS cnt FROM sample GROUP BY lang "
+            "ORDER BY cnt DESC, lang ASC LIMIT 10"
+        ),
+        "transcripts_missing_tool": (
+            f"SELECT count(*) FILTER (WHERE tool IS NULL) AS missing_cnt "
+            f"FROM read_parquet('{ORACLE_TRANSCRIPTS}')"
+        ),
+        "events_bucket_sort": (
+            "SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt FROM events "
+            "GROUP BY 1 ORDER BY cnt DESC, bucket ASC LIMIT 5"
+        ),
+        "events_normalize": (
+            "WITH per AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt "
+            "FROM events GROUP BY 1) "
+            "SELECT bucket, cnt, round(100.0 * cnt / (SELECT sum(cnt) FROM per), 6) "
+            "AS pct_of_sum_r FROM per ORDER BY bucket"
+        ),
+        "events_moving_fn": (
+            "WITH per AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt "
+            "FROM events GROUP BY 1) "
+            "SELECT bucket, cnt, max(cnt) OVER (ORDER BY bucket "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_max "
+            "FROM per ORDER BY bucket"
+        ),
+        "events_matrix_stats": (
+            "WITH src AS (SELECT value, "
+            "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k FROM events), "
+            "ok AS (SELECT value, k FROM src WHERE value IS NOT NULL AND k IS NOT NULL), "
+            "sums AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(value) AS s0, sum(k) AS s1, "
+            "sum(value * value) AS q0, CAST(sum(k * k) AS DOUBLE) AS q1, "
+            "sum(value * k) AS p01 FROM ok) "
+            "SELECT n AS doc_count, "
+            "round(s0 / n, 6) AS mean_value_r, "
+            "round(q0 / n - (s0 / n) * (s0 / n), 6) AS variance_value_r, "
+            "round(s1 / n, 6) AS mean_k_r, "
+            "round(q1 / n - (s1 / n) * (s1 / n), 6) AS variance_k_r, "
+            "round(p01 / n - (s0 / n) * (s1 / n), 6) AS cov_value_k_r, "
+            "round((p01 / n - (s0 / n) * (s1 / n)) / "
+            "sqrt((q0 / n - (s0 / n) * (s0 / n)) * (q1 / n - (s1 / n) * (s1 / n))), 6) "
+            "AS corr_value_k_r FROM sums"
+        ),
     }
 
     docs = {
@@ -2108,6 +2243,16 @@ def queries_map() -> dict:
             "events_moving_avg": q_events_moving_avg,
             "events_derivative": q_events_derivative,
             "events_cumulative_sum": q_events_cumulative_sum,
+            "events_mad": q_events_mad,
+            "events_top_metrics": q_events_top_metrics,
+            "events_stats_bucket": q_events_stats_bucket,
+            "events_cumulative_cardinality": q_events_cumulative_cardinality,
+            "doc_sampler_terms": q_doc_sampler_terms,
+            "transcripts_missing_tool": q_transcripts_missing_tool,
+            "events_bucket_sort": q_events_bucket_sort,
+            "events_normalize": q_events_normalize,
+            "events_moving_fn": q_events_moving_fn,
+            "events_matrix_stats": q_events_matrix_stats,
             "events_topn_per_group": q_events_topn_per_group,
             "events_props_extract": q_events_props_extract,
             "events_range_join": q_events_range_join,
