@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from .functions.analysis import SQL_SPLIT_RE
 from .operators import aggs
-from .operators import percolate, dedup, relevance, sampling, search, similarity, sqloracle, textstats
+from .operators import percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators.build import build_index
 from .sources import transcripts as tsrc
 
@@ -488,6 +488,15 @@ def q_bm25_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, RANK_EVAL_SPEC["query"], RANK_EVAL_SPEC["ratings"],
         k=RANK_EVAL_SPEC["k"],
     )
+
+
+def q_bm25_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch phrase suggester (did-you-mean): Stupid Backoff bigram
+    re-ranking of levenshtein candidates for a misspelled phrase
+    (operators/suggest.py)."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    return suggest.phrase_suggest_df(spark, idx, "connektion reset")
 
 
 # ---------------------------------------------------------------------------
@@ -1582,6 +1591,9 @@ ORDER BY t.score_r DESC, t.docid"""
         ORACLE_TRANSCRIPTS, RANK_EVAL_SPEC["query"],
         RANK_EVAL_SPEC["ratings"], k=RANK_EVAL_SPEC["k"],
     )
+    bm["bm25_phrase_suggest"] = suggest.phrase_suggest_sql(
+        ORACLE_TRANSCRIPTS, "connektion reset"
+    )
 
     rel = {
         "events_terms_topn": (
@@ -2214,6 +2226,7 @@ def queries_map() -> dict:
     q["bm25_random_score"] = _fs(FS_RANDOM)
     q["bm25_rescore"] = q_bm25_rescore
     q["bm25_rank_eval"] = q_bm25_rank_eval
+    q["bm25_phrase_suggest"] = q_bm25_phrase_suggest
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,
