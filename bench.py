@@ -196,6 +196,23 @@ def main() -> None:
     queries["bm25_phrase_prefix_distributed"] = best3(
         lambda: search_df(spark, idx_dir, '"connection re"*', k=10).collect())
 
+    # function_score (r4d): full scored match set (no top-k sort) joined
+    # with docs for the decay field, rewrite, TakeOrdered
+    from siem_on_amazon_opensearch_service_spark.operators import relevance as _rel
+
+    _fs_fns = [{"kind": "gauss", "field": "ts", "origin": "2025-06-15T00:00:00",
+                "scale": 7 * 86400.0, "offset": 86400.0, "decay": 0.5}]
+    queries["bm25_function_score_distributed"] = best3(
+        lambda: _rel.function_score_df(
+            spark, idx_dir, "error OR timeout", k=10, functions=_fs_fns
+        ).collect())
+    # dis_max (r4d): 3 clause match sets unioned, conditional-max combine
+    queries["bm25_dis_max_distributed"] = best3(
+        lambda: _rel.dis_max_df(
+            spark, idx_dir, ["error", "timeout AND refused", '"connection reset"'],
+            k=10, tie_breaker=0.3,
+        ).collect())
+
     # warm dashboard session (QuerySession): pinned postings listing;
     # single terms on the zero-exchange fused path, everything else on
     # the r4 one-Python-stage shard-local plan (phrases included)
@@ -269,6 +286,15 @@ def main() -> None:
     t0 = time.perf_counter()
     sessionize_batch(tdf.select("conv_id", "ts"), gap_minutes=30).count()
     queries["sessionize_batch"] = round(time.perf_counter() - t0, 3)
+
+    # phrase-suggester model build (r4d): one distributed tokenize pass
+    # over the docs store, gram counts shuffled at distinct-gram volume
+    from siem_on_amazon_opensearch_service_spark.operators import suggest as _sug
+
+    shutil.rmtree(os.path.join(idx_dir, "suggest"), ignore_errors=True)
+    t0 = time.perf_counter()
+    _sug.build_suggest_model(spark, idx_dir)
+    queries["suggest_model_build"] = round(time.perf_counter() - t0, 3)
 
     total = time.perf_counter() - t_all
     print(

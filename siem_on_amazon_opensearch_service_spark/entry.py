@@ -490,6 +490,39 @@ def q_bm25_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIS_MAX_SPEC = {
+    "queries": ["error", "timeout AND refused", '"connection reset"'],
+    "k": 10,
+    "tie_breaker": 0.3,
+}
+BOOSTING_SPEC = {
+    "positive": "error OR timeout",
+    "negative": "timeout",
+    "negative_boost": 0.5,
+    "k": 10,
+}
+
+
+def q_bm25_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene dis_max: best-clause score + tie_breaker * rest."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = relevance.dis_max_df(spark, idx, **DIS_MAX_SPEC)
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
+def q_bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch boosting query: negative-match docs demoted, not dropped."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = relevance.boosting_df(spark, idx, **BOOSTING_SPEC)
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
 def q_bm25_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch phrase suggester (did-you-mean): Stupid Backoff bigram
     re-ranking of levenshtein candidates for a misspelled phrase
@@ -1030,6 +1063,12 @@ def q_doc_text_metrics(spark, sf_dir):
 
 def q_doc_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_doc_gopher_quality(spark, sf_dir):
+    """Gopher quality-rule summary over documents: overall pass count +
+    per-rule failure counts (operators/textstats.py gopher_rules)."""
+    return textstats.gopher_summary(_docs(spark, sf_dir))
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -1594,6 +1633,8 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_phrase_suggest"] = suggest.phrase_suggest_sql(
         ORACLE_TRANSCRIPTS, "connektion reset"
     )
+    bm["bm25_dis_max"] = relevance.dis_max_sql(ORACLE_TRANSCRIPTS, **DIS_MAX_SPEC)
+    bm["bm25_boosting"] = relevance.boosting_sql(ORACLE_TRANSCRIPTS, **BOOSTING_SPEC)
 
     rel = {
         "events_terms_topn": (
@@ -1901,6 +1942,51 @@ SELECT doc_id,
          (a, b) -> (a * 31 + b) % {textstats.FINGERPRINT_MOD}
        ) AS fingerprint
 FROM documents ORDER BY doc_id"""
+        ),
+        "doc_gopher_quality": (
+            f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+         END AS mean_len,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym,
+         len(list_filter(toks, t -> lower(t) <> upper(t))) AS n_alpha,
+         len(list_filter(toks, x -> list_contains({textstats.GOPHER_STOPWORDS}, x))) AS stop_hits,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM base
+),
+r AS (
+  SELECT doc_id,
+         n_tok >= 50 AND n_tok <= 100000 AS r_wordcount,
+         COALESCE(mean_len >= 3.0 AND mean_len <= 10.0, false) AS r_wordlen,
+         COALESCE(CASE WHEN n_tok > 0 THEN CAST(n_sym AS DOUBLE) / n_tok END <= 0.1, false) AS r_symbol,
+         COALESCE(CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / n_tok END >= 0.8, false) AS r_alpha,
+         stop_hits >= 2 AS r_stopword,
+         COALESCE(CAST(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '•%')) AS DOUBLE)
+                  / (CASE WHEN len(lines) > 0 THEN len(lines) END) <= 0.9, true) AS r_bullet,
+         COALESCE(CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE)
+                  / (CASE WHEN len(lines) > 0 THEN len(lines) END) <= 0.3, true) AS r_ellipsis,
+         COALESCE(CASE WHEN len(lines) > 0 THEN
+                    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                  END <= 0.3, true) AS r_dupline
+  FROM m
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN r_wordcount AND r_wordlen AND r_symbol AND r_alpha
+                      AND r_stopword AND r_bullet AND r_ellipsis AND r_dupline
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN NOT r_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+       CAST(sum(CASE WHEN NOT r_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+       CAST(sum(CASE WHEN NOT r_symbol THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+       CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       CAST(sum(CASE WHEN NOT r_stopword THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+       CAST(sum(CASE WHEN NOT r_bullet THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet,
+       CAST(sum(CASE WHEN NOT r_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis,
+       CAST(sum(CASE WHEN NOT r_dupline THEN 1 ELSE 0 END) AS BIGINT) AS fail_dupline
+FROM r"""
         ),
         "events_approx_cardinality": (
             "SELECT count(DISTINCT user_id) AS n_exact, TRUE AS err_ok FROM events"
@@ -2227,6 +2313,8 @@ def queries_map() -> dict:
     q["bm25_rescore"] = q_bm25_rescore
     q["bm25_rank_eval"] = q_bm25_rank_eval
     q["bm25_phrase_suggest"] = q_bm25_phrase_suggest
+    q["bm25_dis_max"] = q_bm25_dis_max
+    q["bm25_boosting"] = q_bm25_boosting
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,
@@ -2283,6 +2371,7 @@ def queries_map() -> dict:
             "doc_minhash_pairs_stats": q_doc_minhash_pairs_stats,
             "doc_simhash_pairs_stats": q_doc_simhash_pairs_stats,
             "doc_text_metrics": q_doc_text_metrics,
+            "doc_gopher_quality": q_doc_gopher_quality,
             "doc_lang_id": q_doc_lang_id,
             "doc_fingerprint": q_doc_fingerprint,
             "emb_cosine_topk": q_emb_cosine_topk,

@@ -553,3 +553,157 @@ SELECT round(CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
        round(COALESCE(1.0 / min(CASE WHEN rel > 0 THEN rnk END), 0.0), 6) AS mrr,
        round(sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * coef) / {float(idcg)!r}, 6) AS ndcg_k
 FROM j"""
+
+
+# ---------------------------------------------------------------------------
+# dis_max / boosting (the two remaining scriptless compound query types)
+
+def dis_max_df(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """Lucene DisjunctionMaxQuery: a doc matching any clause scores
+    ``max_i + tie_breaker * (sum_i - max_i)`` over the clause scores.
+
+    Each clause is a full DQL query evaluated to its scored match set
+    (``search_df(k=None)``); the union aggregates per docid with one
+    conditional-max column per clause (clause count is query-sized), so
+    the combine is a single exchange and the final arithmetic is a fixed
+    left-to-right float64 fold the SQL oracle mirrors textually.  Missing
+    clauses contribute 0.0 (scores are positive, so 0 is both the max
+    floor and the sum identity)."""
+    if not queries:
+        raise ValueError("dis_max_df: at least one clause query required")
+    parts = [
+        search_df(spark, index_dir, q, k=None).select(
+            "docid", F.lit(i).alias("ci"), F.col("score")
+        )
+        for i, q in enumerate(queries)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("docid").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("ci") == i, F.col("score").cast("double"))),
+                F.lit(0.0),
+            ).alias(f"s{i}")
+            for i in range(len(queries))
+        ]
+    )
+    cols = [F.col(f"s{i}") for i in range(len(queries))]
+    mx = cols[0] if len(cols) == 1 else F.greatest(*cols)
+    sm = cols[0]
+    for c in cols[1:]:
+        sm = sm + c
+    final = (mx + F.lit(float(tie_breaker)) * (sm - mx)).cast("float")
+    out = agg.select("docid", final.alias("score"))
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def dis_max_sql(
+    path: str, queries: list[str], k: int = 10, tie_breaker: float = 0.0
+) -> str:
+    """DuckDB oracle for dis_max_df: (docid BIGINT, score_r DOUBLE)."""
+    asts = []
+    leaves: list[Node] = []
+    for q in queries:
+        ast, dqlf = extract_filters(parse(q), q)
+        if any(v for v in dqlf.values()):
+            raise NotImplementedError("dis_max clause with DQL filters")
+        asts.append(ast)
+        for lf in _collect_leaves(ast):
+            if lf not in leaves:
+                leaves.append(lf)
+    ctes = ",\n".join(
+        f"c{i} AS ({_combine_sql(ast, leaves)})" for i, ast in enumerate(asts)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT docid, {i} AS ci, s FROM c{i}" for i in range(len(asts))
+    )
+    sconds = ", ".join(
+        f"COALESCE(max(CASE WHEN ci = {i} THEN CAST(s AS DOUBLE) END), 0.0) AS s{i}"
+        for i in range(len(asts))
+    )
+    names = [f"s{i}" for i in range(len(asts))]
+    mx = names[0] if len(names) == 1 else f"greatest({', '.join(names)})"
+    sm = names[0]
+    for nm in names[1:]:
+        sm = f"({sm} + {nm})"
+    tb = float(tie_breaker)
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+{ctes},
+u AS ({union}),
+g AS (SELECT docid, {sconds} FROM u GROUP BY docid)
+SELECT docid, round(CAST(score AS DOUBLE), 3) AS score_r
+FROM (
+  SELECT docid, CAST({mx} + {tb!r} * ({sm} - {mx}) AS FLOAT) AS score
+  FROM g
+  ORDER BY score DESC, docid ASC
+  LIMIT {k}
+)"""
+
+
+def boosting_df(
+    spark: SparkSession,
+    index_dir: str,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """OpenSearch boosting query: docs matching the negative query keep
+    their positive score DEMOTED by ``negative_boost`` (not excluded —
+    the difference from NOT).  One multiply over the positive scored set;
+    the negative side contributes only a match-set (no scoring), joined
+    as a flag."""
+    from .search import match_docids_df
+
+    pos = search_df(spark, index_dir, positive, k=None)
+    neg = match_docids_df(spark, index_dir, negative).withColumn(
+        "_neg", F.lit(True)
+    )
+    joined = pos.join(neg, "docid", "left")
+    final = F.when(
+        F.col("_neg").isNotNull(),
+        (F.col("score").cast("double") * F.lit(float(negative_boost))).cast("float"),
+    ).otherwise(F.col("score"))
+    out = joined.select("docid", final.alias("score"))
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def boosting_sql(
+    path: str, positive: str, negative: str,
+    negative_boost: float = 0.5, k: int = 10,
+) -> str:
+    """DuckDB oracle for boosting_df: (docid BIGINT, score_r DOUBLE)."""
+    from .sqloracle import _match_sql
+
+    astp, dqlf = extract_filters(parse(positive), positive)
+    astn, dqlfn = extract_filters(parse(negative), negative)
+    if any(v for v in dqlf.values()) or any(v for v in dqlfn.values()):
+        raise NotImplementedError("boosting with DQL filters")
+    leaves = _collect_leaves(astp)
+    for lf in _collect_leaves(astn):
+        if lf not in leaves:
+            leaves.append(lf)
+    nb = float(negative_boost)
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+cpos AS ({_combine_sql(astp, leaves)}),
+mneg AS ({_match_sql(astn, leaves)})
+SELECT docid, round(CAST(score AS DOUBLE), 3) AS score_r
+FROM (
+  SELECT c.docid,
+         CASE WHEN c.docid IN (SELECT docid FROM mneg)
+              THEN CAST(CAST(c.s AS DOUBLE) * {nb!r} AS FLOAT)
+              ELSE c.s END AS score
+  FROM cpos c
+  ORDER BY score DESC, c.docid ASC
+  LIMIT {k}
+)"""

@@ -89,3 +89,90 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         lambda acc, t: (acc * 31 + tokval(t)) % F.lit(FINGERPRINT_MOD),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+#: the Gopher quality-filter stopword list (Rae et al. 2021, "Scaling
+#: Language Models: ... Gopher", App. A — the public MassiveWeb rules)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, App. A),
+    re-expressed as pure column algebra — the standard pre-training
+    corpus filter pass.  Per-doc booleans:
+
+      r_wordcount  50 <= word count <= 100,000
+      r_wordlen    3 <= mean word length <= 10
+      r_symbol     (#-chars + '...'-occurrences) / words <= 0.1
+      r_alpha      >= 80% of words contain an alphabetic character
+      r_stopword   >= 2 hits from the 8-word Gopher stop list
+      r_bullet     <= 90% of lines start with a bullet
+      r_ellipsis   <= 30% of lines end with '...'
+      r_dupline    duplicate non-empty line fraction <= 0.3
+      passes       AND of all rules
+
+    All thresholds compare doubles produced by exact integer divisions,
+    so the SQL oracle agrees bit-for-bit.  (On single-line corpora the
+    three line rules are trivially true; they are kept for parity with
+    the published rule set.)"""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.when(n_tok > 0, sum_len.cast("double") / n_tok)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellip = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    sym_ratio = F.when(n_tok > 0, (n_hash + n_ellip).cast("double") / n_tok)
+    n_alpha = F.size(F.filter(toks, lambda t: F.lower(t) != F.upper(t)))
+    alpha_frac = F.when(n_tok > 0, n_alpha.cast("double") / n_tok)
+    stop_hits = _stop_hits(toks, GOPHER_STOPWORDS)
+    lines = F.filter(F.split(text, "\n"), lambda x: x != "")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("•"))
+    )
+    ellip_end = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_frac = F.when(n_lines > 0, (n_lines - n_distinct).cast("double") / n_lines)
+
+    r = {
+        "r_wordcount": (n_tok >= 50) & (n_tok <= 100_000),
+        "r_wordlen": F.coalesce((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(False)),
+        "r_symbol": F.coalesce(sym_ratio <= 0.1, F.lit(False)),
+        "r_alpha": F.coalesce(alpha_frac >= 0.8, F.lit(False)),
+        "r_stopword": stop_hits >= 2,
+        "r_bullet": F.coalesce(
+            bullet.cast("double") / F.when(n_lines > 0, n_lines) <= 0.9, F.lit(True)
+        ),
+        "r_ellipsis": F.coalesce(
+            ellip_end.cast("double") / F.when(n_lines > 0, n_lines) <= 0.3, F.lit(True)
+        ),
+        "r_dupline": F.coalesce(dup_frac <= 0.3, F.lit(True)),
+    }
+    passes = None
+    for c in r.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in r.items()],
+        passes.alias("passes"),
+    )
+
+
+def gopher_summary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-row corpus summary of gopher_rules: doc counts passing overall
+    plus per-rule failure counts (the triage view a pipeline dashboards)."""
+    r = gopher_rules(df, id_col, text_col)
+    rule_cols = [c for c in r.columns if c.startswith("r_")]
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("n_pass"),
+        *[
+            F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(f"fail_{c[2:]}")
+            for c in rule_cols
+        ],
+    )
