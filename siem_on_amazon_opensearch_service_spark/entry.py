@@ -1071,6 +1071,13 @@ def q_doc_gopher_quality(spark, sf_dir):
     return textstats.gopher_summary(_docs(spark, sf_dir))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher repetition metrics on word 2-grams: top-bigram fraction via
+    a sorted-array max-run fold (no per-doc explode/groupBy) +
+    duplicate-bigram fraction."""
+    return textstats.repetition_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -1988,6 +1995,30 @@ SELECT count(*) AS n_docs,
        CAST(sum(CASE WHEN NOT r_dupline THEN 1 ELSE 0 END) AS BIGINT) AS fail_dupline
 FROM r"""
         ),
+        "doc_repetition": (
+            f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2])
+         ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM base
+),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS INT) AS n, CAST(max(c) AS INT) AS mx,
+         CAST(count(*) AS INT) AS nd
+  FROM cnt GROUP BY 1
+)
+SELECT b.doc_id,
+       COALESCE(a.n, 0) AS n_bigrams,
+       COALESCE(a.mx, 0) AS top_bigram_count,
+       COALESCE(round(CAST(a.mx AS DOUBLE) / a.n, 6), 0.0) AS top_bigram_frac_r,
+       COALESCE(round(CAST(a.n - a.nd AS DOUBLE) / a.n, 6), 0.0) AS dup_bigram_frac_r
+FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+        ),
         "events_approx_cardinality": (
             "SELECT count(DISTINCT user_id) AS n_exact, TRUE AS err_ok FROM events"
         ),
@@ -2372,6 +2403,7 @@ def queries_map() -> dict:
             "doc_simhash_pairs_stats": q_doc_simhash_pairs_stats,
             "doc_text_metrics": q_doc_text_metrics,
             "doc_gopher_quality": q_doc_gopher_quality,
+            "doc_repetition": q_doc_repetition,
             "doc_lang_id": q_doc_lang_id,
             "doc_fingerprint": q_doc_fingerprint,
             "emb_cosine_topk": q_emb_cosine_topk,

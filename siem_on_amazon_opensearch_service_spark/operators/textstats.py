@@ -176,3 +176,92 @@ def gopher_summary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
             for c in rule_cols
         ],
     )
+
+
+def _bigrams_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("a"), F.slice(toks, 2, n - 1).alias("b")
+    )
+    sh = F.transform(zipped, lambda s: F.concat_ws(" ", s["a"], s["b"]))
+    return F.when(n >= 2, sh).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics on word 2-grams: the fraction of
+    bigram slots taken by the single most frequent bigram, and the
+    duplicate-bigram fraction (1 - distinct/total).
+
+    The max multiplicity is computed WITHOUT a per-doc explode+groupBy:
+    sort the bigram array and fold once tracking the longest equal run
+    (array_sort + aggregate with a struct accumulator — linear per doc,
+    whole-stage codegen, no shuffle).  The SQL oracle computes the same
+    number by unnest+groupBy; only the RESULT is the contract, not the
+    mechanics."""
+    sh = _bigrams_col(F.col(text_col))
+    n = F.size(sh)
+    srt = F.array_sort(sh)
+    best = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_distinct = F.size(F.array_distinct(sh))
+    top_frac = F.when(n > 0, F.round(best.cast("double") / n, 6)).otherwise(0.0)
+    dup_frac = F.when(
+        n > 0, F.round((n - n_distinct).cast("double") / n, 6)
+    ).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_bigrams"),
+        F.when(n > 0, best).otherwise(0).alias("top_bigram_count"),
+        top_frac.alias("top_bigram_frac_r"),
+        dup_frac.alias("dup_bigram_frac_r"),
+    )
+
+
+#: PII patterns in the RE2/Java-regex common dialect (no backrefs, no
+#: lookaround) so Spark regexp_count and DuckDB regexp_extract_all agree;
+#: both engines match greedy leftmost non-overlapping.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"\(?[0-9]{3}\)?[ -]?[0-9]{3}-[0-9]{4}",
+}
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc PII hit counts (email / ipv4 / ssn / phone) — the scrub
+    pass a training-data pipeline runs before release.  Pure
+    regexp_count columns; no UDFs."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(text, F.lit(p)).alias(f"n_{name}")
+            for name, p in PII_PATTERNS.items()
+        ],
+    )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII match with a typed placeholder ([EMAIL] etc.),
+    applying patterns in the frozen dict order (ssn before phone matters:
+    the dialect-common phone pattern would otherwise claim SSN-shaped
+    spans that an earlier rule already typed)."""
+    out = F.col(text_col)
+    for name, p in PII_PATTERNS.items():
+        out = F.regexp_replace(out, p, f"[{name.upper()}]")
+    return df.withColumn(text_col, out)
