@@ -589,6 +589,20 @@ def q_events_moving_fn(spark, sf_dir):
                           window_size=3, how="max")
 
 
+def q_events_date_range(spark, sf_dir):
+    """OpenSearch date_range agg: labeled half-open timestamp buckets
+    (older / mid-month / recent)."""
+    return aggs.date_range_agg(
+        _events(spark, sf_dir), "ts", ["2024-01-10", "2024-01-25"]
+    )
+
+
+def q_events_string_stats(spark, sf_dir):
+    """OpenSearch string_stats over event_type: count/min/max/avg length
+    + Shannon entropy of the character distribution."""
+    return aggs.string_stats(_events(spark, sf_dir), "event_type")
+
+
 def q_events_matrix_stats(spark, sf_dir):
     """OpenSearch matrix_stats between value and the props 'k' attribute
     (mean/variance per field + covariance/correlation)."""
@@ -1823,6 +1837,26 @@ FROM x GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_max "
             "FROM per ORDER BY bucket"
         ),
+        "events_date_range": (
+            "SELECT bucket, cnt FROM (VALUES "
+            "('*..2024-01-10', (SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-10')), "
+            "('2024-01-10..2024-01-25', (SELECT count(*) FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-25')), "
+            "('2024-01-25..*', (SELECT count(*) FROM events WHERE ts >= TIMESTAMP '2024-01-25'))"
+            ") AS t(bucket, cnt) ORDER BY bucket"
+        ),
+        "events_string_stats": (
+            "WITH lens AS (SELECT count(event_type) AS cnt, "
+            "min(length(event_type)) AS min_length, max(length(event_type)) AS max_length, "
+            "round(avg(length(event_type)), 6) AS avg_length_r FROM events), "
+            "chars AS (SELECT unnest(string_split(event_type, '')) AS ch FROM events "
+            "WHERE event_type IS NOT NULL), "
+            "hist AS (SELECT ch, count(*) AS n FROM chars WHERE ch <> '' GROUP BY ch), "
+            "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM hist), "
+            "ent AS (SELECT round(sum(-(n / t) * log2(n / t)), 6) AS entropy_r "
+            "FROM hist CROSS JOIN tot) "
+            "SELECT lens.*, ent.entropy_r FROM lens CROSS JOIN ent"
+        ),
         "events_matrix_stats": (
             "WITH src AS (SELECT value, "
             "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k FROM events), "
@@ -2385,6 +2419,8 @@ def queries_map() -> dict:
             "events_normalize": q_events_normalize,
             "events_moving_fn": q_events_moving_fn,
             "events_matrix_stats": q_events_matrix_stats,
+            "events_date_range": q_events_date_range,
+            "events_string_stats": q_events_string_stats,
             "events_topn_per_group": q_events_topn_per_group,
             "events_props_extract": q_events_props_extract,
             "events_range_join": q_events_range_join,

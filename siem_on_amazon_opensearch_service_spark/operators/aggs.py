@@ -657,3 +657,67 @@ def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
                 F.round(corr, 6).alias(f"corr_{fields[i]}_{fields[j]}_r"),
             ]
     return wide.select(*out_cols)
+
+
+def date_range_agg(
+    df: DataFrame, ts: str = "ts", edges: list[str] | None = None
+) -> DataFrame:
+    """OpenSearch ``date_range`` agg: labeled half-open [from, to) buckets
+    over timestamp edges (the 'last week / last month / older' dashboard
+    shape).  Same single conditional-sum pass as range_agg."""
+    edges = edges or []
+    ts_col = F.col(ts)
+    rows = []
+    bounds = [None, *edges, None]
+    for i in range(len(bounds) - 1)[::1]:
+        lo, hi = bounds[i], bounds[i + 1]
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ts_col >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (ts_col < F.lit(hi).cast("timestamp"))
+        label = f"{lo or '*'}..{hi or '*'}"
+        rows.append((label, cond))
+    aggs_ = [F.count(F.when(c, 1)).alias(lbl) for lbl, c in rows]
+    wide = df.agg(*aggs_)
+    stack = ", ".join(f"'{lbl}', `{lbl}`" for lbl, _ in rows)
+    return wide.selectExpr(
+        f"stack({len(rows)}, {stack}) as (bucket, cnt)"
+    ).orderBy("bucket")
+
+
+def string_stats(df: DataFrame, field: str) -> DataFrame:
+    """OpenSearch ``string_stats``: value count, min/max/avg length and
+    Shannon entropy of the CHARACTER distribution across all values.
+
+    Two exact passes: per-value lengths aggregate in one partial+final
+    groupBy; the character histogram explodes to (char, count) — shuffle
+    cardinality = alphabet size, not corpus size — and entropy folds over
+    that tiny frame.  -sum(p * log2(p)) matches ES; the oracle runs the
+    same formula (log2 is libm-correct on both engines at the rounded
+    precision)."""
+    c = F.col(field)
+    lens = df.agg(
+        F.count(c).alias("cnt"),
+        F.min(F.length(c)).alias("min_length"),
+        F.max(F.length(c)).alias("max_length"),
+        F.round(F.avg(F.length(c)), 6).alias("avg_length_r"),
+    )
+    chars = (
+        df.select(F.explode(F.split(c, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = chars.agg(F.sum("n").alias("t"))
+    ent = (
+        chars.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("n") / F.col("t"))
+                * F.log2(F.col("n") / F.col("t"))
+            ).alias("e")
+        )
+        .agg(F.round(F.sum("e"), 6).alias("entropy_r"))
+    )
+    return lens.crossJoin(ent)

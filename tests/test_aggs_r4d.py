@@ -148,3 +148,31 @@ class TestMatrixStats:
         assert r["variance_y_r"] == round(vy, 6)
         assert r["cov_x_y_r"] == round(cov, 6)
         assert r["corr_x_y_r"] == round(cov / (vx * vy) ** 0.5, 6)
+
+
+class TestDateRange:
+    def test_half_open_buckets(self, ev):
+        rows = aggs.date_range_agg(ev, "ts", ["2024-01-02", "2024-01-04"]).collect()
+        got = {r["bucket"]: r["cnt"] for r in rows}
+        assert got == {
+            "*..2024-01-02": 2,
+            "2024-01-02..2024-01-04": 3,
+            "2024-01-04..*": 3,
+        }
+
+    def test_no_edges_single_bucket(self, ev):
+        rows = aggs.date_range_agg(ev, "ts", []).collect()
+        assert rows[0]["cnt"] == 8
+
+
+class TestStringStats:
+    def test_hand_computed(self, spark):
+        import math
+
+        pdf = pd.DataFrame({"s": ["aa", "ab", None]})
+        r = aggs.string_stats(spark.createDataFrame(pdf), "s").collect()[0]
+        assert (r["cnt"], r["min_length"], r["max_length"]) == (2, 2, 2)
+        assert r["avg_length_r"] == 2.0
+        # chars: a x3, b x1 -> entropy = -(3/4 log2 3/4 + 1/4 log2 1/4)
+        exp = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+        assert abs(r["entropy_r"] - round(exp, 6)) <= 1e-6
