@@ -242,6 +242,17 @@ def main() -> None:
     qs.search('"connection re"*', k=10).collect()
     queries["bm25_phrase_prefix_distributed_warm"] = best3(
         lambda: qs.search('"connection re"*', k=10).collect())
+    # warm score-rewriting wrappers (r4d): session-pinned base + docs
+    _rel.function_score_df(spark, idx_dir, "error OR timeout", k=10,
+                           functions=_fs_fns, session=qs).collect()
+    queries["bm25_function_score_distributed_warm"] = best3(
+        lambda: _rel.function_score_df(
+            spark, idx_dir, "error OR timeout", k=10,
+            functions=_fs_fns, session=qs).collect())
+    queries["bm25_dis_max_distributed_warm"] = best3(
+        lambda: _rel.dis_max_df(
+            spark, idx_dir, ["error", "timeout AND refused", '"connection reset"'],
+            k=10, tie_breaker=0.3, session=qs).collect())
     qs.close()
 
     # 3) relational / dedup sample over driver tables

@@ -468,6 +468,21 @@ def _fs(spec: dict):
     return run
 
 
+def q_bm25_function_score_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score through the warm QuerySession (pinned stats/dfs/
+    postings/docs; the ts field joins from the session's persisted docs
+    projection) — score-identical to the cold row's oracle."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = relevance.function_score_df(
+        spark, idx, FS_RECENCY["query"], k=FS_RECENCY["k"],
+        functions=FS_RECENCY["functions"], session=_warm_session(spark, idx),
+    )
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
 def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch rescore: re-rank the base query's top-50 window by
     base + 2x phrase score (operators/relevance.py)."""
@@ -1654,6 +1669,7 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_phrase_suggest"] = suggest.phrase_suggest_sql(
         ORACLE_TRANSCRIPTS, "connektion reset"
     )
+    bm["bm25_function_score_warm"] = bm["bm25_function_score_recency"]
     bm["bm25_dis_max"] = relevance.dis_max_sql(ORACLE_TRANSCRIPTS, **DIS_MAX_SPEC)
     bm["bm25_boosting"] = relevance.boosting_sql(ORACLE_TRANSCRIPTS, **BOOSTING_SPEC)
 
@@ -2378,6 +2394,7 @@ def queries_map() -> dict:
     q["bm25_rescore"] = q_bm25_rescore
     q["bm25_rank_eval"] = q_bm25_rank_eval
     q["bm25_phrase_suggest"] = q_bm25_phrase_suggest
+    q["bm25_function_score_warm"] = q_bm25_function_score_warm
     q["bm25_dis_max"] = q_bm25_dis_max
     q["bm25_boosting"] = q_bm25_boosting
     q.update(

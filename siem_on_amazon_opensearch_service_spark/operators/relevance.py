@@ -304,10 +304,15 @@ def function_score_df(
     functions: list[dict],
     score_mode: str = "multiply",
     boost_mode: str = "multiply",
+    session=None,
     **filt,
 ) -> DataFrame:
     """OpenSearch function_score: rewrite every matching doc's BM25 score
     with decay / field-value / random functions, then top-k.
+
+    ``session`` (a warm QuerySession over the same index) pins stats /
+    dfs / postings / docs for the base query and serves the field join
+    from its persisted docs projection when the fields are pinned.
 
     Plan shape: full scored match set (``search_df(k=None)`` — no sort)
     joined on docid with the docs projection (only the fields the
@@ -318,13 +323,23 @@ def function_score_df(
     match set when the query is selective."""
     import os
 
-    base = search_df(spark, index_dir, query, k=None, **filt)
+    if session is not None:
+        base = session.search(query, k=None, **filt)
+    else:
+        base = search_df(spark, index_dir, query, k=None, **filt)
     fields = sorted(
         {fn.get("field", "ts") for fn in functions if fn["kind"] != "random" and fn["kind"] != "weight"}
     )
     scored = base
     if fields:
-        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("docid", *fields)
+        if (
+            session is not None
+            and session.docs is not None
+            and all(f in session.docs.columns for f in fields)
+        ):
+            docs = session.docs.select("docid", *fields)
+        else:
+            docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("docid", *fields)
         scored = base.join(docs, "docid")
     vals = [_function_value(fn, is_sql=False) for fn in functions]
     fval = _combine_functions(vals, score_mode, is_sql=False)
@@ -376,6 +391,7 @@ def rescore_df(
     window_size: int = 50,
     query_weight: float = 1.0,
     rescore_weight: float = 1.0,
+    session=None,
     **filt,
 ) -> DataFrame:
     """OpenSearch rescore: re-rank the top ``window_size`` hits of the base
@@ -386,8 +402,12 @@ def rescore_df(
     The secondary match set is cut down to the window by a broadcast semi
     join (window_size docids), so the expensive side is touched once and
     the final combine involves only window-sized frames."""
-    window = search_df(spark, index_dir, query, k=window_size, **filt)
-    second = search_df(spark, index_dir, rescore_query, k=None)
+    if session is not None:
+        window = session.search(query, k=window_size, **filt)
+        second = session.search(rescore_query, k=None)
+    else:
+        window = search_df(spark, index_dir, query, k=window_size, **filt)
+        second = search_df(spark, index_dir, rescore_query, k=None)
     second = second.join(
         F.broadcast(window.select("docid")), "docid"
     ).withColumnRenamed("score", "score2")
@@ -564,6 +584,7 @@ def dis_max_df(
     queries: list[str],
     k: int = 10,
     tie_breaker: float = 0.0,
+    session=None,
 ) -> DataFrame:
     """Lucene DisjunctionMaxQuery: a doc matching any clause scores
     ``max_i + tie_breaker * (sum_i - max_i)`` over the clause scores.
@@ -577,10 +598,13 @@ def dis_max_df(
     floor and the sum identity)."""
     if not queries:
         raise ValueError("dis_max_df: at least one clause query required")
+    def _scored(q):
+        if session is not None:
+            return session.search(q, k=None)
+        return search_df(spark, index_dir, q, k=None)
+
     parts = [
-        search_df(spark, index_dir, q, k=None).select(
-            "docid", F.lit(i).alias("ci"), F.col("score")
-        )
+        _scored(q).select("docid", F.lit(i).alias("ci"), F.col("score"))
         for i, q in enumerate(queries)
     ]
     u = parts[0]
@@ -656,6 +680,7 @@ def boosting_df(
     negative: str,
     negative_boost: float = 0.5,
     k: int = 10,
+    session=None,
 ) -> DataFrame:
     """OpenSearch boosting query: docs matching the negative query keep
     their positive score DEMOTED by ``negative_boost`` (not excluded —
@@ -664,10 +689,20 @@ def boosting_df(
     as a flag."""
     from .search import match_docids_df
 
-    pos = search_df(spark, index_dir, positive, k=None)
-    neg = match_docids_df(spark, index_dir, negative).withColumn(
-        "_neg", F.lit(True)
-    )
+    if session is not None:
+        pos = session.search(positive, k=None)
+        # the scored set's docids ARE the match set — reuse the warm path.
+        # Pure-negative negatives are refused on BOTH paths (search_df and
+        # match_docids_df each require positive coverage), so this raises
+        # the same ValueError the cold path does.
+        neg = session.search(negative, k=None).select("docid").withColumn(
+            "_neg", F.lit(True)
+        )
+    else:
+        pos = search_df(spark, index_dir, positive, k=None)
+        neg = match_docids_df(spark, index_dir, negative).withColumn(
+            "_neg", F.lit(True)
+        )
     joined = pos.join(neg, "docid", "left")
     final = F.when(
         F.col("_neg").isNotNull(),

@@ -192,3 +192,66 @@ class TestRankEval:
         assert float(row["precision_k"]) == 0.0
         assert float(row["mrr"]) == 0.0
         assert float(row["ndcg_k"]) == 0.0
+
+
+class TestWarmRelevance:
+    """session-injected wrappers must be score-identical to cold."""
+
+    @pytest.fixture(scope="class")
+    def session(self, spark, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        s = QuerySession(spark, tiny_index[0], shuffle_partitions=None)
+        yield s
+        s.close()
+
+    def test_function_score_warm_eq_cold(self, spark, tiny_index, session):
+        fns = [{"kind": "gauss", "field": "ts", "origin": ORIGIN,
+                "scale": WEEK, "decay": 0.5}]
+        cold = _engine_pairs(rel.function_score_df(
+            spark, tiny_index[0], "error OR timeout", k=12, functions=fns))
+        warm = _engine_pairs(rel.function_score_df(
+            spark, tiny_index[0], "error OR timeout", k=12, functions=fns,
+            session=session))
+        assert warm == cold
+
+    def test_function_score_warm_missing_field_falls_back(self, spark, tiny_index, session):
+        # turn_idx is NOT pinned in session.docs -> parquet fallback join
+        fns = [{"kind": "field_value_factor", "field": "turn_idx",
+                "factor": 0.5, "modifier": "sqrt", "missing": 1.0}]
+        cold = _engine_pairs(rel.function_score_df(
+            spark, tiny_index[0], "error", k=10, functions=fns))
+        warm = _engine_pairs(rel.function_score_df(
+            spark, tiny_index[0], "error", k=10, functions=fns, session=session))
+        assert warm == cold
+
+    def test_dis_max_warm_eq_cold(self, spark, tiny_index, session):
+        qs = ["error", "timeout AND refused", '"connection reset"']
+        cold = _engine_pairs(rel.dis_max_df(spark, tiny_index[0], qs, k=12, tie_breaker=0.3))
+        warm = _engine_pairs(rel.dis_max_df(
+            spark, tiny_index[0], qs, k=12, tie_breaker=0.3, session=session))
+        assert warm == cold
+
+    def test_rescore_warm_eq_cold(self, spark, tiny_index, session):
+        args = dict(query="error", rescore_query='"connection reset"',
+                    k=10, window_size=40, rescore_weight=2.0)
+        cold = _engine_pairs(rel.rescore_df(spark, tiny_index[0], **args))
+        warm = _engine_pairs(rel.rescore_df(spark, tiny_index[0], session=session, **args))
+        assert warm == cold
+
+    def test_boosting_warm_eq_cold(self, spark, tiny_index, session):
+        cold = _engine_pairs(rel.boosting_df(
+            spark, tiny_index[0], "error OR timeout", "timeout", 0.5, k=12))
+        warm = _engine_pairs(rel.boosting_df(
+            spark, tiny_index[0], "error OR timeout", "timeout", 0.5, k=12,
+            session=session))
+        assert warm == cold
+
+    def test_boosting_pure_negative_refused_both_paths(self, spark, tiny_index, session):
+        """Pure-negative negatives need a full docs scan; both the cold
+        match-set path and the warm scored path refuse identically."""
+        with pytest.raises(ValueError, match="positive"):
+            rel.boosting_df(spark, tiny_index[0], "error", "NOT timeout", 0.5, k=5)
+        with pytest.raises(ValueError, match="positive"):
+            rel.boosting_df(spark, tiny_index[0], "error", "NOT timeout", 0.5,
+                            k=5, session=session)
