@@ -1213,6 +1213,41 @@ def q_emb_int8_recall(spark, sf_dir):
     )
 
 
+def q_emb_pq_topk(spark, sf_dir):
+    """PQ (product quantization, FAISS IndexPQ shape): 64-dim vectors
+    stored as 8 one-byte codes (32x compression); asymmetric search —
+    float queries vs PQ-reconstructed database vectors.  Forgy seed
+    codebooks (subvector slices of the 16 smallest ids) are a pure
+    arithmetic derivation the DuckDB oracle reproduces, and subspace
+    distances are rounded to 6 dp before the argmin on both engines, so
+    codes, reconstructions, and the top-k are a full value match."""
+    return similarity.pq_topk(_emb(spark, sf_dir), [0, 1, 2], k=5)
+
+
+def q_emb_pq_recall(spark, sf_dir):
+    """recall@5 of PQ asymmetric search (m=8 subspaces, 16 codes each)
+    against the exact float32 cosine top-k — the measured quality bound
+    for the 32x-compressed representation."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk(emb, [0, 1, 2], k=5)
+    ann = similarity.pq_topk(emb, [0, 1, 2], k=5)
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / 5.0, 2).alias("recall_pq_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_doc_split_stats(spark, sf_dir):
     """Deterministic hash train/val/test split (80/10/10): per-split row
     count and doc_id checksum — identical at any parallelism and stable
@@ -1477,6 +1512,48 @@ q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id IN (0, 1, 2)),
 cand AS (
   SELECT q.query_id, e.vec_id, {_sql_cos('q.qv', 'e.v')} AS cos
   FROM dq e JOIN q ON e.vec_id <> q.query_id
+)"""
+
+
+def _pq_sql(m: int = None, n_codes: int = None, dim: int = 64) -> str:
+    """CTE prefix reproducing similarity.pq_topk with the Forgy seed
+    codebooks: per subspace, code entries = the subvector slices of the
+    ``n_codes`` smallest-id embeddings; encoding = argmin round-6 squared
+    L2 (ties -> smallest code); reconstruction = concatenated winning
+    entries in subspace order; search = round-6 cosine of the float query
+    vs the reconstruction (asymmetric / ADC, the FAISS IndexPQ shape)."""
+    m = m if m is not None else similarity.PQ_M
+    n_codes = n_codes if n_codes is not None else similarity.PQ_K
+    dsub = dim // m
+    return f"""
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_codes})
+),
+cbsub AS (
+  SELECT ms.mi, cb.code,
+         cb.embedding[ms.mi * {dsub} + 1 : ms.mi * {dsub} + {dsub}] AS cvec
+  FROM cb CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS mi) ms
+),
+dist AS (
+  SELECT e.vec_id, s.mi, s.code, s.cvec,
+    round(list_sum(list_transform(generate_series(1, {dsub}), i ->
+      (CAST(e.embedding[s.mi * {dsub} + i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+      * (CAST(e.embedding[s.mi * {dsub} + i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE)))), 6) AS d
+  FROM embeddings e CROSS JOIN cbsub s
+),
+best AS (
+  SELECT vec_id, mi, cvec FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, mi ORDER BY d ASC, code ASC) = 1
+),
+recon AS (
+  SELECT vec_id, flatten(list(cvec ORDER BY mi)) AS rvec
+  FROM best GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
+cand AS (
+  SELECT q.query_id, r.vec_id, {_sql_cos('q.qvec', 'r.rvec')} AS cos
+  FROM recon r JOIN q ON r.vec_id <> q.query_id
 )"""
 
 
@@ -2263,6 +2340,25 @@ SELECT x.query_id,
 FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
+        "emb_pq_topk": _pq_sql() + """
+SELECT query_id, vec_id, cos FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+ORDER BY query_id, cos DESC, vec_id""",
+        "emb_pq_recall": _pq_sql() + f""",
+ann AS (
+  SELECT query_id, vec_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+),
+exact AS (
+  SELECT q.query_id, e.vec_id, {_sql_cos('q.qvec', 'e.embedding')} AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+)
+SELECT x.query_id,
+       round(CAST(count(a.vec_id) AS DOUBLE) / 5.0, 2) AS recall_pq_at_5
+FROM exact x
+LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id""",
         "emb_lsh_multi_topk": _lsh_multi_sql() + """
 SELECT query_id, vec_id, cos FROM cand
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
@@ -2465,6 +2561,8 @@ def queries_map() -> dict:
             "emb_ivf_recall": q_emb_ivf_recall,
             "emb_int8_topk": q_emb_int8_topk,
             "emb_int8_recall": q_emb_int8_recall,
+            "emb_pq_topk": q_emb_pq_topk,
+            "emb_pq_recall": q_emb_pq_recall,
             "doc_split_stats": q_doc_split_stats,
             "doc_sample_stats": q_doc_sample_stats,
             "emb_lsh_multi_topk": q_emb_lsh_multi_topk,

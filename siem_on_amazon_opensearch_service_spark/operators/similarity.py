@@ -390,3 +390,180 @@ def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int =
         .select("query_id", id_col, "cos")
         .orderBy("query_id", F.col("cos").desc(), id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) — the memory-compression scale path
+#
+# The D-dim vector is split into PQ_M contiguous subspaces; each subspace
+# has its own K-entry codebook, and a vector is stored as M small codes
+# (M bytes at K<=256 vs 4*D float32 — 32x for D=64, M=8).  Search is
+# asymmetric (ADC): the query stays float32, database vectors are
+# reconstructed from their codes — the FAISS IndexPQ shape.
+#
+# Scale design mirrors the IVF path: codebooks are LITERAL arrays folded
+# into whole-stage codegen, so encoding and reconstruction are pure
+# projections over the scan (zero shuffle, zero broadcast state, no
+# Python); the only shuffle in pq_topk is the per-query top-k window.
+# Codebook training follows the same bounded-sample recipe; the
+# Forgy-seeded variant (codebooks = subvector slices of the PQ_K
+# smallest ids) is arithmetic-reproducible and mirrored exactly by the
+# DuckDB value oracle.  Subspace distances are rounded to 6 dp before
+# the argmin on BOTH engines so assignment never flips on a last-ulp
+# summation difference.
+
+PQ_M = 8
+PQ_K = 16
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Forgy codebooks: per subspace, the subvector slices of the ``k``
+    smallest-id embeddings (deterministic at any parallelism; a
+    metadata-scale collect).  Returns [m][k][d/m]."""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    d = len(vecs[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [[v[mi * dsub:(mi + 1) * dsub] for v in vecs] for mi in range(m)]
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 10,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace L2 k-means codebooks: Lloyd iterations
+    over the ``sample_cap`` smallest-id vectors (sorted-limit sample ->
+    identical at any parallelism), Forgy init, empty cells keep their
+    previous entry.  The same bounded-sample recipe as
+    ``train_ivf_centroids`` — training is driver-side over a capped
+    sample; only encoding touches the full corpus, and that is a
+    literal-codebook codegen projection."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_cap).collect()
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for mi in range(m):
+        S = X[:, mi * dsub:(mi + 1) * dsub]
+        C = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> smallest code (argmin)
+            for j in range(k):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """round-6 squared L2 between two same-length array columns
+    (sequential double fold — the oracle's list_sum mirrors it; round-6
+    keeps the argmin engine-independent)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _pq_sub_code(sub: Column, codebook: list[list[float]]) -> Column:
+    """argmin-L2 code for one subspace (ties -> smallest code): ascending
+    struct order on (dist, code) makes array_min exactly that."""
+    entries = [
+        F.struct(_sq_l2(sub, _lit_vec(c)).alias("d"), F.lit(ci).alias("code"))
+        for ci, c in enumerate(codebook)
+    ]
+    return F.array_min(F.array(*entries))["code"]
+
+
+def pq_encode_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace codes — a literal-codebook codegen
+    projection (zero shuffle at any scale)."""
+    dsub = len(codebooks[0][0])
+    return F.array(*[
+        _pq_sub_code(F.slice(vec, mi * dsub + 1, dsub), cb)
+        for mi, cb in enumerate(codebooks)
+    ])
+
+
+def pq_reconstruct_col(codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<double> reconstruction: concatenated codebook entries."""
+    parts = []
+    for mi, cb in enumerate(codebooks):
+        table = F.array(*[_lit_vec(c) for c in cb])
+        parts.append(F.element_at(table, F.element_at(codes, mi + 1) + 1))
+    return F.flatten(F.array(*parts))
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): the stored PQ representation (M bytes per
+    vector at K<=256)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, id_col=id_col, vec_col=vec_col)
+    return emb.select(
+        F.col(id_col), pq_encode_col(F.col(vec_col), codebooks).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cos) — asymmetric PQ search: float queries
+    against PQ-reconstructed database vectors, round-6 cosine, tie-break
+    ascending id, self-match excluded.  ``codebooks=None`` uses the Forgy
+    seed codebooks (the oracle-reproducible quantizer)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    recon = emb.select(
+        id_col,
+        pq_reconstruct_col(pq_encode_col(F.col(vec_col), codebooks), codebooks).alias("rvec"),
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = recon.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id", id_col, cosine(F.col("qvec"), F.col("rvec")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos")
+        .orderBy("query_id", F.col("cos").desc(), id_col)
+    )
