@@ -1248,6 +1248,39 @@ def q_emb_pq_recall(spark, sf_dir):
     )
 
 
+def q_emb_ivfpq_topk(spark, sf_dir):
+    """IVFPQ (FAISS IndexIVFPQ shape): IVF coarse pruning to the nprobe
+    best Voronoi cells + PQ-reconstructed candidate scoring — compute AND
+    memory bound together, the real 10^12-scale ANN layout.  Both
+    quantizers are the Forgy seeds the DuckDB oracle reproduces, so the
+    result is a full value match."""
+    return similarity.ivfpq_topk(_emb(spark, sf_dir), [0, 1, 2], k=5)
+
+
+def q_emb_ivfpq_recall(spark, sf_dir):
+    """recall@5 of IVFPQ search against the exact float32 cosine top-k —
+    the combined quality cost of cell pruning (nprobe=4 of 16) plus 32x
+    PQ compression."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk(emb, [0, 1, 2], k=5)
+    ann = similarity.ivfpq_topk(emb, [0, 1, 2], k=5)
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / 5.0, 2).alias("recall_ivfpq_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_doc_split_stats(spark, sf_dir):
     """Deterministic hash train/val/test split (80/10/10): per-split row
     count and doc_id checksum — identical at any parallelism and stable
@@ -1457,15 +1490,13 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
-def _ivf_sql(nlist: int = None, nprobe: int = None) -> str:
-    """CTE prefix reproducing similarity.ivf_topk with the Forgy seed
-    quantizer: centroids = the nlist smallest-id embeddings; assignment =
-    argmax round-6 cosine (ties -> smallest cid); probes = the query's
-    nprobe best cells."""
+def _ivf_asgn_ctes(nlist: int = None, nprobe: int = None) -> str:
+    """Shared CTE bodies for the IVF coarse quantizer (Forgy seed):
+    cent / ccos / asgn (Voronoi assignment, argmax round-6 cosine,
+    ties -> smallest cid) / probes (the query's nprobe best cells)."""
     nlist = nlist if nlist is not None else similarity.IVF_NLIST
     nprobe = nprobe if nprobe is not None else similarity.IVF_NPROBE
-    return f"""
-WITH cent AS (
+    return f"""cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
 ),
@@ -1480,7 +1511,14 @@ asgn AS (
 probes AS (
   SELECT vec_id AS query_id, cid FROM ccos WHERE vec_id IN (0, 1, 2)
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) <= {nprobe}
-),
+)"""
+
+
+def _ivf_sql(nlist: int = None, nprobe: int = None) -> str:
+    """CTE prefix reproducing similarity.ivf_topk with the Forgy seed
+    quantizer."""
+    return f"""
+WITH {_ivf_asgn_ctes(nlist, nprobe)},
 q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
 cand AS (
   SELECT p.query_id, e.vec_id, {_sql_cos('q.qvec', 'e.embedding')} AS cos
@@ -1515,18 +1553,16 @@ cand AS (
 )"""
 
 
-def _pq_sql(m: int = None, n_codes: int = None, dim: int = 64) -> str:
-    """CTE prefix reproducing similarity.pq_topk with the Forgy seed
-    codebooks: per subspace, code entries = the subvector slices of the
-    ``n_codes`` smallest-id embeddings; encoding = argmin round-6 squared
-    L2 (ties -> smallest code); reconstruction = concatenated winning
-    entries in subspace order; search = round-6 cosine of the float query
-    vs the reconstruction (asymmetric / ADC, the FAISS IndexPQ shape)."""
+def _pq_recon_ctes(m: int = None, n_codes: int = None, dim: int = 64) -> str:
+    """Shared CTE bodies for the PQ quantizer (Forgy seed codebooks):
+    cb / cbsub / dist / best / recon — per subspace, code entries = the
+    subvector slices of the ``n_codes`` smallest-id embeddings; encoding
+    = argmin round-6 squared L2 (ties -> smallest code); reconstruction
+    = concatenated winning entries in subspace order."""
     m = m if m is not None else similarity.PQ_M
     n_codes = n_codes if n_codes is not None else similarity.PQ_K
     dsub = dim // m
-    return f"""
-WITH cb AS (
+    return f"""cb AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_codes})
 ),
@@ -1549,11 +1585,36 @@ best AS (
 recon AS (
   SELECT vec_id, flatten(list(cvec ORDER BY mi)) AS rvec
   FROM best GROUP BY vec_id
-),
+)"""
+
+
+def _pq_sql(m: int = None, n_codes: int = None, dim: int = 64) -> str:
+    """CTE prefix reproducing similarity.pq_topk: asymmetric / ADC search
+    — round-6 cosine of the float query vs the PQ reconstruction (the
+    FAISS IndexPQ shape)."""
+    return f"""
+WITH {_pq_recon_ctes(m, n_codes, dim)},
 q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
 cand AS (
   SELECT q.query_id, r.vec_id, {_sql_cos('q.qvec', 'r.rvec')} AS cos
   FROM recon r JOIN q ON r.vec_id <> q.query_id
+)"""
+
+
+def _ivfpq_sql() -> str:
+    """CTE prefix reproducing similarity.ivfpq_topk (the FAISS IndexIVFPQ
+    shape): candidates = rows in the query's nprobe best Voronoi cells,
+    scored against their PQ reconstructions."""
+    return f"""
+WITH {_pq_recon_ctes()},
+{_ivf_asgn_ctes()},
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
+cand AS (
+  SELECT p.query_id, e.vec_id, {_sql_cos('q.qvec', 'r.rvec')} AS cos
+  FROM probes p JOIN asgn e ON e.list_id = p.cid
+  JOIN recon r ON r.vec_id = e.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> p.query_id
 )"""
 
 
@@ -2359,6 +2420,25 @@ SELECT x.query_id,
 FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
+        "emb_ivfpq_topk": _ivfpq_sql() + """
+SELECT query_id, vec_id, cos FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+ORDER BY query_id, cos DESC, vec_id""",
+        "emb_ivfpq_recall": _ivfpq_sql() + f""",
+ann AS (
+  SELECT query_id, vec_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+),
+exact AS (
+  SELECT q.query_id, e.vec_id, {_sql_cos('q.qvec', 'e.embedding')} AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+)
+SELECT x.query_id,
+       round(CAST(count(a.vec_id) AS DOUBLE) / 5.0, 2) AS recall_ivfpq_at_5
+FROM exact x
+LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id ORDER BY x.query_id""",
         "emb_lsh_multi_topk": _lsh_multi_sql() + """
 SELECT query_id, vec_id, cos FROM cand
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
@@ -2563,6 +2643,8 @@ def queries_map() -> dict:
             "emb_int8_recall": q_emb_int8_recall,
             "emb_pq_topk": q_emb_pq_topk,
             "emb_pq_recall": q_emb_pq_recall,
+            "emb_ivfpq_topk": q_emb_ivfpq_topk,
+            "emb_ivfpq_recall": q_emb_ivfpq_recall,
             "doc_split_stats": q_doc_split_stats,
             "doc_sample_stats": q_doc_sample_stats,
             "emb_lsh_multi_topk": q_emb_lsh_multi_topk,

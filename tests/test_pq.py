@@ -105,6 +105,36 @@ class TestPqSearch:
         got = sim.pq_topk(emb, [0, 1, 2], k=5).toPandas()
         assert not ((got.query_id == got.vec_id).any())
 
+    def test_ivfpq_full_probe_equals_pq(self, emb):
+        """IVFPQ with nprobe=nlist is exhaustive over the PQ index, so it
+        must equal plain PQ search exactly."""
+        pq = sim.pq_topk(emb, [0, 1, 2], k=5).toPandas()
+        full = sim.ivfpq_topk(emb, [0, 1, 2], k=5, nlist=8, nprobe=8).toPandas()
+        assert list(zip(pq.query_id, pq.vec_id, pq.cos)) == list(
+            zip(full.query_id, full.vec_id, full.cos)
+        )
+
+    def test_ivfpq_candidates_are_cell_bounded(self, emb):
+        """Every IVFPQ hit must live in one of the query's probed cells."""
+        cents = sim.seed_centroids(emb, nlist=8)
+        asgn = {
+            r.vec_id: r.list_id
+            for r in emb.select(
+                "vec_id", sim.ivf_list_id(F.col("embedding"), cents).alias("list_id")
+            ).collect()
+        }
+        probes = {
+            r.vec_id: list(r.p)
+            for r in emb.filter(F.col("vec_id").isin([0, 1, 2]))
+            .select("vec_id", sim.ivf_probe_lists(F.col("embedding"), cents, 3).alias("p"))
+            .collect()
+        }
+        got = sim.ivfpq_topk(
+            emb, [0, 1, 2], k=5, nlist=8, nprobe=3, centroids=cents
+        ).toPandas()
+        for q, v in zip(got.query_id, got.vec_id):
+            assert asgn[v] in probes[q]
+
     def test_dim_not_divisible_rejected(self, spark):
         bad = spark.createDataFrame(
             [(0, [0.0] * 10), (1, [1.0] * 10)], "vec_id long, embedding array<float>"
