@@ -1281,6 +1281,19 @@ def q_emb_ivfpq_recall(spark, sf_dir):
     )
 
 
+def q_doc_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in as
+    the benchmark set; every other doc reports what fraction of its
+    distinct word 2-shingles (48-bit polynomial hashes — no shingle
+    strings) appears in the benchmark, flagged at 0.5.  The benchmark
+    shingle set is a broadcast semi join: no shuffle of the exploded
+    train shingles at corpus scale."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_stats(train, bench, k=2, threshold=0.5)
+
+
 def q_doc_split_stats(spark, sf_dir):
     """Deterministic hash train/val/test split (80/10/10): per-split row
     count and doc_id checksum — identical at any parallelism and stable
@@ -2372,6 +2385,19 @@ SELECT x.query_id,
 FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
+        "doc_decontamination": f"""
+WITH b AS (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0),
+bh AS (SELECT {_SQL_TOKEN_HASHES} AS hs FROM b),
+bsh AS (SELECT DISTINCT unnest({_sql_shingle_hashes(2)}) AS sh FROM bh),
+t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents WHERE doc_id % 97 <> 0),
+hsrc AS (SELECT id, {_SQL_TOKEN_HASHES} AS hs FROM t),
+tsh AS (SELECT DISTINCT id, unnest({_sql_shingle_hashes(2)}) AS sh FROM hsrc),
+sizes AS (SELECT id, count(*) AS n_shingles FROM tsh GROUP BY id),
+hits AS (SELECT id, count(*) AS n_hits FROM tsh JOIN bsh USING (sh) GROUP BY id)
+SELECT s.id, s.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_shingles, 6) AS contam_frac_r,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_shingles >= 0.5 AS contaminated
+FROM sizes s LEFT JOIN hits h ON h.id = s.id ORDER BY s.id""",
         "doc_split_stats": (
             f"SELECT CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train' "
             f"WHEN {_SPLIT_BUCKET} < 9000 THEN 'val' ELSE 'test' END AS split, "
@@ -2645,6 +2671,7 @@ def queries_map() -> dict:
             "emb_pq_recall": q_emb_pq_recall,
             "emb_ivfpq_topk": q_emb_ivfpq_topk,
             "emb_ivfpq_recall": q_emb_ivfpq_recall,
+            "doc_decontamination": q_doc_decontamination,
             "doc_split_stats": q_doc_split_stats,
             "doc_sample_stats": q_doc_sample_stats,
             "emb_lsh_multi_topk": q_emb_lsh_multi_topk,

@@ -433,3 +433,53 @@ def simhash_pairs_allpairs(df: DataFrame, id_col: str = "doc_id", text_col: str 
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def contamination_stats(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama training-data hygiene
+    step re-expressed relationally): per train document, the fraction of
+    its DISTINCT word k-shingles that appear anywhere in the benchmark
+    corpus, and a ``contaminated`` flag at ``threshold``.
+
+    Columns: (id, n_shingles, n_hits, contam_frac_r, contaminated).
+
+    Scale shape: the benchmark shingle set is deduplicated once
+    (benchmarks are ~10^5 docs vs 10^12 train rows, so this side is
+    broadcast-sized; with AQE the semi join is map-side — no shuffle of
+    the exploded train shingles), and shingles are the 48-bit polynomial
+    hashes (no shingle strings, same arithmetic as the minhash/jaccard
+    family, mirrored exactly by the DuckDB oracle).  Per-doc distinctness
+    comes from array_distinct BEFORE the explode, so the join input is
+    already minimal."""
+    sh = lambda c: F.array_distinct(shingle_hashes_col(c, k))  # noqa: E731
+    bench_sh = (
+        bench.select(F.explode(shingle_hashes_col(F.col(text_col), k)).alias("sh"))
+        .distinct()
+    )
+    tr = train.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("shs"))
+    tr_sh = tr.select("id", F.explode("shs").alias("sh"))
+    hits = (
+        tr_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    frac = F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")
+    return (
+        tr.select("id", F.size("shs").alias("n_shingles"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(frac, 6).alias("contam_frac_r"),
+            (frac >= F.lit(threshold)).alias("contaminated"),
+        )
+        .orderBy("id")
+    )

@@ -306,3 +306,54 @@ FROM h ORDER BY id"""
         }
         assert hashed == ref
         assert hashed[(0, 3)] == 1.0
+
+
+class TestContamination:
+    """Benchmark decontamination (r4e): shingle-overlap fraction of train
+    docs vs a benchmark corpus."""
+
+    def test_self_contamination_is_total(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        r = dedup.contamination_stats(docs, docs).toPandas()
+        assert (r.contam_frac_r == 1.0).all() and r.contaminated.all()
+
+    def test_disjoint_vocab_is_clean(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators import dedup
+
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "one two three four")], "doc_id long, text string"
+        )
+        r = dedup.contamination_stats(train, bench).toPandas()
+        assert r.n_hits.tolist() == [0] and not r.contaminated.any()
+
+    def test_partial_overlap_fraction(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators import dedup
+
+        # train doc shingles (k=2): {a b, b c, c d}; bench contains "a b"
+        # and "b c" but not "c d" -> 2/3
+        train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+        r = dedup.contamination_stats(train, bench, threshold=0.5).toPandas()
+        assert r.n_shingles.tolist() == [3] and r.n_hits.tolist() == [2]
+        assert abs(r.contam_frac_r[0] - round(2 / 3, 6)) < 1e-9
+        assert bool(r.contaminated[0])
+
+    def test_short_doc_uses_whole_stream_fold(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators import dedup
+
+        # one-token docs hash the whole stream as a single shingle: a
+        # one-token train doc is contaminated iff the same single token
+        # appears as a whole-stream shingle in the benchmark
+        train = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        hit = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+        miss = spark.createDataFrame([(9, "solo extra")], "doc_id long, text string")
+        assert dedup.contamination_stats(train, hit).toPandas().n_hits.tolist() == [1]
+        assert dedup.contamination_stats(train, miss).toPandas().n_hits.tolist() == [0]
