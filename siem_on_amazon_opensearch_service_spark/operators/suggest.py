@@ -28,11 +28,13 @@ from __future__ import annotations
 import itertools
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.analysis import tokenize
 from . import segments
@@ -44,20 +46,10 @@ MAX_SEQUENCES = 10_000
 # ---------------------------------------------------------------------------
 # model build
 
-def build_suggest_model(spark: SparkSession, index_dir: str) -> str:
-    """Build (or reuse) the Stupid Backoff model for an index.  Idempotent:
-    returns the model dir if both tables already exist."""
-    out = os.path.join(index_dir, "suggest")
-    uni_p, bi_p = os.path.join(out, "unigrams"), os.path.join(out, "bigrams")
-    meta_p = os.path.join(out, "_model.json")
-    if (
-        os.path.exists(os.path.join(uni_p, "_SUCCESS"))
-        and os.path.exists(os.path.join(bi_p, "_SUCCESS"))
-        and os.path.exists(meta_p)
-    ):
-        return out
-
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("text")
+def _count_grams(docs: DataFrame) -> DataFrame:
+    """(w1, w2, cnt) gram counts over a docs frame: unigram rows carry
+    w2 = NULL.  numpy partial counts per Arrow batch (map-side combine);
+    the groupBy shuffle carries distinct gram keys, not token instances."""
 
     def count_batches(batches):
         for pdf in batches:
@@ -85,26 +77,222 @@ def build_suggest_model(spark: SparkSession, index_dir: str) -> str:
                     continue
             yield uni
 
-    counted = (
-        docs.mapInPandas(count_batches, schema="w1 string, w2 string, cnt long")
+    return (
+        docs.select("text")
+        .mapInPandas(count_batches, schema="w1 string, w2 string, cnt long")
         .groupBy("w1", "w2")
         .agg({"cnt": "sum"})
         .withColumnRenamed("sum(cnt)", "cnt")
     )
+
+
+def _index_buckets(index_dir: str) -> int:
+    """The index's postings bucket count (0 = legacy flat layouts)."""
+    p = os.path.join(index_dir, "_build.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f).get("postings_buckets", 0) or 0)
+    return 0
+
+
+def _gram_sources(model_dir: str, sub: str) -> str:
+    """DuckDB source expression over a flat or w1-hash-bucketed gram
+    store (detection by directory layout, like the dict/postings)."""
+    base = os.path.join(model_dir, sub)
+    bucketed = any(
+        e.startswith("bucket=") for e in (os.listdir(base) if os.path.isdir(base) else ())
+    )
+    return (
+        f"read_parquet('{base}/bucket=*/*.parquet')"
+        if bucketed
+        else f"read_parquet('{base}/*.parquet')"
+    )
+
+
+def _write_grams(uni: DataFrame, bi: DataFrame, uni_p: str, bi_p: str, nb: int) -> None:
+    """Write the two gram tables; with ``nb`` buckets, partitioned by
+    crc32(first word) % nb — the SAME hash family as the postings/dict, so
+    an append swaps only touched bucket dirs.  Every bigram's w1 is also a
+    unigram of the same batch, so one touched-bucket set covers both."""
+    from . import build as b
+
+    if nb:
+        (
+            uni.withColumn("bucket", b.postings_bucket_col(nb))
+            .repartition(nb, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(uni_p)
+        )
+        (
+            bi.withColumn(
+                "bucket",
+                F.pmod(F.crc32(F.encode(F.col("w1"), "UTF-8")), F.lit(nb)).cast("int"),
+            )
+            .repartition(nb, "bucket")
+            .sortWithinPartitions("bucket", "w1", "w2")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(bi_p)
+        )
+    else:
+        uni.write.mode("overwrite").parquet(uni_p)
+        bi.write.mode("overwrite").parquet(bi_p)
+
+
+def build_suggest_model(spark: SparkSession, index_dir: str) -> str:
+    """Build (or reuse) the Stupid Backoff model for an index.  Idempotent:
+    returns the model dir if both tables already exist.  On bucketed
+    indexes the gram stores are bucketed by crc32(w1) so streaming appends
+    are O(touched-bucket bytes) (see append_suggest_grams)."""
+    out = os.path.join(index_dir, "suggest")
+    uni_p, bi_p = os.path.join(out, "unigrams"), os.path.join(out, "bigrams")
+    meta_p = os.path.join(out, "_model.json")
+    if (
+        os.path.exists(os.path.join(uni_p, "_SUCCESS"))
+        and os.path.exists(os.path.join(bi_p, "_SUCCESS"))
+        and os.path.exists(meta_p)
+    ):
+        return out
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    counted = _count_grams(docs)
     counted.persist()
-    counted.filter("w2 IS NULL").selectExpr("w1 AS term", "cnt AS ttf").write.mode(
-        "overwrite"
-    ).parquet(uni_p)
-    counted.filter("w2 IS NOT NULL").write.mode("overwrite").parquet(bi_p)
+    nb = _index_buckets(index_dir)
+    _write_grams(
+        counted.filter("w2 IS NULL").selectExpr("w1 AS term", "cnt AS ttf"),
+        counted.filter("w2 IS NOT NULL"),
+        uni_p,
+        bi_p,
+        nb,
+    )
     import duckdb
 
     total = duckdb.sql(
-        f"SELECT CAST(sum(ttf) AS BIGINT) FROM read_parquet('{uni_p}/*.parquet')"
+        f"SELECT CAST(sum(ttf) AS BIGINT) FROM {_gram_sources(out, 'unigrams')}"
     ).fetchone()[0]
     counted.unpersist()
     with open(meta_p, "w") as f:
         json.dump({"total_tokens": int(total)}, f)
+    open(os.path.join(uni_p, "_SUCCESS"), "a").close()
+    open(os.path.join(bi_p, "_SUCCESS"), "a").close()
     return out
+
+
+def append_suggest_grams(spark: SparkSession, index_dir: str, new_docs: DataFrame) -> dict:
+    """Fold one micro-batch's gram counts into an EXISTING suggest model
+    (no-op when the model hasn't been built — it stays build-on-demand).
+
+    Counts are additive over batches, so the update is an arithmetic
+    upsert like the term dictionary's: on the bucketed layout only the
+    bucket dirs containing the batch's first-words are read back and
+    swapped — IO per batch is O(touched-bucket bytes), not O(vocabulary).
+    Crash safety: the caller (append_batch) runs this BEFORE its commit
+    point, and recover_orphans drops the whole model on rollback, so a
+    torn update is rebuilt on demand rather than read."""
+    from . import build as b
+
+    out = os.path.join(index_dir, "suggest")
+    uni_p, bi_p = os.path.join(out, "unigrams"), os.path.join(out, "bigrams")
+    meta_p = os.path.join(out, "_model.json")
+    if not os.path.exists(meta_p):
+        return {"updated": False}
+
+    counted = _count_grams(new_docs)
+    counted.persist()
+    uni_delta = counted.filter("w2 IS NULL").selectExpr("w1 AS term", "cnt AS d")
+    bi_delta = counted.filter("w2 IS NOT NULL").selectExpr("w1", "w2", "cnt AS d")
+    batch_tokens = uni_delta.agg(F.sum("d")).collect()[0][0] or 0
+    if batch_tokens == 0:
+        counted.unpersist()
+        return {"updated": False}
+
+    nb = _index_buckets(index_dir)
+    bucketed = nb and any(
+        e.startswith("bucket=") for e in (os.listdir(uni_p) if os.path.isdir(uni_p) else ())
+    )
+
+    def _swap(df: DataFrame, path: str) -> None:
+        tmp = path + "_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+
+    if bucketed:
+        tb = sorted(
+            r["b"]
+            for r in uni_delta.select(b.postings_bucket_col(nb).alias("b")).distinct().collect()
+        )
+        old_uni = (
+            spark.read.parquet(uni_p).filter(F.col("bucket").isin(tb)).drop("bucket")
+        )
+        new_uni = old_uni.join(uni_delta, "term", "full_outer").select(
+            "term",
+            (F.coalesce(F.col("ttf"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias("ttf"),
+        )
+        old_bi = spark.read.parquet(bi_p).filter(F.col("bucket").isin(tb)).drop("bucket")
+        new_bi = old_bi.join(bi_delta, ["w1", "w2"], "full_outer").select(
+            "w1",
+            "w2",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias("cnt"),
+        )
+        for df, path in ((new_uni, uni_p), (new_bi, bi_p)):
+            # write only the touched buckets, then swap those dirs
+            tmp = path + "_tmpb"
+            shutil.rmtree(tmp, ignore_errors=True)
+            col = "term" if path is uni_p else "w1"
+            (
+                df.withColumn(
+                    "bucket",
+                    F.pmod(F.crc32(F.encode(F.col(col), "UTF-8")), F.lit(nb)).cast("int"),
+                )
+                .repartition(len(tb) or 1, "bucket")
+                .sortWithinPartitions("bucket", col)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp)
+            )
+            for kbucket in tb:
+                src = os.path.join(tmp, f"bucket={kbucket}")
+                dst = os.path.join(path, f"bucket={kbucket}")
+                if os.path.exists(src):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    os.replace(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+        touched = len(tb)
+    else:
+        old_uni = spark.read.parquet(uni_p)
+        _swap(
+            old_uni.join(uni_delta, "term", "full_outer").select(
+                "term",
+                (F.coalesce(F.col("ttf"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias("ttf"),
+            ),
+            uni_p,
+        )
+        old_bi = spark.read.parquet(bi_p)
+        _swap(
+            old_bi.join(bi_delta, ["w1", "w2"], "full_outer").select(
+                "w1",
+                "w2",
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias("cnt"),
+            ),
+            bi_p,
+        )
+        touched = -1
+    counted.unpersist()
+
+    with open(meta_p) as f:
+        meta = json.load(f)
+    meta["total_tokens"] = int(meta["total_tokens"]) + int(batch_tokens)
+    tmpm = meta_p + ".tmp"
+    with open(tmpm, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmpm, meta_p)
+    open(os.path.join(uni_p, "_SUCCESS"), "a").close()
+    open(os.path.join(bi_p, "_SUCCESS"), "a").close()
+    return {"updated": True, "touched_buckets": touched, "batch_tokens": int(batch_tokens)}
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +348,7 @@ def phrase_suggest(
     tl = ",".join("'" + t.replace("'", "''") + "'" for t in all_terms)
     uni = dict(
         duckdb.sql(
-            f"SELECT term, ttf FROM read_parquet('{model}/unigrams/*.parquet') "
+            f"SELECT term, ttf FROM {_gram_sources(model, 'unigrams')} "
             f"WHERE term IN ({tl})"
         ).fetchall()
     )
@@ -179,7 +367,7 @@ def phrase_suggest(
         bi = {
             (a, b): c
             for a, b, c in duckdb.sql(
-                f"SELECT w1, w2, cnt FROM read_parquet('{model}/bigrams/*.parquet') "
+                f"SELECT w1, w2, cnt FROM {_gram_sources(model, 'bigrams')} "
                 f"WHERE (w1, w2) IN ({pl})"
             ).fetchall()
         }

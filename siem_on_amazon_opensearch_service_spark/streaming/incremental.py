@@ -161,6 +161,11 @@ def recover_orphans(spark: SparkSession, out_dir: str, params: dict) -> bool:
     _write_stats_from_manifest(spark, out_dir)
     _refresh_postings_dict_full(spark, out_dir)
 
+    # a crashed append may have half-folded its gram counts into the
+    # suggest model (which has no docid column to filter on): drop the
+    # whole model — it is derived state, rebuilt on demand from docs
+    shutil.rmtree(os.path.join(out_dir, "suggest"), ignore_errors=True)
+
     # trigger cleared last: only once every other artifact is clean
     _swap_write(docs.filter(F.col("docid") < total), docs_path)
     open(os.path.join(docs_path, "_SUCCESS"), "a").close()
@@ -332,6 +337,15 @@ def append_batch(
             dict_path,
         )
     open(os.path.join(dict_path, "_SUCCESS"), "a").close()
+
+    # ---- suggest model freshness: if a Stupid Backoff model was built for
+    # this index, fold the batch's gram counts in (additive upsert, touched
+    # buckets only) BEFORE the commit point — phrase_suggest would otherwise
+    # silently score against pre-append statistics forever.  A crash here
+    # leaves orphan docids, and recover_orphans drops the model entirely.
+    from ..operators import suggest as sg
+
+    sg.append_suggest_grams(spark, out_dir, new_docs)
 
     n_touched = touched.count()
     new_partials.unpersist()
