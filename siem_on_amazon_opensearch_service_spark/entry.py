@@ -939,6 +939,8 @@ PERCOLATE_QUERIES = {
     "reset_phrase": '"connection reset"',
     "assistant_err": "error AND role:assistant",
     "denials": "denied OR refused",
+    # r4e: sloppy membership percolates (smallest-range existential)
+    "reset_sloppy": '"connection reset"~2',
 }
 
 

@@ -15,10 +15,12 @@ dictionary), and keyword/ts predicates for DQL field filters.  The
 whole evaluation is JVM whole-stage-codegen — no Python in the per-row
 path — so percolating N queries over a batch is one projection pass.
 
-Sloppy phrases are refused (their float frequency needs the positional
-sweep; membership via slop windows is expressible but deliberately out
-of percolation scope — loud, not divergent).  minimum_should_match is
-honored via ``AtLeast``.
+Sloppy phrases percolate too (r4e): membership is the smallest-range
+existential over offset-adjusted position lists — nested ``exists``
+lambdas carrying the running min/max, equivalent to (sloppy_freq > 0)
+of the index-side greedy sweep (property-tested; frequency itself is
+not needed for membership).  minimum_should_match is honored via
+``AtLeast``.
 
 Scale shape: tokenize once per row (shared subexpression across
 queries), each query a boolean column; the explode to (doc, query_name)
@@ -86,13 +88,46 @@ def _slots_predicate(toks: Column, slot_preds: list) -> Column:
     return F.exists(pos[0], chain)
 
 
+def _sloppy_predicate(toks: Column, terms: list[str], slop: int) -> Column:
+    """Sloppy-phrase MEMBERSHIP as a pure Column expression.
+
+    Lucene's SloppyPhraseMatcher greedy sweep (functions/sloppy.py) is the
+    classic smallest-range algorithm over the offset-adjusted position
+    lists: a document has sloppy_freq > 0 iff SOME selection of one
+    adjusted position per slot spans ``max - min <= slop``.  That
+    existential is expressed directly as nested ``exists`` lambdas
+    carrying the running min/max — equivalence to the index-side sweep is
+    property-tested against sloppy_freq.  Cost is O(prod |position
+    lists|) per doc, bounded by short transcript turns and query-sized k
+    (the sweep itself is what the INDEX uses; percolation has no
+    postings).  Terms are distinct by the parse-time repeated-term
+    guard."""
+    adjs = [
+        F.transform(
+            _positions(toks, (lambda t: (lambda x: x == F.lit(t)))(t)),
+            (lambda i: (lambda p: p - i))(i),
+        )
+        for i, t in enumerate(terms)
+    ]
+
+    def rec(level: int, cur_min: Column, cur_max: Column) -> Column:
+        if level == len(adjs):
+            return (cur_max - cur_min) <= F.lit(slop)
+        return F.exists(
+            adjs[level],
+            lambda p: rec(level + 1, F.least(cur_min, p), F.greatest(cur_max, p)),
+        )
+
+    return F.exists(adjs[0], lambda p: rec(1, p, p))
+
+
 def _escape_like(term_like: str) -> Column:
     return F.lit(term_like)
 
 
 def compile_predicate(query: str) -> "callable":
     """Compile a DQL query to ``f(toks, role, tool, ts) -> Column``
-    (boolean).  Raises on sloppy phrases."""
+    (boolean)."""
     ast = parse(query)
 
     def field_cond(ff: FieldFilter, role, tool, ts) -> Column:
@@ -110,10 +145,7 @@ def compile_predicate(query: str) -> "callable":
             return F.array_contains(toks, n.term)
         if isinstance(n, Phrase):
             if n.slop > 0:
-                raise NotImplementedError(
-                    "percolate: sloppy phrases are out of scope (index-side "
-                    "search_df supports them)"
-                )
+                return _sloppy_predicate(toks, list(n.terms), n.slop)
             return _slots_predicate(
                 toks, [(lambda t: (lambda x: x == F.lit(t)))(t) for t in n.terms]
             )

@@ -27,6 +27,7 @@ QUERIES = {
     "not_q": "error AND NOT timeout",
     "regex": "/time(out|r)/",
     "ts_gate": "error AND ts>=2025-06-05T00:00:00",
+    "sloppy2": '"connection reset"~2',
 }
 
 
@@ -63,7 +64,13 @@ class TestPercolate:
             match_docids_df,
         )
 
-        for q in ["error AND timeout", '"connection reset"', "w0004*"]:
+        for q in [
+            "error AND timeout",
+            '"connection reset"',
+            "w0004*",
+            '"connection reset"~2',
+            '"reset connection"~3',
+        ]:
             perc = percolate_df(tdf, {"q": q})
             docs = spark.read.parquet(os.path.join(tiny_index[0], "docs"))
             perc_ids = {
@@ -85,9 +92,56 @@ class TestPercolate:
         b = percolate_df(tdf, {"q": "error AND tool:bash"}).count()
         assert 0 < max(a, b) <= n <= a + b
 
-    def test_sloppy_refused(self, tdf):
-        with pytest.raises(NotImplementedError, match="sloppy"):
-            percolate_df(tdf, {"q": '"connection reset"~2'}).count()
+    def test_sloppy_membership_matches_sweep(self, spark):
+        """r4e: sloppy percolation == (sloppy_freq > 0) of the index-side
+        greedy sweep, on randomized position layouts (the nested-exists
+        min/max expression is the smallest-range existential)."""
+        import random
+
+        import numpy as np
+
+        from siem_on_amazon_opensearch_service_spark.functions.sloppy import sloppy_freq
+
+        rng = random.Random(42)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        rows = []
+        for i in range(200):
+            n = rng.randint(0, 12)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        tdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+        for terms, slop in [
+            (["aa", "bb"], 0),
+            (["aa", "bb"], 1),
+            (["bb", "aa"], 2),
+            (["aa", "bb", "cc"], 2),
+            (["cc", "aa", "dd"], 4),
+            (["aa", "bb", "cc", "dd"], 6),
+        ]:
+            q = '"' + " ".join(terms) + '"~' + str(slop)
+            got = {
+                r["doc_id"]
+                for r in percolate_df(
+                    tdf.withColumnRenamed("doc_id", "conv_id")
+                    .withColumn("turn_idx", F.lit(0))
+                    .withColumn("role", F.lit("user"))
+                    .withColumn("tool", F.lit(None).cast("string"))
+                    .withColumn("ts", F.current_timestamp()),
+                    {"q": q},
+                )
+                .selectExpr("conv_id AS doc_id")
+                .collect()
+            }
+            want = set()
+            for i, text in rows:
+                toks = text.split()
+                pls = [
+                    np.asarray([p for p, t in enumerate(toks) if t == term])
+                    for term in terms
+                ]
+                if all(pl.size for pl in pls) and sloppy_freq(pls, slop) > 0:
+                    want.add(i)
+            assert got == want, (terms, slop)
 
     def test_streaming_plan_builds(self, spark, tiny_corpus_pdf, tmp_path):
         src = str(tmp_path / "stream_src")
