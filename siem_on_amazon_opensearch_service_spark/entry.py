@@ -1283,6 +1283,17 @@ def q_emb_ivfpq_recall(spark, sf_dir):
     )
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Connected components over the exact 2-shingle jaccard >= 0.6
+    near-dup graph: every doc labelled with the smallest doc_id reachable
+    from it (min-label propagation, one join+groupBy per round, rounds =
+    graph diameter).  The DuckDB oracle derives the same components with
+    a recursive reachability CTE — full value match per doc."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=2, jaccard_min=0.6)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def q_doc_decontamination(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 97 == 0 stand in as
     the benchmark set; every other doc reports what fraction of its
@@ -2387,6 +2398,20 @@ SELECT x.query_id,
 FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
+        "doc_dedup_clusters": (
+            "WITH RECURSIVE "
+            + _jaccard_pairs_sql(0.6).replace("\nWITH ", "", 1)
+            + """,
+p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.6),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+r AS (
+  SELECT doc_id AS id, doc_id AS lab FROM documents
+  UNION
+  SELECT r.id, e.b AS lab FROM r JOIN e ON e.a = r.lab
+)
+SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM r GROUP BY id ORDER BY doc_id"""
+        ),
         "doc_decontamination": f"""
 WITH b AS (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0),
 bh AS (SELECT {_SQL_TOKEN_HASHES} AS hs FROM b),
@@ -2673,6 +2698,7 @@ def queries_map() -> dict:
             "emb_pq_recall": q_emb_pq_recall,
             "emb_ivfpq_topk": q_emb_ivfpq_topk,
             "emb_ivfpq_recall": q_emb_ivfpq_recall,
+            "doc_dedup_clusters": q_doc_dedup_clusters,
             "doc_decontamination": q_doc_decontamination,
             "doc_split_stats": q_doc_split_stats,
             "doc_sample_stats": q_doc_sample_stats,

@@ -483,3 +483,64 @@ def contamination_stats(
         )
         .orderBy("id")
     )
+
+
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every node
+    gets ``cluster_id`` = the smallest id reachable from it (singletons
+    label themselves) — the step that turns pairwise near-dup evidence
+    into "keep one representative per cluster" at corpus scale.
+
+    Algorithm: distributed min-label propagation.  Each round joins the
+    symmetrized edge list to the current labels and takes
+    ``min(own, min(neighbor labels))``; converged when no label changes.
+    Rounds = graph diameter; near-dup graphs are overwhelmingly tiny
+    cliques/short chains (diameter 1-3), so the loop runs 2-4 rounds of
+    one join + one groupBy each, label state is localCheckpoint'ed every
+    round to cut lineage, and the loop raises loudly at ``max_iters``
+    rather than silently returning partial components.  (For adversarial
+    long-chain graphs the O(log n) alternating-star algorithm is the
+    published upgrade path; the per-round primitive here is the same
+    join+min shuffle shape.)
+
+    Input ``pairs`` needs columns (id_a, id_b); ``nodes`` supplies the
+    full id universe so singletons appear in the output."""
+    lab = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "lab", F.col("id")
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = lab.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(lab.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("lab").alias("nbr_min"))
+        )
+        new = (
+            lab.join(nbr, "id", "left")
+            .select("id", F.least(F.col("lab"), F.coalesce("nbr_min", "lab")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("lab", "new_lab")
+            .join(lab, "id")
+            .filter(F.col("new_lab") != F.col("lab"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id")).orderBy(id_col)
+    raise RuntimeError(
+        f"dedup_clusters: not converged after {max_iters} rounds "
+        f"(pathological chain graph? raise max_iters or switch to alternating-star)"
+    )

@@ -357,3 +357,53 @@ class TestContamination:
         miss = spark.createDataFrame([(9, "solo extra")], "doc_id long, text string")
         assert dedup.contamination_stats(train, hit).toPandas().n_hits.tolist() == [1]
         assert dedup.contamination_stats(train, miss).toPandas().n_hits.tolist() == [0]
+
+
+class TestDedupClusters:
+    """Connected components over near-dup pairs (r4e): min-label
+    propagation, diameter-bounded rounds, loud non-convergence."""
+
+    def _run(self, spark, n_nodes, edges, **kw):
+        from siem_on_amazon_opensearch_service_spark.operators import dedup
+
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        )
+        if not edges:
+            pairs = pairs.limit(0)
+        out = dedup.dedup_clusters(nodes, pairs, **kw).toPandas()
+        return dict(zip(out.doc_id, out.cluster_id))
+
+    def test_chain_clique_singleton(self, spark):
+        # chain 0-1-2, clique {3,4,5}, singleton 6, pair (7,8)
+        edges = [(0, 1), (1, 2), (3, 4), (4, 5), (3, 5), (7, 8)]
+        got = self._run(spark, 9, edges)
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 7, 8: 7}
+
+    def test_no_edges_all_singletons(self, spark):
+        got = self._run(spark, 4, [])
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_long_chain_converges(self, spark):
+        # a 12-node path needs multiple propagation rounds
+        edges = [(i, i + 1) for i in range(11)]
+        got = self._run(spark, 12, edges)
+        assert set(got.values()) == {0}
+
+    def test_parallelism_invariant(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators import dedup
+
+        edges = [(0, 5), (5, 9), (2, 7), (1, 3)]
+        nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = dedup.dedup_clusters(nodes, pairs).toPandas()
+        b = dedup.dedup_clusters(nodes.repartition(7), pairs.repartition(5)).toPandas()
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_unconverged_raises(self, spark):
+        import pytest as _pt
+
+        edges = [(i, i + 1) for i in range(11)]
+        with _pt.raises(RuntimeError, match="not converged"):
+            self._run(spark, 12, edges, max_iters=2)
