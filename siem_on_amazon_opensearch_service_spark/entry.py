@@ -1283,6 +1283,14 @@ def q_emb_ivfpq_recall(spark, sf_dir):
     )
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """CCNet-style LM quality score: mean log10 probability per doc under
+    a Stupid Backoff bigram model trained on the corpus itself.  Per-
+    position log10 values are float32-cast and summed by an ORDERED fold
+    in both engines, so the rounded mean is a full value match."""
+    return textstats.lm_score(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_doc_dedup_clusters(spark, sf_dir):
     """Connected components over the exact 2-shingle jaccard >= 0.6
     near-dup graph: every doc labelled with the smallest doc_id reachable
@@ -2398,6 +2406,34 @@ SELECT x.query_id,
 FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
+        "doc_lm_score": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS w,
+         CASE WHEN i > 1 THEN toks[i-1] END AS wprev
+  FROM base, unnest(generate_series(1, len(toks))) AS t(i)
+),
+uni AS (SELECT w, count(*) AS ttf FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(ttf) AS DOUBLE) AS t FROM uni),
+big AS (SELECT wprev AS w1, w AS w2, count(*) AS cnt FROM tok WHERE wprev IS NOT NULL GROUP BY 1, 2),
+scored AS (
+  SELECT tok.doc_id, tok.pos,
+    CAST(log10(CASE WHEN tok.pos = 0 THEN CAST(u.ttf AS DOUBLE) / tot.t
+      WHEN b.cnt IS NOT NULL THEN CAST(b.cnt AS DOUBLE) / CAST(up.ttf AS DOUBLE)
+      ELSE {textstats.LM_BACKOFF} * CAST(u.ttf AS DOUBLE) / tot.t END) AS FLOAT) AS val
+  FROM tok JOIN uni u ON u.w = tok.w
+  LEFT JOIN uni up ON up.w = tok.wprev
+  LEFT JOIN big b ON b.w1 = tok.wprev AND b.w2 = tok.w
+  CROSS JOIN tot
+),
+folded AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(val AS DOUBLE) ORDER BY pos)), (a,b) -> a + b) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT b.doc_id AS id, COALESCE(f.n_tokens, 0) AS n_tokens,
+       round(f.s / f.n_tokens, 6) AS lm_logprob_r
+FROM base b LEFT JOIN folded f USING (doc_id) ORDER BY id""",
         "doc_dedup_clusters": (
             "WITH RECURSIVE "
             + _jaccard_pairs_sql(0.6).replace("\nWITH ", "", 1)
@@ -2698,6 +2734,7 @@ def queries_map() -> dict:
             "emb_pq_recall": q_emb_pq_recall,
             "emb_ivfpq_topk": q_emb_ivfpq_topk,
             "emb_ivfpq_recall": q_emb_ivfpq_recall,
+            "doc_lm_score": q_doc_lm_score,
             "doc_dedup_clusters": q_doc_dedup_clusters,
             "doc_decontamination": q_doc_decontamination,
             "doc_split_stats": q_doc_split_stats,

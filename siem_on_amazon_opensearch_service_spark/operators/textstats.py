@@ -265,3 +265,115 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, p in PII_PATTERNS.items():
         out = F.regexp_replace(out, p, f"[{name.upper()}]")
     return df.withColumn(text_col, out)
+
+
+LM_BACKOFF = 0.4
+
+
+def lm_score(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score: per document, the mean
+    log10 probability of its token stream under a Stupid Backoff bigram
+    model trained on ``ref`` (default: the scored corpus itself — the
+    self-perplexity outlier detector).  Low scores flag boilerplate-free
+    gibberish; high scores flag degenerate repetition — both ends are
+    filter candidates.
+
+    Columns: (id, n_tokens, lm_logprob_r); empty docs score NULL.
+
+    Model + scoring are pure DataFrame algebra (no driver-side model):
+    unigram/bigram counts are corpus aggregations joined back to the
+    per-position token stream; a doc's first token scores ttf/total and
+    every next token c(prev,cur)/ttf(prev), backing off to
+    0.4*ttf(cur)/total when the bigram is unseen.  Cross-engine
+    exactness: each per-position log10 is cast to FLOAT32 (absorbing JVM
+    vs libm last-ulp differences), and the per-doc sum is an ORDERED
+    fold over the position-sorted list — both engines add in the same
+    order, so the rounded mean is bit-identical.  Out-of-vocabulary
+    tokens cannot occur when ref == df; with an external ref they raise
+    via a loud null-check rather than scoring -inf silently."""
+    ref = df if ref is None else ref
+    from pyspark.sql.window import Window
+
+    rtok = ref.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "w"),
+    )
+    uni = rtok.groupBy("w").agg(F.count("*").alias("ttf"))
+    total = float(uni.agg(F.sum("ttf")).collect()[0][0] or 0)
+    if total == 0:
+        raise ValueError("lm_score: reference corpus has no tokens")
+    rw = Window.partitionBy("rid").orderBy("pos")
+    big = (
+        rtok.withColumn("wprev", F.lag("w").over(rw))
+        .filter(F.col("wprev").isNotNull())
+        .groupBy(F.col("wprev").alias("w1"), F.col("w").alias("w2"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "w")
+    )
+    toks = toks.withColumn(
+        "wprev", F.lag("w").over(Window.partitionBy("id").orderBy("pos"))
+    )
+
+    j = (
+        toks.join(uni.withColumnRenamed("w", "w_"), F.col("w") == F.col("w_"), "left")
+        .drop("w_")
+        .withColumnRenamed("ttf", "ttf_cur")
+        .join(
+            uni.select(F.col("w").alias("wp_"), F.col("ttf").alias("ttf_prev")),
+            F.col("wprev") == F.col("wp_"),
+            "left",
+        )
+        .drop("wp_")
+        .join(
+            big,
+            (F.col("wprev") == F.col("w1")) & (F.col("w") == F.col("w2")),
+            "left",
+        )
+    )
+    p = F.when(
+        F.col("pos") == 0, F.col("ttf_cur").cast("double") / F.lit(total)
+    ).otherwise(
+        F.when(
+            F.col("cnt").isNotNull(),
+            F.col("cnt").cast("double") / F.col("ttf_prev").cast("double"),
+        ).otherwise(
+            F.lit(LM_BACKOFF) * F.col("ttf_cur").cast("double") / F.lit(total)
+        )
+    )
+    scored = j.select(
+        "id", "pos", F.log10(p).cast("float").alias("val"), F.col("ttf_cur")
+    )
+    # loud OOV guard (only reachable with an external ref)
+    scored = scored.withColumn(
+        "val",
+        F.when(
+            F.col("ttf_cur").isNull(),
+            F.raise_error(F.lit("lm_score: OOV token under external ref")),
+        ).otherwise(F.col("val")),
+    )
+    folded = scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["val"],
+        ).alias("s"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(folded, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(F.col("s") / F.col("n_tokens"), 6).alias("lm_logprob_r"),
+        )
+        .orderBy("id")
+    )

@@ -91,3 +91,84 @@ class TestPII:
         pdf = pd.DataFrame({"doc_id": [1], "text": ["id 123-45-6789 end"]})
         out = textstats.pii_redact(spark.createDataFrame(pdf)).collect()[0]["text"]
         assert out == "id [SSN] end"
+
+
+class TestLmScore:
+    """r4e: Stupid Backoff bigram LM quality score."""
+
+    def test_hand_computed_two_docs(self, spark):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from siem_on_amazon_opensearch_service_spark.operators import textstats
+
+        # corpus: "a b a b" and "a c"  -> ttf: a=3 b=2 c=1, total=6
+        # bigrams: (a,b)=2 (b,a)=1 (a,c)=1
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b a b", "a c"]})
+        got = textstats.lm_score(spark.createDataFrame(pdf)).toPandas()
+
+        def f32log10(x):
+            return float(np.float32(math.log10(x)))
+
+        d1 = [3 / 6, 2 / 3, 1 / 2, 2 / 3]  # P(a), P(b|a), P(a|b), P(b|a)
+        d2 = [3 / 6, 1 / 3]  # P(a), P(c|a)
+        want1 = round(sum(f32log10(p) for p in d1) / 4, 6)
+        want2 = round(sum(f32log10(p) for p in d2) / 2, 6)
+        assert got.n_tokens.tolist() == [4, 2]
+        assert got.lm_logprob_r.tolist() == [want1, want2]
+
+    def test_unseen_bigram_backs_off(self, spark):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from siem_on_amazon_opensearch_service_spark.operators import textstats
+
+        # score "b a" against ref "a b": bigram (b,a) unseen -> backoff
+        ref = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["b a"]}))
+        got = textstats.lm_score(df, ref=ref).toPandas()
+        p = [1 / 2, 0.4 * 1 / 2]  # P(b), backoff 0.4*ttf(a)/total
+        want = round(sum(float(np.float32(math.log10(x))) for x in p) / 2, 6)
+        assert got.lm_logprob_r.tolist() == [want]
+
+    def test_empty_doc_scores_null(self, spark):
+        import pandas as pd
+
+        from siem_on_amazon_opensearch_service_spark.operators import textstats
+
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", ""]})
+        got = textstats.lm_score(spark.createDataFrame(pdf)).toPandas()
+        assert got.n_tokens.tolist() == [2, 0]
+        assert pd.isna(got.lm_logprob_r[1])
+
+    def test_oov_under_external_ref_raises(self, spark):
+        import pandas as pd
+        import pytest as _pt
+
+        from siem_on_amazon_opensearch_service_spark.operators import textstats
+
+        ref = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["zz"]}))
+        with _pt.raises(Exception, match="OOV"):
+            textstats.lm_score(df, ref=ref).collect()
+
+    def test_repetitive_doc_scores_higher(self, spark):
+        """Degenerate repetition inflates bigram probabilities — the
+        high-end filter signal."""
+        import pandas as pd
+
+        from siem_on_amazon_opensearch_service_spark.operators import textstats
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["spam spam spam spam spam spam", "the quick brown fox jumps high"],
+            }
+        )
+        got = textstats.lm_score(spark.createDataFrame(pdf)).toPandas()
+        by = dict(zip(got.id, got.lm_logprob_r))
+        assert by[1] > by[2]
