@@ -491,3 +491,60 @@ def _build_index_inner(
         "params": params,
         "stage_secs": stage_secs,
     }
+
+
+def reindex(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    query: str | None = None,
+    n_shards: int | None = None,
+    n_salts: int | None = None,
+    positions: bool | None = None,
+    n_buckets: int | None = None,
+) -> dict:
+    """OpenSearch ``_reindex`` re-expressed: rebuild an index from its own
+    docs store into ``dst_dir`` with (optionally) different settings —
+    positions on/off, shard/salt/bucket counts — and/or restricted to the
+    CONVERSATIONS matching a DQL ``query`` (the investigation-export
+    shape: "every conversation containing X").
+
+    The query filter is the percolator's index-free column predicate, so
+    selection is one scan of the docs store — no search plan, no second
+    index.  Whole conversations are kept (any turn matches -> all turns
+    copied) both because that is what an export means and because it
+    preserves the contiguous-turn contract docid assignment relies on;
+    turn-LEVEL subsetting would need rank-based docid assignment and is
+    deliberately not offered.  Settings default to the source index's
+    _build.json values.  Returns the new index's build stats."""
+    import json as _json
+
+    with open(os.path.join(src_dir, "_build.json")) as f:
+        src_params = _json.load(f)
+    docs = spark.read.parquet(os.path.join(src_dir, "docs")).select(
+        "conv_id", "turn_idx", "role", "tool", "ts", "text"
+    )
+    if query is not None:
+        from .percolate import compile_predicate, tokens_col
+
+        pred = compile_predicate(query)
+        hit_convs = (
+            docs.filter(
+                pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
+            )
+            .select("conv_id")
+            .distinct()
+        )
+        docs = docs.join(hit_convs, "conv_id", "left_semi")
+    return build_index(
+        spark,
+        docs,
+        dst_dir,
+        n_shards=n_shards,
+        n_salts=n_salts if n_salts is not None else src_params["n_salts"],
+        positions=positions if positions is not None else src_params["positions"],
+        n_buckets=n_buckets,
+        # a query-filtered subset keeps whole conversations, so turn ranges
+        # stay dense 0-based and the full validation applies
+        validate_dense=True,
+    )

@@ -1,0 +1,88 @@
+"""reindex (r4e): rebuild an index from its own docs store with different
+settings or restricted to conversations matching a DQL query — the
+OpenSearch _reindex ops API over our segment layout."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.operators.build import build_index, reindex
+from siem_on_amazon_opensearch_service_spark.operators.search import LocalIndex
+
+
+class TestReindex:
+    def test_full_reindex_is_search_identical(self, spark, tiny_index, tmp_path):
+        dst = str(tmp_path / "re")
+        st = reindex(spark, tiny_index[0], dst)
+        a, b = LocalIndex(tiny_index[0]), LocalIndex(dst)
+        assert a.stats == b.stats
+        for q in ["error AND timeout", '"connection reset"', "w0004*"]:
+            assert a.search(q, k=10) == b.search(q, k=10), q
+        assert st["params"]["total_docs"] == a.stats["n_docs"]
+
+    def test_positions_off_shrinks_and_rejects_phrases(self, spark, tiny_index, tmp_path):
+        dst = str(tmp_path / "nopos")
+        reindex(spark, tiny_index[0], dst, positions=False)
+        a, b = LocalIndex(tiny_index[0]), LocalIndex(dst)
+        assert a.search("error AND timeout", k=10) == b.search("error AND timeout", k=10)
+        with pytest.raises(ValueError, match="positions"):
+            b.search('"connection reset"', k=5)
+
+        def du(d):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(os.path.join(d, "postings"))
+                for f in fs
+            )
+
+        assert du(dst) < du(tiny_index[0])
+
+    def test_query_reindex_equals_fresh_build_over_subset(
+        self, spark, tiny_corpus_pdf, tiny_index, tmp_path
+    ):
+        """Conversation-level export: reindex(query=...) must equal a fresh
+        build over exactly the matching conversations' turns."""
+        q = '"connection reset" AND tool:bash'
+        dst = str(tmp_path / "sub")
+        reindex(spark, tiny_index[0], dst, query=q)
+
+        from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+            compile_predicate,
+            tokens_col,
+        )
+
+        full = spark.createDataFrame(tiny_corpus_pdf)
+        pred = compile_predicate(q)
+        convs = (
+            full.filter(
+                pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
+            )
+            .select("conv_id")
+            .distinct()
+        )
+        subset = full.join(convs, "conv_id", "left_semi")
+        fresh = str(tmp_path / "fresh")
+        build_index(spark, subset, fresh, n_shards=8, n_salts=4)
+
+        a, b = LocalIndex(dst), LocalIndex(fresh)
+        assert a.stats == b.stats
+        for query in ["error", '"connection reset"', "timeout OR refused"]:
+            assert a.search(query, k=10) == b.search(query, k=10), query
+        # and the subset is smaller than the source but non-trivial
+        src_docs = LocalIndex(tiny_index[0]).stats["n_docs"]
+        assert 0 < a.stats["n_docs"] < src_docs
+
+    def test_query_reindex_keeps_whole_conversations(self, spark, tiny_index, tmp_path):
+        dst = str(tmp_path / "whole")
+        reindex(spark, tiny_index[0], dst, query='"connection reset" AND tool:bash')
+        got = spark.read.parquet(os.path.join(dst, "docs"))
+        spans = got.groupBy("conv_id").agg(
+            F.min("turn_idx").alias("mn"),
+            F.max("turn_idx").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        bad = spans.filter(
+            (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
+        ).count()
+        assert bad == 0
