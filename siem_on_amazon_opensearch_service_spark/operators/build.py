@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import zlib
 
 import numpy as np
@@ -517,10 +518,8 @@ def reindex(
     turn-LEVEL subsetting would need rank-based docid assignment and is
     deliberately not offered.  Settings default to the source index's
     _build.json values.  Returns the new index's build stats."""
-    import json as _json
-
     with open(os.path.join(src_dir, "_build.json")) as f:
-        src_params = _json.load(f)
+        src_params = json.load(f)
     docs = spark.read.parquet(os.path.join(src_dir, "docs")).select(
         "conv_id", "turn_idx", "role", "tool", "ts", "text"
     )
@@ -548,3 +547,68 @@ def reindex(
         # stay dense 0-based and the full validation applies
         validate_dense=True,
     )
+
+
+def force_merge(spark: SparkSession, index_dir: str) -> dict:
+    """OpenSearch ``_forcemerge`` re-expressed: compact a grown index's
+    postings/dict stores back to the one-shot write layout.
+
+    Streaming appends leave multiple parquet files per bucket dir (each
+    touched-bucket swap writes the bucket anew, but appends to ``docs``
+    accumulate, and the per-append merge output is sized by the batch,
+    not the corpus).  This rewrites every bucket term-sorted in one pass
+    — restoring the in-file term clustering that parquet min/max pruning
+    relies on — and swaps dirs atomically per bucket; the index answers
+    queries identically before and after (content is unchanged, layout is
+    not).  Returns file counts before/after.  IO is O(index) by design —
+    this is the explicit read-optimize knob, run off the ingest path,
+    exactly like Lucene's."""
+    with open(os.path.join(index_dir, "_build.json")) as f:
+        params = json.load(f)
+    nb = params.get("postings_buckets", 0)
+
+    def _count_files(sub: str) -> int:
+        base = os.path.join(index_dir, sub)
+        return sum(
+            1
+            for r, _, fs in os.walk(base)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = {"postings": _count_files("postings"), "dict": _count_files("dict")}
+    postings_path = os.path.join(index_dir, "postings")
+    dict_path = os.path.join(index_dir, "dict")
+    if nb:
+        merged = spark.read.parquet(postings_path).drop("bucket")
+        tmp = postings_path + "_fm"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_postings_bucketed(merged.repartition(nb, postings_bucket_col(nb)), tmp, nb)
+        shutil.rmtree(postings_path, ignore_errors=True)
+        os.replace(tmp, postings_path)
+        d = spark.read.parquet(dict_path)
+        if "bucket" in d.columns:
+            d = d.drop("bucket")
+        tmpd = dict_path + "_fm"
+        shutil.rmtree(tmpd, ignore_errors=True)
+        write_dict_bucketed(d, tmpd, nb)
+        shutil.rmtree(dict_path, ignore_errors=True)
+        os.replace(tmpd, dict_path)
+    else:
+        for path, order in ((postings_path, ["term", "salt", "shard_min"]), (dict_path, ["term"])):
+            df = spark.read.parquet(path)
+            tmp = path + "_fm"
+            shutil.rmtree(tmp, ignore_errors=True)
+            npart = max(1, spark.sparkContext.defaultParallelism // 4)
+            (
+                df.repartitionByRange(npart, order[0])
+                .sortWithinPartitions(*order)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
+    open(os.path.join(postings_path, "_SUCCESS"), "a").close()
+    open(os.path.join(dict_path, "_SUCCESS"), "a").close()
+    after = {"postings": _count_files("postings"), "dict": _count_files("dict")}
+    return {"files_before": before, "files_after": after}

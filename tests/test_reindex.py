@@ -86,3 +86,41 @@ class TestReindex:
             (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
         ).count()
         assert bad == 0
+
+
+class TestForceMerge:
+    def test_compacts_after_appends_and_preserves_results(
+        self, spark, tiny_corpus_pdf, tmp_path
+    ):
+        """Grow an index with several small appends (file count per bucket
+        grows), force_merge, and require (a) fewer postings files, (b)
+        identical search results, (c) identical stats."""
+        from siem_on_amazon_opensearch_service_spark.operators.build import force_merge
+        from siem_on_amazon_opensearch_service_spark.streaming.incremental import (
+            append_batch,
+        )
+
+        convs = sorted(tiny_corpus_pdf["conv_id"].unique())
+        parts = [convs[: len(convs) // 2]] + [
+            convs[len(convs) // 2 + i : len(convs) // 2 + i + 3]
+            for i in range(0, len(convs) - len(convs) // 2, 3)
+        ]
+        out = str(tmp_path / "grown")
+        for i, cs in enumerate(p for p in parts if p):
+            batch = tiny_corpus_pdf[tiny_corpus_pdf["conv_id"].isin(cs)]
+            append_batch(spark, spark.createDataFrame(batch), out, batch_id=i)
+
+        a = LocalIndex(out)
+        before_stats = a.stats
+        before_hits = {
+            q: a.search(q, k=10)
+            for q in ["error AND timeout", '"connection reset"', "timeout OR refused"]
+        }
+
+        r = force_merge(spark, out)
+        assert r["files_after"]["postings"] < r["files_before"]["postings"]
+
+        b = LocalIndex(out)
+        assert b.stats == before_stats
+        for q, want in before_hits.items():
+            assert b.search(q, k=10) == want, q
