@@ -580,6 +580,17 @@ def q_doc_sampler_terms(spark, sf_dir):
                               shard_size=200, n=10)
 
 
+def q_doc_diversified_sampler(spark, sf_dir):
+    """OpenSearch diversified_sampler + terms: language mix of a bounded
+    sample capped at 30 docs per source (de-bias a dominant source before
+    aggregating).  Both the per-source cap and the global cut rank by
+    (md5(doc_id), doc_id), so the oracle reproduces the exact sample."""
+    return aggs.diversified_sampler_terms(
+        _docs(spark, sf_dir), "doc_id", "source", "lang",
+        max_docs_per_value=30, shard_size=100, n=10,
+    )
+
+
 def q_transcripts_missing_tool(spark, sf_dir):
     """OpenSearch missing agg: turns with no tool field."""
     _prep(spark)
@@ -2004,6 +2015,15 @@ FROM x GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
             "SELECT lang, count(*) AS cnt FROM sample GROUP BY lang "
             "ORDER BY cnt DESC, lang ASC LIMIT 10"
         ),
+        "doc_diversified_sampler": (
+            "WITH capped AS (SELECT * FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) <= 30), "
+            "sample AS (SELECT * FROM capped "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100) "
+            "SELECT lang, count(*) AS cnt FROM sample GROUP BY lang "
+            "ORDER BY cnt DESC, lang ASC LIMIT 10"
+        ),
         "transcripts_missing_tool": (
             f"SELECT count(*) FILTER (WHERE tool IS NULL) AS missing_cnt "
             f"FROM read_parquet('{ORACLE_TRANSCRIPTS}')"
@@ -2696,6 +2716,7 @@ def queries_map() -> dict:
             "events_stats_bucket": q_events_stats_bucket,
             "events_cumulative_cardinality": q_events_cumulative_cardinality,
             "doc_sampler_terms": q_doc_sampler_terms,
+            "doc_diversified_sampler": q_doc_diversified_sampler,
             "transcripts_missing_tool": q_transcripts_missing_tool,
             "events_bucket_sort": q_events_bucket_sort,
             "events_normalize": q_events_normalize,

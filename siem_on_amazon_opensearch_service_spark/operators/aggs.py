@@ -559,6 +559,41 @@ def sampler_terms(
     return terms_topn(sample, field, n=n)
 
 
+def diversified_sampler_terms(
+    df: DataFrame,
+    id_field: str,
+    diversify_field: str,
+    field: str,
+    max_docs_per_value: int = 3,
+    shard_size: int = 100,
+    n: int = 10,
+) -> DataFrame:
+    """OpenSearch ``diversified_sampler`` + nested terms: like ``sampler``
+    but with at most ``max_docs_per_value`` docs per ``diversify_field``
+    value in the sample (de-bias a dominant key before aggregating).
+    Same frozen determinism recipe as sampler_terms: ranking inside each
+    diversity key AND the global sample cut both order by
+    (md5(id), id), so the oracle reproduces the exact sample.  Scale:
+    one window over the diversify key + one global limit — the
+    shard_size cut bounds everything downstream."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(diversify_field).orderBy(
+        F.md5(F.col(id_field).cast("string")).asc(), F.col(id_field).asc()
+    )
+    capped = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_docs_per_value)
+        .drop("_rk")
+    )
+    sample = (
+        capped.withColumn("_h", F.md5(F.col(id_field).cast("string")))
+        .orderBy(F.col("_h").asc(), F.col(id_field).asc())
+        .limit(shard_size)
+    )
+    return terms_topn(sample, field, n=n)
+
+
 def missing_agg(df: DataFrame, field: str) -> DataFrame:
     """OpenSearch ``missing`` agg: docs without a value for the field."""
     return df.agg(

@@ -176,3 +176,53 @@ class TestStringStats:
         # chars: a x3, b x1 -> entropy = -(3/4 log2 3/4 + 1/4 log2 1/4)
         exp = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
         assert abs(r["entropy_r"] - round(exp, 6)) <= 1e-6
+
+
+class TestDiversifiedSampler:
+    def test_per_key_cap_enforced(self, spark):
+        # 20 docs all from one source: cap 3 means the sample (and hence
+        # the terms counts) sum to exactly 3
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "source": ["s1"] * 20,
+                "lang": ["en"] * 10 + ["de"] * 10,
+            }
+        )
+        out = aggs.diversified_sampler_terms(
+            spark.createDataFrame(pdf), "doc_id", "source", "lang",
+            max_docs_per_value=3, shard_size=100, n=10,
+        ).toPandas()
+        assert out.cnt.sum() == 3
+
+    def test_diversification_rebalances(self, spark):
+        # dominant source s1 (50 docs, lang en) vs s2 (5 docs, lang de):
+        # without the cap the sample is ~all en; capped at 5 per source
+        # the two langs tie
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(55),
+                "source": ["s1"] * 50 + ["s2"] * 5,
+                "lang": ["en"] * 50 + ["de"] * 5,
+            }
+        )
+        out = aggs.diversified_sampler_terms(
+            spark.createDataFrame(pdf), "doc_id", "source", "lang",
+            max_docs_per_value=5, shard_size=100, n=10,
+        ).toPandas()
+        assert dict(zip(out.lang, out.cnt)) == {"en": 5, "de": 5}
+
+    def test_parallelism_invariant(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(200),
+                "source": [f"s{i % 7}" for i in range(200)],
+                "lang": [f"l{i % 3}" for i in range(200)],
+            }
+        )
+        d = spark.createDataFrame(pdf)
+        a = aggs.diversified_sampler_terms(d, "doc_id", "source", "lang",
+                                           max_docs_per_value=4, shard_size=20).toPandas()
+        b = aggs.diversified_sampler_terms(d.repartition(13), "doc_id", "source", "lang",
+                                           max_docs_per_value=4, shard_size=20).toPandas()
+        assert a.values.tolist() == b.values.tolist()
