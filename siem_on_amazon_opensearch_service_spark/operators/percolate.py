@@ -125,9 +125,21 @@ def _escape_like(term_like: str) -> Column:
     return F.lit(term_like)
 
 
-def compile_predicate(query: str) -> "callable":
+def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
     """Compile a DQL query to ``f(toks, role, tool, ts) -> Column``
-    (boolean)."""
+    (boolean).
+
+    ``index_dir`` resolves the ONE leaf whose semantics depend on a term
+    dictionary: match_phrase_prefix TRUNCATES its expansion to the first
+    max_expansions dictionary terms, so index-free percolation (which
+    matches the prefix directly) can match MORE docs when the prefix
+    region exceeds the cap — the same caveat the ES percolator documents
+    for multi-term queries against different term sources.  With an
+    ``index_dir`` the prefix expands through the index's own dictionary
+    scan and percolation is match-set-identical to the index for every
+    query shape (random-tree tested).  Wildcard/fuzzy/regexp need no
+    dictionary: their index path never truncates (it raises at
+    maxClauseCount), so direct token matching is already exact."""
     ast = parse(query)
 
     def field_cond(ff: FieldFilter, role, tool, ts) -> Column:
@@ -150,9 +162,19 @@ def compile_predicate(query: str) -> "callable":
                 toks, [(lambda t: (lambda x: x == F.lit(t)))(t) for t in n.terms]
             )
         if isinstance(n, PhrasePrefix):
+            if index_dir is not None:
+                from .search import _expand_leaf
+
+                exp = _expand_leaf(index_dir, n)
+                if not exp:
+                    return F.lit(False)
+                alt = F.array(*[F.lit(t) for t in exp])
+                last = lambda x: F.array_contains(alt, x)  # noqa: E731
+            else:
+                last = (lambda p: (lambda x: x.startswith(p)))(n.terms[-1])
             preds = [
                 (lambda t: (lambda x: x == F.lit(t)))(t) for t in n.terms[:-1]
-            ] + [(lambda p: (lambda x: x.startswith(p)))(n.terms[-1])]
+            ] + [last]
             return _slots_predicate(toks, preds)
         if isinstance(n, MultiPhrase):  # pragma: no cover — parse never emits
             raise TypeError("MultiPhrase is a post-expansion node")
@@ -202,6 +224,7 @@ def percolate_df(
     queries: dict[str, str],
     text_col: str = "text",
     id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Match every row of a transcript-shaped DataFrame against every
     saved query: returns (id_cols..., query_name) rows, one per
@@ -212,7 +235,7 @@ def percolate_df(
     toks = tokens_col(F.col(text_col))
     role, tool, ts = F.col("role"), F.col("tool"), F.col("ts")
     flags = [
-        compile_predicate(q)(toks, role, tool, ts).alias(name)
+        compile_predicate(q, index_dir)(toks, role, tool, ts).alias(name)
         for name, q in sorted(queries.items())
     ]
     wide = df.select(*id_cols, *flags)

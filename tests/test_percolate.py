@@ -227,3 +227,72 @@ class TestReferenceSavedSearchPercolation:
         # values reference fields/terms absent from the synthetic corpus —
         # the assertion is that compilation + percolation RUN end-to-end
         percolate_df(tdf, compiled).count()
+
+
+class TestPercolateRandomTrees:
+    """r4e hardening: percolation == index match sets on random mixed-leaf
+    boolean trees (terms, phrases, sloppy phrases, phrase prefixes,
+    boosts, NOT) — two completely different evaluation strategies."""
+
+    def test_random_trees_match_index(self, spark, tiny_corpus_pdf, tiny_index):
+        import random
+
+        from tests.test_mixed_stress import _tree
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            match_docids_df,
+        )
+
+        tdf = spark.createDataFrame(tiny_corpus_pdf)
+        docs = spark.read.parquet(os.path.join(tiny_index[0], "docs"))
+        rng = random.Random(7331)
+        ran = nonempty = 0
+        while ran < 15:
+            q = _tree(rng, 2)
+            try:
+                idx_ids = {
+                    (r["conv_id"], r["turn_idx"])
+                    for r in docs.join(
+                        match_docids_df(spark, tiny_index[0], q), "docid", "left_semi"
+                    ).collect()
+                }
+            except ValueError:
+                continue  # index-side coverage-invalid shape
+            perc_ids = {
+                (r["conv_id"], r["turn_idx"])
+                for r in percolate_df(
+                    tdf, {"q": q}, index_dir=tiny_index[0]
+                ).collect()
+            }
+            assert perc_ids == idx_ids, q
+            ran += 1
+            nonempty += bool(perc_ids)
+        assert nonempty >= 8, f"only {nonempty} non-empty — battery too weak"
+
+    def test_phrase_prefix_truncation_bridge(self, spark, tiny_corpus_pdf, tiny_index):
+        """'w000' has ~100 dictionary expansions; the index truncates to
+        the first 50 (Lucene max_expansions), index-free percolation
+        matches the full prefix.  With index_dir the percolator adopts
+        the dictionary truncation and the sets are identical."""
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            match_docids_df,
+        )
+
+        q = '"error w000"*'
+        tdf = spark.createDataFrame(tiny_corpus_pdf)
+        docs = spark.read.parquet(os.path.join(tiny_index[0], "docs"))
+        idx_ids = {
+            (r["conv_id"], r["turn_idx"])
+            for r in docs.join(
+                match_docids_df(spark, tiny_index[0], q), "docid", "left_semi"
+            ).collect()
+        }
+        free = {
+            (r["conv_id"], r["turn_idx"])
+            for r in percolate_df(tdf, {"q": q}).collect()
+        }
+        bridged = {
+            (r["conv_id"], r["turn_idx"])
+            for r in percolate_df(tdf, {"q": q}, index_dir=tiny_index[0]).collect()
+        }
+        assert bridged == idx_ids
+        assert free >= idx_ids  # untruncated is a superset by construction
