@@ -550,6 +550,26 @@ def q_bm25_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # r4d: aggregation batch 3 (operators/aggs.py)
 
+def q_events_boxplot(spark, sf_dir):
+    """OpenSearch boxplot agg: exact quartiles (the frozen stand-in for
+    TDigest, like percentiles) + Tukey whiskers at round-6 1.5*IQR
+    fences."""
+    return aggs.boxplot_agg(_events(spark, sf_dir), "value")
+
+
+def q_events_t_test(spark, sf_dir):
+    """OpenSearch t_test agg (Welch): error vs purchase event values —
+    unbiased sample variance, identical textual arithmetic in the
+    oracle."""
+    return aggs.t_test_agg(_events(spark, sf_dir), "value", "event_type",
+                           "error", "purchase")
+
+
+def q_events_rate(spark, sf_dir):
+    """OpenSearch rate agg: per-day buckets normalized to events/hour."""
+    return aggs.rate_agg(_events(spark, sf_dir), "ts", "day", unit_hours=1.0)
+
+
 def q_events_mad(spark, sf_dir):
     """OpenSearch median_absolute_deviation over value (exact medians)."""
     return aggs.median_absolute_deviation(_events(spark, sf_dir), "value")
@@ -1985,6 +2005,36 @@ FROM x GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
             "GROUP BY r_name, n_name ORDER BY r_name, n_name"
         ),
         # r4d aggregation batch 3
+        "events_boxplot": (
+            "WITH q AS (SELECT min(CAST(value AS DOUBLE)) AS mn, "
+            "max(CAST(value AS DOUBLE)) AS mx, "
+            "quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1, "
+            "quantile_cont(CAST(value AS DOUBLE), 0.5) AS q2, "
+            "quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3 FROM events) "
+            "SELECT mn, mx, round(q1, 6) AS q1_r, round(q2, 6) AS q2_r, "
+            "round(q3, 6) AS q3_r, "
+            "(SELECT min(CAST(value AS DOUBLE)) FROM events, q "
+            " WHERE CAST(value AS DOUBLE) >= round(q1 - 1.5 * (q3 - q1), 6)) AS lower_whisker, "
+            "(SELECT max(CAST(value AS DOUBLE)) FROM events, q "
+            " WHERE CAST(value AS DOUBLE) <= round(q3 + 1.5 * (q3 - q1), 6)) AS upper_whisker "
+            "FROM q"
+        ),
+        "events_t_test": (
+            "WITH g AS (SELECT event_type, count(CAST(value AS DOUBLE)) AS n, "
+            "sum(CAST(value AS DOUBLE)) AS s, "
+            "sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS ss "
+            "FROM events WHERE event_type IN ('error', 'purchase') GROUP BY 1), "
+            "st AS (SELECT event_type, n, s / n AS m, (ss - s * s / n) / (n - 1) AS v FROM g) "
+            "SELECT a.n AS na, b.n AS nb, "
+            "round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_r "
+            "FROM (SELECT * FROM st WHERE event_type = 'error') a, "
+            "(SELECT * FROM st WHERE event_type = 'purchase') b"
+        ),
+        "events_rate": (
+            "SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt, "
+            "round(count(*) / 24.0, 6) AS rate_r "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
         "events_mad": (
             "SELECT round(median(abs(value - "
             "(SELECT median(value) FROM events))), 6) AS mad_r FROM events"
@@ -2712,6 +2762,9 @@ def queries_map() -> dict:
             "events_derivative": q_events_derivative,
             "events_cumulative_sum": q_events_cumulative_sum,
             "events_mad": q_events_mad,
+            "events_boxplot": q_events_boxplot,
+            "events_t_test": q_events_t_test,
+            "events_rate": q_events_rate,
             "events_top_metrics": q_events_top_metrics,
             "events_stats_bucket": q_events_stats_bucket,
             "events_cumulative_cardinality": q_events_cumulative_cardinality,

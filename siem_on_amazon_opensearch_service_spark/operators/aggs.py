@@ -756,3 +756,84 @@ def string_stats(df: DataFrame, field: str) -> DataFrame:
         .agg(F.round(F.sum("e"), 6).alias("entropy_r"))
     )
     return lens.crossJoin(ent)
+
+
+def boxplot_agg(df: DataFrame, field: str) -> DataFrame:
+    """OpenSearch ``boxplot`` agg: min / max / q1 / q2 / q3 plus the
+    whiskers (nearest data points inside the 1.5*IQR Tukey fences) —
+    exact interpolated quartiles as the frozen contract (ES uses TDigest;
+    the exact CDF is this engine's documented stand-in, like
+    percentiles/percentile_ranks).  Fences are rounded to 6 dp BEFORE the
+    comparison in both engines so a last-ulp quantile-interpolation
+    difference can never flip whisker membership."""
+    c = F.col(field).cast("double")
+    q = df.agg(
+        F.min(c).alias("mn"),
+        F.max(c).alias("mx"),
+        F.percentile(c, 0.25).alias("q1"),
+        F.percentile(c, 0.5).alias("q2"),
+        F.percentile(c, 0.75).alias("q3"),
+    )
+    j = df.crossJoin(F.broadcast(q))
+    lo_fence = F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6)
+    hi_fence = F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6)
+    return j.agg(
+        F.min(F.col("mn")).alias("mn"),
+        F.max(F.col("mx")).alias("mx"),
+        F.round(F.min("q1"), 6).alias("q1_r"),
+        F.round(F.min("q2"), 6).alias("q2_r"),
+        F.round(F.min("q3"), 6).alias("q3_r"),
+        F.min(F.when(c >= lo_fence, c)).alias("lower_whisker"),
+        F.max(F.when(c <= hi_fence, c)).alias("upper_whisker"),
+    )
+
+
+def t_test_agg(df: DataFrame, field: str, group_field: str, a: str, b: str) -> DataFrame:
+    """OpenSearch ``t_test`` agg (heteroscedastic / Welch, the default):
+    t = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b) with UNBIASED sample
+    variance s2 = (sumsq - sum^2/n) / (n - 1).  The variance and t are
+    spelled with the identical textual arithmetic in the SQL oracle."""
+    c = F.col(field).cast("double")
+    g = df.filter(F.col(group_field).isin([a, b])).groupBy(group_field).agg(
+        F.count(c).alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("ss"),
+    )
+    va = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    stats = g.select(
+        group_field,
+        F.col("n"),
+        (F.col("s") / F.col("n")).alias("m"),
+        va.alias("v"),
+    )
+    ga = stats.filter(F.col(group_field) == a).select(
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")
+    )
+    gb = stats.filter(F.col(group_field) == b).select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb")
+    )
+    return ga.crossJoin(gb).select(
+        "na",
+        "nb",
+        F.round(
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
+            6,
+        ).alias("t_r"),
+    )
+
+
+def rate_agg(
+    df: DataFrame, ts: str = "ts", interval: str = "day", unit_hours: float = 1.0
+) -> DataFrame:
+    """OpenSearch ``rate`` agg inside a date_histogram: per-bucket event
+    count normalized to a rate per ``unit_hours`` (the 'events per hour
+    by day' dashboard shape).  Bucket width is the histogram interval;
+    the divisor is width/unit (24 for day buckets at per-hour rate)."""
+    hours = {"hour": 1.0, "day": 24.0, "week": 168.0}[interval]
+    per = date_histogram(df, ts, interval)
+    return per.select(
+        "bucket",
+        "cnt",
+        F.round(F.col("cnt") / F.lit(hours / unit_hours), 6).alias("rate_r"),
+    ).orderBy("bucket")

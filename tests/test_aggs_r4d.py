@@ -226,3 +226,37 @@ class TestDiversifiedSampler:
         b = aggs.diversified_sampler_terms(d.repartition(13), "doc_id", "source", "lang",
                                            max_docs_per_value=4, shard_size=20).toPandas()
         assert a.values.tolist() == b.values.tolist()
+
+
+class TestBoxplotTTestRate:
+    def test_boxplot_hand_computed(self, spark):
+        # 9 values (1..8, outlier 100): interpolated q1/q2/q3 land on
+        # ranks 2/4/6 -> 3/5/7; IQR=4, hi fence 13 -> upper whisker 8
+        # (outlier excluded); lo fence -3 -> lower whisker 1
+        pdf = pd.DataFrame({"value": [1, 2, 3, 4, 5, 6, 7, 8, 100]})
+        r = aggs.boxplot_agg(spark.createDataFrame(pdf), "value").collect()[0]
+        assert (r["mn"], r["mx"]) == (1.0, 100.0)
+        assert (r["q1_r"], r["q2_r"], r["q3_r"]) == (3.0, 5.0, 7.0)
+        assert (r["lower_whisker"], r["upper_whisker"]) == (1.0, 8.0)
+
+    def test_t_test_hand_computed(self, spark):
+        import math
+
+        # a: [1,2,3] (m=2, v=1); b: [2,4,6,8] (m=5, v=20/3)
+        pdf = pd.DataFrame(
+            {
+                "value": [1, 2, 3, 2, 4, 6, 8],
+                "event_type": ["a"] * 3 + ["b"] * 4,
+            }
+        )
+        r = aggs.t_test_agg(spark.createDataFrame(pdf), "value", "event_type", "a", "b").collect()[0]
+        want = (2 - 5) / math.sqrt(1 / 3 + (20 / 3) / 4)
+        assert (r["na"], r["nb"]) == (3, 4)
+        assert abs(r["t_r"] - round(want, 6)) < 1e-9
+
+    def test_rate_normalizes_by_interval(self, spark):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 05:00"] * 48 + ["2024-01-02 07:00"] * 24)}
+        )
+        out = aggs.rate_agg(spark.createDataFrame(pdf), "ts", "day", unit_hours=1.0).toPandas()
+        assert out.rate_r.tolist() == [2.0, 1.0]  # 48/24 and 24/24 events per hour
