@@ -1567,10 +1567,16 @@ def _shard_local_topk(
             return
         d_sel = cand[sel_m]
         s_sel = tot[sel_m].astype(np.float32)
+        if k is None:
+            # full match set: no per-partition cut, no global order
+            yield pd.DataFrame({"docid": d_sel, "score": s_sel})
+            return
         order = np.lexsort((d_sel, -s_sel.astype(np.float64)))[:k]
         yield pd.DataFrame({"docid": d_sel[order], "score": s_sel[order]})
 
     out = parts.mapInPandas(gen, schema="docid long, score float")
+    if k is None:
+        return out
     return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
@@ -1904,12 +1910,15 @@ def search_df(
             "filters": filters_d if (sharded_warm and _filter_mask_bc is None) else None,
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
-    elif _postings is not None and k is not None and k > 0 and search_after is None and collapse is None:
+    elif _postings is not None and (k is None or k > 0) and search_after is None and collapse is None:
         # Warm multi-clause / phrase path (r4): shard-local fused
         # evaluation — ONE Python stage after a compressed-bytes
         # repartition on shard_min; handles every query shape including
         # phrases and works both with broadcast norms and with the
         # sharded ranged-fetch fallback past the broadcast cap.
+        # r4e: k=None (the relevance wrappers' full-match-set clause
+        # shape) runs the same single Python stage emitting every match
+        # unordered — strictly less movement than the cold join plan.
         return _shard_local_topk(
             spark, index_dir, ast, leaves, weights, stats, k,
             postings, prune, filters_d, _norms_bc, _filter_mask_bc,

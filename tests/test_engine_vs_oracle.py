@@ -328,6 +328,21 @@ class TestWarmQuerySession:
             (r["docid"], np.float32(r["score"])) for r in warm
         ], q
 
+    @pytest.mark.parametrize(
+        "q",
+        ["error AND timeout", "error OR refused", '"connection reset"',
+         "(error AND NOT timeout) OR refused"],
+    )
+    def test_warm_full_match_set_equals_cold(self, spark, tiny_index, session, q):
+        """r4e: k=None (full scored match set) through the shard-local
+        warm path must equal the cold k=None set exactly (unordered
+        contract -> compare as sorted sets)."""
+        cold = search_df(spark, tiny_index[0], q, k=None).collect()
+        warm = session.search(q, k=None).collect()
+        key = lambda rows: sorted((r["docid"], np.float32(r["score"])) for r in rows)  # noqa: E731
+        assert key(warm) == key(cold), q
+        assert len(warm) > 10  # a real match set, not a page
+
     def test_warm_repeat_uses_prune_memo(self, session):
         a = session.search("error", k=10).collect()
         b = session.search("error", k=10).collect()  # memoized prune plan
