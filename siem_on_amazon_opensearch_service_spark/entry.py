@@ -538,6 +538,41 @@ def q_bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONSTANT_SCORE_SPEC = {"query": "error AND timeout", "k": 10, "boost": 1.2}
+# origin near the corpus end (2025-06-01..08), pivot = 1 day: recency
+# boosting that actually reorders the 'error' ranking
+DISTANCE_FEATURE_SPEC = {
+    "query": "error",
+    "k": 10,
+    "origin": "2025-06-08T00:00:00",
+    "pivot_seconds": 86400.0,
+    "boost": 2.0,
+}
+
+
+def q_bm25_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch constant_score: filter-context match set, every hit
+    scores exactly boost (no BM25) — page = first k docids."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    return relevance.constant_score_df(spark, idx, **CONSTANT_SCORE_SPEC)
+
+
+def q_bm25_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch distance_feature on ts: additive recency saturation
+    boost * pivot/(pivot+dist) on top of the BM25 score."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = relevance.distance_feature_df(spark, idx, DISTANCE_FEATURE_SPEC["query"],
+                                        k=DISTANCE_FEATURE_SPEC["k"],
+                                        origin=DISTANCE_FEATURE_SPEC["origin"],
+                                        pivot_seconds=DISTANCE_FEATURE_SPEC["pivot_seconds"],
+                                        boost=DISTANCE_FEATURE_SPEC["boost"])
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
 def q_bm25_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch phrase suggester (did-you-mean): Stupid Backoff bigram
     re-ranking of levenshtein candidates for a misspelled phrase
@@ -1875,6 +1910,15 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_function_score_warm"] = bm["bm25_function_score_recency"]
     bm["bm25_dis_max"] = relevance.dis_max_sql(ORACLE_TRANSCRIPTS, **DIS_MAX_SPEC)
     bm["bm25_boosting"] = relevance.boosting_sql(ORACLE_TRANSCRIPTS, **BOOSTING_SPEC)
+    bm["bm25_constant_score"] = relevance.constant_score_sql(
+        ORACLE_TRANSCRIPTS, **CONSTANT_SCORE_SPEC
+    )
+    bm["bm25_distance_feature"] = relevance.distance_feature_sql(
+        ORACLE_TRANSCRIPTS, DISTANCE_FEATURE_SPEC["query"],
+        k=DISTANCE_FEATURE_SPEC["k"], origin=DISTANCE_FEATURE_SPEC["origin"],
+        pivot_seconds=DISTANCE_FEATURE_SPEC["pivot_seconds"],
+        boost=DISTANCE_FEATURE_SPEC["boost"],
+    )
 
     rel = {
         "events_terms_topn": (
@@ -2732,6 +2776,8 @@ def queries_map() -> dict:
     q["bm25_function_score_warm"] = q_bm25_function_score_warm
     q["bm25_dis_max"] = q_bm25_dis_max
     q["bm25_boosting"] = q_bm25_boosting
+    q["bm25_constant_score"] = q_bm25_constant_score
+    q["bm25_distance_feature"] = q_bm25_distance_feature
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,

@@ -742,3 +742,139 @@ FROM (
   ORDER BY score DESC, c.docid ASC
   LIMIT {k}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# constant_score
+
+def constant_score_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """OpenSearch ``constant_score``: filter-context evaluation — every
+    matching doc scores exactly ``boost`` (Lucene ConstantScoreQuery; no
+    BM25, no idf/tf).  The reference's dashboards use this shape for
+    pure-filter panels where ranking noise is unwanted.
+
+    Spark-first: the match set is posting-set algebra
+    (``match_docids_df`` — joins/anti-joins, no scoring columns ever
+    materialize), the score a literal.  With all scores equal the
+    (score desc, docid asc) tie-break degenerates to the first ``k``
+    docids of the match set, so the page is a TakeOrdered on docid —
+    no score sort at all."""
+    from .search import match_docids_df
+
+    matched = match_docids_df(spark, index_dir, query)
+    score = F.round(F.lit(float(boost)).cast("float").cast("double"), 3)
+    return (
+        matched.select("docid", score.alias("score_r"))
+        .orderBy(F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def constant_score_sql(
+    path: str, query: str, k: int = 10, boost: float = 1.0
+) -> str:
+    """DuckDB oracle for constant_score_df: (docid BIGINT, score_r DOUBLE)."""
+    from .sqloracle import _filters_sql, _match_sql
+
+    ast, dqlf = extract_filters(parse(query), query)
+    leaves = _collect_leaves(ast)
+    fsql = _filters_sql(dqlf)
+    b = float(boost)
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+m AS (SELECT docid FROM ({_match_sql(ast, leaves)}) _m)
+SELECT m.docid, round(CAST(CAST({b!r} AS FLOAT) AS DOUBLE), 3) AS score_r
+FROM m JOIN d USING (docid){fsql}
+ORDER BY m.docid ASC
+LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# distance_feature
+
+def distance_feature_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    *,
+    origin: str,
+    pivot_seconds: float,
+    boost: float = 1.0,
+    session=None,
+    **filt,
+) -> DataFrame:
+    """OpenSearch ``distance_feature`` on the ts field: recency boosting
+    as an ADDITIVE should-clause — ``score + boost * pivot /
+    (pivot + |ts - origin|)`` (the Lucene LongDistanceFeatureQuery
+    saturation curve), unlike function_score's multiplicative decay.
+    The investigation shape: "same relevance query, but surface recent
+    turns first when scores tie".
+
+    Frozen numeric contract (mirrored textually by the SQL oracle):
+    distances in float64 epoch SECONDS (``pivot_seconds`` likewise —
+    OpenSearch's date-math pivot pre-converted by the caller), the sum
+    cast to float32 once, rank (score desc, docid asc).
+
+    Plan: full scored match set (no sort) + docid equi-join with the
+    docs projection (ts only) + one JVM column expression + TakeOrdered
+    page — identical shape to function_score, one exchange beyond the
+    base query."""
+    import os
+
+    if session is not None:
+        base = session.search(query, k=None, **filt)
+        if session.docs is not None and "ts" in session.docs.columns:
+            docs = session.docs.select("docid", "ts")
+        else:
+            docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("docid", "ts")
+    else:
+        base = search_df(spark, index_dir, query, k=None, **filt)
+        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("docid", "ts")
+    o = ts_epoch(origin)
+    p = float(pivot_seconds)
+    b = float(boost)
+    contrib = F.lit(b) * F.lit(p) / (
+        F.lit(p) + F.abs(F.col("ts").cast("double") - F.lit(o))
+    )
+    final = (F.col("score").cast("double") + contrib).cast("float")
+    out = base.join(docs, "docid").select("docid", final.alias("score"))
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def distance_feature_sql(
+    path: str,
+    query: str,
+    k: int = 10,
+    *,
+    origin: str,
+    pivot_seconds: float,
+    boost: float = 1.0,
+    **kwargs,
+) -> str:
+    """DuckDB oracle for distance_feature_df: (docid BIGINT, score_r DOUBLE)."""
+    ast, dqlf = extract_filters(parse(query), query)
+    filt = merge_filters(query, dict(kwargs), dqlf)
+    leaves = _collect_leaves(ast)
+    fsql = _filters_sql(filt)
+    o = ts_epoch(origin)
+    p = float(pivot_seconds)
+    b = float(boost)
+    contrib = f"{b!r} * {p!r} / ({p!r} + abs(epoch(d.ts) - {o!r}))"
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)})
+SELECT docid, round(CAST(score AS DOUBLE), 3) AS score_r
+FROM (
+  SELECT c.docid,
+         CAST(CAST(c.s AS DOUBLE) + {contrib} AS FLOAT) AS score
+  FROM combined c JOIN d USING (docid){fsql}
+  ORDER BY score DESC, c.docid ASC
+  LIMIT {k}
+)"""

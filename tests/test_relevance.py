@@ -255,3 +255,94 @@ class TestWarmRelevance:
         with pytest.raises(ValueError, match="positive"):
             rel.boosting_df(spark, tiny_index[0], "error", "NOT timeout", 0.5,
                             k=5, session=session)
+
+class TestConstantScore:
+    def test_matches_oracle(self, spark, tiny_index, parquet):
+        idx = tiny_index[0]
+        out = rel.constant_score_df(spark, idx, "error OR timeout", k=8, boost=1.2)
+        got = [(int(r["docid"]), float(r["score_r"])) for r in out.collect()]
+        want = _oracle_pairs(rel.constant_score_sql(parquet, "error OR timeout",
+                                                    k=8, boost=1.2))
+        assert got == want
+
+    def test_page_is_first_k_of_match_set(self, spark, tiny_index):
+        idx = tiny_index[0]
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            match_docids_df,
+        )
+        all_ids = sorted(
+            r["docid"] for r in match_docids_df(spark, idx, "error").collect()
+        )
+        out = rel.constant_score_df(spark, idx, "error", k=3, boost=2.0)
+        rows = out.collect()
+        assert [int(r["docid"]) for r in rows] == all_ids[:3]
+        assert all(float(r["score_r"]) == 2.0 for r in rows)
+
+    def test_dql_filter_carries(self, spark, tiny_index, parquet):
+        idx = tiny_index[0]
+        q = "error AND role:assistant"
+        out = rel.constant_score_df(spark, idx, q, k=10)
+        got = [(int(r["docid"]), float(r["score_r"])) for r in out.collect()]
+        want = _oracle_pairs(rel.constant_score_sql(parquet, q, k=10))
+        assert got == want
+
+
+class TestDistanceFeature:
+    def test_matches_oracle(self, spark, tiny_index, parquet):
+        idx = tiny_index[0]
+        out = rel.distance_feature_df(
+            spark, idx, "error", k=10,
+            origin=ORIGIN, pivot_seconds=WEEK, boost=2.0,
+        )
+        want = _oracle_pairs(rel.distance_feature_sql(
+            parquet, "error", k=10,
+            origin=ORIGIN, pivot_seconds=WEEK, boost=2.0,
+        ))
+        assert _engine_pairs(out) == want
+
+    def test_additive_bounded_by_boost(self, spark, tiny_index):
+        idx = tiny_index[0]
+        base = {int(r["docid"]): float(r["score"]) for r in
+                search_df(spark, idx, "error", k=None).collect()}
+        out = rel.distance_feature_df(
+            spark, idx, "error", k=len(base),
+            origin=ORIGIN, pivot_seconds=WEEK, boost=2.0,
+        )
+        for r in out.collect():
+            gain = float(r["score"]) - base[int(r["docid"])]
+            # contribution in (0, boost]: saturation never exceeds boost
+            assert 0.0 < gain <= 2.0 + 1e-6
+
+    def test_zero_pivot_distance_gets_full_boost(self, spark, tiny_index):
+        idx = tiny_index[0]
+        # a doc exactly at the origin gains boost * pivot/(pivot+0) = boost
+        import os
+        docs = spark.read.parquet(os.path.join(idx, "docs")).select("docid", "ts")
+        base = search_df(spark, idx, "error", k=None)
+        row = base.join(docs, "docid").orderBy("docid").first()
+        origin = row["ts"].isoformat()
+        out = rel.distance_feature_df(
+            spark, idx, "error", k=1000,
+            origin=origin, pivot_seconds=60.0, boost=3.0,
+        )
+        got = {int(r["docid"]): float(r["score"]) for r in out.collect()}
+        assert abs(got[int(row["docid"])] - (float(row["score"]) + 3.0)) < 1e-3
+
+    def test_warm_eq_cold(self, spark, tiny_index):
+        idx = tiny_index[0]
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            QuerySession,
+        )
+        sess = QuerySession(spark, idx)
+        try:
+            cold = rel.distance_feature_df(
+                spark, idx, "error OR timeout", k=10,
+                origin=ORIGIN, pivot_seconds=WEEK, boost=1.5,
+            )
+            warm = rel.distance_feature_df(
+                spark, idx, "error OR timeout", k=10,
+                origin=ORIGIN, pivot_seconds=WEEK, boost=1.5, session=sess,
+            )
+            assert _engine_pairs(cold) == _engine_pairs(warm)
+        finally:
+            sess.close()
