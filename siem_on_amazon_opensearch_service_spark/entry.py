@@ -1131,6 +1131,36 @@ def q_doc_exact_dups(spark, sf_dir):
     return dedup.exact_duplicates(_docs_doubled(spark, sf_dir))
 
 
+def q_doc_dup_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022): per-doc duplicated
+    10-token-window stats against a deterministic partial-copy corpus
+    (each long doc's first 30 tokens re-enter as a copycat doc), so the
+    duplicated fraction is a real partial overlap, not 0 or 1."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = dedup.tokens_col(F.col("text"))
+    copycat = (
+        docs.withColumn("_toks", toks)
+        .filter(F.size("_toks") >= 31)
+        .select(
+            (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+            F.array_join(F.slice("_toks", 1, 30), " ").alias("text"),
+        )
+    )
+    stats = dedup.duplicate_span_stats(
+        docs.unionByName(copycat), window=10, min_count=2
+    )
+    return (
+        stats.filter((F.col("id") < 100000) & (F.col("n_dup_windows") > 0))
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_windows",
+            "n_dup_windows",
+            "dup_frac_r",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_doc_jaccard_pairs_stats(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir).select("doc_id", "text"), k=2, jaccard_min=0.6
@@ -2184,6 +2214,28 @@ FROM x GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
             f"max(doc_id) AS max_id FROM ({_docs_doubled_sql()}) "
             "GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_md5"
         ),
+        "doc_dup_spans": (
+            f"""
+WITH t0 AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+src AS (
+  SELECT doc_id AS id, text FROM t0
+  UNION ALL
+  SELECT doc_id + 100000 AS id, array_to_string(toks[1:30], ' ') AS text
+  FROM t0 WHERE len(toks) >= 31
+),
+t AS (SELECT id, {_TOKS} AS toks FROM src),
+hsrc AS (SELECT id, {_SQL_TOKEN_HASHES} AS hs FROM t),
+w AS (SELECT id, unnest({_sql_shingle_hashes(10)}) AS h FROM hsrc),
+c AS (SELECT h, count(*) AS c FROM w GROUP BY h),
+per AS (
+  SELECT id, count(*) AS n_windows,
+         CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM w JOIN c USING (h) GROUP BY id
+)
+SELECT id AS doc_id, n_windows, n_dup_windows,
+       round(CAST(n_dup_windows AS DOUBLE) / n_windows, 6) AS dup_frac_r
+FROM per WHERE id < 100000 AND n_dup_windows > 0 ORDER BY doc_id"""
+        ),
         "doc_jaccard_pairs_stats": (
             _jaccard_pairs_sql(0.6)
             + "SELECT count(*) AS n_pairs, round(avg(jaccard), 6) AS avg_jaccard_r "
@@ -2836,6 +2888,7 @@ def queries_map() -> dict:
             "nation_revenue": q_nation_revenue,
             "segment_revenue": q_segment_revenue,
             "doc_exact_dups": q_doc_exact_dups,
+            "doc_dup_spans": q_doc_dup_spans,
             "doc_jaccard_pairs_stats": q_doc_jaccard_pairs_stats,
             "doc_minhash_pairs_stats": q_doc_minhash_pairs_stats,
             "doc_simhash_pairs_stats": q_doc_simhash_pairs_stats,

@@ -544,3 +544,56 @@ def dedup_clusters(
         f"dedup_clusters: not converged after {max_iters} rounds "
         f"(pathological chain graph? raise max_iters or switch to alternating-star)"
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a token window of length
+    ``window`` is DUPLICATED when its exact content occurs at least
+    ``min_count`` times corpus-wide (occurrences, not distinct docs —
+    within-doc repeats count, matching the paper's suffix-array
+    multiplicity; their production setting is 50-token spans).
+
+    Spark-first re-expression of the suffix-array scan: the rolling
+    48-bit Karp-Rabin window hashes (:func:`shingle_hashes_col` — one md5
+    per token, Horner windows, no window strings) stand in for suffixes;
+    a hash seen >= min_count times marks every covering occurrence
+    duplicated.  Collision rate ~n^2/2^48 overcounts one window pair per
+    ~2.8e14 — at training-pipeline scale that noise is far below the
+    dedup decision threshold, and the arithmetic is reproduced exactly by
+    the DuckDB oracle.
+
+    Scale shape: explode at window volume (~1 row per corpus token);
+    ``groupBy(h)`` partial-aggregates map-side and the 48-bit hash keys
+    are uniform (no skew salting needed); the counts join is the one real
+    shuffle-join — both sides window-volume, so AQE plans a sort-merge;
+    nothing is driver-side.  Docs shorter than ``window`` tokens hash
+    their whole stream as one window (short exact dups still surface).
+
+    Returns (id, n_windows, n_dup_windows, dup_frac_r) per doc.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes_col(F.col(text_col), window)).alias("h"),
+    )
+    counts = sh.groupBy("h").agg(F.count("*").alias("c"))
+    return (
+        sh.join(counts, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(
+                F.when(F.col("c") >= min_count, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac_r",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+    )

@@ -407,3 +407,70 @@ class TestDedupClusters:
         edges = [(i, i + 1) for i in range(11)]
         with _pt.raises(RuntimeError, match="not converged"):
             self._run(spark, 12, edges, max_iters=2)
+
+
+class TestDuplicateSpans:
+    """Exact-substring dedup (Lee et al. 2022 shape): window-hash
+    multiplicity against a hand recount and the doubling property."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_hand_recount(self, spark):
+        # A: tokens a1..a12; B repeats A's tokens a3..a8 inside noise;
+        # C fully unique.  window=4.
+        a = " ".join(f"a{i}" for i in range(1, 13))
+        shared = " ".join(f"a{i}" for i in range(3, 9))  # 6 tokens: a3..a8
+        b = "b1 b2 " + shared + " b3 b4"
+        c = " ".join(f"c{i}" for i in range(1, 11))
+        out = {
+            r["id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in dedup.duplicate_span_stats(
+                self._mk(spark, [(1, a), (2, b), (3, c)]), window=4
+            ).collect()
+        }
+        # A: 9 windows; duplicated ones start at a3,a4,a5 (fully inside
+        # a3..a8) -> 3.  B: 7 windows; the 3 pure-shared windows dup.
+        assert out[1] == (9, 3)
+        assert out[2] == (7, 3)
+        assert out[3] == (10 - 4 + 1, 0)
+
+    def test_doubling_marks_everything(self, spark, docs):
+        sub = docs.limit(20)
+        doubled = sub.unionByName(
+            sub.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        st = dedup.duplicate_span_stats(doubled, window=10).toPandas()
+        assert (st["n_dup_windows"] == st["n_windows"]).all()
+        assert (st["dup_frac_r"] == 1.0).all()
+
+    def test_unique_corpus_all_zero(self, spark):
+        rows = [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(10)]
+        st = dedup.duplicate_span_stats(self._mk(spark, rows), window=5).toPandas()
+        assert (st["n_dup_windows"] == 0).all()
+
+    def test_short_doc_whole_stream_window(self, spark):
+        # docs shorter than the window hash their whole stream: two
+        # identical 3-token docs are caught even at window=50
+        rows = [(1, "x y z"), (2, "x y z"), (3, "p q r")]
+        st = {
+            r["id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in dedup.duplicate_span_stats(
+                self._mk(spark, rows), window=50
+            ).collect()
+        }
+        assert st[1] == (1, 1) and st[2] == (1, 1) and st[3] == (1, 0)
+
+    def test_within_doc_repeats_count(self, spark):
+        # occurrence semantics: a doc repeating its own 4-token run is
+        # self-duplicated (suffix-array multiplicity, not distinct-doc df)
+        run = "r1 r2 r3 r4"
+        rows = [(1, run + " m1 m2 " + run), (2, "u1 u2 u3 u4 u5")]
+        st = {
+            r["id"]: r["n_dup_windows"]
+            for r in dedup.duplicate_span_stats(
+                self._mk(spark, rows), window=4
+            ).collect()
+        }
+        assert st[1] >= 2  # both copies of the run marked
+        assert st[2] == 0
