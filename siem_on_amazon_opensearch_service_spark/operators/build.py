@@ -503,21 +503,35 @@ def reindex(
     n_salts: int | None = None,
     positions: bool | None = None,
     n_buckets: int | None = None,
+    scope: str = "conversation",
 ) -> dict:
     """OpenSearch ``_reindex`` re-expressed: rebuild an index from its own
     docs store into ``dst_dir`` with (optionally) different settings —
     positions on/off, shard/salt/bucket counts — and/or restricted to the
-    CONVERSATIONS matching a DQL ``query`` (the investigation-export
-    shape: "every conversation containing X").
+    matches of a DQL ``query``.
 
     The query filter is the percolator's index-free column predicate, so
     selection is one scan of the docs store — no search plan, no second
-    index.  Whole conversations are kept (any turn matches -> all turns
-    copied) both because that is what an export means and because it
-    preserves the contiguous-turn contract docid assignment relies on;
-    turn-LEVEL subsetting would need rank-based docid assignment and is
-    deliberately not offered.  Settings default to the source index's
-    _build.json values.  Returns the new index's build stats."""
+    index.  ``scope`` picks the export unit:
+
+    * ``"conversation"`` (default): any turn matches -> ALL of its
+      conversation's turns are copied (the investigation-export shape:
+      "every conversation containing X").  Turn ranges stay dense, so
+      the full docid-assignment validation applies unchanged.
+    * ``"turn"``: ONLY the matching turns are copied.  The retained
+      turn_idx values are sparse, so they are compacted to a dense
+      0-based rank per conversation (window rank over the original
+      order — conversations are bounded, so the partition-by-conv_id
+      shuffle has no skew) before docid assignment.  Original turn
+      identity stays recoverable through the untouched ``ts`` column
+      (and per-turn text equality, which tests assert); the original
+      index remains the provenance store, exactly as OpenSearch
+      ``_reindex`` keeps ``_source`` but renumbers nothing for you.
+
+    Settings default to the source index's _build.json values.  Returns
+    the new index's build stats."""
+    if scope not in ("conversation", "turn"):
+        raise ValueError(f"reindex scope must be 'conversation' or 'turn', got {scope!r}")
     with open(os.path.join(src_dir, "_build.json")) as f:
         src_params = json.load(f)
     docs = spark.read.parquet(os.path.join(src_dir, "docs")).select(
@@ -527,14 +541,19 @@ def reindex(
         from .percolate import compile_predicate, tokens_col
 
         pred = compile_predicate(query)
-        hit_convs = (
-            docs.filter(
-                pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
-            )
-            .select("conv_id")
-            .distinct()
+        matches = docs.filter(
+            pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
         )
-        docs = docs.join(hit_convs, "conv_id", "left_semi")
+        if scope == "turn":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("conv_id").orderBy("turn_idx")
+            docs = (
+                matches.withColumn("turn_idx", F.row_number().over(w) - 1)
+            )
+        else:
+            hit_convs = matches.select("conv_id").distinct()
+            docs = docs.join(hit_convs, "conv_id", "left_semi")
     return build_index(
         spark,
         docs,

@@ -124,3 +124,83 @@ class TestForceMerge:
         assert b.stats == before_stats
         for q, want in before_hits.items():
             assert b.search(q, k=10) == want, q
+
+
+class TestTurnLevelReindex:
+    """scope='turn': only matching turns survive, turn_idx compacted to a
+    dense rank, provenance through (conv_id, ts) text equality."""
+
+    Q = "error AND role:assistant"
+
+    def test_only_matching_turns_copied(self, spark, tiny_corpus_pdf, tiny_index, tmp_path):
+        from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+            compile_predicate,
+            tokens_col,
+        )
+
+        dst = str(tmp_path / "turns")
+        reindex(spark, tiny_index[0], dst, query=self.Q, scope="turn")
+        got = spark.read.parquet(os.path.join(dst, "docs"))
+
+        full = spark.createDataFrame(tiny_corpus_pdf)
+        pred = compile_predicate(self.Q)
+        want = full.filter(
+            pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
+        )
+        assert got.count() == want.count() > 0
+        # per-turn text equality under (conv_id, ts) provenance keys
+        g = {(r["conv_id"], r["ts"]): r["text"] for r in got.collect()}
+        w = {(r["conv_id"], r["ts"]): r["text"] for r in want.collect()}
+        assert g == w
+
+    def test_turn_idx_compacted_dense(self, spark, tiny_index, tmp_path):
+        dst = str(tmp_path / "turns2")
+        reindex(spark, tiny_index[0], dst, query=self.Q, scope="turn")
+        got = spark.read.parquet(os.path.join(dst, "docs"))
+        spans = got.groupBy("conv_id").agg(
+            F.min("turn_idx").alias("mn"),
+            F.max("turn_idx").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        assert spans.filter(
+            (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
+        ).count() == 0
+        # compaction preserves original relative order: ts ascending
+        # within each conversation implies turn_idx ascending too
+        from pyspark.sql import Window
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        mono = got.withColumn("prev_ts", F.lag("ts").over(w)).filter(
+            F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts"))
+        )
+        assert mono.count() == 0
+
+    def test_search_equals_fresh_build_over_turns(
+        self, spark, tiny_corpus_pdf, tiny_index, tmp_path
+    ):
+        from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+            compile_predicate,
+            tokens_col,
+        )
+        from pyspark.sql import Window
+
+        dst = str(tmp_path / "turns3")
+        reindex(spark, tiny_index[0], dst, query=self.Q, scope="turn")
+
+        full = spark.createDataFrame(tiny_corpus_pdf)
+        pred = compile_predicate(self.Q)
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        subset = full.filter(
+            pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
+        ).withColumn("turn_idx", F.row_number().over(w) - 1)
+        fresh = str(tmp_path / "fresh3")
+        build_index(spark, subset, fresh, n_shards=8, n_salts=4)
+
+        a, b = LocalIndex(dst), LocalIndex(fresh)
+        assert a.stats == b.stats
+        for query in ["error", "timeout OR refused", '"connection reset"']:
+            assert a.search(query, k=10) == b.search(query, k=10), query
+
+    def test_bad_scope_rejected(self, spark, tiny_index, tmp_path):
+        with pytest.raises(ValueError, match="scope"):
+            reindex(spark, tiny_index[0], str(tmp_path / "x"), query="error",
+                    scope="paragraph")
