@@ -402,6 +402,20 @@ BM25_QUERIES: dict[str, dict] = {
     # == the SQL oracle's textual sum + ordered list_reduce fold)
     "bm25_phrase_prefix": {"query": '"connection re"*', "k": 10},
     "bm25_phrase_prefix_and": {"query": '"connection re"* AND error', "k": 10},
+    # r4f: span_near (Lucene SpanNearQuery over single-term clauses,
+    # functions/spans.py): unordered = smallest-range sweep candidates,
+    # ordered = stretch/shrink greedy chain; 1/(1+width) float32 freq,
+    # summed-idf clause weight.  SQL oracle renders the 2-clause closed
+    # forms (adjacent cross pairs / merge-path pairs).
+    "bm25_span_near": {"query": "span_near(slop=3 reset connection)", "k": 10},
+    "bm25_span_near_ordered": {
+        "query": "span_near(slop=2 in_order=true connection reset)",
+        "k": 10,
+    },
+    "bm25_span_near_or": {
+        "query": "span_near(slop=4 error timeout) OR refused",
+        "k": 10,
+    },
 }
 
 
@@ -1908,6 +1922,9 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_bool_and_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "error AND timeout", k=10)
     bm["bm25_prefix_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w0004*", k=10)
     bm["bm25_fuzzy_warm"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w00042~1", k=10)
+    bm["bm25_span_near_warm"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, "span_near(slop=3 reset connection)", k=10
+    )
     bm["bm25_sloppy_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, '"connection reset"~2', k=10
     )
@@ -2817,6 +2834,7 @@ def queries_map() -> dict:
     q["bm25_prefix_warm"] = _bm25_warm("w0004*", 10)
     q["bm25_fuzzy_warm"] = _bm25_warm("w00042~1", 10)
     q["bm25_sloppy_warm"] = _bm25_warm('"connection reset"~2', 10)
+    q["bm25_span_near_warm"] = _bm25_warm("span_near(slop=3 reset connection)", 10)
     q["bm25_phrase_prefix_warm"] = _bm25_warm('"connection re"*', 10)
     q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)
     q["bm25_function_score_recency"] = _fs(FS_RECENCY)

@@ -23,6 +23,7 @@ import pandas as pd
 from ..functions import bm25
 from ..functions.analysis import tokenize
 from ..functions.sloppy import sloppy_freq
+from ..functions.spans import span_freq
 from ..functions.smallfloat import encode_lengths
 from ..plans.query import (
     MAX_CLAUSE_COUNT,
@@ -36,6 +37,7 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanNear,
     Term,
     phrase_slots,
     apply_minimum_should_match,
@@ -107,6 +109,11 @@ class LuceneOracle:
             dfs = [len(self.postings.get(t, {})) for t in node.terms]
             mask, acc = self._score_clause(docids, pfs, dfs)
             return mask, acc * node.boost
+        if isinstance(node, SpanNear):
+            docids, pfs = self._span_near_freq(node)
+            dfs = [len(self.postings.get(t, {})) for t in node.terms]
+            mask, acc = self._score_clause(docids, pfs, dfs)
+            return mask, acc * node.boost
         if isinstance(node, MultiPhrase):
             # match_phrase_prefix: union-of-positions adjacency per slot,
             # grouped per-slot weight association (bm25.grouped_weight)
@@ -136,6 +143,26 @@ class LuceneOracle:
             m, _ = self._eval(node.child)
             return ~m, np.zeros(self.n_docs, dtype=np.float64)
         raise TypeError(node)
+
+    def _span_near_freq(self, node: SpanNear) -> tuple[np.ndarray, np.ndarray]:
+        """span_near frequency per doc: the functions/spans.py kernel over
+        raw per-term position lists (no slot offsets)."""
+        maps = [self.postings.get(t, {}) for t in node.terms]
+        if any(not m for m in maps):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        docids, pfs = [], []
+        for d in sorted(common):
+            f = float(span_freq(
+                [np.asarray(m[d], dtype=np.int64) for m in maps],
+                node.slop, node.in_order,
+            ))
+            if f:
+                docids.append(d)
+                pfs.append(f)
+        return np.asarray(docids, dtype=np.int64), np.asarray(pfs, dtype=np.float64)
 
     def _phrase_freq(self, slots: tuple[tuple[str, ...], ...], slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
         """Docs where each slot matches at consecutive positions (slop = 0;

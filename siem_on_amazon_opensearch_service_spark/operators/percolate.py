@@ -46,6 +46,7 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanNear,
     Term,
     Wildcard,
     parse,
@@ -121,6 +122,45 @@ def _sloppy_predicate(toks: Column, terms: list[str], slop: int) -> Column:
     return F.exists(adjs[0], lambda p: rec(1, p, p))
 
 
+def _span_predicate(toks: Column, terms: list[str], slop: int,
+                    in_order: bool) -> Column:
+    """span_near MEMBERSHIP as a pure Column expression.
+
+    Property-tested equivalence (tests/test_spans.py): span_freq > 0 iff
+    SOME selection of one RAW position per clause satisfies the mode's
+    window test — ordered: strictly increasing with total gap
+    p_n - p_1 - (n-1) <= slop (the chain always finds one when it
+    exists); unordered: range width (max - min + 1) - n <= slop (the
+    smallest-range sweep visits the minimal window).  Nested exists
+    lambdas, zero Python per row, same cost shape as the sloppy
+    predicate."""
+    poss = [
+        _positions(toks, (lambda t: (lambda x: x == F.lit(t)))(t))
+        for t in terms
+    ]
+    n = len(poss)
+    if in_order:
+        def rec(level: int, prev: Column, first: Column) -> Column:
+            if level == n:
+                return (prev - first - F.lit(n - 1)) <= F.lit(slop)
+            return F.exists(
+                poss[level],
+                lambda p: (p > prev) & rec(level + 1, p, first),
+            )
+
+        return F.exists(poss[0], lambda p: rec(1, p, p))
+
+    def recu(level: int, cur_min: Column, cur_max: Column) -> Column:
+        if level == n:
+            return (cur_max - cur_min + F.lit(1) - F.lit(n)) <= F.lit(slop)
+        return F.exists(
+            poss[level],
+            lambda p: recu(level + 1, F.least(cur_min, p), F.greatest(cur_max, p)),
+        )
+
+    return F.exists(poss[0], lambda p: recu(1, p, p))
+
+
 def _escape_like(term_like: str) -> Column:
     return F.lit(term_like)
 
@@ -161,6 +201,8 @@ def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
             return _slots_predicate(
                 toks, [(lambda t: (lambda x: x == F.lit(t)))(t) for t in n.terms]
             )
+        if isinstance(n, SpanNear):
+            return _span_predicate(toks, list(n.terms), n.slop, n.in_order)
         if isinstance(n, PhrasePrefix):
             if index_dir is not None:
                 from .search import _expand_leaf

@@ -60,6 +60,7 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanNear,
     Term,
     Wildcard,
     apply_minimum_should_match,
@@ -76,25 +77,29 @@ from ..plans.query import (
     wildcard_to_like,
 )
 from ..functions.sloppy import sloppy_freqs_flat
+from ..functions.spans import span_freqs_flat
 from . import build as _build
 from . import segments
 
 #: scoring leaf node types; phrase-like = positional (Phrase, MultiPhrase)
-_LEAF = (Term, Phrase, MultiPhrase)
-_PHRASELIKE = (Phrase, MultiPhrase)
+_LEAF = (Term, Phrase, MultiPhrase, SpanNear)
+_PHRASELIKE = (Phrase, MultiPhrase, SpanNear)
 
 
 def _leaf_terms(leaf: Node) -> list[str]:
     """Flat term list of a scoring leaf (MultiPhrase slots flattened)."""
     if isinstance(leaf, Term):
         return [leaf.term]
-    if isinstance(leaf, Phrase):
+    if isinstance(leaf, (Phrase, SpanNear)):
         return list(leaf.terms)
     return [t for s in leaf.slots for t in s]
 
 
 def _leaf_slop(leaf: Node) -> int:
-    """Phrase slop; MultiPhrase (match_phrase_prefix) is exact-only."""
+    """Phrase slop; MultiPhrase (match_phrase_prefix) is exact-only.
+    SpanNear deliberately reports 0 here — its slop drives the span
+    kernel (functions/spans.py), dispatched explicitly BEFORE any
+    sloppy/adjacency branch reads this value."""
     return leaf.slop if isinstance(leaf, Phrase) else 0
 
 
@@ -882,7 +887,7 @@ def _required_terms(node: Node) -> set[str]:
     Phrase = all its words."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, Phrase):
+    if isinstance(node, (Phrase, SpanNear)):
         return set(node.terms)
     if isinstance(node, MultiPhrase):
         # only SINGLETON slots pin a specific term; a multi-alternative
@@ -990,7 +995,9 @@ def _coverage_ranges(node: Node, per_term: dict) -> tuple[np.ndarray, np.ndarray
             if r[0].size == 0:
                 break
         return r
-    if isinstance(node, Phrase):
+    if isinstance(node, (Phrase, SpanNear)):
+        # every term is required (a span_near match needs all clauses),
+        # so the intersection argument is mode- and slop-independent
         r = None
         for t in node.terms:
             c = per_term.get(t, empty)
@@ -1360,6 +1367,11 @@ def _shard_local_topk(
     phrase_slots = {
         ci: len(_slots_of(leaf)) for ci, leaf in enumerate(leaves) if isinstance(leaf, _PHRASELIKE)
     }
+    span_kind = {
+        ci: (lf.slop, lf.in_order)
+        for ci, lf in enumerate(leaves)
+        if isinstance(lf, SpanNear)
+    }
     mult = _positive_multiplicity(ast)
     mult_arr = np.array([float(mult.get(lf, 0)) for lf in leaves], dtype=np.float64)
     w64 = np.array([np.float64(w) for w in weights], dtype=np.float64)
@@ -1474,6 +1486,16 @@ def _shard_local_topk(
                         np.concatenate([x for _, x in pp]),
                     ))
                 if not ok:
+                    continue
+                if ci in span_kind:
+                    # span_near: raw-position kernel, float freq
+                    sl_, io_ = span_kind[ci]
+                    docs_, freqs = span_freqs_flat(
+                        [d for d, _ in slot_flat], [p for _, p in slot_flat],
+                        sl_, io_,
+                    )
+                    if docs_.size:
+                        leaf_posts[ci] = (docs_, freqs)
                     continue
                 if phrase_slop[ci] > 0:
                     # sloppy phrase: per-doc greedy sweep, float freq
@@ -1604,6 +1626,11 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
         return None
     b_n = n_slots
     slops = {ci: _leaf_slop(leaf) for ci, leaf in enumerate(leaves) if isinstance(leaf, _PHRASELIKE)}
+    spans = {
+        ci: (leaf.slop, leaf.in_order)
+        for ci, leaf in enumerate(leaves)
+        if isinstance(leaf, SpanNear)
+    }
     empty = pd.DataFrame({"clause": [], "docid": [], "tf": []}).astype(
         {"clause": "int32", "docid": "int64", "tf": "float64"}
     )
@@ -1622,6 +1649,13 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
                 np.concatenate(pos_arrs) if pos_arrs else np.empty(0, dtype=np.int64)
             )
             slot_flat.append((doc_flat, pos_flat))
+        if ci in spans:
+            # span_near: raw-position kernel (functions/spans.py)
+            sl, io = spans[ci]
+            docs, freqs = span_freqs_flat(
+                [d for d, _ in slot_flat], [p for _, p in slot_flat], sl, io
+            )
+            return pd.DataFrame({"clause": ci, "docid": docs, "tf": freqs})
         if slops[ci] > 0:
             # sloppy phrase: per-doc greedy sweep (functions/sloppy.py);
             # freq is the float Lucene sloppy frequency
@@ -2520,6 +2554,11 @@ class LocalIndex:
                 w_fn = lambda: bm25.clause_weight(
                     [self._term_postings(t)[0].size for t in node.terms],
                     self.stats["doc_count"])
+            elif isinstance(node, SpanNear):
+                docids, tfs = self._span_postings(node)
+                w_fn = lambda: bm25.clause_weight(
+                    [self._term_postings(t)[0].size for t in node.terms],
+                    self.stats["doc_count"])
             else:  # MultiPhrase: grouped per-slot weight association
                 docids, tfs = self._phrase_postings(node.slots, 0)
                 w_fn = lambda: bm25.grouped_weight(
@@ -2580,6 +2619,15 @@ class LocalIndex:
                 return np.empty(0, np.int64), np.empty(0, np.int64)
         docs = keys // SHIFT
         return np.unique(docs, return_counts=True)
+
+    def _span_postings(self, node: SpanNear) -> tuple[np.ndarray, np.ndarray]:
+        """span_near frequencies over the same flat (docid, position)
+        arrays (functions/spans.py kernel — raw positions, no slot
+        offsets)."""
+        flat = [self._term_positions(t) for t in node.terms]
+        return span_freqs_flat(
+            [d for d, _ in flat], [p for _, p in flat], node.slop, node.in_order
+        )
 
     def _compile(self, query: str) -> tuple[Node, dict]:
         """parse -> field-filter extraction -> wildcard/fuzzy expansion
@@ -2660,6 +2708,12 @@ class LocalIndex:
                 terms = (lf.term,)
             elif isinstance(lf, Phrase):
                 docids, tfs = self._phrase_postings(_slots_of(lf), lf.slop)
+                w = bm25.clause_weight(
+                    [self._term_postings(t)[0].size for t in lf.terms],
+                    self.stats["doc_count"])
+                terms = lf.terms
+            elif isinstance(lf, SpanNear):
+                docids, tfs = self._span_postings(lf)
                 w = bm25.clause_weight(
                     [self._term_postings(t)[0].size for t in lf.terms],
                     self.stats["doc_count"])

@@ -23,6 +23,7 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanNear,
     Term,
     Wildcard,
     apply_minimum_should_match,
@@ -34,7 +35,7 @@ from ..plans.query import (
 
 #: scoring leaf node types (Wildcard/Fuzzy/Regexp render as grouped
 #: term-set leaves)
-LEAVES = (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, Regexp)
+LEAVES = (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, Regexp, SpanNear)
 
 
 def _base_ctes(path: str, source_where: str | None = None) -> str:
@@ -179,7 +180,44 @@ def _leaf_ctes(leaves: list[Node]) -> str:
                 f"s_{i} AS (SELECT f.docid, {score} AS s FROM tf_{i} f JOIN dln n USING (docid))"
             )
             continue
-        if isinstance(leaf, Term):
+        if isinstance(leaf, SpanNear):
+            # span_near: 2-clause closed forms (functions/spans.py —
+            # adjacent cross pairs / merge-path pairs); wider spans are
+            # engine+frozen-oracle territory, refused loudly here like
+            # wide sloppy phrases.
+            if len(leaf.terms) != 2:
+                raise NotImplementedError(
+                    "SQL oracle renders span_near of exactly 2 clauses; "
+                    "wider ones are covered by the frozen Python oracle"
+                )
+            from ..functions.spans import span_sql_2
+
+            t0, t1 = leaf.terms
+            parts.append(
+                f"cand_{i} AS (SELECT a.docid, a.la, b.lb FROM "
+                f"(SELECT docid, list_sort(list(pos)) AS la FROM tok "
+                f"WHERE term = {_q(t0)} GROUP BY docid) a JOIN "
+                f"(SELECT docid, list_sort(list(pos)) AS lb FROM tok "
+                f"WHERE term = {_q(t1)} GROUP BY docid) b USING (docid))"
+            )
+            parts.append(
+                span_sql_2(
+                    "la", "lb", f"cand_{i}", leaf.slop, leaf.in_order,
+                    name=f"spf_{i}", prefix=f"sp{i}",
+                ).strip()
+            )
+            parts.append(
+                f"tf_{i} AS (SELECT docid, CAST(freq AS DOUBLE) AS tf "
+                f"FROM spf_{i} WHERE freq > 0)"
+            )
+            idf_sum = " + ".join(
+                f"ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "
+                f"(SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5) / "
+                f"((SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5))"
+                for t in leaf.terms
+            )
+            weight = f"CAST({idf_sum} AS FLOAT)"
+        elif isinstance(leaf, Term):
             parts.append(
                 f"tf_{i} AS (SELECT docid, count(*) AS tf FROM tok WHERE term = {_q(leaf.term)} GROUP BY docid)"
             )

@@ -104,6 +104,27 @@ class PhrasePrefix(Node):
 
 
 @dataclass(frozen=True)
+class SpanNear(Node):
+    """Lucene/OpenSearch ``span_near`` over single-term clauses — DQL
+    surface ``span_near(slop=N in_order=true a b c)`` (the query-DSL
+    span family has no Lucene query-string syntax; this functional atom
+    is the engine's textual rendering).  ``in_order`` defaults false
+    like OpenSearch.  Frozen semantics (functions/spans.py): ordered =
+    the stretch/shrink greedy chain (adjacent cross pairs at 2 clauses),
+    unordered = every smallest-range sweep configuration; each candidate
+    with width <= slop contributes 1/(1+width), float32-accumulated.
+    Clause weight is the summed-idf ``bm25.clause_weight`` over the
+    terms (SpanWeight builds one SimWeight across all clauses).
+    Repeated terms are rejected at parse time (Lucene's overlapping
+    same-term spans need its SpanPositionQueue machinery)."""
+
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MultiPhrase(Node):
     """Post-expansion multi-term phrase (Lucene MultiPhraseQuery): slot i
     matches ANY of ``slots[i]`` (an empty slot matches nothing — the
@@ -340,7 +361,7 @@ def parse(query: str) -> Node:
         b = float(m.group(1))
         if b <= 0:
             raise ValueError(f"boost must be positive, got {nxt!r} in {query!r}")
-        if isinstance(node, (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy)):
+        if isinstance(node, (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, SpanNear)):
             import dataclasses
 
             return dataclasses.replace(node, boost=node.boost * b)
@@ -406,12 +427,60 @@ def parse(query: str) -> Node:
             node = dataclasses.replace(node, boost=node.boost * b)
         return node
 
+    def parse_span_near() -> Node:
+        """``span_near(slop=N in_order=true|false w1 w2 ...)`` — params
+        may appear in any order before/between the words; defaults
+        slop=0, in_order=false (the OpenSearch defaults)."""
+        if peek() != "(":
+            raise ValueError(f"span_near needs '(' in {query!r}")
+        take()
+        slop, in_order = 0, False
+        words: list[str] = []
+        while True:
+            t2 = peek()
+            if t2 is None:
+                raise ValueError(f"missing ')' after span_near in {query!r}")
+            if t2 == ")":
+                take()
+                break
+            take()
+            low = t2.lower()
+            if low.startswith("slop="):
+                try:
+                    slop = int(low[5:])
+                except ValueError:
+                    raise ValueError(f"bad span_near slop {t2!r} in {query!r}") from None
+                if slop < 0:
+                    raise ValueError(f"span_near slop must be >= 0 in {query!r}")
+            elif low.startswith("in_order="):
+                v = low[9:]
+                if v not in ("true", "false"):
+                    raise ValueError(f"bad span_near in_order {t2!r} in {query!r}")
+                in_order = v == "true"
+            else:
+                ws = tokenize(t2)
+                if len(ws) != 1:
+                    raise ValueError(
+                        f"span_near clause {t2!r} must analyze to one term in {query!r}"
+                    )
+                words.append(ws[0])
+        if len(words) < 2:
+            raise ValueError(f"span_near needs at least 2 clauses in {query!r}")
+        if len(set(words)) != len(words):
+            raise ValueError(
+                f"span_near with repeated terms is not supported in {query!r} "
+                "(Lucene's overlapping same-term spans are out of scope)"
+            )
+        return maybe_boost(SpanNear(tuple(words), slop=slop, in_order=in_order))
+
     def parse_atom() -> Node:
         t = take()
         if t.upper() in ("AND", "OR", "NOT"):
             # a bare operator would otherwise lowercase into a term —
             # surprising ('AND' silently searching for 'and'); reject
             raise ValueError(f"operator {t!r} where a term was expected in {query!r}")
+        if t.lower() == "span_near" and peek() == "(":
+            return parse_span_near()
         if t == "(":
             node = parse_or()
             if peek() != ")":
@@ -863,7 +932,7 @@ def phrase_slots(leaf: Node) -> tuple[tuple[str, ...], ...]:
     singleton slots, a ``MultiPhrase`` its expansion slots.  The shared
     normalization every engine path uses so exact-adjacency/union logic
     is written once against slots."""
-    if isinstance(leaf, Phrase):
+    if isinstance(leaf, (Phrase, SpanNear)):
         return tuple((t,) for t in leaf.terms)
     if isinstance(leaf, MultiPhrase):
         return leaf.slots
@@ -977,7 +1046,7 @@ def query_terms(node: Node) -> list[str]:
         if isinstance(n, Term):
             if n.term not in out:
                 out.append(n.term)
-        elif isinstance(n, Phrase):
+        elif isinstance(n, (Phrase, SpanNear)):
             for t in n.terms:
                 if t not in out:
                     out.append(t)
