@@ -416,6 +416,15 @@ BM25_QUERIES: dict[str, dict] = {
         "query": "span_near(slop=4 error timeout) OR refused",
         "k": 10,
     },
+    # r4f: the rest of the span family (functions/spans.py kernels; SQL
+    # oracles are fully general — per-position predicates, no candidate
+    # enumeration).  span_first = positions before end (full-df idf);
+    # span_not = include positions with no exclude within +/- dist
+    # (exclude optional, no idf); span_or = union-of-spans single clause
+    # (grouped summed-idf weight, != boolean OR's per-term scoring).
+    "bm25_span_first": {"query": "span_first(end=3 error)", "k": 10},
+    "bm25_span_not": {"query": "span_not(dist=3 error timeout)", "k": 10},
+    "bm25_span_or": {"query": "span_or(timeout refused denied)", "k": 10},
 }
 
 

@@ -137,6 +137,61 @@ def span_freqs_flat(
     )
 
 
+def span_first_freqs_flat(
+    docs: np.ndarray, pos: np.ndarray, end: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lucene ``SpanFirstQuery`` over a single-term span: a position-``p``
+    span has end ``p + 1``, so it matches iff ``p + 1 <= end``.  Every
+    match is width 0 (slop factor 1.0), so the float32-accumulated
+    frequency is exactly the count of qualifying positions (positions are
+    < 2^15, far under float32's 2^24 integer exactness).  Fully
+    vectorized — one mask + np.unique, no per-doc loop."""
+    docs = np.asarray(docs, dtype=np.int64)
+    pos = np.asarray(pos, dtype=np.int64)
+    m = pos < end
+    d, c = np.unique(docs[m], return_counts=True)
+    return d, c.astype(np.float64)
+
+
+#: span_not key packing: positions < 2^15 and dist <= _SPAN_NOT_MAX_DIST
+#: keep per-doc key ranges non-overlapping under the +/- dist window
+_SPAN_NOT_SHIFT = np.int64(1) << np.int64(21)
+SPAN_NOT_MAX_DIST = 10_000
+
+
+def span_not_freqs_flat(
+    inc_docs: np.ndarray,
+    inc_pos: np.ndarray,
+    exc_docs: np.ndarray,
+    exc_pos: np.ndarray,
+    dist: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lucene ``SpanNotQuery`` (include term, exclude term, pre = post =
+    ``dist``): include positions ``p`` survive unless some exclude
+    position ``q`` of the SAME doc lies within ``[p - dist, p + dist]``.
+    Docs with no exclude occurrences keep every include position — the
+    exclude term is NOT required.  Width-0 surviving spans → frequency =
+    surviving count (exact in float32).
+
+    Vectorized via packed ``doc * 2^21 + pos`` keys: an include key's
+    exclusion window ``[k - dist, k + dist]`` stays inside its own doc's
+    key range because positions < 2^15 and ``dist <= 10_000`` leave a
+    ``2^21 - 2^15 - dist`` gap to the neighboring doc's keys."""
+    if dist > SPAN_NOT_MAX_DIST:
+        raise ValueError(f"span_not dist must be <= {SPAN_NOT_MAX_DIST}")
+    inc_docs = np.asarray(inc_docs, dtype=np.int64)
+    inc_pos = np.asarray(inc_pos, dtype=np.int64)
+    exc_docs = np.asarray(exc_docs, dtype=np.int64)
+    exc_pos = np.asarray(exc_pos, dtype=np.int64)
+    keys_i = inc_docs * _SPAN_NOT_SHIFT + inc_pos
+    keys_e = np.sort(exc_docs * _SPAN_NOT_SHIFT + exc_pos)
+    lo = np.searchsorted(keys_e, keys_i - dist, side="left")
+    hi = np.searchsorted(keys_e, keys_i + dist, side="right")
+    keep = lo == hi
+    d, c = np.unique(inc_docs[keep], return_counts=True)
+    return d, c.astype(np.float64)
+
+
 def span_sql_2(la_expr: str, lb_expr: str, source: str, slop: int,
                in_order: bool, name: str = "spanf", prefix: str = "sp") -> str:
     """DuckDB rendering of the 2-clause closed forms over a ``source``

@@ -37,7 +37,10 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanFirst,
     SpanNear,
+    SpanNot,
+    SpanOr,
     Term,
     phrase_slots,
     apply_minimum_should_match,
@@ -114,9 +117,44 @@ class LuceneOracle:
             dfs = [len(self.postings.get(t, {})) for t in node.terms]
             mask, acc = self._score_clause(docids, pfs, dfs)
             return mask, acc * node.boost
-        if isinstance(node, MultiPhrase):
-            # match_phrase_prefix: union-of-positions adjacency per slot,
-            # grouped per-slot weight association (bm25.grouped_weight)
+        if isinstance(node, SpanFirst):
+            pmap = self.postings.get(node.term, {})
+            docids, pfs = [], []
+            for d in sorted(pmap):
+                c = sum(1 for p in pmap[d] if p < node.end)
+                if c:
+                    docids.append(d)
+                    pfs.append(float(c))
+            mask, acc = self._score_clause(
+                np.asarray(docids, dtype=np.int64),
+                np.asarray(pfs, dtype=np.float64),
+                [len(pmap)],
+            )
+            return mask, acc * node.boost
+        if isinstance(node, SpanNot):
+            imap = self.postings.get(node.include, {})
+            emap = self.postings.get(node.exclude, {})
+            docids, pfs = [], []
+            for d in sorted(imap):
+                ex = emap.get(d, ())
+                c = sum(
+                    1
+                    for p in imap[d]
+                    if not any(abs(q - p) <= node.dist for q in ex)
+                )
+                if c:
+                    docids.append(d)
+                    pfs.append(float(c))
+            mask, acc = self._score_clause(
+                np.asarray(docids, dtype=np.int64),
+                np.asarray(pfs, dtype=np.float64),
+                [len(imap)],
+            )
+            return mask, acc * node.boost
+        if isinstance(node, (MultiPhrase, SpanOr)):
+            # match_phrase_prefix / span_or: union-of-positions adjacency
+            # per slot, grouped per-slot weight association
+            # (bm25.grouped_weight)
             docids, pfs = self._phrase_freq(node.slots, 0)
             mask = np.zeros(self.n_docs, dtype=bool)
             acc = np.zeros(self.n_docs, dtype=np.float64)

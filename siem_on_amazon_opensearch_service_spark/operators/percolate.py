@@ -46,7 +46,10 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanFirst,
     SpanNear,
+    SpanNot,
+    SpanOr,
     Term,
     Wildcard,
     parse,
@@ -203,6 +206,27 @@ def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
             )
         if isinstance(n, SpanNear):
             return _span_predicate(toks, list(n.terms), n.slop, n.in_order)
+        if isinstance(n, SpanFirst):
+            # membership: any position of the term before ``end``
+            ps = _positions(toks, lambda x: x == F.lit(n.term))
+            return F.exists(ps, lambda p: p < F.lit(n.end))
+        if isinstance(n, SpanNot):
+            # membership: some include position with no exclude position
+            # within +/- dist (exclude absent entirely -> plain presence)
+            pi = _positions(toks, lambda x: x == F.lit(n.include))
+            pe = _positions(toks, lambda x: x == F.lit(n.exclude))
+            return F.exists(
+                pi,
+                lambda p: ~F.exists(
+                    pe, lambda q: F.abs(q - p) <= F.lit(n.dist)
+                ),
+            )
+        if isinstance(n, SpanOr):
+            # membership: any of the terms present
+            out = F.lit(False)
+            for t in n.terms:
+                out = out | F.array_contains(toks, t)
+            return out
         if isinstance(n, PhrasePrefix):
             if index_dir is not None:
                 from .search import _expand_leaf

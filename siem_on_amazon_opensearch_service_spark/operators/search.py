@@ -60,7 +60,10 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanFirst,
     SpanNear,
+    SpanNot,
+    SpanOr,
     Term,
     Wildcard,
     apply_minimum_should_match,
@@ -77,21 +80,29 @@ from ..plans.query import (
     wildcard_to_like,
 )
 from ..functions.sloppy import sloppy_freqs_flat
-from ..functions.spans import span_freqs_flat
+from ..functions.spans import (
+    span_first_freqs_flat,
+    span_freqs_flat,
+    span_not_freqs_flat,
+)
 from . import build as _build
 from . import segments
 
 #: scoring leaf node types; phrase-like = positional (Phrase, MultiPhrase)
-_LEAF = (Term, Phrase, MultiPhrase, SpanNear)
-_PHRASELIKE = (Phrase, MultiPhrase, SpanNear)
+_LEAF = (Term, Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot)
+_PHRASELIKE = (Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot)
 
 
 def _leaf_terms(leaf: Node) -> list[str]:
     """Flat term list of a scoring leaf (MultiPhrase slots flattened)."""
     if isinstance(leaf, Term):
         return [leaf.term]
-    if isinstance(leaf, (Phrase, SpanNear)):
+    if isinstance(leaf, (Phrase, SpanNear, SpanOr)):
         return list(leaf.terms)
+    if isinstance(leaf, SpanFirst):
+        return [leaf.term]
+    if isinstance(leaf, SpanNot):
+        return [leaf.include, leaf.exclude]
     return [t for s in leaf.slots for t in s]
 
 
@@ -427,13 +438,22 @@ def _check_positions(index_dir: str, leaves: list[Node]) -> None:
 def _clause_weights(leaves: list[Node], dfs: dict[str, int], doc_count: int) -> list[np.float32]:
     out = []
     for leaf in leaves:
-        if isinstance(leaf, MultiPhrase):
-            # match_phrase_prefix: grouped per-slot association (see
-            # bm25.grouped_weight / the SQL oracle's ordered fold)
+        if isinstance(leaf, (MultiPhrase, SpanOr)):
+            # match_phrase_prefix / span_or: grouped per-slot association
+            # (see bm25.grouped_weight / the SQL oracle's ordered fold)
             out.append(bm25.grouped_weight(
                 [[dfs.get(t, 0) for t in s] for s in leaf.slots], doc_count))
             continue
-        ts = [leaf.term] if isinstance(leaf, Term) else list(leaf.terms)
+        if isinstance(leaf, SpanFirst):
+            # SpanWeight uses the term's FULL collection df, not the
+            # position-filtered match count
+            ts = [leaf.term]
+        elif isinstance(leaf, SpanNot):
+            # the exclude term contributes no idf (SpanNotQuery weights
+            # only the include span)
+            ts = [leaf.include]
+        else:
+            ts = [leaf.term] if isinstance(leaf, Term) else list(leaf.terms)
         out.append(bm25.clause_weight([dfs.get(t, 0) for t in ts], doc_count))
     return out
 
@@ -889,7 +909,13 @@ def _required_terms(node: Node) -> set[str]:
         return {node.term}
     if isinstance(node, (Phrase, SpanNear)):
         return set(node.terms)
-    if isinstance(node, MultiPhrase):
+    if isinstance(node, SpanFirst):
+        return {node.term}
+    if isinstance(node, SpanNot):
+        # only the include term is required; the exclude term's ABSENCE
+        # is fine (and its presence doesn't preclude a match)
+        return {node.include}
+    if isinstance(node, (MultiPhrase, SpanOr)):
         # only SINGLETON slots pin a specific term; a multi-alternative
         # slot requires one-of, which no single term expresses
         return {s[0] for s in node.slots if len(s) == 1}
@@ -982,7 +1008,13 @@ def _coverage_ranges(node: Node, per_term: dict) -> tuple[np.ndarray, np.ndarray
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     if isinstance(node, Term):
         return per_term.get(node.term, empty)
-    if isinstance(node, MultiPhrase):
+    if isinstance(node, SpanFirst):
+        # position filtering only narrows the term's match set
+        return per_term.get(node.term, empty)
+    if isinstance(node, SpanNot):
+        # exclusion only narrows the include term's match set
+        return per_term.get(node.include, empty)
+    if isinstance(node, (MultiPhrase, SpanOr)):
         # every slot must match SOME alternative: intersection over
         # slots of the union of each slot's term coverages (an empty
         # slot -> empty coverage -> the node provably matches nothing)
@@ -1372,6 +1404,12 @@ def _shard_local_topk(
         for ci, lf in enumerate(leaves)
         if isinstance(lf, SpanNear)
     }
+    span_first_kind = {
+        ci: lf.end for ci, lf in enumerate(leaves) if isinstance(lf, SpanFirst)
+    }
+    span_not_kind = {
+        ci: lf.dist for ci, lf in enumerate(leaves) if isinstance(lf, SpanNot)
+    }
     mult = _positive_multiplicity(ast)
     mult_arr = np.array([float(mult.get(lf, 0)) for lf in leaves], dtype=np.float64)
     w64 = np.array([np.float64(w) for w in weights], dtype=np.float64)
@@ -1479,6 +1517,14 @@ def _shard_local_topk(
                 for slot in range(phrase_slots[ci]):
                     pp = pos_acc.get((ci, slot))
                     if not pp:
+                        if ci in span_not_kind and slot == 1:
+                            # span_not's exclude slot is OPTIONAL: no
+                            # exclude postings here = nothing excluded
+                            slot_flat.append((
+                                np.empty(0, dtype=np.int64),
+                                np.empty(0, dtype=np.int64),
+                            ))
+                            continue
                         ok = False
                         break
                     slot_flat.append((
@@ -1486,6 +1532,24 @@ def _shard_local_topk(
                         np.concatenate([x for _, x in pp]),
                     ))
                 if not ok:
+                    continue
+                if ci in span_first_kind:
+                    # span_first: count of positions < end
+                    docs_, freqs = span_first_freqs_flat(
+                        slot_flat[0][0], slot_flat[0][1], span_first_kind[ci]
+                    )
+                    if docs_.size:
+                        leaf_posts[ci] = (docs_, freqs)
+                    continue
+                if ci in span_not_kind:
+                    # span_not: include positions with no exclude within dist
+                    docs_, freqs = span_not_freqs_flat(
+                        slot_flat[0][0], slot_flat[0][1],
+                        slot_flat[1][0], slot_flat[1][1],
+                        span_not_kind[ci],
+                    )
+                    if docs_.size:
+                        leaf_posts[ci] = (docs_, freqs)
                     continue
                 if ci in span_kind:
                     # span_near: raw-position kernel, float freq
@@ -1631,6 +1695,12 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
         for ci, leaf in enumerate(leaves)
         if isinstance(leaf, SpanNear)
     }
+    spans_first = {
+        ci: leaf.end for ci, leaf in enumerate(leaves) if isinstance(leaf, SpanFirst)
+    }
+    spans_not = {
+        ci: leaf.dist for ci, leaf in enumerate(leaves) if isinstance(leaf, SpanNot)
+    }
     empty = pd.DataFrame({"clause": [], "docid": [], "tf": []}).astype(
         {"clause": "int32", "docid": "int64", "tf": "float64"}
     )
@@ -1641,6 +1711,14 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
         for slot in range(b_n[ci]):
             g = pdf[pdf["slot"] == slot]
             if not len(g):
+                if ci in spans_not and slot == 1:
+                    # span_not's exclude slot is OPTIONAL: no exclude
+                    # postings in this bucket = nothing excluded
+                    slot_flat.append((
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64),
+                    ))
+                    continue
                 return empty
             pos_arrs = [np.asarray(p, dtype=np.int64) for p in g["pos"]]
             lens = np.fromiter((a.size for a in pos_arrs), dtype=np.int64, count=len(pos_arrs))
@@ -1649,6 +1727,18 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
                 np.concatenate(pos_arrs) if pos_arrs else np.empty(0, dtype=np.int64)
             )
             slot_flat.append((doc_flat, pos_flat))
+        if ci in spans_first:
+            docs, freqs = span_first_freqs_flat(
+                slot_flat[0][0], slot_flat[0][1], spans_first[ci]
+            )
+            return pd.DataFrame({"clause": ci, "docid": docs, "tf": freqs})
+        if ci in spans_not:
+            docs, freqs = span_not_freqs_flat(
+                slot_flat[0][0], slot_flat[0][1],
+                slot_flat[1][0], slot_flat[1][1],
+                spans_not[ci],
+            )
+            return pd.DataFrame({"clause": ci, "docid": docs, "tf": freqs})
         if ci in spans:
             # span_near: raw-position kernel (functions/spans.py)
             sl, io = spans[ci]
@@ -2559,7 +2649,17 @@ class LocalIndex:
                 w_fn = lambda: bm25.clause_weight(
                     [self._term_postings(t)[0].size for t in node.terms],
                     self.stats["doc_count"])
-            else:  # MultiPhrase: grouped per-slot weight association
+            elif isinstance(node, SpanFirst):
+                docids, tfs = self._span_first_postings(node)
+                w_fn = lambda: bm25.clause_weight(
+                    [self._term_postings(node.term)[0].size],
+                    self.stats["doc_count"])
+            elif isinstance(node, SpanNot):
+                docids, tfs = self._span_not_postings(node)
+                w_fn = lambda: bm25.clause_weight(
+                    [self._term_postings(node.include)[0].size],
+                    self.stats["doc_count"])
+            else:  # MultiPhrase/SpanOr: grouped per-slot weight association
                 docids, tfs = self._phrase_postings(node.slots, 0)
                 w_fn = lambda: bm25.grouped_weight(
                     [[self._term_postings(t)[0].size for t in ts] for ts in node.slots],
@@ -2628,6 +2728,15 @@ class LocalIndex:
         return span_freqs_flat(
             [d for d, _ in flat], [p for _, p in flat], node.slop, node.in_order
         )
+
+    def _span_first_postings(self, node: SpanFirst) -> tuple[np.ndarray, np.ndarray]:
+        d, p = self._term_positions(node.term)
+        return span_first_freqs_flat(d, p, node.end)
+
+    def _span_not_postings(self, node: SpanNot) -> tuple[np.ndarray, np.ndarray]:
+        di, pi = self._term_positions(node.include)
+        de, pe = self._term_positions(node.exclude)
+        return span_not_freqs_flat(di, pi, de, pe, node.dist)
 
     def _compile(self, query: str) -> tuple[Node, dict]:
         """parse -> field-filter extraction -> wildcard/fuzzy expansion
@@ -2718,7 +2827,19 @@ class LocalIndex:
                     [self._term_postings(t)[0].size for t in lf.terms],
                     self.stats["doc_count"])
                 terms = lf.terms
-            else:  # MultiPhrase: grouped weight, slots shown as a|b
+            elif isinstance(lf, SpanFirst):
+                docids, tfs = self._span_first_postings(lf)
+                w = bm25.clause_weight(
+                    [self._term_postings(lf.term)[0].size],
+                    self.stats["doc_count"])
+                terms = (lf.term,)
+            elif isinstance(lf, SpanNot):
+                docids, tfs = self._span_not_postings(lf)
+                w = bm25.clause_weight(
+                    [self._term_postings(lf.include)[0].size],
+                    self.stats["doc_count"])
+                terms = (lf.include,)
+            else:  # MultiPhrase/SpanOr: grouped weight, slots shown as a|b
                 docids, tfs = self._phrase_postings(lf.slots, 0)
                 w = bm25.grouped_weight(
                     [[self._term_postings(t)[0].size for t in ts] for ts in lf.slots],

@@ -23,7 +23,10 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanFirst,
     SpanNear,
+    SpanNot,
+    SpanOr,
     Term,
     Wildcard,
     apply_minimum_should_match,
@@ -35,7 +38,8 @@ from ..plans.query import (
 
 #: scoring leaf node types (Wildcard/Fuzzy/Regexp render as grouped
 #: term-set leaves)
-LEAVES = (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, Regexp, SpanNear)
+LEAVES = (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, Regexp,
+          SpanNear, SpanFirst, SpanNot, SpanOr)
 
 
 def _base_ctes(path: str, source_where: str | None = None) -> str:
@@ -209,6 +213,56 @@ def _leaf_ctes(leaves: list[Node]) -> str:
             parts.append(
                 f"tf_{i} AS (SELECT docid, CAST(freq AS DOUBLE) AS tf "
                 f"FROM spf_{i} WHERE freq > 0)"
+            )
+            idf_sum = " + ".join(
+                f"ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "
+                f"(SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5) / "
+                f"((SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5))"
+                for t in leaf.terms
+            )
+            weight = f"CAST({idf_sum} AS FLOAT)"
+        elif isinstance(leaf, SpanFirst):
+            # span_first: tf = positions of the term before ``end``;
+            # weight = the term's FULL-df idf (SpanWeight uses collection
+            # stats, not the position-filtered count) — exact for any end
+            parts.append(
+                f"tf_{i} AS (SELECT docid, CAST(count(*) AS DOUBLE) AS tf "
+                f"FROM tok WHERE term = {_q(leaf.term)} AND pos < {int(leaf.end)} "
+                f"GROUP BY docid)"
+            )
+            weight = (
+                f"CAST(ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "
+                f"(SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(leaf.term)}) + 0.5) / "
+                f"((SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(leaf.term)}) + 0.5)) AS FLOAT)"
+            )
+        elif isinstance(leaf, SpanNot):
+            # span_not: include positions with no exclude position within
+            # +/- dist; the exclude term contributes no idf — exact for
+            # any dist (no candidate enumeration needed)
+            parts.append(
+                f"tf_{i} AS (SELECT a.docid, CAST(count(*) AS DOUBLE) AS tf "
+                f"FROM tok a WHERE a.term = {_q(leaf.include)} AND NOT EXISTS ("
+                f"SELECT 1 FROM tok b WHERE b.docid = a.docid "
+                f"AND b.term = {_q(leaf.exclude)} "
+                f"AND b.pos BETWEEN a.pos - {int(leaf.dist)} AND a.pos + {int(leaf.dist)}"
+                f") GROUP BY a.docid)"
+            )
+            weight = (
+                f"CAST(ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "
+                f"(SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(leaf.include)}) + 0.5) / "
+                f"((SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(leaf.include)}) + 0.5)) AS FLOAT)"
+            )
+        elif isinstance(leaf, SpanOr):
+            # span_or: tf = total occurrences of ANY of the terms; weight
+            # = grouped single-slot association (bm25.grouped_weight) —
+            # a sequential left fold over the SORTED terms' full-df idfs,
+            # which a textual left-associated '+' chain reproduces
+            # exactly (parse sorts the terms).  A zero-df term still
+            # contributes (count over the empty set is 0, not NULL).
+            in_list = ", ".join(_q(t) for t in leaf.terms)
+            parts.append(
+                f"tf_{i} AS (SELECT docid, CAST(count(*) AS DOUBLE) AS tf "
+                f"FROM tok WHERE term IN ({in_list}) GROUP BY docid)"
             )
             idf_sum = " + ".join(
                 f"ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "

@@ -58,6 +58,7 @@ import re
 from dataclasses import dataclass
 
 from ..functions.analysis import tokenize
+from ..functions.spans import SPAN_NOT_MAX_DIST as _SPAN_NOT_MAX_DIST
 
 
 class Node:
@@ -122,6 +123,62 @@ class SpanNear(Node):
     slop: int = 0
     in_order: bool = False
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirst(Node):
+    """Lucene/OpenSearch ``span_first`` over a single-term span — DQL
+    surface ``span_first(end=N term)``: matches positions ``p`` with
+    ``p + 1 <= end`` (a term span at ``p`` ends at ``p + 1``).  All
+    matches are width 0, so frequency = qualifying-position count;
+    weight is the term's full-df idf (SpanWeight uses collection
+    stats, not the position-filtered count)."""
+
+    term: str
+    end: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNot(Node):
+    """Lucene/OpenSearch ``span_not`` with symmetric pre/post — DQL
+    surface ``span_not(dist=N include exclude)``: include-term positions
+    survive unless an exclude-term position of the same doc lies within
+    ``+/- dist``.  The exclude term is NOT required (docs lacking it
+    match on every include position) and contributes no idf weight —
+    pruning/required-term logic must treat only ``include`` as
+    mandatory.  ``dist`` defaults 0, which over this engine's
+    one-term-per-position analyzer never excludes anything for distinct
+    terms (kept for Lucene parity; distinct terms never share a
+    position).  Same-term include/exclude rejected at parse like
+    span_near's repeated terms."""
+
+    include: str
+    exclude: str
+    dist: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanOr(Node):
+    """Lucene/OpenSearch ``span_or`` over single-term clauses — DQL
+    surface ``span_or(t1 t2 ...)``: the union of the terms' spans as ONE
+    scoring clause.  Every span is width 0, so frequency = total
+    occurrences of ANY of the terms; SpanOrQuery builds one SimWeight
+    across all terms, frozen here as the grouped single-slot association
+    ``bm25.grouped_weight([[df1, df2, ...]])`` (ordered float64 idf fold
+    — the SQL oracle's ``list_reduce ... ORDER BY term`` matches because
+    parse sorts the terms).  Engine-side it rides the MultiPhrase
+    machinery as one slot of alternatives (``slots`` property); this is
+    NOT the boolean ``a OR b``, which scores each term with its own idf.
+    Duplicate terms rejected at parse (they would double-count)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    @property
+    def slots(self) -> tuple[tuple[str, ...], ...]:
+        return (self.terms,)
 
 
 @dataclass(frozen=True)
@@ -361,7 +418,8 @@ def parse(query: str) -> Node:
         b = float(m.group(1))
         if b <= 0:
             raise ValueError(f"boost must be positive, got {nxt!r} in {query!r}")
-        if isinstance(node, (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, SpanNear)):
+        if isinstance(node, (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy,
+                             SpanNear, SpanFirst, SpanNot, SpanOr)):
             import dataclasses
 
             return dataclasses.replace(node, boost=node.boost * b)
@@ -473,6 +531,81 @@ def parse(query: str) -> Node:
             )
         return maybe_boost(SpanNear(tuple(words), slop=slop, in_order=in_order))
 
+    def scan_span_args(name: str, params: dict[str, int]) -> list[str]:
+        """Shared ``name(key=int ... words ...)`` scanner for the span
+        atoms: consumes through ')', updating ``params`` in place for
+        recognized ``key=``-prefixed tokens; analyzer-normalized words
+        returned in source order."""
+        take()  # '('
+        words: list[str] = []
+        while True:
+            t2 = peek()
+            if t2 is None:
+                raise ValueError(f"missing ')' after {name} in {query!r}")
+            if t2 == ")":
+                take()
+                break
+            take()
+            low = t2.lower()
+            key = next((k for k in params if low.startswith(k + "=")), None)
+            if key is not None:
+                try:
+                    params[key] = int(low[len(key) + 1:])
+                except ValueError:
+                    raise ValueError(f"bad {name} {key} {t2!r} in {query!r}") from None
+                continue
+            ws = tokenize(t2)
+            if len(ws) != 1:
+                raise ValueError(
+                    f"{name} clause {t2!r} must analyze to one term in {query!r}"
+                )
+            words.append(ws[0])
+        return words
+
+    def parse_span_first() -> Node:
+        """``span_first(end=N term)`` — matches the term's positions
+        ``p`` with ``p + 1 <= end``; end >= 1 required."""
+        params = {"end": -1}
+        words = scan_span_args("span_first", params)
+        if params["end"] < 1:
+            raise ValueError(f"span_first needs end=N with N >= 1 in {query!r}")
+        if len(words) != 1:
+            raise ValueError(f"span_first takes exactly one term in {query!r}")
+        return maybe_boost(SpanFirst(words[0], end=params["end"]))
+
+    def parse_span_not() -> Node:
+        """``span_not(dist=N include exclude)`` — include positions with
+        no exclude position within +/- dist (pre = post = dist, default
+        0)."""
+        params = {"dist": 0}
+        words = scan_span_args("span_not", params)
+        if not 0 <= params["dist"] <= _SPAN_NOT_MAX_DIST:
+            raise ValueError(
+                f"span_not dist must be in [0, {_SPAN_NOT_MAX_DIST}] in {query!r}"
+            )
+        if len(words) != 2:
+            raise ValueError(
+                f"span_not takes exactly include exclude in {query!r}"
+            )
+        if words[0] == words[1]:
+            raise ValueError(
+                f"span_not include == exclude matches nothing in {query!r}"
+            )
+        return maybe_boost(SpanNot(words[0], words[1], dist=params["dist"]))
+
+    def parse_span_or() -> Node:
+        """``span_or(t1 t2 ...)`` — union-of-spans single clause; terms
+        sorted so the grouped-weight fold order is canonical (matches
+        the SQL oracle's ORDER BY term)."""
+        words = scan_span_args("span_or", {})
+        if len(words) < 2:
+            raise ValueError(f"span_or needs at least 2 terms in {query!r}")
+        if len(set(words)) != len(words):
+            raise ValueError(
+                f"span_or with duplicate terms would double-count in {query!r}"
+            )
+        return maybe_boost(SpanOr(tuple(sorted(words))))
+
     def parse_atom() -> Node:
         t = take()
         if t.upper() in ("AND", "OR", "NOT"):
@@ -481,6 +614,12 @@ def parse(query: str) -> Node:
             raise ValueError(f"operator {t!r} where a term was expected in {query!r}")
         if t.lower() == "span_near" and peek() == "(":
             return parse_span_near()
+        if t.lower() == "span_first" and peek() == "(":
+            return parse_span_first()
+        if t.lower() == "span_not" and peek() == "(":
+            return parse_span_not()
+        if t.lower() == "span_or" and peek() == "(":
+            return parse_span_or()
         if t == "(":
             node = parse_or()
             if peek() != ")":
@@ -934,7 +1073,13 @@ def phrase_slots(leaf: Node) -> tuple[tuple[str, ...], ...]:
     is written once against slots."""
     if isinstance(leaf, (Phrase, SpanNear)):
         return tuple((t,) for t in leaf.terms)
-    if isinstance(leaf, MultiPhrase):
+    if isinstance(leaf, SpanFirst):
+        return ((leaf.term,),)
+    if isinstance(leaf, SpanNot):
+        # slot 1 (exclude) is fetched for position data but is NOT a
+        # required slot — consumers special-case its absence
+        return ((leaf.include,), (leaf.exclude,))
+    if isinstance(leaf, (MultiPhrase, SpanOr)):
         return leaf.slots
     raise TypeError(leaf)
 
@@ -1046,8 +1191,15 @@ def query_terms(node: Node) -> list[str]:
         if isinstance(n, Term):
             if n.term not in out:
                 out.append(n.term)
-        elif isinstance(n, (Phrase, SpanNear)):
+        elif isinstance(n, (Phrase, SpanNear, SpanOr)):
             for t in n.terms:
+                if t not in out:
+                    out.append(t)
+        elif isinstance(n, SpanFirst):
+            if n.term not in out:
+                out.append(n.term)
+        elif isinstance(n, SpanNot):
+            for t in (n.include, n.exclude):
                 if t not in out:
                     out.append(t)
         elif isinstance(n, MultiPhrase):

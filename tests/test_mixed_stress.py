@@ -22,15 +22,26 @@ PREFIX = ["re", "con", "time", "den", "w000", "perm"]
 def _leaf(rng: random.Random) -> str:
     r = rng.random()
     boost = "^" + rng.choice(["2", "0.5", "3"]) if rng.random() < 0.3 else ""
-    if r < 0.4:
+    if r < 0.35:
         t = rng.choice(HOT) if rng.random() < 0.7 else f"w{rng.randrange(2000):05d}"
         return t + boost
     a, b = rng.choice(PAIRS)
-    if r < 0.6:
+    if r < 0.5:
         return f'"{a} {b}"' + boost
-    if r < 0.8:
+    if r < 0.62:
         return f'"{a} {b}"~{rng.randrange(1, 5)}' + boost
-    return f'"{rng.choice(HOT)} {rng.choice(PREFIX)}"*' + boost
+    if r < 0.72:
+        return f'"{rng.choice(HOT)} {rng.choice(PREFIX)}"*' + boost
+    # r4f span family
+    if r < 0.8:
+        order = "in_order=true " if rng.random() < 0.5 else ""
+        return f"span_near(slop={rng.randrange(0, 5)} {order}{a} {b})" + boost
+    if r < 0.87:
+        return f"span_first(end={rng.randrange(1, 12)} {rng.choice(HOT)})" + boost
+    if r < 0.94:
+        return f"span_not(dist={rng.randrange(0, 6)} {a} {b})" + boost
+    ts = rng.sample(HOT, rng.choice([2, 3]))
+    return f"span_or({' '.join(ts)})" + boost
 
 
 def _tree(rng: random.Random, depth: int) -> str:
