@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from .functions.analysis import SQL_SPLIT_RE
 from .operators import aggs
+from .operators import adhoc
 from .operators import percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators.build import build_index
 from .sources import transcripts as tsrc
@@ -1402,6 +1403,47 @@ def q_emb_ivfpq_recall(spark, sf_dir):
     )
 
 
+#: shared by the query and its oracle: the hybrid row's leg shapes
+_ADHOC_QUERY = '"slow query" OR (spark AND table)'
+_HYBRID_LEX_QUERY = "spark AND table"
+_HYBRID_VEC_QID = 0
+_HYBRID_WINDOW = 50
+
+
+def q_doc_bm25_adhoc(spark, sf_dir):
+    """Index-free BM25 top-10 over the documents table (operators/adhoc):
+    frozen-analyzer tokens, lossy-norm round-trip, exact Lucene
+    arithmetic — one stats scan + one scoring scan, no index artifacts.
+    score_r = round-3 like every bm25 row."""
+    out = adhoc.bm25_adhoc_df(_docs(spark, sf_dir), _ADHOC_QUERY, k=10)
+    return out.select(
+        "doc_id", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """OpenSearch hybrid query + RRF processor: lexical leg = ad-hoc BM25
+    over documents.text, vector leg = exact cosine top-50 for query
+    vector 0 (embeddings align 1:1 with documents), fused by reciprocal
+    rank fusion (1/(60+rank), rank 1-based per leg, fold in leg order).
+    The vector leg ranks on the ROUND-6 cosine so engine and oracle
+    order near-ties identically."""
+    lex = adhoc.bm25_adhoc_df(
+        _docs(spark, sf_dir), _HYBRID_LEX_QUERY, k=_HYBRID_WINDOW
+    )
+    vec = similarity.cosine_topk(
+        _emb(spark, sf_dir), [_HYBRID_VEC_QID], k=_HYBRID_WINDOW
+    ).select(
+        F.col("vec_id").alias("doc_id"), F.round(F.col("cos"), 6).alias("score")
+    )
+    fused = adhoc.rrf_fuse(
+        [lex, vec], k=10, id_col="doc_id", rank_window=_HYBRID_WINDOW
+    )
+    return fused.select(
+        "doc_id", F.round(F.col("rrf_score"), 9).alias("rrf_r")
+    )
+
+
 def q_doc_lm_score(spark, sf_dir):
     """CCNet-style LM quality score: mean log10 probability per doc under
     a Stupid Backoff bigram model trained on the corpus itself.  Per-
@@ -2598,6 +2640,29 @@ SELECT x.query_id,
 FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
+        "doc_bm25_adhoc": sqloracle.bm25_adhoc_sql("documents", _ADHOC_QUERY, k=10),
+        "hybrid_rrf_topk": f"""
+SELECT doc_id, round(rrf_score, 9) AS rrf_r FROM (
+{sqloracle.rrf_sql(
+    [
+        (sqloracle.bm25_adhoc_sql("documents", _HYBRID_LEX_QUERY,
+                                  k=_HYBRID_WINDOW, rounded=False),
+         "doc_id", "score"),
+        (f'''
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_HYBRID_VEC_QID})
+SELECT e.vec_id AS doc_id,
+       round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+                i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+         6) AS score
+FROM embeddings e, q WHERE e.vec_id <> {_HYBRID_VEC_QID}
+ORDER BY score DESC, doc_id ASC LIMIT {_HYBRID_WINDOW}''', "doc_id", "score"),
+    ],
+    k=10, id_col="doc_id", rank_window=_HYBRID_WINDOW,
+)})""",
         "doc_lm_score": f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tok AS (
@@ -2935,6 +3000,8 @@ def queries_map() -> dict:
             "emb_ivfpq_topk": q_emb_ivfpq_topk,
             "emb_ivfpq_recall": q_emb_ivfpq_recall,
             "doc_lm_score": q_doc_lm_score,
+            "doc_bm25_adhoc": q_doc_bm25_adhoc,
+            "hybrid_rrf_topk": q_hybrid_rrf_topk,
             "doc_dedup_clusters": q_doc_dedup_clusters,
             "doc_decontamination": q_doc_decontamination,
             "doc_split_stats": q_doc_split_stats,

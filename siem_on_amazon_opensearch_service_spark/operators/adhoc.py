@@ -1,0 +1,311 @@
+"""Index-free (ad-hoc) BM25 scoring and reciprocal-rank-fusion hybrid
+search.
+
+``bm25_adhoc_df`` scores ANY (id, text) DataFrame against a DQL query
+with the engine's frozen Lucene-BM25 arithmetic WITHOUT building an
+index — the Lucene ``MemoryIndex`` / one-off ``_score`` shape.  The
+reference reaches this surface through OpenSearch scoring on ephemeral
+indexes; re-expressed here as pure Column expressions over the frozen
+analyzer's token array (zero Python in the scorer, whole-stage
+codegen), with corpus stats (doc_count, avgdl, per-term dfs) gathered
+in ONE aggregate pass.  At scale: two scans of the text column (one
+stats pass with map-side partial aggregation, one scoring pass ending
+in a global top-k) and no other shuffle.
+
+Exactness: the arithmetic mirrors functions/bm25 term for term — the
+lossy SmallFloat norm round-trip (smallfloat.sql_decode_case rendered
+as a Spark CASE expression), normInverse-then-multiply operation order,
+float32 clause weights, float64 accumulation with one final float32
+cast.  tests/test_adhoc.py proves rank/score identity against the
+INDEX path (LocalIndex over the same rows) and against the DuckDB
+rendering.
+
+``rrf_fuse`` combines ranked legs (e.g. this lexical scorer and a
+vector leg from operators/similarity) by reciprocal rank fusion —
+OpenSearch's hybrid-query RRF processor: score(d) = sum over legs of
+1 / (rrf_k + rank_leg(d)), rank 1-based within each leg, missing docs
+contribute nothing.  Legs are expected to be top-window results
+(k-to-hundreds of rows), so the single-partition rank window is
+driver-scale by construction; the fused sum folds in leg order (fixed
+association, exact cross-engine).
+
+Reference parity: the OpenSearch hybrid query + score-ranker-processor
+(reference delegates to the search pipeline; no reference-repo code
+implements it — it is an OpenSearch-engine feature the repo's saved
+objects can invoke).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import bm25
+from ..functions.smallfloat import sql_decode_case
+from ..plans.query import (
+    And,
+    AtLeast,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    SpanFirst,
+    SpanNot,
+    SpanOr,
+    Term,
+    apply_minimum_should_match,
+    extract_filters,
+    parse,
+)
+
+#: leaves the ad-hoc scorer supports: per-doc tf expressible as a pure
+#: Column over the token/position arrays.  Dictionary-expansion leaves
+#: (wildcard/fuzzy/regexp/phrase-prefix) would need a vocabulary scan,
+#: and sloppy/span_near need candidate enumeration — all refused loudly;
+#: build an index for those.
+_ADHOC_LEAVES = (Term, Phrase, SpanFirst, SpanNot, SpanOr)
+
+
+def _toks_col(text: Column) -> Column:
+    from .percolate import tokens_col
+
+    return tokens_col(text)
+
+
+def _positions(toks: Column, term: str) -> Column:
+    idx = F.transform(
+        toks, lambda x, i: F.when(x == F.lit(term), i).otherwise(F.lit(-1))
+    )
+    return F.filter(idx, lambda p: p >= 0)
+
+
+def _collect_leaves(ast: Node) -> list[Node]:
+    leaves: list[Node] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, _ADHOC_LEAVES):
+            if isinstance(n, Phrase) and n.slop:
+                raise NotImplementedError(
+                    "ad-hoc BM25 supports exact-adjacency phrases only"
+                )
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (And, Or, AtLeast)):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, Not):
+            walk(n.child)
+        else:
+            raise NotImplementedError(
+                f"ad-hoc BM25 supports term/phrase/span_first/span_not/"
+                f"span_or leaves and boolean trees; got {type(n).__name__} "
+                f"— build an index for dictionary-expansion or proximity-"
+                f"enumeration queries"
+            )
+
+    walk(ast)
+    return leaves
+
+
+def _leaf_tf(leaf: Node, toks: Column) -> Column:
+    """Per-doc clause frequency as a pure Column (long)."""
+    if isinstance(leaf, Term):
+        return F.size(F.filter(toks, lambda x: x == F.lit(leaf.term)))
+    if isinstance(leaf, Phrase):
+        pos = [_positions(toks, t) for t in leaf.terms]
+
+        def run_at(p: Column) -> Column:
+            cond = F.lit(True)
+            for j in range(1, len(leaf.terms)):
+                cond = cond & F.array_contains(pos[j], p + F.lit(j))
+            return cond
+
+        return F.size(F.filter(pos[0], run_at))
+    if isinstance(leaf, SpanFirst):
+        return F.size(
+            F.filter(_positions(toks, leaf.term), lambda p: p < F.lit(leaf.end))
+        )
+    if isinstance(leaf, SpanNot):
+        pe = _positions(toks, leaf.exclude)
+        return F.size(
+            F.filter(
+                _positions(toks, leaf.include),
+                lambda p: ~F.exists(
+                    pe, lambda q: F.abs(q - p) <= F.lit(leaf.dist)
+                ),
+            )
+        )
+    if isinstance(leaf, SpanOr):
+        alts = F.array(*[F.lit(t) for t in leaf.terms])
+        return F.size(F.filter(toks, lambda x: F.array_contains(alts, x)))
+    raise TypeError(leaf)
+
+
+def _mask(node: Node, present: dict[Node, Column]) -> Column:
+    if isinstance(node, _ADHOC_LEAVES):
+        return present[node]
+    if isinstance(node, And):
+        out = _mask(node.children[0], present)
+        for c in node.children[1:]:
+            out = out & _mask(c, present)
+        return out
+    if isinstance(node, Or):
+        out = _mask(node.children[0], present)
+        for c in node.children[1:]:
+            out = out | _mask(c, present)
+        return out
+    if isinstance(node, AtLeast):
+        cnt = None
+        for c in node.children:
+            piece = F.when(_mask(c, present), 1).otherwise(0)
+            cnt = piece if cnt is None else cnt + piece
+        return cnt >= node.m
+    if isinstance(node, Not):
+        return ~_mask(node.child, present)
+    raise TypeError(node)
+
+
+def bm25_adhoc_df(
+    df: DataFrame,
+    query: str,
+    k: int | None = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    minimum_should_match: int | None = None,
+) -> DataFrame:
+    """(id_col, score float32) — BM25 top-k over a raw table, no index.
+
+    Identical scores to building an index over the same rows with the
+    given ids as docids and querying it (tests assert this against
+    LocalIndex).  Field filters are rejected: an arbitrary table has no
+    role/tool/ts contract — filter the DataFrame before calling."""
+    ast, dqlf = extract_filters(parse(query), query)
+    if dqlf:
+        raise ValueError(
+            "ad-hoc BM25 takes no field filters; filter the DataFrame "
+            "before scoring"
+        )
+    ast = apply_minimum_should_match(ast, minimum_should_match, query)
+    leaves = _collect_leaves(ast)
+
+    base = df.select(
+        F.col(id_col).alias("__id"), _toks_col(F.col(text_col)).alias("__toks")
+    )
+    dl = F.size(F.col("__toks"))
+
+    # ONE stats pass: doc_count, sum(dl), and every query term's df as
+    # conditional counts (map-side partial agg; no explode, no shuffle
+    # beyond the scalar aggregate)
+    terms = sorted({t for lf in leaves for t in _leaf_terms_of(lf)})
+    aggs = [
+        F.count(F.when(dl > 0, 1)).alias("__dc"),
+        F.sum(dl).alias("__sumdl"),
+    ] + [
+        F.count(F.when(F.array_contains(F.col("__toks"), t), 1)).alias(f"__df{i}")
+        for i, t in enumerate(terms)
+    ]
+    srow = base.agg(*aggs).collect()[0]
+    doc_count = int(srow["__dc"] or 0)
+    if doc_count == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, score float"
+        )
+    avgdl = float(srow["__sumdl"]) / doc_count
+    dfs = {t: int(srow[f"__df{i}"] or 0) for i, t in enumerate(terms)}
+
+    from .search import _clause_weights, _positive_multiplicity
+
+    weights = _clause_weights(leaves, dfs, doc_count)
+    mult = _positive_multiplicity(ast)
+
+    # lossy norm round-trip: the same searched CASE the DuckDB oracle
+    # uses, evaluated over the raw token count (ANSI SQL — valid Spark)
+    scored = base.withColumn("__dl", dl).withColumn(
+        "__dln", F.expr(sql_decode_case("__dl")).cast("double")
+    )
+    ninv = F.lit(1.0) / (
+        F.lit(bm25.K1)
+        * (F.lit(1.0 - bm25.B) + F.lit(bm25.B) * F.col("__dln") / F.lit(avgdl))
+    )
+    present: dict[Node, Column] = {}
+    total = F.lit(0.0)
+    for ci, leaf in enumerate(leaves):
+        tf = _leaf_tf(leaf, F.col("__toks"))
+        scored = scored.withColumn(f"__tf{ci}", tf)
+        present[leaf] = F.col(f"__tf{ci}") > 0
+        m = float(mult.get(leaf, 0.0))
+        if m:
+            w = F.lit(float(np.float64(weights[ci])))
+            clause = (
+                (w - w / (F.lit(1.0) + F.col(f"__tf{ci}").cast("double") * ninv))
+                .cast("float")
+                .cast("double")
+            )
+            total = total + F.lit(m) * clause
+    out = (
+        scored.filter(_mask(ast, present))
+        .select(F.col("__id").alias(id_col), total.cast("float").alias("score"))
+    )
+    if k is None:
+        return out
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _leaf_terms_of(leaf: Node) -> list[str]:
+    if isinstance(leaf, Term):
+        return [leaf.term]
+    if isinstance(leaf, (Phrase, SpanOr)):
+        return list(leaf.terms)
+    if isinstance(leaf, SpanFirst):
+        return [leaf.term]
+    if isinstance(leaf, SpanNot):
+        # the exclude term needs no df (it carries no idf weight) but
+        # listing it costs one conditional count and keeps the stats
+        # pass uniform
+        return [leaf.include]
+    raise TypeError(leaf)
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_cols: list[str] | None = None,
+    rrf_k: int = 60,
+    rank_window: int = 100,
+) -> DataFrame:
+    """Reciprocal rank fusion of ranked legs: score(d) = sum over legs of
+    1/(rrf_k + rank), rank 1-based by (leg score desc, id asc), legs cut
+    to ``rank_window`` before fusing.  Returns (id_col, rrf_score double)
+    top-k by (rrf_score desc, id asc).
+
+    Legs must already be top-window results — the rank window runs
+    single-partition, which is exactly right for k-to-hundreds of rows
+    and means fusion adds no cluster-scale shuffle.  The fused sum folds
+    in leg order (c0 + c1 + ...), a fixed association the SQL oracle
+    reproduces textually."""
+    from pyspark.sql import Window
+
+    if score_cols is None:
+        score_cols = ["score"] * len(legs)
+    fused = None
+    for i, (leg, sc) in enumerate(zip(legs, score_cols)):
+        w = Window.orderBy(F.col(sc).desc(), F.col(id_col).asc())
+        r = (
+            leg.select(id_col, sc)
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= rank_window)
+            .select(
+                F.col(id_col),
+                (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("__r"))).alias(f"__c{i}"),
+            )
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    total = F.lit(0.0)
+    for i in range(len(legs)):
+        total = total + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    return (
+        fused.select(F.col(id_col), total.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -724,3 +724,105 @@ def terms_enum_sql(path: str, prefix: str, n: int = 10, by_df: bool = True) -> s
 SELECT term, count(DISTINCT docid) AS df FROM tok
 WHERE term >= {_q(pfx)} AND term < {_q(hi)}
 GROUP BY term ORDER BY {order} LIMIT {int(n)}"""
+
+
+def _adhoc_base_ctes(path: str, id_col: str, text_col: str) -> str:
+    """Generic-table variant of _base_ctes: docid = the caller's id
+    column (not row_number), same CTE names (d/tok0/dl/stats/dln/tok) so
+    _leaf_ctes/_combine_sql compose unchanged.  ``path`` ending in
+    .parquet reads the file; anything else is taken as a relation name
+    (the driver gate pre-registers tables as views)."""
+    rel = f"read_parquet('{path}')" if path.endswith(".parquet") else path
+    trunc = sql_truncate_expr(text_col)
+    return f"""
+d AS (
+  SELECT {id_col} AS docid, {trunc} AS text FROM {rel}
+),
+tok0 AS (
+  SELECT docid,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '{SQL_SPLIT_RE}'),
+                     x -> x <> '') AS toks
+  FROM d
+),
+dl AS (SELECT docid, len(toks) AS dl FROM tok0),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         CAST(sum(dl) AS DOUBLE) / count(*) FILTER (WHERE dl > 0) AS avgdl
+  FROM dl
+),
+dln AS (SELECT docid, {sql_decode_case('dl')} AS dl_dec FROM dl),
+tok AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY pre_pos) - 1 AS pos
+  FROM (
+    SELECT docid, unnest(toks) AS term, generate_subscripts(toks, 1) AS pre_pos
+    FROM tok0
+  )
+)"""
+
+
+def bm25_adhoc_sql(
+    path: str,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    minimum_should_match: int | None = None,
+    rounded: bool = True,
+) -> str:
+    """DuckDB statement for operators.adhoc.bm25_adhoc_df: (id_col,
+    score_r DOUBLE round-3) top-k over a raw table, ids as docids.  Same
+    leaf restriction as the engine (term/phrase/span_first/span_not/
+    span_or + boolean trees; no field filters, no dictionary-expansion
+    leaves).  ``rounded=False`` keeps the raw float32 score (column name
+    ``score``) — for composition into rank-fusion legs, where the
+    ROUNDED value could reorder near-ties relative to the engine."""
+    from .adhoc import _collect_leaves
+
+    ast, dqlf = extract_filters(parse(query), query)
+    if dqlf:
+        raise ValueError("ad-hoc BM25 takes no field filters")
+    ast = apply_minimum_should_match(ast, minimum_should_match, query)
+    leaves = _collect_leaves(ast)
+    sel = (
+        "round(CAST(s AS DOUBLE), 3) AS score_r"
+        if rounded
+        else "CAST(s AS DOUBLE) AS score"
+    )
+    return f"""WITH RECURSIVE {_adhoc_base_ctes(path, id_col, text_col)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)})
+SELECT docid AS {id_col}, {sel}
+FROM combined
+ORDER BY s DESC, docid ASC
+LIMIT {int(k)}"""
+
+
+def rrf_sql(
+    leg_sqls: list[tuple[str, str, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    rank_window: int = 100,
+) -> str:
+    """DuckDB statement for operators.adhoc.rrf_fuse.  Each leg is
+    (subquery_sql, its id column, its score column); ranks are 1-based
+    row_number by (score desc, id asc) cut at rank_window; the fused sum
+    folds textually in leg order — the engine's fixed association."""
+    legs = []
+    for i, (sql, lid, lsc) in enumerate(leg_sqls):
+        legs.append(
+            f"leg_{i} AS (SELECT {lid} AS id, 1.0 / ({int(rrf_k)} + r) AS c{i} "
+            f"FROM (SELECT {lid}, row_number() OVER "
+            f"(ORDER BY {lsc} DESC, {lid} ASC) AS r FROM ({sql})) "
+            f"WHERE r <= {int(rank_window)})"
+        )
+    join = "leg_0"
+    for i in range(1, len(leg_sqls)):
+        join += f" FULL OUTER JOIN leg_{i} USING (id)"
+    total = " + ".join(f"COALESCE(c{i}, 0.0)" for i in range(len(leg_sqls)))
+    return f"""WITH {', '.join(legs)}
+SELECT id AS {id_col}, {total} AS rrf_score
+FROM {join}
+ORDER BY rrf_score DESC, id ASC
+LIMIT {int(k)}"""

@@ -1,0 +1,221 @@
+"""Index-free BM25 (operators/adhoc.bm25_adhoc_df) + RRF hybrid fusion.
+
+The load-bearing theorem: ad-hoc scoring over a raw table is
+rank/score-IDENTICAL to building an index over the same rows and
+querying it — proved on the transcripts corpus (ids = the index's
+stable docids).  Cross-engine exactness vs the DuckDB rendering
+(bm25_adhoc_sql) on the documents table.  RRF fusion checked against
+rrf_sql and a hand-computed case.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from siem_on_amazon_opensearch_service_spark.operators.adhoc import (
+    bm25_adhoc_df,
+    rrf_fuse,
+)
+from siem_on_amazon_opensearch_service_spark.operators.oracle import LuceneOracle
+from siem_on_amazon_opensearch_service_spark.operators.sqloracle import (
+    bm25_adhoc_sql,
+    rrf_sql,
+)
+
+ADHOC_QUERIES = [
+    "error",
+    "error AND timeout",
+    "timeout OR refused OR denied",
+    "error AND NOT timeout",
+    '"connection reset"',
+    '"connection reset" OR (error AND timeout)',
+    "span_first(end=3 error)",
+    "span_not(dist=2 error timeout)",
+    "span_or(timeout refused)",
+    "error^2 OR timeout^0.5",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus_pdf):
+    return LuceneOracle(tiny_corpus_pdf)
+
+
+@pytest.fixture(scope="module")
+def transcripts_with_docids(spark, tiny_corpus_pdf):
+    """Transcripts with the INDEX's stable docid as an id column —
+    row_number over (conv_id, turn_idx), same as assign_docids."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.createDataFrame(tiny_corpus_pdf)
+    w = Window.orderBy("conv_id", "turn_idx")
+    return df.withColumn("docid", F.row_number().over(w) - 1).persist()
+
+
+class TestAdhocEqualsIndex:
+    @pytest.mark.parametrize("q", ADHOC_QUERIES)
+    def test_adhoc_equals_oracle(self, transcripts_with_docids, oracle, q):
+        got = [
+            (int(r["docid"]), np.float32(r["score"]))
+            for r in bm25_adhoc_df(
+                transcripts_with_docids, q, k=10, id_col="docid", text_col="text"
+            ).collect()
+        ]
+        exp = [(h.docid, h.score) for h in oracle.search(q, k=10)]
+        assert got == exp, q
+
+    def test_k_none_full_match_set(self, transcripts_with_docids, oracle):
+        rows = bm25_adhoc_df(
+            transcripts_with_docids, "error AND timeout", k=None,
+            id_col="docid", text_col="text",
+        ).collect()
+        exp = oracle.search("error AND timeout", k=10**9)
+        assert {int(r["docid"]) for r in rows} == {h.docid for h in exp}
+
+    def test_msm(self, transcripts_with_docids, oracle):
+        q = "timeout OR refused OR denied"
+        got = [
+            (int(r["docid"]), np.float32(r["score"]))
+            for r in bm25_adhoc_df(
+                transcripts_with_docids, q, k=10, id_col="docid",
+                text_col="text", minimum_should_match=2,
+            ).collect()
+        ]
+        exp = [
+            (h.docid, h.score)
+            for h in oracle.search(q, k=10, minimum_should_match=2)
+        ]
+        assert got == exp
+
+
+class TestAdhocVsDuck:
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "spark AND table",
+            '"slow query" OR scan',
+            "span_or(spark query)",
+            "query AND NOT vector",
+        ],
+    )
+    def test_documents_engine_equals_sql(self, spark, q):
+        path = "/root/testdata/sf0.001/documents.parquet"
+        df = spark.read.parquet(path)
+        got = (
+            bm25_adhoc_df(df, q, k=10)
+            .toPandas()
+            .assign(score_r=lambda d: d["score"].astype("float64").round(3))
+            [["doc_id", "score_r"]]
+        )
+        exp = duckdb.sql(bm25_adhoc_sql(path, q, k=10)).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+class TestAdhocRejections:
+    def test_field_filter_rejected(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with pytest.raises(ValueError, match="field filters"):
+            bm25_adhoc_df(df, "error AND role:assistant")
+
+    @pytest.mark.parametrize("q", ["err*", "error~1", '"slow qu"*', '"a b"~2',
+                                   "span_near(slop=2 a b)"])
+    def test_unsupported_leaves_rejected(self, spark, q):
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with pytest.raises(NotImplementedError):
+            bm25_adhoc_df(df, q)
+        with pytest.raises(NotImplementedError):
+            bm25_adhoc_sql("/x.parquet", q)
+
+
+class TestRrf:
+    def test_hand_case(self, spark):
+        a = spark.createDataFrame(
+            [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double"
+        )
+        b = spark.createDataFrame(
+            [(3, 0.9), (4, 0.8)], "doc_id long, score double"
+        )
+        got = {
+            int(r["doc_id"]): r["rrf_score"]
+            for r in rrf_fuse([a, b], k=10).collect()
+        }
+        assert got == {
+            1: 1.0 / 61,
+            2: 1.0 / 62,
+            3: 1.0 / 63 + 1.0 / 61,
+            4: 1.0 / 62,
+        }
+
+    def test_engine_equals_sql(self, spark, tmp_path):
+        rng = np.random.default_rng(7)
+        pa = pd.DataFrame({
+            "doc_id": np.arange(40), "score": rng.random(40).round(4)
+        })
+        pb = pd.DataFrame({
+            "doc_id": rng.permutation(60)[:35], "score": rng.random(35).round(4)
+        })
+        fa, fb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+        pa.to_parquet(fa)
+        pb.to_parquet(fb)
+        got = [
+            (int(r["doc_id"]), round(float(r["rrf_score"]), 9))
+            for r in rrf_fuse(
+                [spark.read.parquet(fa), spark.read.parquet(fb)],
+                k=15, rank_window=20,
+            ).collect()
+        ]
+        sql = rrf_sql(
+            [(f"SELECT * FROM read_parquet('{fa}')", "doc_id", "score"),
+             (f"SELECT * FROM read_parquet('{fb}')", "doc_id", "score")],
+            k=15, rank_window=20,
+        )
+        exp = [(int(d), round(float(s), 9)) for d, s in duckdb.sql(sql).fetchall()]
+        assert got == exp
+
+    def test_hybrid_legs_compose(self, spark):
+        """The driver row's shape: lexical adhoc leg + cosine vector leg
+        over aligned ids, engine == SQL end-to-end."""
+        from pyspark.sql import functions as F
+
+        from siem_on_amazon_opensearch_service_spark.operators import similarity
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        lex = bm25_adhoc_df(docs, "spark AND table", k=50)
+        vec = (
+            similarity.cosine_topk(emb, [0], k=50)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(F.col("cos"), 6).alias("score"),
+            )
+        )
+        got = [
+            (int(r["doc_id"]), round(float(r["rrf_score"]), 9))
+            for r in rrf_fuse([lex, vec], k=10, rank_window=50).collect()
+        ]
+        cos_sql = f"""
+WITH q AS (SELECT embedding AS qvec FROM read_parquet('{sf}/embeddings.parquet') WHERE vec_id = 0)
+SELECT e.vec_id AS doc_id,
+       round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+                i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+         6) AS score
+FROM read_parquet('{sf}/embeddings.parquet') e, q WHERE e.vec_id <> 0
+ORDER BY score DESC, doc_id ASC LIMIT 50"""
+        sql = rrf_sql(
+            [(bm25_adhoc_sql(f"{sf}/documents.parquet", "spark AND table",
+                             k=50, rounded=False), "doc_id", "score"),
+             (cos_sql, "doc_id", "score")],
+            k=10, rank_window=50,
+        )
+        exp = [(int(d), round(float(s), 9)) for d, s in duckdb.sql(sql).fetchall()]
+        assert got == exp
+        assert len(got) == 10
