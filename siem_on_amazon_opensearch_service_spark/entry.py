@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from .functions.analysis import SQL_SPLIT_RE
 from .operators import aggs
-from .operators import adhoc
+from .operators import adhoc, packing
 from .operators import percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators.build import build_index
 from .sources import transcripts as tsrc
@@ -786,6 +786,26 @@ def q_events_pipeline_max_bucket(spark, sf_dir):
     )
 
 
+def q_events_pipeline_avg_bucket(spark, sf_dir):
+    """avg_bucket sibling pipeline agg (same two-level shape as
+    max_bucket; avg over the hourly bucket counts per event type)."""
+    out = aggs.pipeline_bucket(
+        _events(spark, sf_dir), "event_type", F.date_trunc("hour", F.col("ts")), "avg"
+    )
+    return out.select(
+        "event_type", F.round(F.col("avg_bucket"), 4).alias("avg_bucket")
+    )
+
+
+def q_events_percentiles_bucket(spark, sf_dir):
+    """percentiles_bucket pipeline agg: exact interpolated p50/p90 over
+    the hourly bucket counts per event type."""
+    return aggs.percentiles_bucket(
+        _events(spark, sf_dir), "event_type",
+        F.date_trunc("hour", F.col("ts")), [0.5, 0.9],
+    )
+
+
 def q_events_percentiles(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return ev.agg(
@@ -1444,6 +1464,37 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+_PACK_CAPACITY = 128
+_PACK_BUCKETS = 8
+
+
+def q_doc_packing_stats(spark, sf_dir):
+    """Sequence packing (operators/packing): next-fit over md5 hash
+    buckets at a 128-token capacity; the summary row (docs, bins, mean
+    fill fraction, max docs/bin, overflow bins) is a full value oracle —
+    the DuckDB side replays the recursive next-fit step-for-step."""
+    packed = packing.pack_sequences(
+        _docs(spark, sf_dir), _PACK_CAPACITY, n_buckets=_PACK_BUCKETS
+    )
+    return packing.packing_stats(packed, _PACK_CAPACITY)
+
+
+def q_doc_temperature_sample(spark, sf_dir):
+    """Temperature-weighted (alpha=0.5) language-mixture sample: the
+    mBERT/XLM-R re-balancing rule over the skewed lang column, realized
+    as deterministic per-group hash thresholds.  Verifies per-group kept
+    counts AND id_sum (the exact kept set), thresholds derived
+    independently by the SQL oracle from the same counts."""
+    kept = sampling.temperature_sample(
+        _docs(spark, sf_dir), group_col="lang", alpha=0.5, target_frac=0.5
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
 def q_doc_lm_score(spark, sf_dir):
     """CCNet-style LM quality score: mean log10 probability per doc under
     a Stupid Backoff bigram model trained on the corpus itself.  Per-
@@ -2049,6 +2100,19 @@ ORDER BY t.score_r DESC, t.docid"""
             "  FROM events GROUP BY 1, 2"
             ") GROUP BY event_type ORDER BY event_type"
         ),
+        "events_pipeline_avg_bucket": (
+            "SELECT event_type, round(avg(m), 4) AS avg_bucket FROM ("
+            "  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS m "
+            "  FROM events GROUP BY 1, 2"
+            ") GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_percentiles_bucket": (
+            "SELECT event_type, round(quantile_cont(m, 0.5), 4) AS p50, "
+            "round(quantile_cont(m, 0.9), 4) AS p90 FROM ("
+            "  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS m "
+            "  FROM events GROUP BY 1, 2"
+            ") GROUP BY event_type ORDER BY event_type"
+        ),
         "events_percentiles": (
             "SELECT round(quantile_cont(value, 0.5), 4) AS p50, "
             "round(quantile_cont(value, 0.95), 4) AS p95 FROM events"
@@ -2641,6 +2705,27 @@ FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
         "doc_bm25_adhoc": sqloracle.bm25_adhoc_sql("documents", _ADHOC_QUERY, k=10),
+        "doc_temperature_sample": (
+            "WITH "
+            + sampling.temperature_sample_sql("documents", target_frac=0.5)[1:]
+            + "\nSELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum "
+            "FROM tsample GROUP BY lang ORDER BY lang"
+        ),
+        "doc_packing_stats": (
+            "WITH RECURSIVE "
+            + packing.pack_sql("documents", _PACK_CAPACITY, n_buckets=_PACK_BUCKETS)[1:]
+            + f""",
+pk_bins AS (
+  SELECT bucket, bin_id, sum(n_tokens) AS fill, count(*) AS docs
+  FROM packed GROUP BY bucket, bin_id
+)
+SELECT sum(docs) AS n_docs, count(*) AS n_bins,
+       round(CAST(sum(fill) AS DOUBLE) / (count(*) * {float(_PACK_CAPACITY)}), 6)
+         AS avg_fill,
+       max(docs) AS max_bin_docs,
+       sum(CASE WHEN fill > {_PACK_CAPACITY} THEN 1 ELSE 0 END) AS overflow_bins
+FROM pk_bins"""
+        ),
         "hybrid_rrf_topk": f"""
 SELECT doc_id, round(rrf_score, 9) AS rrf_r FROM (
 {sqloracle.rrf_sql(
@@ -2930,6 +3015,8 @@ def queries_map() -> dict:
             "events_filters_agg": q_events_filters_agg,
             "events_top_hits": q_events_top_hits,
             "events_pipeline_max_bucket": q_events_pipeline_max_bucket,
+            "events_pipeline_avg_bucket": q_events_pipeline_avg_bucket,
+            "events_percentiles_bucket": q_events_percentiles_bucket,
             "events_percentiles": q_events_percentiles,
             "events_metrics_by_type": q_events_metrics_by_type,
             "events_approx_cardinality": q_events_approx_cardinality,
@@ -3001,6 +3088,8 @@ def queries_map() -> dict:
             "emb_ivfpq_recall": q_emb_ivfpq_recall,
             "doc_lm_score": q_doc_lm_score,
             "doc_bm25_adhoc": q_doc_bm25_adhoc,
+            "doc_packing_stats": q_doc_packing_stats,
+            "doc_temperature_sample": q_doc_temperature_sample,
             "hybrid_rrf_topk": q_hybrid_rrf_topk,
             "doc_dedup_clusters": q_doc_dedup_clusters,
             "doc_decontamination": q_doc_decontamination,

@@ -86,6 +86,26 @@ def pipeline_bucket(df: DataFrame, outer: str, inner: Column, how: str = "max", 
     return per_bucket.groupBy(outer).agg(outer_agg.alias(f"{how}_bucket")).orderBy(outer)
 
 
+def percentiles_bucket(
+    df: DataFrame, outer: str, inner: Column, qs: list[float],
+    metric: Column | None = None,
+) -> DataFrame:
+    """OpenSearch ``percentiles_bucket`` pipeline agg: exact interpolated
+    percentiles over the sibling buckets' metric values (the same
+    quantile_cont interpolation the ``percentiles`` agg freezes), one row
+    per outer key.  Inner bucketing shuffles at bucket volume; the
+    percentile runs over the (small) per-outer bucket metric lists."""
+    metric = metric if metric is not None else F.count("*")
+    per_bucket = df.groupBy(F.col(outer), inner.alias("inner_bucket")).agg(
+        metric.alias("m")
+    )
+    aggs = [
+        F.round(F.percentile(F.col("m"), q), 4).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return per_bucket.groupBy(outer).agg(*aggs).orderBy(outer)
+
+
 def percentiles(df: DataFrame, field: str, qs: list[float]) -> DataFrame:
     """OpenSearch ``percentiles`` — exact interpolated percentile (matches
     SQL quantile_cont); approx variant is percentile_approx."""

@@ -63,3 +63,106 @@ def split_by_hash(df: DataFrame, id_col: str, weights: dict[str, float]) -> Data
     for name, hi in edges:
         expr = F.when(b < hi, name) if expr is None else expr.when(b < hi, name)
     return df.withColumn("split", expr)
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float = 0.5, target_frac: float = 0.5
+) -> dict[str, int]:
+    """Temperature-weighted mixture rates as hash-bucket thresholds.
+
+    The multilingual-pretraining re-balancing rule (mBERT/XLM-R style):
+    group g gets mixture weight w_g = n_g^alpha / sum(n^alpha), flattening
+    the head and up-weighting the tail as alpha -> 0.  The kept count
+    targets target_frac of the corpus distributed by w, capped at taking
+    a group whole: rate_g = min(1, target_frac * N * w_g / n_g).
+
+    Rates quantize to HASH_BUCKETS thresholds with half-up flooring —
+    floor(r * 10^4 + 0.5) — the same arithmetic the SQL oracle renders
+    textually.  All floating steps are order-fixed (sqrt is IEEE
+    exact-rounded; the weight denominator folds over groups in sorted
+    key order), so engine and oracle derive IDENTICAL thresholds from
+    the counts alone.  alpha=0.5 uses sqrt explicitly; other alphas use
+    pow (last-ulp cross-engine risk documented — the driver row pins
+    alpha=0.5)."""
+    import math
+
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac {target_frac} outside (0, 1]")
+    keys = sorted(counts)
+    n_total = 0
+    for g in keys:
+        n_total += counts[g]
+    powed = {
+        g: (math.sqrt(float(counts[g])) if alpha == 0.5
+            else float(counts[g]) ** alpha)
+        for g in keys
+    }
+    tot = 0.0
+    for g in keys:  # sorted-key fold order, mirrored by the SQL oracle
+        tot += powed[g]
+    out = {}
+    for g in keys:
+        r = min(1.0, target_frac * n_total * (powed[g] / tot) / counts[g])
+        out[g] = int(math.floor(r * HASH_BUCKETS + 0.5))
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature-mixture sample: one count aggregate
+    (map-side partial; group cardinality is tiny by construction), then
+    a pure hash-threshold filter — same stability contract as
+    sample_by_hash, per group."""
+    counts = {
+        r[group_col]: int(r["n"])
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    th = temperature_rates(counts, alpha, target_frac)
+    b = hash_bucket(F.col(id_col))
+    expr = None
+    for g in sorted(th):
+        cond = (F.col(group_col) == g) & (b < th[g])
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr)
+
+
+def temperature_sample_sql(
+    source: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    target_frac: float = 0.5,
+) -> str:
+    """DuckDB CTE chain ending in ``tsample`` = the kept rows — derives
+    counts, sqrt-weights (alpha = 0.5 only), thresholds, and the hash
+    filter entirely in SQL with the engine's exact arithmetic: sorted-key
+    list_reduce fold for the weight denominator, half-up floor
+    quantization, the sampling module's md5 bucket."""
+    rel = f"read_parquet('{source}')" if source.endswith(".parquet") else source
+    bucket = (
+        f"CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {HASH_BUCKETS}"
+    )
+    return f"""
+ts_counts AS (SELECT {group_col} AS g, count(*) AS n FROM {rel} GROUP BY 1),
+ts_tot AS (
+  SELECT (SELECT sum(n) FROM ts_counts) AS n_total,
+         (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(sqrt(CAST(n AS DOUBLE)) ORDER BY g)), (a, b) -> a + b)
+          FROM ts_counts) AS wtot
+),
+ts_th AS (
+  SELECT g, CAST(floor(
+           least(1.0, {target_frac!r} * n_total *
+                 (sqrt(CAST(n AS DOUBLE)) / wtot) / n)
+           * {HASH_BUCKETS} + 0.5) AS BIGINT) AS th
+  FROM ts_counts, ts_tot
+),
+tsample AS (
+  SELECT d.* FROM {rel} d JOIN ts_th ON d.{group_col} = ts_th.g
+  WHERE {bucket} < ts_th.th
+)"""
