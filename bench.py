@@ -196,6 +196,12 @@ def main() -> None:
     queries["bm25_phrase_prefix_distributed"] = best3(
         lambda: search_df(spark, idx_dir, '"connection re"*', k=10).collect())
 
+    # span_near (r4f): unordered smallest-range sweep over raw positions
+    queries["bm25_span_near_distributed"] = best3(
+        lambda: search_df(
+            spark, idx_dir, "span_near(slop=3 reset connection)", k=10
+        ).collect())
+
     # function_score (r4d): full scored match set (no top-k sort) joined
     # with docs for the decay field, rewrite, TakeOrdered
     from siem_on_amazon_opensearch_service_spark.operators import relevance as _rel
@@ -242,6 +248,9 @@ def main() -> None:
     qs.search('"connection re"*', k=10).collect()
     queries["bm25_phrase_prefix_distributed_warm"] = best3(
         lambda: qs.search('"connection re"*', k=10).collect())
+    qs.search("span_near(slop=3 reset connection)", k=10).collect()
+    queries["bm25_span_near_distributed_warm"] = best3(
+        lambda: qs.search("span_near(slop=3 reset connection)", k=10).collect())
     # warm score-rewriting wrappers (r4d): session-pinned base + docs
     _rel.function_score_df(spark, idx_dir, "error OR timeout", k=10,
                            functions=_fs_fns, session=qs).collect()
@@ -291,6 +300,17 @@ def main() -> None:
     t0 = time.perf_counter()
     simhash_pairs(base.limit(10000).repartition(CPUS), max_hamming=6).count()
     queries["simhash_banded_pairs_10k"] = round(time.perf_counter() - t0, 3)
+
+    # ad-hoc (index-free) BM25 over the transcript corpus (r4f): one
+    # stats scan + one scoring scan, no index artifacts — the bench
+    # measures the full two-pass cost at corpus scale
+    from siem_on_amazon_opensearch_service_spark.operators.adhoc import bm25_adhoc_df
+
+    t0 = time.perf_counter()
+    bm25_adhoc_df(
+        base, "error AND timeout", k=10, id_col="doc_id", text_col="text"
+    ).collect()
+    queries["bm25_adhoc_corpus"] = round(time.perf_counter() - t0, 3)
 
     from siem_on_amazon_opensearch_service_spark.streaming.sessionize import sessionize_batch
 
