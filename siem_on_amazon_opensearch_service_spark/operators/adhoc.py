@@ -188,23 +188,66 @@ def bm25_adhoc_df(
     ast = apply_minimum_should_match(ast, minimum_should_match, query)
     leaves = _collect_leaves(ast)
 
-    base = df.select(
-        F.col(id_col).alias("__id"), _toks_col(F.col(text_col)).alias("__toks")
-    )
-    dl = F.size(F.col("__toks"))
-
-    # ONE stats pass: doc_count, sum(dl), and every query term's df as
-    # conditional counts (map-side partial agg; no explode, no shuffle
-    # beyond the scalar aggregate)
+    # ONE tokenize pass: project the narrow per-doc facts (dl, per-term
+    # tf, per-positional-leaf tf) and materialize them with an eager
+    # localCheckpoint — tokenization (the dominant cost) runs once, and
+    # the stats aggregate + scoring both read ints-per-doc instead of
+    # re-tokenizing the text column.  The checkpoint is ~(2 + #terms +
+    # #phrase-like-leaves) longs per doc — the standard
+    # storage-for-a-second-scan trade the dedup operators make too.
+    toks = _toks_col(F.col(text_col))
     terms = sorted({t for lf in leaves for t in _leaf_terms_of(lf)})
+    tcol = {t: f"__t{i}" for i, t in enumerate(terms)}
+    def _term_eq(t: str):
+        # NOTE: a `lambda x, t=t:` default-arg binding reads as the
+        # two-argument (element, index) lambda form to F.filter — bind
+        # through a closure instead
+        return lambda x: x == F.lit(t)
+
+    # all facts come out of ONE let-binding (the dedup module's
+    # single-element-transform trick): projection collapse would
+    # otherwise inline — and re-evaluate — the tokenize expression into
+    # every count column (measured: no speedup at all from the single
+    # pass until this).  body(a) sees the token array once per row.
+    nonterm = [
+        (ci, leaf) for ci, leaf in enumerate(leaves) if not isinstance(leaf, Term)
+    ]
+
+    def body(a):
+        facts = [F.size(a).cast("long")]
+        facts += [F.size(F.filter(a, _term_eq(t))).cast("long") for t in terms]
+        facts += [_leaf_tf(leaf, a).cast("long") for _, leaf in nonterm]
+        return F.array(*facts)
+
+    facts_col = F.element_at(F.transform(F.array(toks), body), 1)
+    packed = df.select(
+        F.col(id_col).alias("__id"), facts_col.alias("__facts")
+    ).localCheckpoint(eager=True)
+
+    # unpack AFTER the checkpoint: the materialized frame holds the
+    # packed longs, so per-column element_at reads, never re-tokenizes
+    unpack = [F.col("__id"), F.element_at("__facts", 1).alias("__dl")]
+    for i, t in enumerate(terms):
+        unpack.append(F.element_at("__facts", i + 2).alias(tcol[t]))
+    leaf_tf_name: dict[int, str] = {}
+    for ci, leaf in enumerate(leaves):
+        if isinstance(leaf, Term):
+            leaf_tf_name[ci] = tcol[leaf.term]
+    for j, (ci, _) in enumerate(nonterm):
+        leaf_tf_name[ci] = f"__tf{ci}"
+        unpack.append(
+            F.element_at("__facts", len(terms) + 2 + j).alias(f"__tf{ci}")
+        )
+    narrow = packed.select(*unpack)
+
     aggs = [
-        F.count(F.when(dl > 0, 1)).alias("__dc"),
-        F.sum(dl).alias("__sumdl"),
+        F.count(F.when(F.col("__dl") > 0, 1)).alias("__dc"),
+        F.sum("__dl").alias("__sumdl"),
     ] + [
-        F.count(F.when(F.array_contains(F.col("__toks"), t), 1)).alias(f"__df{i}")
+        F.count(F.when(F.col(tcol[t]) > 0, 1)).alias(f"__df{i}")
         for i, t in enumerate(terms)
     ]
-    srow = base.agg(*aggs).collect()[0]
+    srow = narrow.agg(*aggs).collect()[0]
     doc_count = int(srow["__dc"] or 0)
     if doc_count == 0:
         return df.sparkSession.createDataFrame(
@@ -220,7 +263,7 @@ def bm25_adhoc_df(
 
     # lossy norm round-trip: the same searched CASE the DuckDB oracle
     # uses, evaluated over the raw token count (ANSI SQL — valid Spark)
-    scored = base.withColumn("__dl", dl).withColumn(
+    scored = narrow.withColumn(
         "__dln", F.expr(sql_decode_case("__dl")).cast("double")
     )
     ninv = F.lit(1.0) / (
@@ -230,14 +273,13 @@ def bm25_adhoc_df(
     present: dict[Node, Column] = {}
     total = F.lit(0.0)
     for ci, leaf in enumerate(leaves):
-        tf = _leaf_tf(leaf, F.col("__toks"))
-        scored = scored.withColumn(f"__tf{ci}", tf)
-        present[leaf] = F.col(f"__tf{ci}") > 0
+        tf = F.col(leaf_tf_name[ci])
+        present[leaf] = tf > 0
         m = float(mult.get(leaf, 0.0))
         if m:
             w = F.lit(float(np.float64(weights[ci])))
             clause = (
-                (w - w / (F.lit(1.0) + F.col(f"__tf{ci}").cast("double") * ninv))
+                (w - w / (F.lit(1.0) + tf.cast("double") * ninv))
                 .cast("float")
                 .cast("double")
             )
