@@ -1423,6 +1423,27 @@ def q_emb_ivfpq_recall(spark, sf_dir):
     )
 
 
+#: named queries (_name on should-clauses + per-hit matched_queries)
+_NAMED_QUERIES = {
+    "err": "error",
+    "creset": '"connection reset"',
+    "tworef": "timeout AND refused",
+}
+
+
+def q_bm25_named_queries(spark, sf_dir):
+    """OpenSearch named queries: score the OR of the named sub-queries,
+    annotate each top-10 hit with the sorted names of the sub-queries it
+    matched (percolate predicates over just the k hits — k-scale work)."""
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = percolate.named_search_df(spark, idx, _NAMED_QUERIES, k=10)
+    return out.select(
+        "docid",
+        F.round(F.col("score").cast("double"), 3).alias("score_r"),
+        "matched_queries",
+    )
+
+
 #: shared by the query and its oracle: the hybrid row's leg shapes
 _ADHOC_QUERY = '"slow query" OR (spark AND table)'
 _HYBRID_LEX_QUERY = "spark AND table"
@@ -2705,6 +2726,9 @@ FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
         "doc_bm25_adhoc": sqloracle.bm25_adhoc_sql("documents", _ADHOC_QUERY, k=10),
+        "bm25_named_queries": percolate.named_search_sql(
+            ORACLE_TRANSCRIPTS, _NAMED_QUERIES, k=10
+        ),
         "doc_temperature_sample": (
             "WITH "
             + sampling.temperature_sample_sql("documents", target_frac=0.5)[1:]
@@ -3088,6 +3112,7 @@ def queries_map() -> dict:
             "emb_ivfpq_recall": q_emb_ivfpq_recall,
             "doc_lm_score": q_doc_lm_score,
             "doc_bm25_adhoc": q_doc_bm25_adhoc,
+            "bm25_named_queries": q_bm25_named_queries,
             "doc_packing_stats": q_doc_packing_stats,
             "doc_temperature_sample": q_doc_temperature_sample,
             "hybrid_rrf_topk": q_hybrid_rrf_topk,

@@ -354,3 +354,101 @@ def percolate_sql(path: str, queries: dict[str, str]) -> str:
             f")"
         )
     return "\nUNION ALL\n".join(parts) + "\nORDER BY conv_id, turn_idx, query_name"
+
+
+def named_search_df(
+    spark,
+    index_dir: str,
+    queries: dict[str, str],
+    k: int = 10,
+) -> DataFrame:
+    """OpenSearch named queries (``_name`` on bool should-clauses +
+    per-hit ``matched_queries``): score the OR of the named sub-queries,
+    then annotate each of the top-k hits with the sorted names of the
+    sub-queries it matches.
+
+    Scoring is EXACTLY the boolean OR (same match set, scores, ranking
+    as search_df on ``(q1) OR (q2) OR ...`` in sorted-name order).
+    Membership annotation re-evaluates each named query as a percolator
+    predicate over just the k hit documents (a broadcast join of k
+    docids against the docs store + pure Column predicates — k-scale
+    work, nothing corpus-sized moves).  ``index_dir`` is passed to the
+    predicate compiler so dictionary-expansion leaves (prefix/wildcard/
+    fuzzy) annotate with exact index parity.
+
+    Returns (docid, score, matched_queries) where matched_queries is
+    the comma-joined sorted name list (non-empty by construction: every
+    hit matched at least one sub-query)."""
+    from . import search as _search
+
+    if not queries:
+        raise ValueError("named_search_df: no queries")
+    names = sorted(queries)
+    overall = " OR ".join(f"({queries[n]})" for n in names)
+    hits = _search.search_df(spark, index_dir, overall, k=k)
+    docs = spark.read.parquet(index_dir + "/docs")
+    top = docs.join(F.broadcast(hits), "docid")
+    toks = tokens_col(F.col("text"))
+    role, tool, ts = F.col("role"), F.col("tool"), F.col("ts")
+    pairs = F.array(
+        *[
+            F.when(
+                compile_predicate(queries[n], index_dir)(toks, role, tool, ts),
+                F.lit(n),
+            ).otherwise(F.lit(None))
+            for n in names
+        ]
+    )
+    return top.select(
+        "docid",
+        "score",
+        F.array_join(F.filter(pairs, lambda x: x.isNotNull()), ",").alias(
+            "matched_queries"
+        ),
+    ).orderBy(F.col("score").desc(), F.col("docid").asc())
+
+
+def named_search_sql(path: str, queries: dict[str, str], k: int = 10) -> str:
+    """DuckDB statement for named_search_df: bm25_sql of the OR for the
+    top-k, plus one isolated match-set subquery per name (docid-keyed),
+    string_agg'd per hit in name order."""
+    from . import sqloracle as _sq
+    from ..plans.query import extract_filters
+
+    names = sorted(queries)
+    overall = " OR ".join(f"({queries[n]})" for n in names)
+    parts = []
+    for name in names:
+        q = queries[name]
+        ast, dqlf = extract_filters(parse(q), q)
+        leaves: list[Node] = []
+
+        def collect(n: Node) -> None:
+            if isinstance(n, _sq.LEAVES):
+                if n not in leaves:
+                    leaves.append(n)
+            elif isinstance(n, (And, Or, AtLeast)):
+                for c in n.children:
+                    collect(c)
+            elif isinstance(n, Not):
+                collect(n.child)
+
+        collect(ast)
+        fsql = _sq._filters_sql(dqlf)
+        where = f"{fsql.replace(' WHERE ', ' WHERE (')})" if fsql else ""
+        parts.append(
+            f"SELECT docid, '{name}' AS query_name FROM (\n"
+            f"WITH RECURSIVE {_sq._base_ctes(path)},\n"
+            f"{_sq._leaf_ctes(leaves)},\n"
+            f"combined AS ({_sq._combine_sql(ast, leaves)})\n"
+            f"SELECT d.docid FROM d JOIN combined USING (docid){where}\n"
+            f")"
+        )
+    matches = "\nUNION ALL\n".join(parts)
+    return f"""WITH hits AS ({_sq.bm25_sql(path, overall, k=k)}),
+nm AS ({matches})
+SELECT h.docid, h.score_r,
+       (SELECT string_agg(query_name, ',' ORDER BY query_name)
+        FROM nm WHERE nm.docid = h.docid) AS matched_queries
+FROM hits h
+ORDER BY h.score_r DESC, h.docid ASC"""
