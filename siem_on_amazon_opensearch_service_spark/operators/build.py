@@ -631,3 +631,88 @@ def force_merge(spark: SparkSession, index_dir: str) -> dict:
     open(os.path.join(dict_path, "_SUCCESS"), "a").close()
     after = {"postings": _count_files("postings"), "dict": _count_files("dict")}
     return {"files_before": before, "files_after": after}
+
+
+def snapshot(index_dir: str, snap_dir: str) -> dict:
+    """OpenSearch ``_snapshot`` re-expressed for the filesystem store:
+    copy every index file under ``snap_dir`` and write a
+    ``_snapshot.json`` manifest (relative path, size, md5 per file) the
+    restore path verifies.  The snapshot is taken from a quiesced index
+    (the streaming appender's exactly-once protocol keeps the store
+    consistent between batches; snapshot between appends, like ES
+    flushes before snapshotting a shard).
+
+    On a real cluster the same manifest-of-checksummed-files shape works
+    over object storage (the copy becomes a distcp-style parallel copy);
+    the manifest is what makes restore verifiable, not the transport."""
+    import hashlib
+
+    if os.path.exists(snap_dir):
+        raise ValueError(f"snapshot target {snap_dir!r} already exists")
+    files = {}
+    for root, _, fs in os.walk(index_dir):
+        for fn in sorted(fs):
+            src = os.path.join(root, fn)
+            rel = os.path.relpath(src, index_dir)
+            dst = os.path.join(snap_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+            with open(src, "rb") as f:
+                digest = hashlib.md5(f.read()).hexdigest()
+            files[rel] = {"bytes": os.path.getsize(src), "md5": digest}
+    manifest = {"files": files, "source": os.path.abspath(index_dir)}
+    with open(os.path.join(snap_dir, "_snapshot.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return {"n_files": len(files), "bytes": sum(v["bytes"] for v in files.values())}
+
+
+def verify_snapshot(snap_dir: str) -> dict:
+    """Integrity check: every manifest entry present with matching size
+    and md5, and no unmanifested files.  Raises on any mismatch."""
+    import hashlib
+
+    with open(os.path.join(snap_dir, "_snapshot.json")) as f:
+        manifest = json.load(f)
+    seen = set()
+    for root, _, fs in os.walk(snap_dir):
+        for fn in fs:
+            if fn == "_snapshot.json":
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), snap_dir)
+            seen.add(rel)
+    want = set(manifest["files"])
+    if seen != want:
+        raise ValueError(
+            f"snapshot {snap_dir!r} file set mismatch: "
+            f"missing={sorted(want - seen)[:5]} extra={sorted(seen - want)[:5]}"
+        )
+    for rel, meta in manifest["files"].items():
+        p = os.path.join(snap_dir, rel)
+        if os.path.getsize(p) != meta["bytes"]:
+            raise ValueError(f"snapshot file {rel!r} size mismatch")
+        with open(p, "rb") as f:
+            if hashlib.md5(f.read()).hexdigest() != meta["md5"]:
+                raise ValueError(f"snapshot file {rel!r} checksum mismatch")
+    return {"n_files": len(manifest["files"])}
+
+
+def restore_snapshot(snap_dir: str, dest_dir: str) -> dict:
+    """Restore a verified snapshot into ``dest_dir`` (must not exist —
+    restoring over a live index is the ES error too).  Verifies BEFORE
+    copying, then re-verifies the copied tree's checksums."""
+    import hashlib
+
+    verify_snapshot(snap_dir)
+    if os.path.exists(dest_dir):
+        raise ValueError(f"restore target {dest_dir!r} already exists")
+    with open(os.path.join(snap_dir, "_snapshot.json")) as f:
+        manifest = json.load(f)
+    for rel, meta in manifest["files"].items():
+        src = os.path.join(snap_dir, rel)
+        dst = os.path.join(dest_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(src, dst)
+        with open(dst, "rb") as f:
+            if hashlib.md5(f.read()).hexdigest() != meta["md5"]:
+                raise ValueError(f"restored file {rel!r} checksum mismatch")
+    return {"n_files": len(manifest["files"])}
