@@ -1500,6 +1500,13 @@ def q_doc_packing_stats(spark, sf_dir):
     return packing.packing_stats(packed, _PACK_CAPACITY)
 
 
+def q_doc_denoising_pairs(spark, sf_dir):
+    """T5-shaped span-corruption pairs (operators/packing.denoising_pairs):
+    deterministic md5-seeded masking, sentinel-numbered runs, full
+    input/target string value oracle via DuckDB window functions."""
+    return packing.denoising_pairs(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_doc_temperature_sample(spark, sf_dir):
     """Temperature-weighted (alpha=0.5) language-mixture sample: the
     mBERT/XLM-R re-balancing rule over the skewed lang column, realized
@@ -2729,6 +2736,12 @@ GROUP BY x.query_id ORDER BY x.query_id""",
         "bm25_named_queries": percolate.named_search_sql(
             ORACLE_TRANSCRIPTS, _NAMED_QUERIES, k=10
         ),
+        "doc_denoising_pairs": (
+            "WITH "
+            + packing.denoising_sql("documents")[1:]
+            + "\nSELECT docid AS doc_id, input_text, target_text, n_spans, "
+            "n_masked FROM dn_pairs ORDER BY doc_id"
+        ),
         "doc_temperature_sample": (
             "WITH "
             + sampling.temperature_sample_sql("documents", target_frac=0.5)[1:]
@@ -3115,6 +3128,7 @@ def queries_map() -> dict:
             "bm25_named_queries": q_bm25_named_queries,
             "doc_packing_stats": q_doc_packing_stats,
             "doc_temperature_sample": q_doc_temperature_sample,
+            "doc_denoising_pairs": q_doc_denoising_pairs,
             "hybrid_rrf_topk": q_hybrid_rrf_topk,
             "doc_dedup_clusters": q_doc_dedup_clusters,
             "doc_decontamination": q_doc_decontamination,

@@ -151,3 +151,55 @@ class TestTemperatureSampling:
 
         with _pytest.raises(ValueError, match="target_frac"):
             temperature_rates({"a": 1}, target_frac=0.0)
+
+
+class TestDenoisingPairs:
+    def test_invariants_and_determinism(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators.packing import (
+            denoising_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = denoising_pairs(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = (
+            denoising_pairs(docs.repartition(13))
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)  # parallelism-stable
+        assert (a["n_spans"] > 0).any() and (a["n_spans"] == 0).any()
+        for _, r in a.iterrows():
+            inp, tgt = r["input_text"].split(), r["target_text"].split()
+            sent = [t for t in inp if t.startswith("<extra_id_")]
+            # sentinels appear in order 0..n_spans-1 in BOTH strings
+            assert sent == [f"<extra_id_{i}>" for i in range(int(r["n_spans"]))]
+            assert [t for t in tgt if t.startswith("<extra_id_")] == sent
+            # token conservation: non-sentinel tokens split between sides
+            n_keep = len([t for t in inp if not t.startswith("<extra_id_")])
+            n_mask = len([t for t in tgt if not t.startswith("<extra_id_")])
+            assert n_mask == int(r["n_masked"])
+            assert n_keep + n_mask > 0
+
+    def test_mask_rate_in_range(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators.packing import (
+            denoising_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = denoising_pairs(docs, mask_rate=0.15, mean_span=3).toPandas()
+        frac = a["n_masked"].sum() / (
+            a["n_masked"].sum()
+            + sum(len([t for t in s.split() if not t.startswith("<extra_id_")])
+                  for s in a["input_text"])
+        )
+        assert 0.08 < frac < 0.25  # ~mask_rate modulo overlap merging
+
+    def test_bad_params(self, spark):
+        from siem_on_amazon_opensearch_service_spark.operators.packing import (
+            denoising_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        with pytest.raises(ValueError, match="mask_rate"):
+            denoising_pairs(docs, mask_rate=0.0)
+        with pytest.raises(ValueError, match="mean_span"):
+            denoising_pairs(docs, mean_span=0)
