@@ -419,6 +419,8 @@ def named_search_sql(path: str, queries: dict[str, str], k: int = 10) -> str:
     overall = " OR ".join(f"({queries[n]})" for n in names)
     parts = []
     for name in names:
+        if "'" in name:
+            raise ValueError(f"query name {name!r} must not contain a quote")
         q = queries[name]
         ast, dqlf = extract_filters(parse(q), q)
         leaves: list[Node] = []

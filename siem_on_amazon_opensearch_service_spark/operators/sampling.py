@@ -88,6 +88,11 @@ def temperature_rates(
 
     if not 0.0 < target_frac <= 1.0:
         raise ValueError(f"target_frac {target_frac} outside (0, 1]")
+    if any(g is None for g in counts):
+        raise ValueError(
+            "temperature_rates: null group key — fill or filter the "
+            "group column first (a null group has no mixture weight)"
+        )
     keys = sorted(counts)
     n_total = 0
     for g in keys:
