@@ -191,7 +191,7 @@ class TestEnginePaths:
     def test_warm_session_vs_oracle(self, spark, tiny_index, oracle):
         sess = QuerySession(spark, tiny_index[0])
         try:
-            for q in FAMILY_QUERIES[:6]:
+            for q in FAMILY_QUERIES[:10]:
                 got = [
                     (int(r["docid"]), np.float32(r["score"]))
                     for r in sess.search(q, k=10).collect()
