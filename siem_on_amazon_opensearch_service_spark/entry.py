@@ -426,6 +426,20 @@ BM25_QUERIES: dict[str, dict] = {
     "bm25_span_first": {"query": "span_first(end=3 error)", "k": 10},
     "bm25_span_not": {"query": "span_not(dist=3 error timeout)", "k": 10},
     "bm25_span_or": {"query": "span_or(timeout refused denied)", "k": 10},
+    # r4f: span_containing / span_within — big spans = the span_near
+    # candidate enumeration filtered by slop, containment against the
+    # little term's positions; containing emits big spans (1/(1+width)
+    # fold), within counts contained little positions.  Same match set,
+    # different frequencies.  Not index-free-percolatable (candidate-
+    # iterator semantics; refused loudly there).
+    "bm25_span_containing": {
+        "query": "span_containing(slop=4 little=reset connection error)",
+        "k": 10,
+    },
+    "bm25_span_within": {
+        "query": "span_within(slop=4 little=reset connection error)",
+        "k": 10,
+    },
 }
 
 

@@ -23,7 +23,7 @@ import pandas as pd
 from ..functions import bm25
 from ..functions.analysis import tokenize
 from ..functions.sloppy import sloppy_freq
-from ..functions.spans import span_freq
+from ..functions.spans import span_contain_freq, span_freq
 from ..functions.smallfloat import encode_lengths
 from ..plans.query import (
     MAX_CLAUSE_COUNT,
@@ -37,10 +37,12 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanContaining,
     SpanFirst,
     SpanNear,
     SpanNot,
     SpanOr,
+    SpanWithin,
     Term,
     phrase_slots,
     apply_minimum_should_match,
@@ -116,6 +118,29 @@ class LuceneOracle:
             docids, pfs = self._span_near_freq(node)
             dfs = [len(self.postings.get(t, {})) for t in node.terms]
             mask, acc = self._score_clause(docids, pfs, dfs)
+            return mask, acc * node.boost
+        if isinstance(node, (SpanContaining, SpanWithin)):
+            emit = "big" if isinstance(node, SpanContaining) else "little"
+            bigs = [self.postings.get(t, {}) for t in node.big]
+            lit = self.postings.get(node.little, {})
+            common = set(lit)
+            for m in bigs:
+                common &= set(m)
+            docids, pfs = [], []
+            for d in sorted(common):
+                f = float(span_contain_freq(
+                    [np.asarray(m[d], dtype=np.int64) for m in bigs],
+                    np.asarray(lit[d], dtype=np.int64),
+                    node.slop, node.in_order, emit,
+                ))
+                if f:
+                    docids.append(d)
+                    pfs.append(f)
+            dfs = [len(self.postings.get(t, {})) for t in node.terms]
+            mask, acc = self._score_clause(
+                np.asarray(docids, dtype=np.int64),
+                np.asarray(pfs, dtype=np.float64), dfs,
+            )
             return mask, acc * node.boost
         if isinstance(node, SpanFirst):
             pmap = self.postings.get(node.term, {})

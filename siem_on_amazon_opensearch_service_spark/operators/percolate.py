@@ -46,10 +46,12 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanContaining,
     SpanFirst,
     SpanNear,
     SpanNot,
     SpanOr,
+    SpanWithin,
     Term,
     Wildcard,
     parse,
@@ -185,6 +187,24 @@ def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
     maxClauseCount), so direct token matching is already exact."""
     ast = parse(query)
 
+    def _no_contain(n: Node) -> None:
+        if isinstance(n, (SpanContaining, SpanWithin)):
+            # see the walk-branch comment: the any-selection containment
+            # existential over-matches the index's span-iterator
+            # candidates in BOTH modes (property-tested divergence)
+            raise NotImplementedError(
+                "span_containing/span_within percolation would diverge "
+                "from the index's span-iterator candidates; evaluate "
+                "through an index (search_df/match_docids_df)"
+            )
+        if isinstance(n, (And, Or, AtLeast)):
+            for c in n.children:
+                _no_contain(c)
+        elif isinstance(n, Not):
+            _no_contain(n.child)
+
+    _no_contain(ast)
+
     def field_cond(ff: FieldFilter, role, tool, ts) -> Column:
         if ff.field in ("ts_min", "ts_max"):
             return (ts >= F.lit(ff.value)) if ff.field == "ts_min" else (ts <= F.lit(ff.value))
@@ -206,6 +226,18 @@ def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
             )
         if isinstance(n, SpanNear):
             return _span_predicate(toks, list(n.terms), n.slop, n.in_order)
+        if isinstance(n, (SpanContaining, SpanWithin)):
+            # NOT index-free-percolatable: the index side consumes the
+            # span ITERATOR's emitted candidates (ordered chain /
+            # smallest-range sweep), and an any-selection containment
+            # existential provably over-matches BOTH modes (random-
+            # layout property test found divergences in each) — unlike
+            # span_near, where membership == the selection existential.
+            raise NotImplementedError(
+                "span_containing/span_within percolation would diverge "
+                "from the index's span-iterator candidates; evaluate "
+                "through an index (search_df/match_docids_df)"
+            )
         if isinstance(n, SpanFirst):
             # membership: any position of the term before ``end``
             ps = _positions(toks, lambda x: x == F.lit(n.term))

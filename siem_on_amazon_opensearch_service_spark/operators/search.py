@@ -60,10 +60,12 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanContaining,
     SpanFirst,
     SpanNear,
     SpanNot,
     SpanOr,
+    SpanWithin,
     Term,
     Wildcard,
     apply_minimum_should_match,
@@ -81,6 +83,7 @@ from ..plans.query import (
 )
 from ..functions.sloppy import sloppy_freqs_flat
 from ..functions.spans import (
+    span_contain_freqs_flat,
     span_first_freqs_flat,
     span_freqs_flat,
     span_not_freqs_flat,
@@ -89,15 +92,17 @@ from . import build as _build
 from . import segments
 
 #: scoring leaf node types; phrase-like = positional (Phrase, MultiPhrase)
-_LEAF = (Term, Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot)
-_PHRASELIKE = (Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot)
+_LEAF = (Term, Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot,
+         SpanContaining, SpanWithin)
+_PHRASELIKE = (Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot,
+               SpanContaining, SpanWithin)
 
 
 def _leaf_terms(leaf: Node) -> list[str]:
     """Flat term list of a scoring leaf (MultiPhrase slots flattened)."""
     if isinstance(leaf, Term):
         return [leaf.term]
-    if isinstance(leaf, (Phrase, SpanNear, SpanOr)):
+    if isinstance(leaf, (Phrase, SpanNear, SpanOr, SpanContaining, SpanWithin)):
         return list(leaf.terms)
     if isinstance(leaf, SpanFirst):
         return [leaf.term]
@@ -907,7 +912,7 @@ def _required_terms(node: Node) -> set[str]:
     Phrase = all its words."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, (Phrase, SpanNear)):
+    if isinstance(node, (Phrase, SpanNear, SpanContaining, SpanWithin)):
         return set(node.terms)
     if isinstance(node, SpanFirst):
         return {node.term}
@@ -1027,8 +1032,9 @@ def _coverage_ranges(node: Node, per_term: dict) -> tuple[np.ndarray, np.ndarray
             if r[0].size == 0:
                 break
         return r
-    if isinstance(node, (Phrase, SpanNear)):
-        # every term is required (a span_near match needs all clauses),
+    if isinstance(node, (Phrase, SpanNear, SpanContaining, SpanWithin)):
+        # every term is required (a span_near match needs all clauses;
+        # containing/within need every big clause AND the little term),
         # so the intersection argument is mode- and slop-independent
         r = None
         for t in node.terms:
@@ -1410,6 +1416,11 @@ def _shard_local_topk(
     span_not_kind = {
         ci: lf.dist for ci, lf in enumerate(leaves) if isinstance(lf, SpanNot)
     }
+    span_contain_kind = {
+        ci: (lf.slop, lf.in_order, "big" if isinstance(lf, SpanContaining) else "little")
+        for ci, lf in enumerate(leaves)
+        if isinstance(lf, (SpanContaining, SpanWithin))
+    }
     mult = _positive_multiplicity(ast)
     mult_arr = np.array([float(mult.get(lf, 0)) for lf in leaves], dtype=np.float64)
     w64 = np.array([np.float64(w) for w in weights], dtype=np.float64)
@@ -1561,6 +1572,18 @@ def _shard_local_topk(
                     if docs_.size:
                         leaf_posts[ci] = (docs_, freqs)
                     continue
+                if ci in span_contain_kind:
+                    # span_containing/within: big slots first, little last
+                    sl_, io_, em_ = span_contain_kind[ci]
+                    docs_, freqs = span_contain_freqs_flat(
+                        [d for d, _ in slot_flat[:-1]],
+                        [p for _, p in slot_flat[:-1]],
+                        slot_flat[-1][0], slot_flat[-1][1],
+                        sl_, io_, em_,
+                    )
+                    if docs_.size:
+                        leaf_posts[ci] = (docs_, freqs)
+                    continue
                 if phrase_slop[ci] > 0:
                     # sloppy phrase: per-doc greedy sweep, float freq
                     docs_, freqs = sloppy_freqs_flat(
@@ -1701,6 +1724,12 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
     spans_not = {
         ci: leaf.dist for ci, leaf in enumerate(leaves) if isinstance(leaf, SpanNot)
     }
+    spans_contain = {
+        ci: (leaf.slop, leaf.in_order,
+             "big" if isinstance(leaf, SpanContaining) else "little")
+        for ci, leaf in enumerate(leaves)
+        if isinstance(leaf, (SpanContaining, SpanWithin))
+    }
     empty = pd.DataFrame({"clause": [], "docid": [], "tf": []}).astype(
         {"clause": "int32", "docid": "int64", "tf": "float64"}
     )
@@ -1744,6 +1773,13 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
             sl, io = spans[ci]
             docs, freqs = span_freqs_flat(
                 [d for d, _ in slot_flat], [p for _, p in slot_flat], sl, io
+            )
+            return pd.DataFrame({"clause": ci, "docid": docs, "tf": freqs})
+        if ci in spans_contain:
+            sl, io, em = spans_contain[ci]
+            docs, freqs = span_contain_freqs_flat(
+                [d for d, _ in slot_flat[:-1]], [p for _, p in slot_flat[:-1]],
+                slot_flat[-1][0], slot_flat[-1][1], sl, io, em,
             )
             return pd.DataFrame({"clause": ci, "docid": docs, "tf": freqs})
         if slops[ci] > 0:
@@ -2659,6 +2695,11 @@ class LocalIndex:
                 w_fn = lambda: bm25.clause_weight(
                     [self._term_postings(node.include)[0].size],
                     self.stats["doc_count"])
+            elif isinstance(node, (SpanContaining, SpanWithin)):
+                docids, tfs = self._span_contain_postings(node)
+                w_fn = lambda: bm25.clause_weight(
+                    [self._term_postings(t)[0].size for t in node.terms],
+                    self.stats["doc_count"])
             else:  # MultiPhrase/SpanOr: grouped per-slot weight association
                 docids, tfs = self._phrase_postings(node.slots, 0)
                 w_fn = lambda: bm25.grouped_weight(
@@ -2737,6 +2778,15 @@ class LocalIndex:
         di, pi = self._term_positions(node.include)
         de, pe = self._term_positions(node.exclude)
         return span_not_freqs_flat(di, pi, de, pe, node.dist)
+
+    def _span_contain_postings(self, node) -> tuple[np.ndarray, np.ndarray]:
+        big = [self._term_positions(t) for t in node.big]
+        dl, pl = self._term_positions(node.little)
+        return span_contain_freqs_flat(
+            [d for d, _ in big], [p for _, p in big], dl, pl,
+            node.slop, node.in_order,
+            "big" if isinstance(node, SpanContaining) else "little",
+        )
 
     def _compile(self, query: str) -> tuple[Node, dict]:
         """parse -> field-filter extraction -> wildcard/fuzzy expansion
@@ -2839,6 +2889,12 @@ class LocalIndex:
                     [self._term_postings(lf.include)[0].size],
                     self.stats["doc_count"])
                 terms = (lf.include,)
+            elif isinstance(lf, (SpanContaining, SpanWithin)):
+                docids, tfs = self._span_contain_postings(lf)
+                w = bm25.clause_weight(
+                    [self._term_postings(t)[0].size for t in lf.terms],
+                    self.stats["doc_count"])
+                terms = lf.terms
             else:  # MultiPhrase/SpanOr: grouped weight, slots shown as a|b
                 docids, tfs = self._phrase_postings(lf.slots, 0)
                 w = bm25.grouped_weight(

@@ -23,10 +23,12 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    SpanContaining,
     SpanFirst,
     SpanNear,
     SpanNot,
     SpanOr,
+    SpanWithin,
     Term,
     Wildcard,
     apply_minimum_should_match,
@@ -39,7 +41,7 @@ from ..plans.query import (
 #: scoring leaf node types (Wildcard/Fuzzy/Regexp render as grouped
 #: term-set leaves)
 LEAVES = (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, Regexp,
-          SpanNear, SpanFirst, SpanNot, SpanOr)
+          SpanNear, SpanFirst, SpanNot, SpanOr, SpanContaining, SpanWithin)
 
 
 def _base_ctes(path: str, source_where: str | None = None) -> str:
@@ -213,6 +215,46 @@ def _leaf_ctes(leaves: list[Node]) -> str:
             parts.append(
                 f"tf_{i} AS (SELECT docid, CAST(freq AS DOUBLE) AS tf "
                 f"FROM spf_{i} WHERE freq > 0)"
+            )
+            idf_sum = " + ".join(
+                f"ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "
+                f"(SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5) / "
+                f"((SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5))"
+                for t in leaf.terms
+            )
+            weight = f"CAST({idf_sum} AS FLOAT)"
+        elif isinstance(leaf, (SpanContaining, SpanWithin)):
+            # big = 2-clause closed-form candidates + containment EXISTS
+            # against the little positions; wider bigs are engine +
+            # frozen-oracle territory like wide span_near
+            if len(leaf.big) != 2:
+                raise NotImplementedError(
+                    "SQL oracle renders span_containing/span_within with "
+                    "exactly 2 big clauses; wider ones are covered by the "
+                    "frozen Python oracle"
+                )
+            from ..functions.spans import span_contain_sql_2
+
+            t0, t1 = leaf.big
+            emit = "big" if isinstance(leaf, SpanContaining) else "little"
+            parts.append(
+                f"cand_{i} AS (SELECT a.docid, a.la, b.lb, l.ll FROM "
+                f"(SELECT docid, list_sort(list(pos)) AS la FROM tok "
+                f"WHERE term = {_q(t0)} GROUP BY docid) a JOIN "
+                f"(SELECT docid, list_sort(list(pos)) AS lb FROM tok "
+                f"WHERE term = {_q(t1)} GROUP BY docid) b USING (docid) JOIN "
+                f"(SELECT docid, list_sort(list(pos)) AS ll FROM tok "
+                f"WHERE term = {_q(leaf.little)} GROUP BY docid) l USING (docid))"
+            )
+            parts.append(
+                span_contain_sql_2(
+                    "la", "lb", "ll", f"cand_{i}", leaf.slop, leaf.in_order,
+                    emit, name=f"scf_{i}", prefix=f"sc{i}",
+                ).strip()
+            )
+            parts.append(
+                f"tf_{i} AS (SELECT docid, CAST(freq AS DOUBLE) AS tf "
+                f"FROM scf_{i} WHERE freq > 0)"
             )
             idf_sum = " + ".join(
                 f"ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "

@@ -160,6 +160,50 @@ class SpanNot(Node):
 
 
 @dataclass(frozen=True)
+class SpanContaining(Node):
+    """Lucene/OpenSearch ``span_containing`` — DQL surface
+    ``span_containing(slop=N in_order=bool little=term b1 b2 ...)``:
+    big spans are this engine's span_near candidates over the big
+    clauses (width <= slop, optional order); a big span matching iff it
+    contains >= 1 position of the little term.  Emits the BIG spans:
+    freq = float32 fold of 1/(1+width) over containing candidates in
+    enumeration order.  Weight = summed idf over big terms then little
+    (SpanContainQuery builds one SimWeight from both sides).  All of
+    big + little must be distinct terms (the span_near repeated-term
+    rule, extended)."""
+
+    big: tuple[str, ...]
+    little: str
+    slop: int = 0
+    in_order: bool = False
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return self.big + (self.little,)
+
+
+@dataclass(frozen=True)
+class SpanWithin(Node):
+    """Lucene/OpenSearch ``span_within`` — same match SET as
+    span_containing (the containment existential is symmetric) but
+    emits the LITTLE spans: freq = count of little positions contained
+    in >= 1 qualifying big candidate (each counted once, width-0
+    slop factor).  Same weight and distinctness rules as
+    span_containing."""
+
+    big: tuple[str, ...]
+    little: str
+    slop: int = 0
+    in_order: bool = False
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return self.big + (self.little,)
+
+
+@dataclass(frozen=True)
 class SpanOr(Node):
     """Lucene/OpenSearch ``span_or`` over single-term clauses — DQL
     surface ``span_or(t1 t2 ...)``: the union of the terms' spans as ONE
@@ -419,7 +463,8 @@ def parse(query: str) -> Node:
         if b <= 0:
             raise ValueError(f"boost must be positive, got {nxt!r} in {query!r}")
         if isinstance(node, (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy,
-                             SpanNear, SpanFirst, SpanNot, SpanOr)):
+                             SpanNear, SpanFirst, SpanNot, SpanOr,
+                             SpanContaining, SpanWithin)):
             import dataclasses
 
             return dataclasses.replace(node, boost=node.boost * b)
@@ -531,11 +576,17 @@ def parse(query: str) -> Node:
             )
         return maybe_boost(SpanNear(tuple(words), slop=slop, in_order=in_order))
 
-    def scan_span_args(name: str, params: dict[str, int]) -> list[str]:
-        """Shared ``name(key=int ... words ...)`` scanner for the span
-        atoms: consumes through ')', updating ``params`` in place for
-        recognized ``key=``-prefixed tokens; analyzer-normalized words
-        returned in source order."""
+    def scan_span_args(
+        name: str,
+        params: dict[str, int],
+        sparams: dict[str, str] | None = None,
+        bparams: dict[str, bool] | None = None,
+    ) -> list[str]:
+        """Shared ``name(key=val ... words ...)`` scanner for the span
+        atoms: consumes through ')', updating ``params`` (int-valued),
+        ``sparams`` (single-term string-valued, analyzer-normalized) and
+        ``bparams`` (true/false) in place for recognized ``key=`` tokens;
+        analyzer-normalized bare words returned in source order."""
         take()  # '('
         words: list[str] = []
         while True:
@@ -554,6 +605,24 @@ def parse(query: str) -> Node:
                 except ValueError:
                     raise ValueError(f"bad {name} {key} {t2!r} in {query!r}") from None
                 continue
+            if bparams is not None:
+                key = next((k for k in bparams if low.startswith(k + "=")), None)
+                if key is not None:
+                    v = low[len(key) + 1:]
+                    if v not in ("true", "false"):
+                        raise ValueError(f"bad {name} {key} {t2!r} in {query!r}")
+                    bparams[key] = v == "true"
+                    continue
+            if sparams is not None:
+                key = next((k for k in sparams if low.startswith(k + "=")), None)
+                if key is not None:
+                    ws = tokenize(low[len(key) + 1:])
+                    if len(ws) != 1:
+                        raise ValueError(
+                            f"{name} {key} {t2!r} must analyze to one term in {query!r}"
+                        )
+                    sparams[key] = ws[0]
+                    continue
             ws = tokenize(t2)
             if len(ws) != 1:
                 raise ValueError(
@@ -593,6 +662,32 @@ def parse(query: str) -> Node:
             )
         return maybe_boost(SpanNot(words[0], words[1], dist=params["dist"]))
 
+    def parse_span_contain(name: str) -> Node:
+        """``span_containing(slop=N in_order=bool little=term b1 b2 ...)``
+        / ``span_within(...)`` — big clauses are the bare words; all of
+        big + little must be distinct."""
+        params = {"slop": 0}
+        sparams = {"little": ""}
+        bparams = {"in_order": False}
+        words = scan_span_args(name, params, sparams, bparams)
+        if params["slop"] < 0:
+            raise ValueError(f"{name} slop must be >= 0 in {query!r}")
+        if not sparams["little"]:
+            raise ValueError(f"{name} needs little=term in {query!r}")
+        if len(words) < 2:
+            raise ValueError(f"{name} needs at least 2 big clauses in {query!r}")
+        allt = words + [sparams["little"]]
+        if len(set(allt)) != len(allt):
+            raise ValueError(
+                f"{name} with repeated terms is not supported in {query!r} "
+                "(Lucene's overlapping same-term spans are out of scope)"
+            )
+        cls = SpanContaining if name == "span_containing" else SpanWithin
+        return maybe_boost(
+            cls(tuple(words), sparams["little"],
+                slop=params["slop"], in_order=bparams["in_order"])
+        )
+
     def parse_span_or() -> Node:
         """``span_or(t1 t2 ...)`` — union-of-spans single clause; terms
         sorted so the grouped-weight fold order is canonical (matches
@@ -620,6 +715,8 @@ def parse(query: str) -> Node:
             return parse_span_not()
         if t.lower() == "span_or" and peek() == "(":
             return parse_span_or()
+        if t.lower() in ("span_containing", "span_within") and peek() == "(":
+            return parse_span_contain(t.lower())
         if t == "(":
             node = parse_or()
             if peek() != ")":
@@ -1071,7 +1168,8 @@ def phrase_slots(leaf: Node) -> tuple[tuple[str, ...], ...]:
     singleton slots, a ``MultiPhrase`` its expansion slots.  The shared
     normalization every engine path uses so exact-adjacency/union logic
     is written once against slots."""
-    if isinstance(leaf, (Phrase, SpanNear)):
+    if isinstance(leaf, (Phrase, SpanNear, SpanContaining, SpanWithin)):
+        # for SpanContaining/SpanWithin the LAST slot is the little term
         return tuple((t,) for t in leaf.terms)
     if isinstance(leaf, SpanFirst):
         return ((leaf.term,),)
@@ -1191,7 +1289,7 @@ def query_terms(node: Node) -> list[str]:
         if isinstance(n, Term):
             if n.term not in out:
                 out.append(n.term)
-        elif isinstance(n, (Phrase, SpanNear, SpanOr)):
+        elif isinstance(n, (Phrase, SpanNear, SpanOr, SpanContaining, SpanWithin)):
             for t in n.terms:
                 if t not in out:
                     out.append(t)
