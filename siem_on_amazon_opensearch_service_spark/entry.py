@@ -1445,6 +1445,18 @@ _NAMED_QUERIES = {
 }
 
 
+def q_bm25_termvectors(spark, sf_dir):
+    """_termvectors of doc 17: per-term (tf, positions, collection df),
+    term-ascending — the single-doc inspection API."""
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    tv = search.termvectors_df(spark, idx, 17)
+    return tv.select(
+        "term", "tf",
+        F.array_join(F.col("positions"), ",").alias("positions_s"),
+        "df",
+    )
+
+
 def q_bm25_named_queries(spark, sf_dir):
     """OpenSearch named queries: score the OR of the named sub-queries,
     annotate each top-10 hit with the sorted names of the sub-queries it
@@ -2750,6 +2762,15 @@ GROUP BY x.query_id ORDER BY x.query_id""",
         "bm25_named_queries": percolate.named_search_sql(
             ORACLE_TRANSCRIPTS, _NAMED_QUERIES, k=10
         ),
+        "bm25_termvectors": f"""WITH {sqloracle._base_ctes(ORACLE_TRANSCRIPTS)},
+tv AS (
+  SELECT term, count(*) AS tf,
+         string_agg(pos, ',' ORDER BY pos) AS positions_s
+  FROM tok WHERE docid = 17 GROUP BY term
+)
+SELECT tv.term, tv.tf, tv.positions_s,
+       (SELECT count(DISTINCT docid) FROM tok t WHERE t.term = tv.term) AS df
+FROM tv ORDER BY term""",
         "doc_denoising_pairs": (
             "WITH "
             + packing.denoising_sql("documents")[1:]
@@ -3140,6 +3161,7 @@ def queries_map() -> dict:
             "doc_lm_score": q_doc_lm_score,
             "doc_bm25_adhoc": q_doc_bm25_adhoc,
             "bm25_named_queries": q_bm25_named_queries,
+            "bm25_termvectors": q_bm25_termvectors,
             "doc_packing_stats": q_doc_packing_stats,
             "doc_temperature_sample": q_doc_temperature_sample,
             "doc_denoising_pairs": q_doc_denoising_pairs,

@@ -2440,6 +2440,46 @@ def terms_enum_df(
     return d.orderBy(*order).limit(n)
 
 
+def termvectors_df(
+    spark: SparkSession, index_dir: str, docid: int, with_stats: bool = True
+) -> DataFrame:
+    """The OpenSearch ``_termvectors`` API: per-term (tf, positions) of
+    ONE document, optionally joined with collection stats (df) —
+    term-ascending like the API's field-terms map.
+
+    Derived from the docs store's text through the frozen analyzer (a
+    single-row fetch + a per-row token explode), which by the engine's
+    build invariants equals what the positional postings hold for the
+    doc; the df column comes from a narrow dictionary lookup of just
+    this doc's terms."""
+    from .percolate import tokens_col
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    one = docs.filter(F.col("docid") == int(docid)).select(
+        tokens_col(F.col("text")).alias("toks")
+    )
+    tv = (
+        one.select(F.posexplode("toks").alias("pos", "term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    if with_stats:
+        # one doc's distinct terms are metadata-scale: collect them and
+        # push an IN filter into the term-sorted dict scan (zonemap
+        # pruning), then broadcast-join the narrow result back
+        terms = [r["term"] for r in tv.select("term").collect()]
+        d = (
+            spark.read.parquet(os.path.join(index_dir, "dict"))
+            .select("term", "df")
+            .filter(F.col("term").isin(terms))
+        )
+        tv = tv.join(F.broadcast(d), "term", "left")
+    return tv.orderBy("term")
+
+
 def significant_text_df(
     spark: SparkSession,
     index_dir: str,
