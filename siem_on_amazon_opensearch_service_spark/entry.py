@@ -440,6 +440,12 @@ BM25_QUERIES: dict[str, dict] = {
         "query": "span_within(slop=4 little=reset connection error)",
         "k": 10,
     },
+    # r4g: span_multi — SpanMultiTermQueryWrapper via the span-OR
+    # rewrite: the wildcard's dictionary expansions pooled under ONE
+    # grouped SpanOr weight (ordered idf fold), unlike the bare atom's
+    # per-term SCORING_BOOLEAN_REWRITE.  Same match set as ``re*``,
+    # different scores — both asserted in tests/test_span_multi.py.
+    "bm25_span_multi": {"query": "span_multi(re*) AND error", "k": 10},
 }
 
 
@@ -2087,6 +2093,9 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_phrase_prefix_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, '"connection re"*', k=10
     )
+    bm["bm25_span_multi_warm"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, "span_multi(re*)", k=10
+    )
     bm["bm25_filter_negated_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "error AND NOT role:assistant", k=10
     )
@@ -3067,6 +3076,7 @@ def queries_map() -> dict:
     q["bm25_sloppy_warm"] = _bm25_warm('"connection reset"~2', 10)
     q["bm25_span_near_warm"] = _bm25_warm("span_near(slop=3 reset connection)", 10)
     q["bm25_phrase_prefix_warm"] = _bm25_warm('"connection re"*', 10)
+    q["bm25_span_multi_warm"] = _bm25_warm("span_multi(re*)", 10)
     q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)
     q["bm25_function_score_recency"] = _fs(FS_RECENCY)
     q["bm25_function_score_factor"] = _fs(FS_FACTOR)

@@ -48,6 +48,7 @@ from ..plans.query import (
     Regexp,
     SpanContaining,
     SpanFirst,
+    SpanMulti,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -276,6 +277,12 @@ def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
             return _slots_predicate(toks, preds)
         if isinstance(n, MultiPhrase):  # pragma: no cover — parse never emits
             raise TypeError("MultiPhrase is a post-expansion node")
+        if isinstance(n, SpanMulti):
+            # membership of the span rewrite == membership of the inner
+            # multi-term atom: the SpanOr of the expansions matches a doc
+            # iff ANY expanded term is present, which is exactly the
+            # inner wildcard/fuzzy/regexp existential below
+            return walk(n.inner, toks, role, tool, ts)
         if isinstance(n, Wildcard):
             like, _ = wildcard_to_like(n.pattern)
             return F.exists(

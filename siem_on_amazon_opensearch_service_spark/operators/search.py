@@ -62,6 +62,7 @@ from ..plans.query import (
     Regexp,
     SpanContaining,
     SpanFirst,
+    SpanMulti,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -411,7 +412,7 @@ def _docs_filter_conditions(filt: dict) -> list:
 
 
 def _has_multiterm(node: Node) -> bool:
-    if isinstance(node, MULTITERM):
+    if isinstance(node, (SpanMulti,) + MULTITERM):
         return True
     if isinstance(node, (And, Or, AtLeast)):
         return any(_has_multiterm(c) for c in node.children)

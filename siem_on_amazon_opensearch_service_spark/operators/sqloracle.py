@@ -25,6 +25,7 @@ from ..plans.query import (
     Regexp,
     SpanContaining,
     SpanFirst,
+    SpanMulti,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -40,8 +41,30 @@ from ..plans.query import (
 
 #: scoring leaf node types (Wildcard/Fuzzy/Regexp render as grouped
 #: term-set leaves)
-LEAVES = (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, Regexp,
+LEAVES = (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, Regexp, SpanMulti,
           SpanNear, SpanFirst, SpanNot, SpanOr, SpanContaining, SpanWithin)
+
+
+def _mt_pred(leaf) -> str:
+    """Dictionary-membership predicate of a bare multi-term atom over the
+    ``tok`` CTE's ``term`` column — the SQL twin of the engine's
+    dictionary expansion (identical arithmetic / dialect-common regex
+    core, see each branch)."""
+    if isinstance(leaf, Fuzzy):
+        q = leaf.term.replace("'", "''")
+        return (
+            f"abs(length(term) - {len(leaf.term)}) <= {leaf.max_edits} "
+            f"AND levenshtein(term, '{q}') <= {leaf.max_edits}"
+        )
+    if isinstance(leaf, Regexp):
+        # DuckDB regexp_full_match is RE2; the grammar's charset
+        # restriction keeps RE2 and the engine's Python re in the
+        # dialect-common core, so the term sets agree exactly
+        pq = leaf.pattern.replace("'", "''")
+        return f"regexp_full_match(term, '{pq}')"
+    like, _ = wildcard_to_like(leaf.pattern)
+    like_sql = like.replace("'", "''")
+    return f"term LIKE '{like_sql}' ESCAPE '\\'"
 
 
 def _base_ctes(path: str, source_where: str | None = None) -> str:
@@ -96,22 +119,7 @@ def _leaf_ctes(leaves: list[Node]) -> str:
             # once, exactly like the engine's flat-Or aggregation.  The
             # fuzzy predicate is DuckDB's classic levenshtein — the exact
             # arithmetic the engine's dictionary expansion uses.
-            if isinstance(leaf, Fuzzy):
-                q = leaf.term.replace("'", "''")
-                pred = (
-                    f"abs(length(term) - {len(leaf.term)}) <= {leaf.max_edits} "
-                    f"AND levenshtein(term, '{q}') <= {leaf.max_edits}"
-                )
-            elif isinstance(leaf, Regexp):
-                # DuckDB regexp_full_match is RE2; the grammar's charset
-                # restriction keeps RE2 and the engine's Python re in the
-                # dialect-common core, so the term sets agree exactly
-                pq = leaf.pattern.replace("'", "''")
-                pred = f"regexp_full_match(term, '{pq}')"
-            else:
-                like, _ = wildcard_to_like(leaf.pattern)
-                like_sql = like.replace("'", "''")
-                pred = f"term LIKE '{like_sql}' ESCAPE '\\'"
+            pred = _mt_pred(leaf)
             score = sql_score_expr(
                 "f.tf",
                 "n.dl_dec",
@@ -186,7 +194,33 @@ def _leaf_ctes(leaves: list[Node]) -> str:
                 f"s_{i} AS (SELECT f.docid, {score} AS s FROM tf_{i} f JOIN dln n USING (docid))"
             )
             continue
-        if isinstance(leaf, SpanNear):
+        if isinstance(leaf, SpanMulti):
+            # span_multi: the span rewrite pools ALL matching terms'
+            # occurrences under ONE grouped weight (engine: SpanOr of the
+            # sorted expansions, bm25.grouped_weight single slot) — tf =
+            # total occurrences of any matching term; weight = ordered
+            # float64 fold of the matching terms' idfs in term order
+            # (list_reduce over list(... ORDER BY term), matching the
+            # parse-sorted SpanOr fold), cast float32 once.  Contrast the
+            # bare-atom branch above, which keeps PER-TERM idfs.
+            pred = _mt_pred(leaf.inner)
+            parts.append(
+                f"exp_{i} AS (SELECT DISTINCT term FROM tok WHERE {pred})"
+            )
+            parts.append(
+                f"tf_{i} AS (SELECT docid, CAST(count(*) AS DOUBLE) AS tf "
+                f"FROM tok WHERE term IN (SELECT term FROM exp_{i}) "
+                f"GROUP BY docid)"
+            )
+            weight = (
+                f"CAST((SELECT coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list(v ORDER BY term)), (a, b) -> a + b), 0.0) FROM "
+                f"(SELECT term, ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) "
+                f"- df + 0.5) / (df + 0.5)) AS v FROM "
+                f"(SELECT term, count(DISTINCT docid) AS df FROM tok "
+                f"WHERE term IN (SELECT term FROM exp_{i}) GROUP BY term))) AS FLOAT)"
+            )
+        elif isinstance(leaf, SpanNear):
             # span_near: 2-clause closed forms (functions/spans.py —
             # adjacent cross pairs / merge-path pairs); wider spans are
             # engine+frozen-oracle territory, refused loudly here like

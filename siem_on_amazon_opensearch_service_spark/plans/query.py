@@ -226,6 +226,30 @@ class SpanOr(Node):
 
 
 @dataclass(frozen=True)
+class SpanMulti(Node):
+    """Lucene/OpenSearch ``span_multi`` — a multi-term query lifted into
+    the span family.  DQL surface ``span_multi(err*)`` /
+    ``span_multi(term~1)`` / ``span_multi(/rege?x/)``; the inner atom
+    must be a multi-term query (Wildcard, Fuzzy or Regexp — Lucene's
+    SpanMultiTermQueryWrapper takes a MultiTermQuery, so a plain term is
+    rejected at parse).  Expansion (``expand_multiterm``) rewrites it
+    into the ``SpanOr`` of its dictionary matches — the span-rewrite
+    method (SpanOrQuery over the expanded SpanTermQueries, ONE SimWeight
+    across all expansions), capped at maxClauseCount.  This differs from
+    the bare multi-term atom's SCORING_BOOLEAN_REWRITE, which scores each
+    expansion with its own idf and saturates per term; span_multi pools
+    the occurrences under one grouped weight.  A single expansion
+    collapses to the plain Term (a one-term span union is that term's
+    spans, and the grouped fold of one idf is that idf); zero expansions
+    match nothing.  Inner-atom boosts fold into the wrapper's boost
+    (``span_multi(err*^2)`` == ``span_multi(err*)^2``), matching
+    SpanMultiTermQueryWrapper's single top-level boost."""
+
+    inner: Node  # Wildcard | Fuzzy | Regexp
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MultiPhrase(Node):
     """Post-expansion multi-term phrase (Lucene MultiPhraseQuery): slot i
     matches ANY of ``slots[i]`` (an empty slot matches nothing — the
@@ -464,7 +488,7 @@ def parse(query: str) -> Node:
             raise ValueError(f"boost must be positive, got {nxt!r} in {query!r}")
         if isinstance(node, (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy,
                              SpanNear, SpanFirst, SpanNot, SpanOr,
-                             SpanContaining, SpanWithin)):
+                             SpanMulti, SpanContaining, SpanWithin)):
             import dataclasses
 
             return dataclasses.replace(node, boost=node.boost * b)
@@ -701,6 +725,37 @@ def parse(query: str) -> Node:
             )
         return maybe_boost(SpanOr(tuple(sorted(words))))
 
+    def parse_span_multi() -> Node:
+        """``span_multi(<multiterm atom>)`` — exactly one wildcard, fuzzy
+        or regexp atom; an inner boost folds into the wrapper boost."""
+        take()  # '('
+        body = peek()
+        if body is None or body == ")":
+            raise ValueError(f"span_multi needs one multi-term atom in {query!r}")
+        take()
+        if peek() != ")":
+            raise ValueError(f"missing ')' after span_multi in {query!r}")
+        take()
+        inner = (
+            _regexp_atom(body, query) if body.startswith("/") else _word_atom(body, query)
+        )
+        if isinstance(inner, Term) and "~" in body:
+            # term~0: FuzzyQuery(maxEdits=0) — a legal MultiTermQuery
+            # whose span rewrite is the single SpanTermQuery == the Term
+            return maybe_boost(inner)
+        if not isinstance(inner, MULTITERM_ATOMS):
+            raise ValueError(
+                f"span_multi takes a multi-term atom (wildcard, fuzzy, "
+                f"regexp), got {body!r} in {query!r} — "
+                "SpanMultiTermQueryWrapper wraps a MultiTermQuery"
+            )
+        import dataclasses
+
+        b = inner.boost
+        return maybe_boost(
+            SpanMulti(dataclasses.replace(inner, boost=1.0), boost=b)
+        )
+
     def parse_atom() -> Node:
         t = take()
         if t.upper() in ("AND", "OR", "NOT"):
@@ -709,6 +764,8 @@ def parse(query: str) -> Node:
             raise ValueError(f"operator {t!r} where a term was expected in {query!r}")
         if t.lower() == "span_near" and peek() == "(":
             return parse_span_near()
+        if t.lower() == "span_multi" and peek() == "(":
+            return parse_span_multi()
         if t.lower() == "span_first" and peek() == "(":
             return parse_span_first()
         if t.lower() == "span_not" and peek() == "(":
@@ -1161,6 +1218,9 @@ def wildcard_regex(pattern: str):
 #: multi-term leaf types: rewritten against the term dictionary before
 #: execution (Lucene MultiTermQuery subclasses)
 MULTITERM = (Wildcard, Fuzzy, Regexp, PhrasePrefix)
+#: the bare multi-term atoms span_multi may wrap (PhrasePrefix is quoted
+#: syntax, never a bare word atom)
+MULTITERM_ATOMS = (Wildcard, Fuzzy, Regexp)
 
 
 def phrase_slots(leaf: Node) -> tuple[tuple[str, ...], ...]:
@@ -1227,6 +1287,25 @@ def expand_multiterm(ast: Node, expander, max_clauses: int = MAX_CLAUSE_COUNT) -
                 return Term(slots[0][0], ast.boost)
             return Phrase(tuple(s[0] for s in slots), ast.boost)
         return MultiPhrase(slots, ast.boost)
+    if isinstance(ast, SpanMulti):
+        # span rewrite: SpanOr over the expansions, ONE grouped SimWeight
+        # (vs the bare atom's per-term SCORING_BOOLEAN_REWRITE below)
+        inner = ast.inner
+        terms = list(expander(inner))
+        label = (
+            f"{inner.term}~{inner.max_edits}" if isinstance(inner, Fuzzy) else inner.pattern
+        )
+        if len(terms) > max_clauses:
+            raise ValueError(
+                f"too_many_clauses: span_multi({label!r}) expands to "
+                f"{len(terms)} terms (cap {max_clauses})"
+            )
+        if not terms:
+            # guaranteed-absent sentinel, same reasoning as the bare atoms
+            return Term(inner.term if isinstance(inner, Fuzzy) else inner.pattern, ast.boost)
+        if len(terms) == 1:
+            return Term(terms[0], ast.boost)
+        return SpanOr(tuple(sorted(terms)), ast.boost)
     if isinstance(ast, MULTITERM):
         terms = list(expander(ast))
         label = f"{ast.term}~{ast.max_edits}" if isinstance(ast, Fuzzy) else ast.pattern
