@@ -14,6 +14,7 @@ names).
 
 from __future__ import annotations
 
+import ipaddress
 import json
 import os
 import shutil
@@ -25,7 +26,7 @@ from pyspark.sql.window import Window
 from .functions.analysis import SQL_SPLIT_RE
 from .operators import aggs
 from .operators import adhoc, packing
-from .operators import percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
+from .operators import geoagg, percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators.build import build_index
 from .sources import transcripts as tsrc
 
@@ -753,6 +754,106 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events_geo(spark, sf_dir):
+    """Events with deterministic synthetic geo/IP columns (the driver
+    tables carry no coordinates; the reference's geo fields come from its
+    MaxMind enrichment — geodb.py).  Derivation is md5-hash-based and
+    bit-exact across engines: integer mod, one divide, one subtract (the
+    repo's established conv-vs-'0x' recipe, see operators/packing.py)."""
+    ev = _events(spark, sf_dir)
+    sid = F.col("event_id").cast("string")
+
+    def h(col, n):
+        return F.conv(F.substring(F.md5(col), 1, n), 16, 10).cast("long")
+
+    return (
+        ev.withColumn("lat", (h(sid, 12) % 1700000) / 10000.0 - 85.0)
+        .withColumn("lon", (h(F.concat(sid, F.lit("~lon")), 12) % 3600000) / 10000.0 - 180.0)
+        .withColumn("ip_int", h(F.concat(sid, F.lit("~ip")), 8))
+    )
+
+
+#: the same derivation as DuckDB SQL text (bit-identical arithmetic)
+GEO_CTE = (
+    "SELECT *, "
+    "((CAST(concat('0x', substr(md5(CAST(event_id AS STRING)), 1, 12)) AS BIGINT)"
+    " % 1700000) / 10000.0 - 85.0) AS lat, "
+    "((CAST(concat('0x', substr(md5(concat(CAST(event_id AS STRING), '~lon')), 1, 12)) AS BIGINT)"
+    " % 3600000) / 10000.0 - 180.0) AS lon, "
+    "CAST(concat('0x', substr(md5(concat(CAST(event_id AS STRING), '~ip')), 1, 8)) AS BIGINT) AS ip_int "
+    "FROM events"
+)
+
+GEO_ORIGIN = (35.68, 139.69)  # geo_distance origin (Tokyo)
+GEO_DIST_EDGES = [3000.0, 7000.0, 12000.0]
+IP_RANGES = [
+    ("lo_quarter", None, "64.0.0.0"),
+    ("mid_half", "64.0.0.0", "192.0.0.0"),
+    ("hi_quarter", "192.0.0.0", None),
+]
+CIDR_BLOCK = "32.0.0.0/3"
+
+
+def q_events_geotile_grid(spark, sf_dir):
+    return geoagg.grid_agg(
+        _events_geo(spark, sf_dir), geoagg.geotile_cell_sql("lat", "lon", 6), n=15
+    )
+
+
+def q_events_geohash_grid(spark, sf_dir):
+    return geoagg.grid_agg(
+        _events_geo(spark, sf_dir), geoagg.geohash_cell_sql("lat", "lon", 4), n=15
+    )
+
+
+def q_events_geo_centroid(spark, sf_dir):
+    return geoagg.geo_centroid(
+        _events_geo(spark, sf_dir), "event_type", F.col("lat"), F.col("lon")
+    )
+
+
+def q_events_geo_bounds(spark, sf_dir):
+    return geoagg.geo_bounds(
+        _events_geo(spark, sf_dir), "event_type", F.col("lat"), F.col("lon")
+    )
+
+
+def q_events_geo_distance(spark, sf_dir):
+    return geoagg.geo_distance_agg(
+        _events_geo(spark, sf_dir),
+        geoagg.haversine_km_sql("lat", "lon", *GEO_ORIGIN),
+        GEO_DIST_EDGES,
+    ).orderBy("bucket")
+
+
+def q_events_ip_range(spark, sf_dir):
+    return geoagg.ip_range_agg(_events_geo(spark, sf_dir), F.col("ip_int"), IP_RANGES)
+
+
+def q_events_cidr_filter(spark, sf_dir):
+    g = _events_geo(spark, sf_dir)
+    return (
+        g.filter(geoagg.cidr_pred(F.col("ip_int"), CIDR_BLOCK))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+#: synthetic log-message column for categorize_text (events carry no free
+#: text; digit runs — user ids, latencies — are what the categorizer folds)
+CATEGORIZE_MSG_SQL = (
+    "concat('user ', CAST(user_id AS STRING), ' did ', event_type, "
+    "' took ', CAST(CAST(floor(value) AS BIGINT) AS STRING), 'ms')"
+)
+
+
+def q_events_categorize_text(spark, sf_dir):
+    return aggs.categorize_text(
+        _events(spark, sf_dir), F.expr(CATEGORIZE_MSG_SQL), n=10, n_tokens=6
+    )
 
 
 def q_events_terms_topn(spark, sf_dir):
@@ -3043,7 +3144,80 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) 
 ORDER BY query_id, cos DESC, vec_id"""
         ),
     }
-    return {**bm, **rel, **docs}
+    # geo / IP aggs over the derived-coordinate events frame: the cell /
+    # distance expressions are dialect-common SQL text shared verbatim with
+    # the Spark plan (geoagg module docstring), so these oracles embed the
+    # identical arithmetic.
+    _gt = geoagg.geotile_cell_sql("lat", "lon", 6)
+    _gh = geoagg.geohash_cell_sql("lat", "lon", 4)
+    _hv = geoagg.haversine_km_sql("lat", "lon", *GEO_ORIGIN)
+    _dist_names = []
+    _lo = None
+    for _e in GEO_DIST_EDGES + [None]:
+        _dist_names.append(f"{'*' if _lo is None else _lo}-{'*' if _e is None else _e}")
+        _lo = _e
+    _dist_conds = []
+    _lo = None
+    for _e in GEO_DIST_EDGES + [None]:
+        c = []
+        if _lo is not None:
+            c.append(f"dist >= {_lo!r}")
+        if _e is not None:
+            c.append(f"dist < {_e!r}")
+        _dist_conds.append(" AND ".join(c) if c else "TRUE")
+        _lo = _e
+    _ip_parts = []
+    for _name, _frm, _to in IP_RANGES:
+        c = []
+        if _frm is not None:
+            c.append(f"ip_int >= {int(ipaddress.ip_address(_frm))}")
+        if _to is not None:
+            c.append(f"ip_int < {int(ipaddress.ip_address(_to))}")
+        _ip_parts.append(f"count(*) FILTER (WHERE {' AND '.join(c)}) AS {_name}")
+    _cidr_lo, _cidr_hi = geoagg.cidr_bounds(CIDR_BLOCK)
+    geo = {
+        "events_geotile_grid": (
+            f"WITH g AS ({GEO_CTE}) SELECT {_gt} AS key, count(*) AS cnt FROM g "
+            "GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 15"
+        ),
+        "events_geohash_grid": (
+            f"WITH g AS ({GEO_CTE}) SELECT {_gh} AS key, count(*) AS cnt FROM g "
+            "GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 15"
+        ),
+        "events_geo_centroid": (
+            f"WITH g AS ({GEO_CTE}) SELECT event_type, round(avg(lat), 6) AS centroid_lat, "
+            "round(avg(lon), 6) AS centroid_lon, count(*) AS cnt FROM g "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_geo_bounds": (
+            f"WITH g AS ({GEO_CTE}) SELECT event_type, max(lat) AS top, min(lat) AS bottom, "
+            "min(lon) AS west, max(lon) AS east FROM g GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_geo_distance": (
+            f"WITH g AS ({GEO_CTE}), d AS (SELECT {_hv} AS dist FROM g) "
+            + " UNION ALL ".join(
+                f"SELECT '{n}' AS bucket, count(*) FILTER (WHERE {c}) AS cnt FROM d"
+                for n, c in zip(_dist_names, _dist_conds)
+            )
+            + " ORDER BY bucket"
+        ),
+        "events_ip_range": (
+            f"WITH g AS ({GEO_CTE}) SELECT {', '.join(_ip_parts)} FROM g"
+        ),
+        "events_cidr_filter": (
+            f"WITH g AS ({GEO_CTE}) SELECT event_type, count(*) AS cnt FROM g "
+            f"WHERE ip_int >= {_cidr_lo} AND ip_int <= {_cidr_hi} "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_categorize_text": (
+            "SELECT category, count(*) AS cnt FROM ("
+            "  SELECT array_to_string(list_filter(string_split_regex("
+            f"    regexp_replace(lower({CATEGORIZE_MSG_SQL}), '[0-9]+', '#', 'g'),"
+            "    '[^a-z#]+'), x -> x <> '')[1:6], ' ') AS category FROM events"
+            ") GROUP BY category ORDER BY cnt DESC, category ASC LIMIT 10"
+        ),
+    }
+    return {**bm, **rel, **docs, **geo}
 
 
 def queries_map() -> dict:
@@ -3138,6 +3312,14 @@ def queries_map() -> dict:
             "events_string_stats": q_events_string_stats,
             "events_topn_per_group": q_events_topn_per_group,
             "events_props_extract": q_events_props_extract,
+            "events_geotile_grid": q_events_geotile_grid,
+            "events_geohash_grid": q_events_geohash_grid,
+            "events_geo_centroid": q_events_geo_centroid,
+            "events_geo_bounds": q_events_geo_bounds,
+            "events_geo_distance": q_events_geo_distance,
+            "events_ip_range": q_events_ip_range,
+            "events_cidr_filter": q_events_cidr_filter,
+            "events_categorize_text": q_events_categorize_text,
             "events_range_join": q_events_range_join,
             "index_manifest_stats": q_index_manifest_stats,
             "transcripts_percolate": q_transcripts_percolate,

@@ -857,3 +857,28 @@ def rate_agg(
         "cnt",
         F.round(F.col("cnt") / F.lit(hours / unit_hours), 6).alias("rate_r"),
     ).orderBy("bucket")
+
+
+def categorize_text(
+    df: DataFrame, text: Column, n: int = 10, n_tokens: int = 6
+) -> DataFrame:
+    """OpenSearch ``categorize_text`` agg, deterministically re-expressed:
+    group log messages by token template.  The real agg drains messages
+    through an ML tokenizer/categorizer; this engine freezes the
+    deterministic core — lowercase, digit runs collapsed to ``#``, the
+    first ``n_tokens`` word tokens joined as the category key — so the
+    result is a pure hash aggregation with a DuckDB value oracle (the
+    identical regex/slice pipeline renders in both engines).  Buckets
+    ordered (count desc, key asc), top ``n``.
+
+    Scale: one regexp_replace + split + slice inside codegen, one
+    map-side-combinable groupBy — no UDF, no shuffle beyond the agg."""
+    tmpl = F.regexp_replace(F.lower(text), "[0-9]+", "#")
+    toks = F.filter(F.split(tmpl, "[^a-z#]+"), lambda x: x != "")
+    key = F.array_join(F.slice(toks, 1, n_tokens), " ")
+    return (
+        df.groupBy(key.alias("category"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("category").asc())
+        .limit(n)
+    )
