@@ -842,6 +842,42 @@ def q_events_cidr_filter(spark, sf_dir):
     )
 
 
+#: geo query-filter specs: a dateline-crossing bounding box, a radius, and
+#: an (implicitly closed) pentagon — (lat, lon) vertex pairs
+GEO_BBOX = {"top": 60.0, "left": 150.0, "bottom": -20.0, "right": -150.0}
+GEO_RADIUS_KM = 5000.0
+GEO_POLYGON = [(50.0, -10.0), (60.0, 40.0), (10.0, 60.0), (-25.0, 20.0), (0.0, -30.0)]
+
+
+def _geo_filter_counts(spark, sf_dir, pred_sql):
+    return (
+        _events_geo(spark, sf_dir)
+        .filter(F.expr(pred_sql))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+def q_events_geo_bbox_filter(spark, sf_dir):
+    return _geo_filter_counts(
+        spark, sf_dir, geoagg.bbox_pred_sql("lat", "lon", **GEO_BBOX)
+    )
+
+
+def q_events_geo_distance_filter(spark, sf_dir):
+    return _geo_filter_counts(
+        spark, sf_dir,
+        geoagg.distance_pred_sql("lat", "lon", *GEO_ORIGIN, GEO_RADIUS_KM),
+    )
+
+
+def q_events_geo_polygon_filter(spark, sf_dir):
+    return _geo_filter_counts(
+        spark, sf_dir, geoagg.polygon_pred_sql("lat", "lon", GEO_POLYGON)
+    )
+
+
 #: synthetic log-message column for categorize_text (events carry no free
 #: text; digit runs — user ids, latencies — are what the categorizer folds)
 CATEGORIZE_MSG_SQL = (
@@ -3209,6 +3245,21 @@ ORDER BY query_id, cos DESC, vec_id"""
             f"WHERE ip_int >= {_cidr_lo} AND ip_int <= {_cidr_hi} "
             "GROUP BY event_type ORDER BY event_type"
         ),
+        "events_geo_bbox_filter": (
+            f"WITH g AS ({GEO_CTE}) SELECT event_type, count(*) AS cnt FROM g "
+            f"WHERE {geoagg.bbox_pred_sql('lat', 'lon', **GEO_BBOX)} "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_geo_distance_filter": (
+            f"WITH g AS ({GEO_CTE}) SELECT event_type, count(*) AS cnt FROM g "
+            f"WHERE {geoagg.distance_pred_sql('lat', 'lon', *GEO_ORIGIN, GEO_RADIUS_KM)} "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_geo_polygon_filter": (
+            f"WITH g AS ({GEO_CTE}) SELECT event_type, count(*) AS cnt FROM g "
+            f"WHERE {geoagg.polygon_pred_sql('lat', 'lon', GEO_POLYGON)} "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
         "events_categorize_text": (
             "SELECT category, count(*) AS cnt FROM ("
             "  SELECT array_to_string(list_filter(string_split_regex("
@@ -3319,6 +3370,9 @@ def queries_map() -> dict:
             "events_geo_distance": q_events_geo_distance,
             "events_ip_range": q_events_ip_range,
             "events_cidr_filter": q_events_cidr_filter,
+            "events_geo_bbox_filter": q_events_geo_bbox_filter,
+            "events_geo_distance_filter": q_events_geo_distance_filter,
+            "events_geo_polygon_filter": q_events_geo_polygon_filter,
             "events_categorize_text": q_events_categorize_text,
             "events_range_join": q_events_range_join,
             "index_manifest_stats": q_index_manifest_stats,

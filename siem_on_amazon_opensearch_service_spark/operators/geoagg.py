@@ -123,6 +123,63 @@ def haversine_km_sql(lat_sql: str, lon_sql: str, origin_lat: float, origin_lon: 
     return f"round(2.0 * 6371.0 * asin(sqrt(least({a}, 1.0))), 6)"
 
 
+def bbox_pred_sql(
+    lat_sql: str, lon_sql: str, top: float, left: float, bottom: float, right: float
+) -> str:
+    """OpenSearch ``geo_bounding_box`` query predicate as dialect-common
+    SQL.  ``left > right`` means the box crosses the antimeridian
+    (OpenSearch semantics): the longitude test becomes a disjunction.
+    Pure comparisons — pushes down to the scan when the coordinates are
+    stored columns."""
+    if not bottom <= top:
+        raise ValueError(f"geo_bounding_box: bottom {bottom} > top {top}")
+    lat_ok = f"(({lat_sql}) >= {bottom!r} AND ({lat_sql}) <= {top!r})"
+    if left <= right:
+        lon_ok = f"(({lon_sql}) >= {left!r} AND ({lon_sql}) <= {right!r})"
+    else:  # antimeridian crossing: [left, 180] U [-180, right]
+        lon_ok = f"(({lon_sql}) >= {left!r} OR ({lon_sql}) <= {right!r})"
+    return f"({lat_ok} AND {lon_ok})"
+
+
+def distance_pred_sql(
+    lat_sql: str, lon_sql: str, origin_lat: float, origin_lon: float, radius_km: float
+) -> str:
+    """OpenSearch ``geo_distance`` query predicate (arc distance <= radius)
+    as dialect-common SQL, via the round-6 haversine."""
+    return f"({haversine_km_sql(lat_sql, lon_sql, origin_lat, origin_lon)} <= {radius_km!r})"
+
+
+def polygon_pred_sql(
+    lat_sql: str, lon_sql: str, vertices: list[tuple[float, float]]
+) -> str:
+    """OpenSearch ``geo_polygon`` query predicate: point-in-polygon by the
+    classic even-odd ray cast (PNPOLY), unrolled over the literal vertex
+    list into one dialect-common SQL expression — each edge contributes an
+    indicator ``(yi > y) != (yj > y) AND x < slope-intercept``, and the
+    point is inside iff the crossing count is odd.  The per-edge division
+    runs on literal vertices and bit-identical derived coordinates, so
+    both engines agree except on boundary points (measure zero for
+    hash-derived inputs).  Vertices are (lat, lon) pairs, any winding,
+    implicitly closed; planar edges (the OpenSearch legacy geo_polygon
+    also treats edges as planar in lat/lon space)."""
+    if len(vertices) < 3:
+        raise ValueError("geo_polygon: need at least 3 vertices")
+    x, y = f"({lon_sql})", f"({lat_sql})"
+    terms = []
+    for i in range(len(vertices)):
+        yi, xi = vertices[i]
+        yj, xj = vertices[(i + 1) % len(vertices)]
+        if yi == yj:  # horizontal edge never crosses the horizontal ray
+            continue
+        cross = (
+            f"(CASE WHEN (({yi!r} > {y}) <> ({yj!r} > {y})) "
+            f"AND {x} < ({xj!r} - {xi!r}) * ({y} - {yi!r}) / ({yj!r} - {yi!r}) + {xi!r} "
+            "THEN 1 ELSE 0 END)"
+        )
+        terms.append(cross)
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 # ---------------------------------------------------------------------------
 # IP helpers
 

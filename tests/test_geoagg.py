@@ -179,6 +179,67 @@ def test_centroid_and_bounds(spark):
     assert (b["a"].top, b["a"].bottom, b["a"].west, b["a"].east) == (30.0, 10.0, -40.0, 20.0)
 
 
+def py_pnpoly(lat, lon, vertices):
+    inside = False
+    n = len(vertices)
+    for i in range(n):
+        yi, xi = vertices[i]
+        yj, xj = vertices[(i + 1) % n]
+        if (yi > lat) != (yj > lat) and lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+            inside = not inside
+    return inside
+
+
+POLY = [(50.0, -10.0), (60.0, 40.0), (10.0, 60.0), (-25.0, 20.0), (0.0, -30.0)]
+
+
+def test_polygon_pred_matches_pnpoly(pts):
+    got = pts.select(
+        "id", "lat", "lon",
+        F.expr(geoagg.polygon_pred_sql("lat", "lon", POLY)).alias("inside"),
+    ).collect()
+    n_in = 0
+    for r in got:
+        assert r.inside == py_pnpoly(r.lat, r.lon, POLY), (r.id, r.lat, r.lon)
+        n_in += bool(r.inside)
+    assert 0 < n_in < pts.count()  # the pentagon is neither empty nor global
+
+
+def test_polygon_pred_known_points(spark):
+    # unit square around the origin; horizontal edges exercise the skip
+    sq = [(1.0, 1.0), (1.0, -1.0), (-1.0, -1.0), (-1.0, 1.0)]
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 0.5, 0.9), (2, 1.5, 0.0), (3, 0.0, -1.5), (4, -0.99, 0.99)],
+        "id long, lat double, lon double",
+    )
+    got = {r.id: r.inside for r in df.select(
+        "id", F.expr(geoagg.polygon_pred_sql("lat", "lon", sq)).alias("inside")
+    ).collect()}
+    assert got == {0: True, 1: True, 2: False, 3: False, 4: True}
+    with pytest.raises(ValueError):
+        geoagg.polygon_pred_sql("lat", "lon", sq[:2])
+
+
+def test_bbox_pred(pts):
+    plain = geoagg.bbox_pred_sql("lat", "lon", top=40.0, left=-10.0, bottom=-10.0, right=60.0)
+    wrap = geoagg.bbox_pred_sql("lat", "lon", top=40.0, left=150.0, bottom=-10.0, right=-150.0)
+    got = pts.select(
+        "lat", "lon", F.expr(plain).alias("p"), F.expr(wrap).alias("w")
+    ).collect()
+    for r in got:
+        assert r.p == (-10.0 <= r.lat <= 40.0 and -10.0 <= r.lon <= 60.0)
+        assert r.w == (-10.0 <= r.lat <= 40.0 and (r.lon >= 150.0 or r.lon <= -150.0))
+    with pytest.raises(ValueError):
+        geoagg.bbox_pred_sql("lat", "lon", top=-5.0, left=0.0, bottom=5.0, right=1.0)
+
+
+def test_distance_pred(pts):
+    pred = geoagg.distance_pred_sql("lat", "lon", 35.68, 139.69, 5000.0)
+    got = pts.select("lat", "lon", F.expr(pred).alias("near")).collect()
+    for r in got:
+        assert r.near == (py_haversine(r.lat, r.lon, 35.68, 139.69) <= 5000.0)
+
+
 def test_categorize_text(spark):
     msgs = [
         "User 1234 logged in from 10.0.0.5",
