@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from .functions.analysis import SQL_SPLIT_RE
 from .operators import aggs
-from .operators import adhoc, packing
+from .operators import adhoc, chunking, packing
 from .operators import geoagg, percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators.build import build_index
 from .sources import transcripts as tsrc
@@ -355,6 +355,15 @@ BM25_QUERIES: dict[str, dict] = {
         "k": 10,
     },
     "bm25_prefix": {"query": "w0004*", "k": 10},
+    # r4g: OpenSearch terms_set query — docs matching >= m of N terms,
+    # scored as the BM25 sum over the matched subset.  Lucene rewrites
+    # terms_set to a CoveringQuery over the term disjunction; here it is
+    # exactly the engine's OR + minimum_should_match path.
+    "bm25_terms_set": {
+        "query": "timeout OR refused OR denied OR failed",
+        "k": 10,
+        "minimum_should_match": 2,
+    },
     "bm25_dql_exists": {"query": "tool:* AND file", "k": 10},
     "bm25_wildcard_and": {"query": "err* AND timeout", "k": 10},
     # r4b: fuzzy term queries (Lucene FuzzyQuery, SCORING_BOOLEAN_REWRITE;
@@ -890,6 +899,30 @@ def q_events_categorize_text(spark, sf_dir):
     return aggs.categorize_text(
         _events(spark, sf_dir), F.expr(CATEGORIZE_MSG_SQL), n=10, n_tokens=6
     )
+
+
+CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
+
+
+def q_doc_chunks_sample(spark, sf_dir):
+    """Sliding-window chunks (full text) for the deterministic
+    lowest-md5(doc_id) 100-doc sample."""
+    d = _docs(spark, sf_dir)
+    sample = d.orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    ).limit(100)
+    return chunking.chunk_documents(
+        sample, "doc_id", F.col("text"), window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q_doc_chunk_stats(spark, sf_dir):
+    """Corpus-level chunking summary over ALL documents."""
+    chunks = chunking.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", F.col("text"),
+        window=CHUNK_WINDOW, stride=CHUNK_STRIDE,
+    )
+    return chunking.chunk_stats(chunks, "doc_id")
 
 
 def q_events_terms_topn(spark, sf_dir):
@@ -2233,6 +2266,10 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_span_multi_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "span_multi(re*)", k=10
     )
+    bm["bm25_terms_set_warm"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, "timeout OR refused OR denied OR failed",
+        k=10, minimum_should_match=2,
+    )
     bm["bm25_filter_negated_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "error AND NOT role:assistant", k=10
     )
@@ -3245,6 +3282,22 @@ ORDER BY query_id, cos DESC, vec_id"""
             f"WHERE ip_int >= {_cidr_lo} AND ip_int <= {_cidr_hi} "
             "GROUP BY event_type ORDER BY event_type"
         ),
+        "doc_chunks_sample": (
+            "WITH s AS (SELECT * FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100), "
+            f"ch AS ({chunking.chunk_sql('s', 'doc_id', 'text', CHUNK_WINDOW, CHUNK_STRIDE)}) "
+            "SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM ch "
+            "ORDER BY doc_id, chunk_idx"
+        ),
+        "doc_chunk_stats": (
+            f"WITH ch AS ({chunking.chunk_sql('documents', 'doc_id', 'text', CHUNK_WINDOW, CHUNK_STRIDE)}) "
+            "SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "round(avg(n_tokens), 6) AS avg_chunk_tokens, "
+            "(SELECT CAST(max(nc) AS BIGINT) FROM "
+            " (SELECT count(*) AS nc FROM ch GROUP BY doc_id)) AS max_chunks_per_doc "
+            "FROM ch"
+        ),
         "events_geo_bbox_filter": (
             f"WITH g AS ({GEO_CTE}) SELECT event_type, count(*) AS cnt FROM g "
             f"WHERE {geoagg.bbox_pred_sql('lat', 'lon', **GEO_BBOX)} "
@@ -3303,6 +3356,9 @@ def queries_map() -> dict:
     q["bm25_phrase_prefix_warm"] = _bm25_warm('"connection re"*', 10)
     q["bm25_span_multi_warm"] = _bm25_warm("span_multi(re*)", 10)
     q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)
+    q["bm25_terms_set_warm"] = _bm25_warm(
+        "timeout OR refused OR denied OR failed", 10, minimum_should_match=2
+    )
     q["bm25_function_score_recency"] = _fs(FS_RECENCY)
     q["bm25_function_score_factor"] = _fs(FS_FACTOR)
     q["bm25_random_score"] = _fs(FS_RANDOM)
@@ -3409,6 +3465,8 @@ def queries_map() -> dict:
             "bm25_named_queries": q_bm25_named_queries,
             "bm25_termvectors": q_bm25_termvectors,
             "doc_packing_stats": q_doc_packing_stats,
+            "doc_chunks_sample": q_doc_chunks_sample,
+            "doc_chunk_stats": q_doc_chunk_stats,
             "doc_temperature_sample": q_doc_temperature_sample,
             "doc_denoising_pairs": q_doc_denoising_pairs,
             "hybrid_rrf_topk": q_hybrid_rrf_topk,

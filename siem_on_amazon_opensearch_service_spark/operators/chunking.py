@@ -1,0 +1,101 @@
+"""Sliding-window document chunking — the training-data op that turns long
+documents into fixed-token-window chunks with overlap (stride < window), as
+fed to embedding models and context-window packers.
+
+Semantics (frozen so the DuckDB oracle can replay them):
+- tokens = the repo's frozen analyzer stream (dedup.tokens_col);
+- chunk starts at 0, stride, 2*stride, ...;
+- chunk c covers tokens [c*stride, c*stride + window);
+- a document yields ``1 + max(0, ceil((n_tokens - window) / stride))``
+  chunks, so the final chunk is the first one whose window reaches the last
+  token (shorter than ``window`` when the tail is short); an empty document
+  yields one empty chunk (deterministic in both engines).
+
+Scale: tokenize once per row, build the start list with
+``sequence``/``transform`` (no join, no UDF), ``posexplode`` to chunk rows —
+row growth is the chunk count, the shuffle-free map-side shape you want for
+a 100 TB corpus; downstream groupBys are the caller's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """(id, chunk_idx, n_tokens, chunk_text) rows, one per sliding window.
+
+    ``stride <= window`` keeps coverage gap-free; ``stride == window`` is
+    non-overlapping chunking.  The chunk-count ceil runs on small-integer
+    doubles (exact — the quotient is only ever within one ulp of an integer
+    when it IS one)."""
+    if not (0 < stride <= window):
+        raise ValueError(f"chunking: need 0 < stride {stride} <= window {window}")
+    # explode(array(toks)) is a 1:1 generator boundary: Catalyst cannot
+    # collapse the projection through Generate, so tokenization runs ONCE
+    # per row even though three downstream expressions consume it (the
+    # repo's projection-collapse-re-evaluates lesson, NOTES_r4).
+    bound = df.select(
+        F.col(id_col), F.explode(F.array(tokens_col(text))).alias("toks")
+    )
+    n = F.size(F.col("toks"))
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((n - F.lit(window)) / F.lit(float(stride))).cast("int")
+    )
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride)
+    out = bound.select(
+        F.col(id_col), F.posexplode(starts).alias("chunk_idx", "start"), F.col("toks")
+    )
+    piece = F.slice(F.col("toks"), F.col("start") + 1, window)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_sql(
+    table: str, id_col: str, text_sql: str, window: int = 64, stride: int = 48,
+    toks_sql: str | None = None,
+) -> str:
+    """DuckDB replay of chunk_documents over ``table`` (same arithmetic;
+    ``toks_sql`` defaults to the frozen-analyzer token list expression and
+    must match tokens_col)."""
+    toks = toks_sql or (
+        "list_filter(string_split_regex(lower(coalesce(" + text_sql + ", '')),"
+        " '[^A-Za-z0-9_]+'), x -> x <> '')"
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+c AS (SELECT {id_col}, toks,
+             1 + greatest(0, CAST(ceil((len(toks) - {window}) / {float(stride)}) AS INT)) AS nc
+      FROM t)
+SELECT {id_col}, i - 1 AS chunk_idx,
+       len(toks[(i - 1) * {stride} + 1 : (i - 1) * {stride} + {window}]) AS n_tokens,
+       array_to_string(toks[(i - 1) * {stride} + 1 : (i - 1) * {stride} + {window}], ' ') AS chunk_text
+FROM c, UNNEST(generate_series(1, nc)) AS u(i)
+"""
+
+
+def chunk_stats(chunks: DataFrame, id_col: str) -> DataFrame:
+    """Corpus-level chunking summary: one row — total chunks, docs, tokens,
+    mean tokens per chunk (round-6), max chunks per doc."""
+    per_doc = chunks.groupBy(id_col).agg(F.count("*").alias("nc"))
+    total = chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct(id_col).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_chunk_tokens"),
+    )
+    mx = per_doc.agg(F.max("nc").cast("long").alias("max_chunks_per_doc"))
+    return total.crossJoin(mx)
