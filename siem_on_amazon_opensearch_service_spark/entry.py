@@ -1664,6 +1664,34 @@ def q_doc_bm25_adhoc(spark, sf_dir):
     )
 
 
+#: multi_match spec — 'spark' lives in text, 'src7' in the source field,
+#: so the two legs have disjoint df and best/most diverge measurably
+MULTI_MATCH = {"query": "spark OR src7", "fields": ["text", "source"]}
+
+
+def q_doc_multi_match_best(spark, sf_dir):
+    """OpenSearch multi_match best_fields (DisMax, tie_breaker 0.3) over
+    (text, source) with per-field stats."""
+    out = adhoc.multi_match_df(
+        _docs(spark, sf_dir), MULTI_MATCH["query"], MULTI_MATCH["fields"],
+        k=10, match_type="best_fields", tie_breaker=0.3,
+    )
+    return out.select(
+        "doc_id", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
+def q_doc_multi_match_most(spark, sf_dir):
+    """OpenSearch multi_match most_fields (per-field scores summed)."""
+    out = adhoc.multi_match_df(
+        _docs(spark, sf_dir), MULTI_MATCH["query"], MULTI_MATCH["fields"],
+        k=10, match_type="most_fields",
+    )
+    return out.select(
+        "doc_id", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
 def q_hybrid_rrf_topk(spark, sf_dir):
     """OpenSearch hybrid query + RRF processor: lexical leg = ad-hoc BM25
     over documents.text, vector leg = exact cosine top-50 for query
@@ -2942,6 +2970,14 @@ FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
         "doc_bm25_adhoc": sqloracle.bm25_adhoc_sql("documents", _ADHOC_QUERY, k=10),
+        "doc_multi_match_best": sqloracle.multi_match_sql(
+            "documents", MULTI_MATCH["query"], MULTI_MATCH["fields"],
+            k=10, match_type="best_fields", tie_breaker=0.3,
+        ),
+        "doc_multi_match_most": sqloracle.multi_match_sql(
+            "documents", MULTI_MATCH["query"], MULTI_MATCH["fields"],
+            k=10, match_type="most_fields",
+        ),
         "bm25_named_queries": percolate.named_search_sql(
             ORACLE_TRANSCRIPTS, _NAMED_QUERIES, k=10
         ),
@@ -3462,6 +3498,8 @@ def queries_map() -> dict:
             "emb_ivfpq_recall": q_emb_ivfpq_recall,
             "doc_lm_score": q_doc_lm_score,
             "doc_bm25_adhoc": q_doc_bm25_adhoc,
+            "doc_multi_match_best": q_doc_multi_match_best,
+            "doc_multi_match_most": q_doc_multi_match_most,
             "bm25_named_queries": q_bm25_named_queries,
             "bm25_termvectors": q_bm25_termvectors,
             "doc_packing_stats": q_doc_packing_stats,

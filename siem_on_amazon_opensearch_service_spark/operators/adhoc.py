@@ -351,3 +351,62 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def multi_match_df(
+    df: DataFrame,
+    query: str,
+    fields: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """OpenSearch ``multi_match`` re-expressed over the ad-hoc scorer:
+    score the query independently against each field (each field keeps its
+    OWN doc_count/avgdl/df stats, as per-field Lucene indexes do), then
+    combine per doc —
+
+    - ``best_fields``: Lucene DisjunctionMaxQuery — max of the field
+      scores plus ``tie_breaker`` * (sum of the losing fields);
+    - ``most_fields``: bool-OR of the per-field queries — plain sum.
+
+    A doc matching in ANY field matches (full outer join of the legs).
+    Combination runs in float64 over the float32 leg scores in field
+    order with one final float32 cast — fixed association, replayed
+    textually by sqloracle.multi_match_sql.
+
+    Scale: one stats pass + one scoring pass per field (bm25_adhoc_df's
+    shape); the combine join is between already-filtered match sets."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"multi_match: unknown type {match_type!r}")
+    if len(fields) < 2:
+        raise ValueError("multi_match: need >= 2 fields")
+    legs = []
+    for i, fld in enumerate(fields):
+        leg = bm25_adhoc_df(
+            df.select(F.col(id_col), F.col(fld).cast("string").alias("text")),
+            query,
+            k=None,
+            id_col=id_col,
+        )
+        legs.append(leg.select(id_col, F.col("score").alias(f"__s{i}")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.join(leg, id_col, "full_outer")
+    scols = [
+        F.coalesce(F.col(f"__s{i}"), F.lit(0.0)).cast("double")
+        for i in range(len(fields))
+    ]
+    ssum = scols[0]
+    for c in scols[1:]:
+        ssum = ssum + c
+    if match_type == "most_fields":
+        total = ssum
+    else:
+        mx = F.greatest(*scols)
+        total = mx + F.lit(float(tie_breaker)) * (ssum - mx) if tie_breaker else mx
+    out = out.select(F.col(id_col), total.cast("float").alias("score"))
+    if k is None:
+        return out
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

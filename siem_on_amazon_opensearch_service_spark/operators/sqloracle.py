@@ -840,7 +840,7 @@ tok AS (
 def bm25_adhoc_sql(
     path: str,
     query: str,
-    k: int = 10,
+    k: int | None = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
     minimum_should_match: int | None = None,
@@ -865,13 +865,13 @@ def bm25_adhoc_sql(
         if rounded
         else "CAST(s AS DOUBLE) AS score"
     )
+    tail = "" if k is None else f"ORDER BY s DESC, docid ASC\nLIMIT {int(k)}"
     return f"""WITH RECURSIVE {_adhoc_base_ctes(path, id_col, text_col)},
 {_leaf_ctes(leaves)},
 combined AS ({_combine_sql(ast, leaves)})
 SELECT docid AS {id_col}, {sel}
 FROM combined
-ORDER BY s DESC, docid ASC
-LIMIT {int(k)}"""
+{tail}"""
 
 
 def rrf_sql(
@@ -901,4 +901,50 @@ def rrf_sql(
 SELECT id AS {id_col}, {total} AS rrf_score
 FROM {join}
 ORDER BY rrf_score DESC, id ASC
+LIMIT {int(k)}"""
+
+
+def multi_match_sql(
+    path: str,
+    query: str,
+    fields: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+) -> str:
+    """DuckDB statement for operators.adhoc.multi_match_df: per-field
+    ad-hoc legs (each with its own stats, rounded=False so near-ties keep
+    the engine's float32 ordering), full-outer-joined and combined with
+    the identical greatest/sum arithmetic, one final float32 cast, round-3
+    for the driver hash."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"multi_match: unknown type {match_type!r}")
+    legs = []
+    for i, fld in enumerate(fields):
+        leg = bm25_adhoc_sql(
+            path, query, k=None, id_col=id_col, text_col=fld, rounded=False
+        )
+        legs.append(
+            f"leg_{i} AS (SELECT {id_col} AS id, score AS s{i} FROM ({leg}))"
+        )
+    join = "leg_0"
+    for i in range(1, len(fields)):
+        join += f" FULL OUTER JOIN leg_{i} USING (id)"
+    scols = [f"COALESCE(CAST(s{i} AS DOUBLE), 0.0)" for i in range(len(fields))]
+    ssum = " + ".join(scols)
+    if match_type == "most_fields":
+        total = f"({ssum})"
+    else:
+        mx = f"greatest({', '.join(scols)})"
+        total = (
+            f"({mx} + {float(tie_breaker)!r} * (({ssum}) - {mx}))"
+            if tie_breaker
+            else mx
+        )
+    return f"""WITH {', '.join(legs)}
+SELECT id AS {id_col},
+       round(CAST(CAST({total} AS FLOAT) AS DOUBLE), 3) AS score_r
+FROM {join}
+ORDER BY CAST({total} AS FLOAT) DESC, id ASC
 LIMIT {int(k)}"""

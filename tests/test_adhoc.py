@@ -219,3 +219,93 @@ ORDER BY score DESC, doc_id ASC LIMIT 50"""
         exp = [(int(d), round(float(s), 9)) for d, s in duckdb.sql(sql).fetchall()]
         assert got == exp
         assert len(got) == 10
+
+
+class TestMultiMatch:
+    @pytest.fixture(scope="class")
+    def two_field_df(self, spark):
+        rows = [
+            (1, "alpha beta gamma", "news"),
+            (2, "alpha alpha delta", "blog"),
+            (3, "epsilon zeta", "news"),
+            (4, "beta beta beta", "wiki"),
+            (5, "no match here", "alpha"),   # matches only via field 2
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+    def test_best_fields_is_max(self, two_field_df):
+        from siem_on_amazon_opensearch_service_spark.operators.adhoc import bm25_adhoc_df, multi_match_df
+
+        legs = {}
+        for fld in ["text", "src"]:
+            import pyspark.sql.functions as F
+            leg = bm25_adhoc_df(
+                two_field_df.select("doc_id", F.col(fld).alias("text")),
+                "alpha OR news", k=None)
+            legs[fld] = {int(r["doc_id"]): float(r["score"]) for r in leg.collect()}
+        got = multi_match_df(two_field_df, "alpha OR news", ["text", "src"], k=10)
+        for r in got.collect():
+            d = int(r["doc_id"])
+            exp = max(legs["text"].get(d, 0.0), legs["src"].get(d, 0.0))
+            assert abs(float(r["score"]) - exp) < 1e-6
+        # doc 5 matches only through the src field but is still returned
+        assert 5 in {int(r["doc_id"]) for r in got.collect()}
+
+    def test_most_fields_is_sum(self, two_field_df):
+        from siem_on_amazon_opensearch_service_spark.operators.adhoc import bm25_adhoc_df, multi_match_df
+        import pyspark.sql.functions as F
+
+        legs = {}
+        for fld in ["text", "src"]:
+            leg = bm25_adhoc_df(
+                two_field_df.select("doc_id", F.col(fld).alias("text")),
+                "alpha OR news", k=None)
+            legs[fld] = {int(r["doc_id"]): float(r["score"]) for r in leg.collect()}
+        got = multi_match_df(
+            two_field_df, "alpha OR news", ["text", "src"], k=10,
+            match_type="most_fields")
+        for r in got.collect():
+            d = int(r["doc_id"])
+            exp = np.float32(legs["text"].get(d, 0.0) + legs["src"].get(d, 0.0))
+            assert abs(float(r["score"]) - float(exp)) < 1e-6
+
+    def test_tie_breaker_interpolates(self, two_field_df):
+        from siem_on_amazon_opensearch_service_spark.operators.adhoc import multi_match_df
+
+        best = {int(r["doc_id"]): float(r["score"]) for r in multi_match_df(
+            two_field_df, "alpha OR news", ["text", "src"], k=10).collect()}
+        most = {int(r["doc_id"]): float(r["score"]) for r in multi_match_df(
+            two_field_df, "alpha OR news", ["text", "src"], k=10,
+            match_type="most_fields").collect()}
+        half = {int(r["doc_id"]): float(r["score"]) for r in multi_match_df(
+            two_field_df, "alpha OR news", ["text", "src"], k=10,
+            tie_breaker=0.5).collect()}
+        for d, s in half.items():
+            assert best[d] - 1e-6 <= s <= most[d] + 1e-6
+
+    def test_rejects_bad_args(self, two_field_df):
+        from siem_on_amazon_opensearch_service_spark.operators.adhoc import multi_match_df
+
+        with pytest.raises(ValueError):
+            multi_match_df(two_field_df, "alpha", ["text"], k=5)
+        with pytest.raises(ValueError):
+            multi_match_df(two_field_df, "alpha", ["text", "src"], match_type="cross_fields")
+
+    def test_matches_duckdb(self, two_field_df, tmp_path):
+        from siem_on_amazon_opensearch_service_spark.operators.adhoc import multi_match_df
+        from siem_on_amazon_opensearch_service_spark.operators.sqloracle import multi_match_sql
+        import pyspark.sql.functions as F
+
+        p = str(tmp_path / "two_field.parquet")
+        two_field_df.toPandas().to_parquet(p)
+        for mt, tb in [("best_fields", 0.0), ("best_fields", 0.3), ("most_fields", 0.0)]:
+            got = [
+                (int(r["doc_id"]), round(float(r["score"]), 3))
+                for r in multi_match_df(
+                    two_field_df, "alpha OR news", ["text", "src"], k=10,
+                    match_type=mt, tie_breaker=tb).collect()
+            ]
+            sql = multi_match_sql(f"'{p}'", "alpha OR news", ["text", "src"],
+                                  k=10, match_type=mt, tie_breaker=tb)
+            exp = [(int(d), float(s)) for d, s in duckdb.sql(sql).fetchall()]
+            assert got == exp, (mt, tb)
