@@ -28,6 +28,7 @@ from .operators import aggs
 from .operators import adhoc, chunking, packing
 from .operators import geoagg, percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators.build import build_index
+from .plans import ppl
 from .sources import transcripts as tsrc
 
 GEN_ROOT = "/root/repo/_generated"
@@ -899,6 +900,36 @@ def q_events_categorize_text(spark, sf_dir):
     return aggs.categorize_text(
         _events(spark, sf_dir), F.expr(CATEGORIZE_MSG_SQL), n=10, n_tokens=6
     )
+
+
+#: PPL pipelines (plans/ppl): the OpenSearch pipe-syntax query surface,
+#: compiled to DataFrame ops AND to the DuckDB oracle from ONE parse.
+PPL_QUERIES = {
+    "ppl_stats_by": (
+        "search source=events | where value > 50 and event_type != 'view' "
+        "| stats count() as cnt, avg(value) as avg_v by event_type "
+        "| eval avg_r = round(avg_v, 4) | fields event_type, cnt, avg_r "
+        "| sort event_type"
+    ),
+    "ppl_top_values": "search source=events | top 3 event_type",
+    "ppl_dedup_sorted": (
+        "search source=events | sort value, event_id | dedup event_type "
+        "| fields event_type, event_id, value | sort event_type"
+    ),
+    "ppl_eval_head": (
+        "search source=events | eval v2 = value * 2 + 1 | where v2 >= 100 "
+        "| sort -v2, event_id | head 5 | fields event_id, v2"
+    ),
+}
+
+
+def _ppl_q(text: str):
+    def run(spark, sf_dir):
+        pipe = ppl.parse_ppl(text)
+        return pipe.to_df(spark, {"events": _events(spark, sf_dir),
+                                  "documents": _docs(spark, sf_dir)})
+
+    return run
 
 
 CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
@@ -3318,6 +3349,7 @@ ORDER BY query_id, cos DESC, vec_id"""
             f"WHERE ip_int >= {_cidr_lo} AND ip_int <= {_cidr_hi} "
             "GROUP BY event_type ORDER BY event_type"
         ),
+        **{name: ppl.parse_ppl(text).to_sql() for name, text in PPL_QUERIES.items()},
         "doc_chunks_sample": (
             "WITH s AS (SELECT * FROM documents "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100), "
@@ -3504,6 +3536,7 @@ def queries_map() -> dict:
             "bm25_termvectors": q_bm25_termvectors,
             "doc_packing_stats": q_doc_packing_stats,
             "doc_chunks_sample": q_doc_chunks_sample,
+            **{name: _ppl_q(text) for name, text in PPL_QUERIES.items()},
             "doc_chunk_stats": q_doc_chunk_stats,
             "doc_temperature_sample": q_doc_temperature_sample,
             "doc_denoising_pairs": q_doc_denoising_pairs,

@@ -1,0 +1,130 @@
+"""PPL pipeline compiler (plans/ppl): Spark vs DuckDB vs hand-computed."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from siem_on_amazon_opensearch_service_spark.plans.ppl import parse_ppl
+
+
+@pytest.fixture(scope="module")
+def tiny(spark, tmp_path_factory):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(12),
+            "event_type": ["click", "view", "click", "error", "view", "click",
+                           "error", "view", "click", "view", "error", "click"],
+            "user_id": [1, 1, 2, 2, 3, 3, 1, 2, 3, 1, 2, 3],
+            "value": [10.0, 55.5, 70.0, 30.0, 90.0, 55.5,
+                      20.0, 85.0, 60.0, 40.0, 95.0, 5.0],
+        }
+    )
+    p = str(tmp_path_factory.mktemp("ppl") / "events.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+    return spark.createDataFrame(pdf), con
+
+
+def run_both(tiny, q):
+    df, con = tiny
+    pipe = parse_ppl(q)
+    got = pipe.to_df(df.sparkSession, {"events": df}).toPandas()
+    exp = con.sql(pipe.to_sql()).df()
+    ga = got.reindex(sorted(got.columns), axis=1).sort_values(
+        sorted(got.columns)).reset_index(drop=True)
+    ea = exp.reindex(sorted(exp.columns), axis=1).sort_values(
+        sorted(exp.columns)).reset_index(drop=True)
+    assert list(ga.columns) == list(ea.columns), q
+    pd.testing.assert_frame_equal(
+        ga, ea, check_dtype=False, check_exact=False, rtol=0, atol=1e-12
+    )
+    return got
+
+
+QUERIES = [
+    "search source=events | where value > 50 | stats count() as cnt by event_type | sort event_type",
+    "search source=events | where value > 50 and event_type != 'view' | stats count() as cnt, avg(value) as a by event_type | eval ar = round(a, 4) | fields event_type, cnt, ar | sort event_type",
+    "search source=events | stats sum(value) as sv, min(value) as mn, max(value) as mx, distinct_count(user_id) as du",
+    "search source=events | eval v2 = value * 2 + 1 | where v2 >= 100 | sort -v2, event_id | head 3 | fields event_id, v2",
+    "search source=events | sort value, event_id | dedup event_type | fields event_type, event_id | sort event_type",
+    "search source=events | top 2 event_type",
+    "search source=events | rare 1 event_type",
+    "search source=events | top 1 event_type by user_id",
+    "search source=events | rename value as v | where v < 20 | fields event_id, v | sort event_id",
+    "search source=events | fields - user_id | where value > 90 | sort event_id",
+    "search source=events | where not (event_type = 'view' or value < 50) | stats count() as cnt",
+    "search source=events | where floor(value / 10) = 5 | stats count() as cnt",
+    "search source=events | eval b = coalesce(value, 0) % 7 | stats sum(b) as sb",
+    "search source=events | where length(event_type) = 5 | stats count() as cnt",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_spark_matches_duckdb(tiny, q):
+    run_both(tiny, q)
+
+
+def test_semantics_hand_checked(tiny):
+    got = run_both(
+        tiny,
+        "search source=events | where value > 50 | stats count() as cnt "
+        "by event_type | sort event_type",
+    )
+    assert {(r.event_type, r.cnt) for r in got.itertuples()} == {
+        ("click", 3), ("error", 1), ("view", 3)
+    }
+    got = run_both(tiny, "search source=events | top 2 event_type")
+    assert [(r.event_type, r.cnt) for r in got.itertuples()] == [
+        ("click", 5), ("view", 4)
+    ]
+    got = run_both(
+        tiny,
+        "search source=events | sort value, event_id | dedup event_type "
+        "| fields event_type, event_id | sort event_type",
+    )
+    # lowest-value row per type: click id 11 (5.0), error id 6 (20.0),
+    # view id 9 (40.0)
+    assert [(r.event_type, r.event_id) for r in got.itertuples()] == [
+        ("click", 11), ("error", 6), ("view", 9)
+    ]
+
+
+def test_dedup_tie_respects_sort_tiebreaker(tiny):
+    # values 55.5 appear twice for ids 1 (view) and 5 (click): within each
+    # type the event_id tiebreaker decides deterministically
+    got = run_both(
+        tiny,
+        "search source=events | where value = 55.5 | sort value, event_id "
+        "| dedup event_type | fields event_type, event_id | sort event_type",
+    )
+    assert [(r.event_type, r.event_id) for r in got.itertuples()] == [
+        ("click", 5), ("view", 1)
+    ]
+
+
+@pytest.mark.parametrize("bad", [
+    "where x = 1",                                     # no search source
+    "search source=events | head 5",                   # head without sort
+    "search source=events | dedup event_type",         # dedup without sort
+    "search source=events | stats median(value)",      # unknown agg
+    "search source=events | frobnicate",               # unknown command
+    "search source=events | where value ~ 3",          # bad operator
+    "search source=events | eval x = nosuchfn(1)",     # unknown function
+    "search source=events | where sort = 1",           # keyword as field
+    "search source=events | stats sum() as s",         # sum needs an arg
+    "search source=events | head 2.5",                 # non-integer head
+])
+def test_rejects(bad, tiny):
+    df, _ = tiny
+    with pytest.raises(ValueError):
+        pipe = parse_ppl(bad)
+        pipe.to_df(df.sparkSession, {"events": df}).collect()
+
+
+def test_unknown_source(tiny):
+    df, _ = tiny
+    with pytest.raises(ValueError):
+        parse_ppl("search source=nope | head 1").to_df(
+            df.sparkSession, {"events": df}
+        )
