@@ -920,6 +920,19 @@ PPL_QUERIES = {
         "search source=events | eval v2 = value * 2 + 1 | where v2 >= 100 "
         "| sort -v2, event_id | head 5 | fields event_id, v2"
     ),
+    "ppl_span_histogram": (
+        "search source=events | stats count() as cnt, distinct_count(user_id) as du "
+        "by span(ts, 1d), event_type | sort ts_span, event_type"
+    ),
+    "ppl_eventstats_share": (
+        "search source=events | eventstats count() as n by event_type "
+        "| where n > 1900 | stats count() as cnt by event_type | sort event_type"
+    ),
+    "ppl_parse_extract": (
+        "search source=events | parse props '([0-9]+)' as kstr "
+        "| where kstr != '' | stats count() as cnt, max(kstr) as mk by event_type "
+        "| sort event_type"
+    ),
 }
 
 

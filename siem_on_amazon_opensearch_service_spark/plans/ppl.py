@@ -7,7 +7,8 @@ PPL is the second query surface an OpenSearch SIEM user runs every day
 
 This module parses the command pipeline the OpenSearch SQL plugin's PPL
 grammar exposes (the deterministic core: search/where/fields/eval/rename/
-stats/sort/head/dedup/top/rare) and compiles it BOTH ways:
+stats [with span() time buckets]/eventstats/parse/sort/head/dedup/top/
+rare) and compiles it BOTH ways:
 
 - ``Pipeline.to_df(spark, tables)`` — fold over DataFrame operators
   (filter/select/withColumn/groupBy/window);
@@ -63,9 +64,11 @@ _FUNCS = {
     "round": 2, "coalesce": 2,
 }
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "distinct_count"}
+_SPAN_UNITS = {"m": "minute", "h": "hour", "d": "day"}
 _KEYWORDS = {
     "search", "source", "where", "fields", "eval", "rename", "stats",
-    "sort", "head", "dedup", "top", "rare", "by", "as", "and", "or", "not",
+    "eventstats", "parse", "sort", "head", "dedup", "top", "rare",
+    "by", "as", "and", "or", "not",
 }
 
 
@@ -251,7 +254,20 @@ class Rename:
 @dataclass
 class Stats:
     aggs: list  # [(fn, arg|None, alias)]
-    by: list
+    by: list  # [(sql_expr, out_name)] — plain fields have expr == name
+
+
+@dataclass
+class EventStats:
+    aggs: list  # [(fn, arg|None, alias)] — window aggs, rows kept
+    by: list  # [str]
+
+
+@dataclass
+class Parse:
+    field: str
+    regex: str
+    name: str
 
 
 @dataclass
@@ -309,8 +325,20 @@ class Pipeline:
                 aggs = [
                     _spark_agg(fn, arg).alias(alias) for fn, arg, alias in c.aggs
                 ]
-                df = df.groupBy(*c.by).agg(*aggs) if c.by else df.agg(*aggs)
+                if c.by:
+                    keys = [F.expr(e).alias(a) for e, a in c.by]
+                    df = df.groupBy(*keys).agg(*aggs)
+                else:
+                    df = df.agg(*aggs)
                 sort = None
+            elif isinstance(c, EventStats):
+                w = Window.partitionBy(*c.by)
+                for fn, arg, alias in c.aggs:
+                    df = df.withColumn(alias, _spark_agg(fn, arg).over(w))
+            elif isinstance(c, Parse):
+                df = df.withColumn(
+                    c.name, F.expr(f"regexp_extract({c.field}, '{c.regex}', 1)")
+                )
             elif isinstance(c, Sort):
                 sort = c.keys
             elif isinstance(c, Head):
@@ -376,11 +404,26 @@ class Pipeline:
                     f"{_sql_agg(fn, arg)} AS {alias}" for fn, arg, alias in c.aggs
                 )
                 if c.by:
-                    by = ", ".join(c.by)
-                    q = f"SELECT {by}, {aggs} FROM ({q}) GROUP BY {by}"
+                    sel = ", ".join(f"{e} AS {a}" for e, a in c.by)
+                    grp = ", ".join(e for e, _ in c.by)
+                    q = f"SELECT {sel}, {aggs} FROM ({q}) GROUP BY {grp}"
                 else:
                     q = f"SELECT {aggs} FROM ({q})"
                 sort = None
+            elif isinstance(c, EventStats):
+                over = (
+                    f"OVER (PARTITION BY {', '.join(c.by)})" if c.by else "OVER ()"
+                )
+                adds = ", ".join(
+                    f"{_sql_agg(fn, arg)} {over} AS {alias}"
+                    for fn, arg, alias in c.aggs
+                )
+                q = f"SELECT *, {adds} FROM ({q})"
+            elif isinstance(c, Parse):
+                q = (
+                    f"SELECT *, regexp_extract({c.field}, '{c.regex}', 1) "
+                    f"AS {c.name} FROM ({q})"
+                )
             elif isinstance(c, Sort):
                 sort = c.keys
             elif isinstance(c, Head):
@@ -432,6 +475,49 @@ def _sql_agg(fn: str, arg: str | None) -> str:
 # --------------------------------------------------------------------------
 # pipeline parsing
 
+def _parse_aggs(p: _P) -> list:
+    aggs = []
+    i = 0
+    while True:
+        fn = p.expect_name().lower()
+        if fn not in _AGG_FUNCS:
+            raise ValueError(f"PPL: unknown agg {fn!r}")
+        p.expect_op("(")
+        arg = None
+        if not p.eat_op(")"):
+            arg = p.expect_name()
+            p.expect_op(")")
+        if fn != "count" and arg is None:
+            raise ValueError(f"PPL: {fn} needs a field argument")
+        alias = p.expect_name() if p.kw("as") else f"agg{i}"
+        aggs.append((fn, arg, alias))
+        i += 1
+        if not p.eat_op(","):
+            break
+    return aggs
+
+
+def _parse_by_item(p: _P) -> tuple[str, str]:
+    """A stats by-item: a plain field, or ``span(field, 1d)`` time
+    bucketing (PPL's date_histogram-in-the-pipe) — unit spans only (1m/
+    1h/1d, the date_trunc grains both engines share; n>1 spans would need
+    epoch arithmetic with diverging timestamp codecs, refused loudly)."""
+    name = p.expect_name()
+    if name.lower() == "span":
+        p.expect_op("(")
+        fld = p.expect_name()
+        p.expect_op(",")
+        k, v = p.next()
+        if k != "num" or v != "1":
+            raise ValueError("PPL: span supports 1m/1h/1d only")
+        unit = p.expect_name().lower()
+        if unit not in _SPAN_UNITS:
+            raise ValueError(f"PPL: unknown span unit {unit!r}")
+        p.expect_op(")")
+        return (f"date_trunc('{_SPAN_UNITS[unit]}', {fld})", f"{fld}_span")
+    return (name, name)
+
+
 def parse_ppl(text: str) -> Pipeline:
     p = _P(_lex(text))
     p.kw("search")  # optional leading 'search'
@@ -470,31 +556,36 @@ def parse_ppl(text: str) -> Pipeline:
                 if not p.eat_op(","):
                     break
             pipe.commands.append(Rename(pairs))
-        elif cmd == "stats":
-            aggs = []
-            i = 0
-            while True:
-                fn = p.expect_name().lower()
-                if fn not in _AGG_FUNCS:
-                    raise ValueError(f"PPL: unknown agg {fn!r}")
-                p.expect_op("(")
-                arg = None
-                if not p.eat_op(")"):
-                    arg = p.expect_name()
-                    p.expect_op(")")
-                if fn != "count" and arg is None:
-                    raise ValueError(f"PPL: {fn} needs a field argument")
-                alias = p.expect_name() if p.kw("as") else f"agg{i}"
-                aggs.append((fn, arg, alias))
-                i += 1
-                if not p.eat_op(","):
-                    break
+        elif cmd in ("stats", "eventstats"):
+            aggs = _parse_aggs(p)
             by = []
             if p.kw("by"):
-                by.append(p.expect_name())
+                by.append(_parse_by_item(p))
                 while p.eat_op(","):
-                    by.append(p.expect_name())
-            pipe.commands.append(Stats(aggs, by))
+                    by.append(_parse_by_item(p))
+            if cmd == "stats":
+                pipe.commands.append(Stats(aggs, by))
+            else:
+                if any(e != a for e, a in by):
+                    raise ValueError("PPL: eventstats by takes plain fields")
+                pipe.commands.append(EventStats(aggs, [a for _, a in by]))
+        elif cmd == "parse":
+            fld = p.expect_name()
+            k, v = p.next()
+            if k != "str":
+                raise ValueError("PPL: parse needs a quoted regex")
+            regex = v[1:-1]
+            if "\\" in regex or "'" in regex:
+                # Spark string literals unescape backslashes, DuckDB's do
+                # not — refuse the divergence instead of silently differing;
+                # character classes ([0-9]+ etc.) express the same patterns
+                raise ValueError(
+                    "PPL: parse regex may not contain backslashes or quotes "
+                    "(use character classes)"
+                )
+            if not p.kw("as"):
+                raise ValueError("PPL: parse needs 'as <name>'")
+            pipe.commands.append(Parse(fld, regex, p.expect_name()))
         elif cmd == "sort":
             keys = []
             while True:

@@ -128,3 +128,79 @@ def test_unknown_source(tiny):
         parse_ppl("search source=nope | head 1").to_df(
             df.sparkSession, {"events": df}
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_ts(spark, tmp_path_factory):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "event_type": ["a", "b", "a", "b", "a", "b", "a", "b"],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+            "props": ['{"k": 87}', '{"k": 3}', "none", '{"k": 12}',
+                      '{"k": 5}', "x", '{"k": 1}', '{"k": 44}'],
+            "ts": pd.to_datetime(
+                ["2025-06-01 10:15", "2025-06-01 11:45", "2025-06-01 11:59",
+                 "2025-06-02 00:01", "2025-06-02 10:15", "2025-06-02 10:59",
+                 "2025-06-03 23:59", "2025-06-03 00:00"]),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("pplts") / "events.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+    return spark.createDataFrame(pdf), con
+
+
+TS_QUERIES = [
+    "search source=events | stats count() as cnt by span(ts, 1d) | sort ts_span",
+    "search source=events | stats count() as cnt, max(value) as mx by span(ts, 1h), event_type | sort ts_span, event_type",
+    "search source=events | eventstats count() as n, max(value) as mx by event_type | fields event_id, n, mx | sort event_id",
+    "search source=events | eventstats sum(value) as total | eval share = round(value / total, 6) | fields event_id, share | sort event_id",
+    "search source=events | parse props '([0-9]+)' as kstr | where kstr != '' | fields event_id, kstr | sort event_id",
+]
+
+
+@pytest.mark.parametrize("q", TS_QUERIES)
+def test_span_eventstats_parse_cross_engine(tiny_ts, q):
+    run_both(tiny_ts, q)
+
+
+def test_span_semantics(tiny_ts):
+    got = run_both(
+        tiny_ts,
+        "search source=events | stats count() as cnt by span(ts, 1d) | sort ts_span",
+    )
+    assert [int(r.cnt) for r in got.itertuples()] == [3, 3, 2]
+
+
+def test_eventstats_keeps_rows(tiny_ts):
+    got = run_both(
+        tiny_ts,
+        "search source=events | eventstats count() as n by event_type "
+        "| fields event_id, n | sort event_id",
+    )
+    assert len(got) == 8
+    assert set(got["n"]) == {4}
+
+
+def test_parse_extracts(tiny_ts):
+    got = run_both(
+        tiny_ts,
+        "search source=events | parse props '([0-9]+)' as kstr "
+        "| where kstr = '87' | fields event_id | sort event_id",
+    )
+    assert list(got["event_id"]) == [0]
+
+
+@pytest.mark.parametrize("bad", [
+    "search source=events | stats count() by span(ts, 5m)",
+    "search source=events | stats count() by span(ts, 1w)",
+    "search source=events | eventstats count() as n by span(ts, 1d)",
+    r"search source=events | parse props '(\d+)' as k",
+    "search source=events | parse props missing_quotes as k",
+])
+def test_rejects_v2(bad, tiny_ts):
+    df, _ = tiny_ts
+    with pytest.raises(ValueError):
+        parse_ppl(bad).to_df(df.sparkSession, {"events": df}).collect()
