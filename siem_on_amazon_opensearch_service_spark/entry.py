@@ -29,6 +29,7 @@ from .operators import adhoc, chunking, packing
 from .operators import geoagg, percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators.build import build_index
 from .plans import ppl
+from .streaming import alerts
 from .sources import transcripts as tsrc
 
 GEN_ROOT = "/root/repo/_generated"
@@ -842,6 +843,10 @@ def q_events_ip_range(spark, sf_dir):
     return geoagg.ip_range_agg(_events_geo(spark, sf_dir), F.col("ip_int"), IP_RANGES)
 
 
+def q_events_ip_prefix(spark, sf_dir):
+    return geoagg.ip_prefix_agg(_events_geo(spark, sf_dir), "ip_int", 4, n=16)
+
+
 def q_events_cidr_filter(spark, sf_dir):
     g = _events_geo(spark, sf_dir)
     return (
@@ -943,6 +948,22 @@ def _ppl_q(text: str):
                                   "documents": _docs(spark, sf_dir)})
 
     return run
+
+
+ALARM_THRESHOLD, ALARM_M = 4, 2
+
+
+def q_events_threshold_alerts(spark, sf_dir):
+    """CloudWatch-style threshold alarm over the error-rate metric
+    (streaming/alerts; reference es_loader_stopper): hourly error counts,
+    ALARM after 2 consecutive breaches of >= 4, transitions only."""
+    dp = alerts.alarm_datapoints(
+        _events(spark, sf_dir), "ts", F.col("event_type") == "error", "hour"
+    )
+    tl = alerts.threshold_alarm_batch(
+        dp, threshold=ALARM_THRESHOLD, m=ALARM_M, rule="error_rate"
+    )
+    return alerts.alarm_transitions(tl).orderBy("bucket")
 
 
 CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
@@ -3357,12 +3378,27 @@ ORDER BY query_id, cos DESC, vec_id"""
         "events_ip_range": (
             f"WITH g AS ({GEO_CTE}) SELECT {', '.join(_ip_parts)} FROM g"
         ),
+        "events_ip_prefix": (
+            f"WITH g AS ({GEO_CTE}) "
+            f"SELECT {geoagg.ip_prefix_key_sql('ip_int', 4)} AS key, count(*) AS cnt "
+            "FROM g GROUP BY key, CAST(floor(ip_int / 268435456) AS BIGINT) "
+            "ORDER BY CAST(floor(ip_int / 268435456) AS BIGINT) LIMIT 16"
+        ),
         "events_cidr_filter": (
             f"WITH g AS ({GEO_CTE}) SELECT event_type, count(*) AS cnt FROM g "
             f"WHERE ip_int >= {_cidr_lo} AND ip_int <= {_cidr_hi} "
             "GROUP BY event_type ORDER BY event_type"
         ),
         **{name: ppl.parse_ppl(text).to_sql() for name, text in PPL_QUERIES.items()},
+        "events_threshold_alerts": (
+            "SELECT * FROM ("
+            + alerts.threshold_alarm_sql(
+                "SELECT date_trunc('hour', ts) AS bucket, count(*) AS metric "
+                "FROM events WHERE event_type = 'error' GROUP BY 1",
+                threshold=ALARM_THRESHOLD, m=ALARM_M, rule="error_rate",
+            )
+            + ") WHERE state <> prev_state ORDER BY bucket"
+        ),
         "doc_chunks_sample": (
             "WITH s AS (SELECT * FROM documents "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100), "
@@ -3506,6 +3542,7 @@ def queries_map() -> dict:
             "events_geo_bounds": q_events_geo_bounds,
             "events_geo_distance": q_events_geo_distance,
             "events_ip_range": q_events_ip_range,
+            "events_ip_prefix": q_events_ip_prefix,
             "events_cidr_filter": q_events_cidr_filter,
             "events_geo_bbox_filter": q_events_geo_bbox_filter,
             "events_geo_distance_filter": q_events_geo_distance_filter,
@@ -3550,6 +3587,7 @@ def queries_map() -> dict:
             "doc_packing_stats": q_doc_packing_stats,
             "doc_chunks_sample": q_doc_chunks_sample,
             **{name: _ppl_q(text) for name, text in PPL_QUERIES.items()},
+            "events_threshold_alerts": q_events_threshold_alerts,
             "doc_chunk_stats": q_doc_chunk_stats,
             "doc_temperature_sample": q_doc_temperature_sample,
             "doc_denoising_pairs": q_doc_denoising_pairs,

@@ -210,6 +210,43 @@ def ip_dotted(ip_int: Column) -> Column:
     )
 
 
+def ip_prefix_key_sql(ip_sql: str, length: int) -> str:
+    """OpenSearch ``ip_prefix`` agg bucket key — the dotted network
+    address of the ``length``-bit prefix plus ``/length`` — as one
+    dialect-common SQL expression over an integer-encoded IPv4 column
+    (floor-divide masks the host bits; octets by divide/modulo)."""
+    if not 1 <= length <= 32:
+        raise ValueError(f"ip_prefix: length must be in [1, 32], got {length}")
+    block = 1 << (32 - length)
+    pfx = f"(CAST(floor(({ip_sql}) / {block}) AS BIGINT) * {block})"
+    octets = [
+        f"CAST(CAST(floor({pfx} / {1 << 24}) AS BIGINT) % 256 AS STRING)",
+        f"CAST(CAST(floor({pfx} / {1 << 16}) AS BIGINT) % 256 AS STRING)",
+        f"CAST(CAST(floor({pfx} / {1 << 8}) AS BIGINT) % 256 AS STRING)",
+        f"CAST({pfx} % 256 AS STRING)",
+    ]
+    dotted = "concat(" + ", '.', ".join(octets) + f", '/{length}')"
+    return dotted
+
+
+def ip_prefix_agg(df: DataFrame, ip_sql: str, length: int, n: int = 20) -> DataFrame:
+    """OpenSearch ``ip_prefix``: count per network prefix, buckets in
+    prefix (numeric IP) order, top ``n``.  One hash aggregation over a
+    codegen'd key — no UDF, map-side combinable."""
+    block = 1 << (32 - length)
+    pfx_int = F.expr(f"CAST(floor(({ip_sql}) / {block}) AS BIGINT)")
+    return (
+        df.groupBy(
+            F.expr(ip_prefix_key_sql(ip_sql, length)).alias("key"),
+            pfx_int.alias("__p"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("__p")
+        .limit(n)
+        .select("key", "cnt")
+    )
+
+
 def ip_range_agg(df: DataFrame, ip_int: Column, ranges: list[tuple[str, str | None, str | None]]) -> DataFrame:
     """OpenSearch ``ip_range`` agg: named buckets with dotted ``from``
     (inclusive) / ``to`` (exclusive) edges, a doc counted in EVERY bucket

@@ -156,6 +156,19 @@ def test_ip_range_agg_counts(spark):
     assert (out.lo, out.hi, out.all) == (8, 8, 16)
 
 
+def test_ip_prefix_agg(spark):
+    ips = [0x0A000001, 0x0A0000FF, 0x0A010000, 0xC0A80101, 0xC0A80202, 0xFFFFFFFF]
+    df = spark.createDataFrame([(i,) for i in ips], "ip_int long")
+    out = geoagg.ip_prefix_agg(df, "ip_int", 16, n=10).collect()
+    got = [(r.key, r.cnt) for r in out]
+    assert got == [("10.0.0.0/16", 2), ("10.1.0.0/16", 1),
+                   ("192.168.0.0/16", 2), ("255.255.0.0/16", 1)]
+    out24 = geoagg.ip_prefix_agg(df, "ip_int", 24, n=10).collect()
+    assert ("192.168.1.0/24", 1) in [(r.key, r.cnt) for r in out24]
+    with pytest.raises(ValueError):
+        geoagg.ip_prefix_key_sql("ip_int", 0)
+
+
 def test_geo_distance_ladder(pts):
     out = geoagg.geo_distance_agg(
         pts, geoagg.haversine_km_sql("lat", "lon", 35.68, 139.69), [3000.0, 12000.0]
