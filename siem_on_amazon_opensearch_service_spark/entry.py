@@ -574,6 +574,25 @@ BOOSTING_SPEC = {
 }
 
 
+IDS_QUERY = [3, 17, 42, 99]
+PINNED_SPEC = {"pinned_ids": [17, 3], "organic_query": "error AND timeout", "k": 10}
+
+
+def q_bm25_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ids query: constant-score docs-store fetch by docid."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    return relevance.ids_query_df(spark, idx, IDS_QUERY)
+
+
+def q_bm25_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch pinned query: promoted ids first in given order, organic
+    hits fill to k."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    return relevance.pinned_query_df(spark, idx, **PINNED_SPEC)
+
+
 def q_bm25_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene dis_max: best-clause score + tie_breaker * rest."""
     _prep(spark)
@@ -2359,6 +2378,19 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_span_multi_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "span_multi(re*)", k=10
     )
+    bm["bm25_ids_query"] = (
+        "SELECT docid, role, tool, ts, CAST(1.0 AS FLOAT) AS score FROM ("
+        "  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid, "
+        f"         role, tool, ts FROM read_parquet('{ORACLE_TRANSCRIPTS}')"
+        f") WHERE docid IN ({', '.join(map(str, IDS_QUERY))}) ORDER BY docid"
+    )
+    bm["bm25_pinned_query"] = relevance.pinned_query_sql(
+        sqloracle.bm25_sql(
+            ORACLE_TRANSCRIPTS, PINNED_SPEC["organic_query"],
+            k=PINNED_SPEC["k"] + len(PINNED_SPEC["pinned_ids"]),
+        ),
+        PINNED_SPEC["pinned_ids"], PINNED_SPEC["k"],
+    )
     bm["bm25_terms_set_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "timeout OR refused OR denied OR failed",
         k=10, minimum_should_match=2,
@@ -3484,6 +3516,8 @@ def queries_map() -> dict:
     q["bm25_phrase_suggest"] = q_bm25_phrase_suggest
     q["bm25_function_score_warm"] = q_bm25_function_score_warm
     q["bm25_dis_max"] = q_bm25_dis_max
+    q["bm25_ids_query"] = q_bm25_ids_query
+    q["bm25_pinned_query"] = q_bm25_pinned_query
     q["bm25_boosting"] = q_bm25_boosting
     q["bm25_constant_score"] = q_bm25_constant_score
     q["bm25_distance_feature"] = q_bm25_distance_feature

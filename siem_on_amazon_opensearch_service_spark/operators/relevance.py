@@ -878,3 +878,85 @@ FROM (
   ORDER BY score DESC, c.docid ASC
   LIMIT {k}
 )"""
+
+
+def ids_query_df(spark: SparkSession, index_dir: str, ids: list[int]) -> DataFrame:
+    """OpenSearch ``ids`` query: constant-score fetch of explicit docids
+    (Lucene TermInSetQuery over _id).  A pushdown-friendly IN predicate on
+    the docid-sorted docs parquet — row-group pruning keeps the scan
+    O(touched groups) at corpus scale.  Rows ordered by docid; score is
+    the constant 1.0 every non-scoring filter context yields."""
+    if not ids:
+        raise ValueError("ids query: empty id list")
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    return (
+        docs.filter(F.col("docid").isin([int(i) for i in ids]))
+        .select(
+            "docid", "role", "tool", "ts",
+            F.lit(1.0).cast("float").alias("score"),
+        )
+        .orderBy("docid")
+    )
+
+
+def pinned_query_df(
+    spark: SparkSession,
+    index_dir: str,
+    pinned_ids: list[int],
+    organic_query: str,
+    k: int = 10,
+) -> DataFrame:
+    """OpenSearch ``pinned`` query: the given ids rank first IN THE GIVEN
+    ORDER (whether or not they match), then organic hits with pinned ids
+    removed, filling to ``k`` total.  Output (docid, rnk, pinned).
+
+    Frozen determinism contract: organic order is (round-3 score desc,
+    docid asc) — the engine's float32 scores could permute round-3 ties
+    relative to any oracle, so BOTH sides rank on the rounded value (the
+    cross-engine rank rule from the RRF operator).  All window ops run
+    over <= k + |pinned| rows."""
+    if not pinned_ids:
+        raise ValueError("pinned query: empty pinned list")
+    npin = len(pinned_ids)
+    if npin >= k:
+        raise ValueError(f"pinned query: need k > |pinned| ({npin})")
+    from pyspark.sql.window import Window
+
+    pinned = spark.createDataFrame(
+        [(int(d), i + 1) for i, d in enumerate(pinned_ids)], "docid long, rnk long"
+    )
+    organic = search_df(spark, index_dir, organic_query, k=k + npin).select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+    org = organic.join(pinned.select("docid"), "docid", "left_anti")
+    w = Window.orderBy(F.col("score_r").desc(), F.col("docid").asc())
+    org = (
+        org.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k - npin)
+        .select("docid", (F.col("__r") + npin).cast("long").alias("rnk"))
+    )
+    out = pinned.select("docid", "rnk", F.lit(True).alias("pinned")).unionByName(
+        org.select("docid", "rnk", F.lit(False).alias("pinned"))
+    )
+    return out.orderBy("rnk")
+
+
+def pinned_query_sql(
+    organic_sql: str, pinned_ids: list[int], k: int
+) -> str:
+    """DuckDB replay of pinned_query_df given the organic top-(k+P)
+    statement (docid, score_r)."""
+    npin = len(pinned_ids)
+    vals = ", ".join(f"({int(d)}, {i + 1})" for i, d in enumerate(pinned_ids))
+    notin = ", ".join(str(int(d)) for d in pinned_ids)
+    return f"""
+WITH p(docid, rnk) AS (VALUES {vals}),
+organic AS (SELECT docid, score_r FROM ({organic_sql})),
+org2 AS (
+  SELECT docid, row_number() OVER (ORDER BY score_r DESC, docid ASC) AS r
+  FROM organic WHERE docid NOT IN ({notin}))
+SELECT CAST(docid AS BIGINT) AS docid, CAST(rnk AS BIGINT) AS rnk, TRUE AS pinned FROM p
+UNION ALL
+SELECT docid, r + {npin} AS rnk, FALSE FROM org2 WHERE r <= {int(k) - npin}
+ORDER BY rnk
+"""
