@@ -957,14 +957,29 @@ PPL_QUERIES = {
         "| where kstr != '' | stats count() as cnt, max(kstr) as mk by event_type "
         "| sort event_type"
     ),
+    "ppl_lookup_enrich": (
+        "search source=orders | lookup customer c_custkey as o_custkey "
+        "| stats count() as cnt, distinct_count(c_nationkey) as dn "
+        "by c_mktsegment | sort c_mktsegment"
+    ),
 }
+
+
+_PPL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents",
+]
 
 
 def _ppl_q(text: str):
     def run(spark, sf_dir):
         pipe = ppl.parse_ppl(text)
-        return pipe.to_df(spark, {"events": _events(spark, sf_dir),
-                                  "documents": _docs(spark, sf_dir)})
+        _prep(spark)
+        tables = {
+            t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in _PPL_TABLES
+        }
+        return pipe.to_df(spark, tables)
 
     return run
 

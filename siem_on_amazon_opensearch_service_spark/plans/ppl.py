@@ -7,8 +7,8 @@ PPL is the second query surface an OpenSearch SIEM user runs every day
 
 This module parses the command pipeline the OpenSearch SQL plugin's PPL
 grammar exposes (the deterministic core: search/where/fields/eval/rename/
-stats [with span() time buckets]/eventstats/parse/sort/head/dedup/top/
-rare) and compiles it BOTH ways:
+stats [with span() time buckets]/eventstats/parse/lookup/sort/head/dedup/
+top/rare) and compiles it BOTH ways:
 
 - ``Pipeline.to_df(spark, tables)`` — fold over DataFrame operators
   (filter/select/withColumn/groupBy/window);
@@ -67,7 +67,7 @@ _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "distinct_count"}
 _SPAN_UNITS = {"m": "minute", "h": "hour", "d": "day"}
 _KEYWORDS = {
     "search", "source", "where", "fields", "eval", "rename", "stats",
-    "eventstats", "parse", "sort", "head", "dedup", "top", "rare",
+    "eventstats", "parse", "lookup", "sort", "head", "dedup", "top", "rare",
     "by", "as", "and", "or", "not",
 }
 
@@ -271,6 +271,13 @@ class Parse:
 
 
 @dataclass
+class Lookup:
+    table: str
+    key: str          # field in the lookup table
+    local: str        # matching field in the pipeline (== key when no 'as')
+
+
+@dataclass
 class Sort:
     keys: list  # [(field, desc)]
 
@@ -339,6 +346,19 @@ class Pipeline:
                 df = df.withColumn(
                     c.name, F.expr(f"regexp_extract({c.field}, '{c.regex}', 1)")
                 )
+            elif isinstance(c, Lookup):
+                if c.table not in tables:
+                    raise ValueError(f"PPL: unknown lookup table {c.table!r}")
+                lt = tables[c.table]
+                # enrichment joins broadcast the lookup side — dimension
+                # tables (IOC lists, geo feeds, customer dims) are small
+                # next to the event stream, so no event-side shuffle
+                if c.local == c.key:
+                    df = df.join(F.broadcast(lt), c.key, "left")
+                else:
+                    df = df.join(
+                        F.broadcast(lt), df[c.local] == lt[c.key], "left"
+                    )
             elif isinstance(c, Sort):
                 sort = c.keys
             elif isinstance(c, Head):
@@ -424,6 +444,15 @@ class Pipeline:
                     f"SELECT *, regexp_extract({c.field}, '{c.regex}', 1) "
                     f"AS {c.name} FROM ({q})"
                 )
+            elif isinstance(c, Lookup):
+                rel = (tables or {}).get(c.table, c.table)
+                if c.local == c.key:
+                    q = f"SELECT * FROM ({q}) LEFT JOIN {rel} USING ({c.key})"
+                else:
+                    q = (
+                        f"SELECT * FROM ({q}) l LEFT JOIN {rel} r "
+                        f"ON l.{c.local} = r.{c.key}"
+                    )
             elif isinstance(c, Sort):
                 sort = c.keys
             elif isinstance(c, Head):
@@ -569,6 +598,11 @@ def parse_ppl(text: str) -> Pipeline:
                 if any(e != a for e, a in by):
                     raise ValueError("PPL: eventstats by takes plain fields")
                 pipe.commands.append(EventStats(aggs, [a for _, a in by]))
+        elif cmd == "lookup":
+            table = p.expect_name()
+            key = p.expect_name()
+            local = p.expect_name() if p.kw("as") else key
+            pipe.commands.append(Lookup(table, key, local))
         elif cmd == "parse":
             fld = p.expect_name()
             k, v = p.next()

@@ -204,3 +204,60 @@ def test_rejects_v2(bad, tiny_ts):
     df, _ = tiny_ts
     with pytest.raises(ValueError):
         parse_ppl(bad).to_df(df.sparkSession, {"events": df}).collect()
+
+
+@pytest.fixture(scope="module")
+def lookup_tables(spark, tmp_path_factory):
+    ev = pd.DataFrame({"event_id": [1, 2, 3, 4], "uid": [10, 20, 10, 99],
+                       "value": [1.0, 2.0, 3.0, 4.0]})
+    users = pd.DataFrame({"uid": [10, 20, 30], "tier": ["gold", "silver", "gold"]})
+    d = tmp_path_factory.mktemp("ppl_lu")
+    ev.to_parquet(str(d / "ev.parquet")); users.to_parquet(str(d / "users.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{d}/ev.parquet')")
+    con.sql(f"CREATE VIEW users AS SELECT * FROM read_parquet('{d}/users.parquet')")
+    return {"ev": spark.createDataFrame(ev), "users": spark.createDataFrame(users)}, con
+
+
+def test_lookup_same_name_key(lookup_tables):
+    tables, con = lookup_tables
+    q = ("search source=ev | lookup users uid "
+         "| stats count() as cnt by tier | sort tier")
+    pipe = parse_ppl(q)
+    got = pipe.to_df(tables["ev"].sparkSession, tables).toPandas()
+    exp = con.sql(pipe.to_sql()).df()
+    # uid 99 has no user -> NULL tier bucket in both engines
+    assert sorted(map(tuple, got.astype(str).values.tolist())) == \
+           sorted(map(tuple, exp.astype(str).values.tolist()))
+    by = {r.tier: r.cnt for r in got.itertuples()}
+    assert by["gold"] == 2 and by["silver"] == 1
+
+
+def test_lookup_aliased_key(spark, lookup_tables, tmp_path):
+    tables, con = lookup_tables
+    ev2 = tables["ev"].withColumnRenamed("uid", "user_ref")
+    p = str(tmp_path / "ev2.parquet")
+    ev2.toPandas().to_parquet(p)
+    con.sql(f"CREATE VIEW ev2 AS SELECT * FROM read_parquet('{p}')")
+    q = ("search source=ev2 | lookup users uid as user_ref "
+         "| where tier = 'gold' | fields event_id, tier | sort event_id")
+    pipe = parse_ppl(q)
+    got = pipe.to_df(spark, {**tables, "ev2": ev2}).toPandas()
+    exp = con.sql(pipe.to_sql()).df()
+    assert got.astype(str).values.tolist() == exp.astype(str).values.tolist()
+    assert list(got["event_id"]) == [1, 3]
+
+
+def test_lookup_broadcast_in_plan(lookup_tables):
+    tables, _ = lookup_tables
+    pipe = parse_ppl("search source=ev | lookup users uid")
+    df = pipe.to_df(tables["ev"].sparkSession, tables)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lookup_unknown_table(lookup_tables):
+    tables, _ = lookup_tables
+    with pytest.raises(ValueError):
+        parse_ppl("search source=ev | lookup nope uid").to_df(
+            tables["ev"].sparkSession, tables)
