@@ -984,6 +984,23 @@ def _ppl_q(text: str):
     return run
 
 
+def q_events_geo_sorted(spark, sf_dir):
+    """Distance-sorted hits (the OpenSearch geo_distance sort): ten events
+    nearest the origin, ordered (round-6 km asc, event_id asc)."""
+    g = _events_geo(spark, sf_dir)
+    d = F.expr(geoagg.haversine_km_sql("lat", "lon", *GEO_ORIGIN))
+    return (
+        g.select("event_id", d.alias("dist_km"))
+        .orderBy("dist_km", "event_id")
+        .limit(10)
+    )
+
+
+def q_doc_token_estimates(spark, sf_dir):
+    """Corpus token budget: whitespace-analyzer vs BPE-ish estimate."""
+    return textstats.token_estimates(_docs(spark, sf_dir))
+
+
 ALARM_THRESHOLD, ALARM_M = 4, 2
 
 
@@ -3462,6 +3479,22 @@ ORDER BY query_id, cos DESC, vec_id"""
             " (SELECT count(*) AS nc FROM ch GROUP BY doc_id)) AS max_chunks_per_doc "
             "FROM ch"
         ),
+        "events_geo_sorted": (
+            f"WITH g AS ({GEO_CTE}) SELECT event_id, "
+            f"{geoagg.haversine_km_sql('lat', 'lon', *GEO_ORIGIN)} AS dist_km "
+            "FROM g ORDER BY dist_km, event_id LIMIT 10"
+        ),
+        "doc_token_estimates": (
+            "WITH per AS (SELECT doc_id, "
+            f"  len({_TOKS}) AS nt, "
+            f"  (coalesce(list_sum(list_transform({_TOKS}, "
+            "     t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0)"
+            "   + length(regexp_replace(text, '[A-Za-z0-9_\\s]', '', 'g'))) AS nb, "
+            "  length(text) AS nc FROM documents) "
+            "SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS word_tokens, "
+            "CAST(sum(nb) AS BIGINT) AS bpe_tokens, round(avg(nb), 6) AS avg_bpe_tokens, "
+            "round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) AS chars_per_bpe_token FROM per"
+        ),
         "events_geo_bbox_filter": (
             f"WITH g AS ({GEO_CTE}) SELECT event_type, count(*) AS cnt FROM g "
             f"WHERE {geoagg.bbox_pred_sql('lat', 'lon', **GEO_BBOX)} "
@@ -3596,6 +3629,8 @@ def queries_map() -> dict:
             "events_geo_bbox_filter": q_events_geo_bbox_filter,
             "events_geo_distance_filter": q_events_geo_distance_filter,
             "events_geo_polygon_filter": q_events_geo_polygon_filter,
+            "events_geo_sorted": q_events_geo_sorted,
+            "doc_token_estimates": q_doc_token_estimates,
             "events_categorize_text": q_events_categorize_text,
             "events_range_join": q_events_range_join,
             "index_manifest_stats": q_index_manifest_stats,

@@ -377,3 +377,39 @@ def lm_score(
         )
         .orderBy("id")
     )
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish token-count estimate without a merges table: analyzer
+    words cost ceil(len/4) subword units (the ~4-chars-per-BPE-piece rule
+    of thumb for English), every non-word non-space character costs one
+    token (punctuation is rarely merged).  Deterministic, pure column
+    arithmetic — the corpus-budget estimator a training pipeline runs
+    over 100 TB before committing to a real tokenizer pass."""
+    toks = tokens_col(text)
+    word_units = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9_\s]", ""))
+    return (word_units + punct.cast("long")).alias("bpe_tokens")
+
+
+def token_estimates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus token-budget summary: whitespace-analyzer count vs the
+    BPE-ish estimate, total and mean (round-6), chars per BPE token."""
+    t = F.col(text_col)
+    per = df.select(
+        F.col(id_col),
+        token_count(t).alias("nt"),
+        bpe_token_estimate(t).alias("nb"),
+        F.length(t).alias("nc"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("word_tokens"),
+        F.sum("nb").cast("long").alias("bpe_tokens"),
+        F.round(F.avg("nb"), 6).alias("avg_bpe_tokens"),
+        F.round(F.sum("nc") / F.sum("nb"), 6).alias("chars_per_bpe_token"),
+    )

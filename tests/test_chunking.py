@@ -90,3 +90,26 @@ def test_tokenize_once_in_plan(spark):
     ch = chunking.chunk_documents(df, "doc_id", F.col("text"), 4, 3)
     plan = ch._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
+
+
+def test_bpe_token_estimate(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.textstats import (
+        bpe_token_estimate,
+        token_estimates,
+    )
+
+    rows = [
+        (1, "hello world"),        # 2 + 2 = 4 units, 0 punct
+        (2, "internationalization"),  # ceil(20/4) = 5
+        (3, "a, b!"),              # 1 + 1 words + ', !' = 2 punct -> 4
+        (4, ""),                   # 0
+        (5, "x" * 9),              # ceil(9/4) = 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.nb
+        for r in df.select("doc_id", bpe_token_estimate(F.col("text")).alias("nb")).collect()
+    }
+    assert got == {1: 4, 2: 5, 3: 4, 4: 0, 5: 3}
+    agg = token_estimates(df).collect()[0]
+    assert agg.n_docs == 5 and agg.bpe_tokens == 16
