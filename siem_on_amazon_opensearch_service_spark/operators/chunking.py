@@ -89,13 +89,20 @@ FROM c, UNNEST(generate_series(1, nc)) AS u(i)
 
 def chunk_stats(chunks: DataFrame, id_col: str) -> DataFrame:
     """Corpus-level chunking summary: one row — total chunks, docs, tokens,
-    mean tokens per chunk (round-6), max chunks per doc."""
-    per_doc = chunks.groupBy(id_col).agg(F.count("*").alias("nc"))
-    total = chunks.agg(
-        F.count("*").alias("n_chunks"),
-        F.countDistinct(id_col).alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_chunk_tokens"),
+    mean tokens per chunk (round-6), max chunks per doc.
+
+    Single chunk-frame pass: per-doc partial aggregates (map-side
+    combinable) feed one global aggregate — the chunk frame is scanned
+    once (the first formulation recomputed it for a separate max pass;
+    avg over chunks == sum(tokens)/sum(chunks) exactly, so nothing is
+    lost by aggregating through the per-doc level)."""
+    per_doc = chunks.groupBy(id_col).agg(
+        F.count("*").alias("nc"), F.sum("n_tokens").alias("st")
     )
-    mx = per_doc.agg(F.max("nc").cast("long").alias("max_chunks_per_doc"))
-    return total.crossJoin(mx)
+    return per_doc.agg(
+        F.sum("nc").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("st").cast("long").alias("total_tokens"),
+        F.round(F.sum("st") / F.sum("nc"), 6).alias("avg_chunk_tokens"),
+        F.max("nc").cast("long").alias("max_chunks_per_doc"),
+    )
