@@ -312,6 +312,20 @@ def main() -> None:
     ).collect()
     queries["bm25_adhoc_corpus"] = round(time.perf_counter() - t0, 3)
 
+    # sliding-window chunking (r4g): tokenize-once + posexplode over the
+    # full transcript text column — the training-pipeline pre-pass cost
+    from siem_on_amazon_opensearch_service_spark.operators.chunking import (
+        chunk_documents,
+        chunk_stats,
+    )
+
+    t0 = time.perf_counter()
+    chunk_stats(
+        chunk_documents(base, "doc_id", F.col("text"), window=64, stride=48),
+        "doc_id",
+    ).collect()
+    queries["chunking_corpus"] = round(time.perf_counter() - t0, 3)
+
     from siem_on_amazon_opensearch_service_spark.streaming.sessionize import sessionize_batch
 
     t0 = time.perf_counter()
