@@ -984,6 +984,25 @@ def _ppl_q(text: str):
     return run
 
 
+#: _analyze API sample: deterministic lowest-md5 5-doc sample, each doc's
+#: token stream with positions — the OpenSearch `_analyze` response shape
+def q_doc_analyze(spark, sf_dir):
+    """OpenSearch ``_analyze``: run the frozen analyzer over the sample
+    docs and emit (doc_id, position, token) — posexplode over the
+    tokenizer array, zero UDF."""
+    d = _docs(spark, sf_dir)
+    sample = d.orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    ).limit(5)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), SQL_SPLIT_RE), lambda x: x != ""
+    )
+    return (
+        sample.select("doc_id", F.posexplode(toks).alias("position", "token"))
+        .orderBy("doc_id", "position")
+    )
+
+
 def q_events_geo_sorted(spark, sf_dir):
     """Distance-sorted hits (the OpenSearch geo_distance sort): ten events
     nearest the origin, ordered (round-6 km asc, event_id asc)."""
@@ -999,6 +1018,12 @@ def q_events_geo_sorted(spark, sf_dir):
 def q_doc_token_estimates(spark, sf_dir):
     """Corpus token budget: whitespace-analyzer vs BPE-ish estimate."""
     return textstats.token_estimates(_docs(spark, sf_dir))
+
+
+def q_doc_c4_pipeline(spark, sf_dir):
+    """C4-style end-to-end filter pipeline: lang gate -> Gopher quality
+    gate -> exact dedup, single scan + one md5 aggregation."""
+    return textstats.c4_pipeline_stats(_docs(spark, sf_dir))
 
 
 ALARM_THRESHOLD, ALARM_M = 4, 2
@@ -2256,6 +2281,41 @@ def sqloracle_percolate_sql() -> str:
     return percolate_sql(ORACLE_TRANSCRIPTS, PERCOLATE_QUERIES)
 
 
+def _gopher_ctes() -> str:
+    """base/m/r CTE block computing the per-doc Gopher rule booleans —
+    shared by the gopher summary oracle and the C4-style pipeline
+    oracle."""
+    return f"""base AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+         END AS mean_len,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym,
+         len(list_filter(toks, t -> lower(t) <> upper(t))) AS n_alpha,
+         len(list_filter(toks, x -> list_contains({textstats.GOPHER_STOPWORDS}, x))) AS stop_hits,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM base
+),
+r AS (
+  SELECT doc_id,
+         n_tok >= 50 AND n_tok <= 100000 AS r_wordcount,
+         COALESCE(mean_len >= 3.0 AND mean_len <= 10.0, false) AS r_wordlen,
+         COALESCE(CASE WHEN n_tok > 0 THEN CAST(n_sym AS DOUBLE) / n_tok END <= 0.1, false) AS r_symbol,
+         COALESCE(CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / n_tok END >= 0.8, false) AS r_alpha,
+         stop_hits >= 2 AS r_stopword,
+         COALESCE(CAST(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '•%')) AS DOUBLE)
+                  / (CASE WHEN len(lines) > 0 THEN len(lines) END) <= 0.9, true) AS r_bullet,
+         COALESCE(CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE)
+                  / (CASE WHEN len(lines) > 0 THEN len(lines) END) <= 0.3, true) AS r_ellipsis,
+         COALESCE(CASE WHEN len(lines) > 0 THEN
+                    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                  END <= 0.3, true) AS r_dupline
+  FROM m
+)"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     bm = {}
     for name, spec in BM25_QUERIES.items():
@@ -2866,35 +2926,7 @@ FROM documents ORDER BY doc_id"""
         ),
         "doc_gopher_quality": (
             f"""
-WITH base AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
-m AS (
-  SELECT doc_id, len(toks) AS n_tok,
-         CASE WHEN len(toks) > 0 THEN
-           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-         END AS mean_len,
-         (length(text) - length(replace(text, '#', '')))
-           + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym,
-         len(list_filter(toks, t -> lower(t) <> upper(t))) AS n_alpha,
-         len(list_filter(toks, x -> list_contains({textstats.GOPHER_STOPWORDS}, x))) AS stop_hits,
-         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
-  FROM base
-),
-r AS (
-  SELECT doc_id,
-         n_tok >= 50 AND n_tok <= 100000 AS r_wordcount,
-         COALESCE(mean_len >= 3.0 AND mean_len <= 10.0, false) AS r_wordlen,
-         COALESCE(CASE WHEN n_tok > 0 THEN CAST(n_sym AS DOUBLE) / n_tok END <= 0.1, false) AS r_symbol,
-         COALESCE(CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / n_tok END >= 0.8, false) AS r_alpha,
-         stop_hits >= 2 AS r_stopword,
-         COALESCE(CAST(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '•%')) AS DOUBLE)
-                  / (CASE WHEN len(lines) > 0 THEN len(lines) END) <= 0.9, true) AS r_bullet,
-         COALESCE(CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE)
-                  / (CASE WHEN len(lines) > 0 THEN len(lines) END) <= 0.3, true) AS r_ellipsis,
-         COALESCE(CASE WHEN len(lines) > 0 THEN
-                    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
-                  END <= 0.3, true) AS r_dupline
-  FROM m
-)
+WITH {_gopher_ctes()}
 SELECT count(*) AS n_docs,
        CAST(sum(CASE WHEN r_wordcount AND r_wordlen AND r_symbol AND r_alpha
                       AND r_stopword AND r_bullet AND r_ellipsis AND r_dupline
@@ -3479,6 +3511,42 @@ ORDER BY query_id, cos DESC, vec_id"""
             " (SELECT count(*) AS nc FROM ch GROUP BY doc_id)) AS max_chunks_per_doc "
             "FROM ch"
         ),
+        "doc_c4_pipeline": (
+            f"""
+WITH {_gopher_ctes()},
+lng AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains({textstats.STOPWORDS_EN}, x))) AS en,
+         len(list_filter(toks, x -> list_contains({textstats.STOPWORDS_DE}, x))) AS de,
+         len(list_filter(toks, x -> list_contains({textstats.STOPWORDS_ES}, x))) AS es,
+         len(list_filter(toks, x -> list_contains({textstats.STOPWORDS_FR}, x))) AS fr
+  FROM base
+),
+per AS (
+  SELECT b.doc_id, md5(b.text) AS h, len(b.toks) AS nt,
+         (greatest(l.en, l.de, l.es, l.fr) > 0
+          AND l.en = greatest(l.en, l.de, l.es, l.fr)) AS is_en,
+         (r.r_wordcount AND r.r_wordlen AND r.r_symbol AND r.r_alpha
+          AND r.r_stopword AND r.r_bullet AND r.r_ellipsis AND r.r_dupline) AS q
+  FROM base b JOIN r USING (doc_id) JOIN lng l USING (doc_id)
+)
+SELECT count(*) AS n_input,
+       CAST(count(*) FILTER (WHERE is_en) AS BIGINT) AS n_en,
+       CAST(count(*) FILTER (WHERE is_en AND q) AS BIGINT) AS n_quality,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT h FROM per WHERE is_en AND q GROUP BY h)) AS n_survivors,
+       (SELECT CAST(coalesce(sum(mnt), 0) AS BIGINT) FROM
+          (SELECT min(nt) AS mnt FROM per WHERE is_en AND q GROUP BY h)) AS survivor_tokens
+FROM per"""
+        ),
+        "doc_analyze": (
+            "WITH s AS (SELECT * FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 5) "
+            f"SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS position, toks[u.i] AS token "
+            f"FROM (SELECT doc_id, {_TOKS} AS toks FROM s), "
+            "UNNEST(generate_series(1, len(toks))) AS u(i) "
+            "ORDER BY doc_id, position"
+        ),
         "events_geo_sorted": (
             f"WITH g AS ({GEO_CTE}) SELECT event_id, "
             f"{geoagg.haversine_km_sql('lat', 'lon', *GEO_ORIGIN)} AS dist_km "
@@ -3631,6 +3699,8 @@ def queries_map() -> dict:
             "events_geo_polygon_filter": q_events_geo_polygon_filter,
             "events_geo_sorted": q_events_geo_sorted,
             "doc_token_estimates": q_doc_token_estimates,
+            "doc_analyze": q_doc_analyze,
+            "doc_c4_pipeline": q_doc_c4_pipeline,
             "events_categorize_text": q_events_categorize_text,
             "events_range_join": q_events_range_join,
             "index_manifest_stats": q_index_manifest_stats,

@@ -54,23 +54,31 @@ def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID by stopword-hit counts (en/de/es/fr; tie order
-    en > de > es > fr; 'und' = undetermined when no list hits)."""
-    toks = tokens_col(F.col(text_col))
+def lang_pred_col(text: Column) -> Column:
+    """Heuristic language prediction by stopword-hit counts (en/de/es/fr;
+    tie order en > de > es > fr; 'und' when no list hits) as a pure
+    Column — composable into single-scan pipelines."""
+    toks = tokens_col(text)
     en = _stop_hits(toks, STOPWORDS_EN)
     de = _stop_hits(toks, STOPWORDS_DE)
     es = _stop_hits(toks, STOPWORDS_ES)
     fr = _stop_hits(toks, STOPWORDS_FR)
     best = F.greatest(en, de, es, fr)
-    lang = (
+    return (
         F.when(best == 0, "und")
         .when(en == best, "en")
         .when(de == best, "de")
         .when(es == best, "es")
         .otherwise("fr")
     )
-    return df.select(F.col(id_col), lang.alias("lang_pred"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID by stopword-hit counts (en/de/es/fr; tie order
+    en > de > es > fr; 'und' = undetermined when no list hits)."""
+    return df.select(
+        F.col(id_col), lang_pred_col(F.col(text_col)).alias("lang_pred")
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -115,7 +123,18 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     so the SQL oracle agrees bit-for-bit.  (On single-line corpora the
     three line rules are trivially true; they are kept for parity with
     the published rule set.)"""
-    text = F.col(text_col)
+    r = gopher_rule_cols(F.col(text_col))
+    passes = gopher_passes_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in r.items()],
+        passes.alias("passes"),
+    )
+
+
+def gopher_rule_cols(text: Column) -> dict:
+    """The eight Gopher rule booleans as pure Columns keyed by rule name
+    — composable into single-scan pipelines (gopher_rules wraps them)."""
     toks = tokens_col(text)
     n_tok = F.size(toks)
     sum_len = F.aggregate(
@@ -153,14 +172,15 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         ),
         "r_dupline": F.coalesce(dup_frac <= 0.3, F.lit(True)),
     }
+    return r
+
+
+def gopher_passes_col(text: Column) -> Column:
+    """AND of all eight Gopher rules as one Column."""
     passes = None
-    for c in r.values():
+    for c in gopher_rule_cols(text).values():
         passes = c if passes is None else (passes & c)
-    return df.select(
-        F.col(id_col),
-        *[c.alias(name) for name, c in r.items()],
-        passes.alias("passes"),
-    )
+    return passes
 
 
 def gopher_summary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -412,4 +432,47 @@ def token_estimates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.sum("nb").cast("long").alias("bpe_tokens"),
         F.round(F.avg("nb"), 6).alias("avg_bpe_tokens"),
         F.round(F.sum("nc") / F.sum("nb"), 6).alias("chars_per_bpe_token"),
+    )
+
+
+def c4_pipeline_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style corpus filter pipeline, end to end in ONE scan: language
+    gate (lang_pred == 'en') -> Gopher quality gate -> exact dedup (one
+    survivor per md5(text) group; identical text means identical metrics,
+    so the keeper choice is immaterial).  One row out: input size,
+    per-gate survivor counts, unique-survivor count, surviving token
+    budget.
+
+    Scale shape: every gate is a pure column over the single text scan
+    (the column builders exist precisely so this composition does NOT
+    become three scans + two joins); dedup is one hash aggregation on the
+    md5 key; 2 exchanges total."""
+    text = F.col(text_col)
+    per = df.select(
+        F.md5(text).alias("h"),
+        F.size(tokens_col(text)).alias("nt"),
+        (lang_pred_col(text) == "en").alias("is_en"),
+        gopher_passes_col(text).alias("q"),
+    )
+    # rows sharing an md5 group share text, hence identical nt/is_en/q —
+    # so gate tallies AND dedup both fall out of ONE hash aggregation on
+    # the md5 key followed by one global fold (2 exchanges, 1 scan)
+    groups = per.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("nt").alias("nt"),
+        F.first("is_en").alias("is_en"),
+        F.first("q").alias("q"),
+    )
+    keep = F.col("is_en") & F.col("q")
+    return groups.agg(
+        F.sum("cnt").cast("long").alias("n_input"),
+        F.sum(F.when(F.col("is_en"), F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_en"),
+        F.sum(F.when(keep, F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_quality"),
+        F.count(F.when(keep, 1)).alias("n_survivors"),
+        F.coalesce(F.sum(F.when(keep, F.col("nt"))), F.lit(0))
+        .cast("long").alias("survivor_tokens"),
     )
