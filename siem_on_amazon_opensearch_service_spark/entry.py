@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from .functions.analysis import SQL_SPLIT_RE
 from .operators import aggs
-from .operators import adhoc, chunking, packing
+from .operators import adhoc, chunking, packing, render
 from .operators import geoagg, percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators.build import build_index
 from .plans import ppl
@@ -1586,6 +1586,23 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_emb_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), [0, 1, 2], k=5)
+
+
+def q_emb_filtered_knn(spark, sf_dir):
+    """k-NN with a pre-filter: candidates restricted to vec_id % 3 == 0
+    before top-k (OpenSearch knn filter semantics)."""
+    return similarity.filtered_cosine_topk(
+        _emb(spark, sf_dir), [0, 1, 2], F.col("vec_id") % 3 == 0, k=5
+    )
+
+
+def q_transcripts_chat_render(spark, sf_dir):
+    """Chat-template rendering + loss-mask accounting per conversation
+    (operators/render): exact doc md5 pins the rendered byte sequence."""
+    _prep(spark)
+    label = _sf_label(sf_dir)
+    t = spark.read.parquet(ensure_corpus(label, spark))
+    return render.chat_render_stats(t)
 
 
 def q_emb_lsh_topk(spark, sf_dir):
@@ -3394,6 +3411,26 @@ FROM exact x
 LEFT JOIN ann a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 LEFT JOIN mann ma ON ma.query_id = x.query_id AND ma.vec_id = x.vec_id
 GROUP BY x.query_id ORDER BY x.query_id""",
+        "transcripts_chat_render": render.chat_render_sql(ORACLE_TRANSCRIPTS),
+        "emb_filtered_knn": (
+            """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+                    i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+           6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id AND e.vec_id % 3 = 0
+)
+SELECT query_id, vec_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+ORDER BY query_id, cos DESC, vec_id"""
+        ),
         "emb_cosine_topk": (
             """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -3723,6 +3760,8 @@ def queries_map() -> dict:
             "doc_lang_id": q_doc_lang_id,
             "doc_fingerprint": q_doc_fingerprint,
             "emb_cosine_topk": q_emb_cosine_topk,
+            "emb_filtered_knn": q_emb_filtered_knn,
+            "transcripts_chat_render": q_transcripts_chat_render,
             "emb_lsh_topk": q_emb_lsh_topk,
             "emb_ivf_topk": q_emb_ivf_topk,
             "emb_ivf_recall": q_emb_ivf_recall,

@@ -620,3 +620,37 @@ def ivfpq_topk(
         .select("query_id", id_col, "cos")
         .orderBy("query_id", F.col("cos").desc(), id_col)
     )
+
+
+def filtered_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OpenSearch k-NN search with a filter — PRE-filter semantics (the
+    OpenSearch `filter` clause on a knn query, and the exact-search
+    fallback path): the predicate restricts the CANDIDATE set before
+    top-k, so exactly k passing neighbors return (post-filtering an
+    unfiltered top-k would under-fill).  Query vectors are looked up in
+    the unfiltered table (a query need not pass its own filter).
+
+    Scale: the predicate lands in the candidate scan (pushdown), the
+    query side broadcasts — same shape as cosine_topk."""
+    q = emb.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = emb.filter(pred)
+    joined = cand.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id", id_col, cosine(F.col("qvec"), F.col(vec_col)).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos")
+        .orderBy("query_id", F.col("cos").desc(), id_col)
+    )
