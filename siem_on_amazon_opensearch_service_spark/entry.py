@@ -957,6 +957,11 @@ PPL_QUERIES = {
         "| where kstr != '' | stats count() as cnt, max(kstr) as mk by event_type "
         "| sort event_type"
     ),
+    "ppl_stddev_profile": (
+        "search source=events | stats stddev(value) as sd, var(value) as vr "
+        "by event_type | eval sd_r = round(sd, 4), vr_r = round(vr, 4) "
+        "| fields event_type, sd_r, vr_r | sort event_type"
+    ),
     "ppl_lookup_enrich": (
         "search source=orders | lookup customer c_custkey as o_custkey "
         "| stats count() as cnt, distinct_count(c_nationkey) as dn "

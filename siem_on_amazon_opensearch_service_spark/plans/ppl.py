@@ -63,7 +63,13 @@ _FUNCS = {
     "lower": 1, "upper": 1, "length": 1,
     "round": 2, "coalesce": 2,
 }
-_AGG_FUNCS = {"count", "sum", "avg", "min", "max", "distinct_count"}
+#: stddev/var are the SAMPLE forms in both engines (Spark stddev ==
+#: stddev_samp == DuckDB stddev); their sums of squares are
+#: summation-order-sensitive doubles — round via a following eval when
+#: the result feeds a cross-engine hash
+_AGG_FUNCS = {
+    "count", "sum", "avg", "min", "max", "distinct_count", "stddev", "var",
+}
 _SPAN_UNITS = {"m": "minute", "h": "hour", "d": "day"}
 _KEYWORDS = {
     "search", "source", "where", "fields", "eval", "rename", "stats",
@@ -490,6 +496,8 @@ def _spark_agg(fn: str, arg: str | None):
         return F.count(F.lit(1))
     if fn == "distinct_count":
         return F.countDistinct(arg)
+    if fn == "var":
+        return F.var_samp(arg)
     return getattr(F, fn)(arg)
 
 
@@ -498,6 +506,8 @@ def _sql_agg(fn: str, arg: str | None) -> str:
         return "count(*)"
     if fn == "distinct_count":
         return f"count(DISTINCT {arg})"
+    if fn == "var":
+        return f"var_samp({arg})"
     return f"{fn}({arg})"
 
 

@@ -261,3 +261,19 @@ def test_lookup_unknown_table(lookup_tables):
     with pytest.raises(ValueError):
         parse_ppl("search source=ev | lookup nope uid").to_df(
             tables["ev"].sparkSession, tables)
+
+
+def test_stddev_var(tiny):
+    got = run_both(
+        tiny,
+        "search source=events | stats stddev(value) as sd, var(value) as vr "
+        "by event_type | eval sd_r = round(sd, 6), vr_r = round(vr, 6) "
+        "| fields event_type, sd_r, vr_r | sort event_type",
+    )
+    import statistics
+    df, _ = tiny
+    pdf = df.toPandas()
+    for r in got.itertuples():
+        vals = pdf[pdf.event_type == r.event_type]["value"].tolist()
+        assert abs(r.sd_r - statistics.stdev(vals)) < 1e-5, r.event_type
+        assert abs(r.vr_r - statistics.variance(vals)) < 1e-5, r.event_type
