@@ -195,6 +195,9 @@ def _mul(p: _P) -> str:
 
 def _atom(p: _P) -> str:
     k, v = p.peek()
+    if k == "op" and v == "-":  # unary minus
+        p.next()
+        return f"(- {_atom(p)})"
     if k == "num":
         p.next()
         return v

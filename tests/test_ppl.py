@@ -277,3 +277,12 @@ def test_stddev_var(tiny):
         vals = pdf[pdf.event_type == r.event_type]["value"].tolist()
         assert abs(r.sd_r - statistics.stdev(vals)) < 1e-5, r.event_type
         assert abs(r.vr_r - statistics.variance(vals)) < 1e-5, r.event_type
+
+
+def test_unary_minus(tiny):
+    got = run_both(
+        tiny,
+        "search source=events | eval neg = -value + 100 | where neg > -5 "
+        "and value > -1 | stats count() as cnt, min(neg) as mn",
+    )
+    assert got["cnt"][0] == 12 and got["mn"][0] == 5.0
