@@ -19,10 +19,16 @@ a 100 TB corpus; downstream groupBys are the caller's.
 
 from __future__ import annotations
 
+import math
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from .dedup import tokens_col
+
+_TOKEN_SPLIT = re.compile(r"[^A-Za-z0-9_]+")
 
 
 def chunk_documents(
@@ -31,15 +37,34 @@ def chunk_documents(
     text: Column,
     window: int = 64,
     stride: int = 48,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, chunk_idx, n_tokens, chunk_text) rows, one per sliding window.
 
     ``stride <= window`` keeps coverage gap-free; ``stride == window`` is
     non-overlapping chunking.  The chunk-count ceil runs on small-integer
     doubles (exact — the quotient is only ever within one ulp of an integer
-    when it IS one)."""
+    when it IS one).
+
+    Two implementations produce IDENTICAL rows (equality-tested):
+
+    - ``impl="arrow"`` (default): mapInPandas with a Python re.split
+      mirror of the frozen analyzer.  The JVM ``split()`` path allocates
+      a java.lang.String per token, and on a memory-bandwidth-bound host
+      that allocation stream saturates DRAM at ONE core (measured sf1:
+      column path 59 s at local[1] and 75 s at local[32] — inverse
+      scaling — vs arrow tokenize 20 s / 6.6 s; BENCH/scaling_r4g.md).
+      Arrow batches + vectorized lowering keep the byte traffic a
+      fraction of the JVM path's, so this is the corpus-scale default.
+    - ``impl="column"``: pure column expressions (tokenize once behind an
+      explode(array()) generator boundary, sequence/posexplode starts) —
+      zero Python, the plan-shape reference the SQL oracle mirrors."""
     if not (0 < stride <= window):
         raise ValueError(f"chunking: need 0 < stride {stride} <= window {window}")
+    if impl == "arrow":
+        return _chunk_documents_arrow(df, id_col, text, window, stride)
+    if impl != "column":
+        raise ValueError(f"chunking: unknown impl {impl!r}")
     # explode(array(toks)) is a 1:1 generator boundary: Catalyst cannot
     # collapse the projection through Generate, so tokenization runs ONCE
     # per row even though three downstream expressions consume it (the
@@ -62,6 +87,45 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def _chunk_documents_arrow(
+    df: DataFrame, id_col: str, text: Column, window: int, stride: int
+) -> DataFrame:
+    """Arrow-batched chunker: same rows as the column path, tokenized by
+    the Python mirror of the frozen analyzer (ASCII corpora: identical
+    token streams — the same equivalence every dedup oracle relies on)."""
+    id_type = df.select(F.col(id_col)).schema[0].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("chunk_idx", IntegerType()),
+            StructField("n_tokens", IntegerType()),
+            StructField("chunk_text", StringType()),
+        ]
+    )
+    src = df.select(F.col(id_col), text.alias("__text"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, ns, texts = [], [], [], []
+            for i, txt in zip(pdf[id_col].values, pdf["__text"].values):
+                toks = [t for t in _TOKEN_SPLIT.split((txt or "").lower()) if t]
+                n = len(toks)
+                nc = 1 + max(0, math.ceil((n - window) / stride))
+                for c in range(nc):
+                    piece = toks[c * stride : c * stride + window]
+                    ids.append(i)
+                    idxs.append(c)
+                    ns.append(len(piece))
+                    texts.append(" ".join(piece))
+            yield pd.DataFrame(
+                {id_col: ids, "chunk_idx": idxs, "n_tokens": ns, "chunk_text": texts}
+            )
+
+    return src.mapInPandas(gen, schema)
 
 
 def chunk_sql(

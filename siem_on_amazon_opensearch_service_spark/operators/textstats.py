@@ -54,11 +54,13 @@ def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def lang_pred_col(text: Column) -> Column:
+def lang_pred_col(text: Column, toks: Column | None = None) -> Column:
     """Heuristic language prediction by stopword-hit counts (en/de/es/fr;
     tie order en > de > es > fr; 'und' when no list hits) as a pure
-    Column — composable into single-scan pipelines."""
-    toks = tokens_col(text)
+    Column — composable into single-scan pipelines (pass a materialized
+    ``toks`` to avoid per-reference re-tokenization; see
+    gopher_rule_cols)."""
+    toks = tokens_col(text) if toks is None else toks
     en = _stop_hits(toks, STOPWORDS_EN)
     de = _stop_hits(toks, STOPWORDS_DE)
     es = _stop_hits(toks, STOPWORDS_ES)
@@ -132,10 +134,18 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def gopher_rule_cols(text: Column) -> dict:
+def gopher_rule_cols(text: Column, toks: Column | None = None) -> dict:
     """The eight Gopher rule booleans as pure Columns keyed by rule name
-    — composable into single-scan pipelines (gopher_rules wraps them)."""
-    toks = tokens_col(text)
+    — composable into single-scan pipelines (gopher_rules wraps them).
+
+    Pass ``toks`` (a MATERIALIZED token-array column, e.g. from an
+    explode(array()) generator boundary) when composing with other
+    token-consuming expressions: each rule references the token array
+    several times and Catalyst's projection collapse re-inlines a raw
+    tokens_col(text) PER REFERENCE (the first c4 pipeline formulation
+    paid ~20 tokenizations/row: 533 s at sf1/local[32] vs 81 s with the
+    boundary — measured, BENCH/scaling_r4g.md)."""
+    toks = tokens_col(text) if toks is None else toks
     n_tok = F.size(toks)
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
@@ -175,10 +185,10 @@ def gopher_rule_cols(text: Column) -> dict:
     return r
 
 
-def gopher_passes_col(text: Column) -> Column:
+def gopher_passes_col(text: Column, toks: Column | None = None) -> Column:
     """AND of all eight Gopher rules as one Column."""
     passes = None
-    for c in gopher_rule_cols(text).values():
+    for c in gopher_rule_cols(text, toks).values():
         passes = c if passes is None else (passes & c)
     return passes
 
@@ -450,11 +460,19 @@ def c4_pipeline_stats(
     become three scans + two joins); dedup is one hash aggregation on the
     md5 key; 2 exchanges total."""
     text = F.col(text_col)
-    per = df.select(
-        F.md5(text).alias("h"),
-        F.size(tokens_col(text)).alias("nt"),
-        (lang_pred_col(text) == "en").alias("is_en"),
-        gopher_passes_col(text).alias("q"),
+    # tokenize ONCE per row behind a generator boundary; every gate then
+    # references the materialized array (the chunking module's
+    # countermeasure — without it this projection re-tokenized ~20x/row)
+    bound = df.select(
+        text.alias("__text"),
+        F.explode(F.array(tokens_col(text))).alias("__toks"),
+    )
+    txt, tk = F.col("__text"), F.col("__toks")
+    per = bound.select(
+        F.md5(txt).alias("h"),
+        F.size(tk).alias("nt"),
+        (lang_pred_col(txt, tk) == "en").alias("is_en"),
+        gopher_passes_col(txt, tk).alias("q"),
     )
     # rows sharing an md5 group share text, hence identical nt/is_en/q —
     # so gate tallies AND dedup both fall out of ONE hash aggregation on

@@ -31,17 +31,33 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("impl", ["arrow", "column"])
 @pytest.mark.parametrize("text,window,stride", CASES)
-def test_chunks_match_python(spark, text, window, stride):
+def test_chunks_match_python(spark, text, window, stride, impl):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = (
-        chunking.chunk_documents(df, "doc_id", F.col("text"), window, stride)
+        chunking.chunk_documents(df, "doc_id", F.col("text"), window, stride, impl=impl)
         .orderBy("chunk_idx")
         .collect()
     )
     exp = py_chunks(text, window, stride)
     assert [(r.chunk_text, r.n_tokens) for r in got] == exp
     assert [r.chunk_idx for r in got] == list(range(len(exp)))
+
+
+def test_arrow_equals_column(spark):
+    texts = [
+        (i, f"Word{i} " * (i * 7 % 90) + ("x, y! z;" if i % 3 == 0 else ""))
+        for i in range(40)
+    ] + [(100, ""), (101, "   "), (102, "one")]
+    df = spark.createDataFrame(texts, "doc_id long, text string").repartition(4)
+    a = chunking.chunk_documents(df, "doc_id", F.col("text"), 8, 5, impl="arrow")
+    c = chunking.chunk_documents(df, "doc_id", F.col("text"), 8, 5, impl="column")
+    ka = sorted(map(tuple, a.collect()))
+    kc = sorted(map(tuple, c.collect()))
+    assert ka == kc
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, "doc_id", F.col("text"), 8, 5, impl="nope")
 
 
 def test_coverage_no_gaps(spark):
@@ -87,7 +103,7 @@ def test_tokenize_once_in_plan(spark):
     """The generator boundary keeps tokenization single-evaluation: the
     split() expression appears exactly once in the optimized plan."""
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
-    ch = chunking.chunk_documents(df, "doc_id", F.col("text"), 4, 3)
+    ch = chunking.chunk_documents(df, "doc_id", F.col("text"), 4, 3, impl="column")
     plan = ch._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
 
