@@ -593,6 +593,23 @@ def q_bm25_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relevance.pinned_query_df(spark, idx, **PINNED_SPEC)
 
 
+def q_bm25_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch completion suggester, re-expressed over the term
+    dictionary: prefix-matched terms ranked by weight (document
+    frequency here — the suggester's default popularity signal), term
+    asc tiebreak.  A dictionary range scan — the same pushdown shape as
+    wildcard expansion, O(prefix range) not O(vocabulary)."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    d = spark.read.parquet(os.path.join(idx, "dict"))
+    return (
+        d.filter(F.col("term").startswith("w0004"))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
 def q_bm25_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene dis_max: best-clause score + tie_breaker * rest."""
     _prep(spark)
@@ -2492,6 +2509,13 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_span_multi_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "span_multi(re*)", k=10
     )
+    bm["bm25_completion_suggest"] = (
+        f"WITH {sqloracle._base_ctes(ORACLE_TRANSCRIPTS)}, "
+        "terms AS (SELECT docid, unnest(list_distinct(toks)) AS term FROM tok0), "
+        "dd AS (SELECT term, count(*) AS df FROM terms GROUP BY term) "
+        "SELECT term, df FROM dd WHERE term LIKE 'w0004%' "
+        "ORDER BY df DESC, term ASC LIMIT 10"
+    )
     bm["bm25_ids_query"] = (
         "SELECT docid, role, tool, ts, CAST(1.0 AS FLOAT) AS score FROM ("
         "  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid, "
@@ -3675,6 +3699,7 @@ def queries_map() -> dict:
     q["bm25_function_score_warm"] = q_bm25_function_score_warm
     q["bm25_dis_max"] = q_bm25_dis_max
     q["bm25_ids_query"] = q_bm25_ids_query
+    q["bm25_completion_suggest"] = q_bm25_completion_suggest
     q["bm25_pinned_query"] = q_bm25_pinned_query
     q["bm25_boosting"] = q_bm25_boosting
     q["bm25_constant_score"] = q_bm25_constant_score

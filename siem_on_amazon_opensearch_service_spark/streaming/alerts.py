@@ -165,7 +165,14 @@ def threshold_alarm_stream(
     """Streaming form over a (rule, bucket, metric) stream: keyed
     (run_length, state) in applyInPandasWithState; datapoints must arrive
     in event-time order per rule (feed from a watermarked windowed count,
-    which emits finalized buckets monotonically)."""
+    which emits finalized buckets monotonically).
+
+    Spark refuses stateful processing chained directly after a streaming
+    aggregation in append mode, so the event->alarm pipeline is TWO
+    queries through storage: windowed_counts_stream writes finalized
+    (rule, bucket, metric) rows to a sink, and this operator streams that
+    sink — the natural production topology (tested end to end in
+    tests/test_alerts.py)."""
     if m < 1:
         raise ValueError(f"threshold_alarm: m must be >= 1, got {m}")
     return datapoints.groupBy("rule").applyInPandasWithState(

@@ -133,3 +133,75 @@ def test_bad_m(dps):
         alerts.threshold_alarm_sql("SELECT 1", threshold=5, m=0)
     with pytest.raises(ValueError):
         alerts.threshold_alarm_stream(dps, threshold=5, m=0)
+
+
+def test_end_to_end_event_stream_to_alarms(spark, tmp_path):
+    """events parquet stream -> watermarked windowed counts -> (persisted
+    datapoint sink) -> stateful alarm stream.  Spark refuses
+    applyInPandasWithState chained directly after a streaming aggregation
+    (append mode), so the production topology is two stages through
+    storage — exactly what's exercised here.  Emitted state rows must
+    equal the batch timeline on every finalized bucket (append mode may
+    hold back the trailing window)."""
+    import pandas as pd
+    from siem_on_amazon_opensearch_service_spark.streaming.windowed import (
+        windowed_counts_stream,
+    )
+
+    rows = []
+    # hourly error counts: 7, 5, 1, 6, 6, 9 -> breaches b b - b b b ->
+    # with threshold 5, m=2: OK ALARM OK OK ALARM ALARM
+    for h, n in enumerate([7, 5, 1, 6, 6, 9]):
+        for i in range(n):
+            rows.append((pd.Timestamp(f"2025-06-01 0{h}:00:00") + pd.Timedelta(minutes=i), "error"))
+        rows.append((pd.Timestamp(f"2025-06-01 0{h}:30:00"), "view"))
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type"])
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    # stage 1: events -> finalized windowed datapoints, persisted
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+    dp = (
+        windowed_counts_stream(
+            stream.filter(F.col("event_type") == "error"),
+            ts="ts", width="1 hour", watermark="1 minute",
+        )
+        .select(F.lit("errors").alias("rule"), "bucket", F.col("cnt").alias("metric"))
+    )
+    dp_dir = str(tmp_path / "datapoints")
+    q1 = (
+        dp.writeStream.format("parquet")
+        .option("path", dp_dir)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(300)
+
+    # stage 2: datapoint stream -> stateful alarm
+    dp_stream = spark.readStream.schema(
+        "rule string, bucket timestamp, metric long"
+    ).parquet(dp_dir)
+    q2 = (
+        alerts.threshold_alarm_stream(dp_stream, threshold=5, m=2)
+        .writeStream.format("memory")
+        .queryName("e2e_alarms")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    got = spark.sql("SELECT * FROM e2e_alarms").orderBy("bucket").collect()
+    assert len(got) >= 5  # all but possibly the trailing window finalized
+
+    batch_dp = alerts.alarm_datapoints(
+        spark.createDataFrame(pdf), "ts", F.col("event_type") == "error", "hour"
+    )
+    exp = {
+        r.bucket: (r.metric, r.state, r.prev_state)
+        for r in alerts.threshold_alarm_batch(batch_dp, threshold=5, m=2, rule="errors").collect()
+    }
+    for r in got:
+        assert exp[r.bucket] == (r.metric, r.state, r.prev_state), r
+    assert [r.state for r in got][:5] == ["OK", "ALARM", "OK", "OK", "ALARM"]
