@@ -177,6 +177,10 @@ def polygon_pred_sql(
             "THEN 1 ELSE 0 END)"
         )
         terms.append(cross)
+    if not terms:
+        raise ValueError(
+            "geo_polygon: degenerate polygon (all edges horizontal — zero area)"
+        )
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 

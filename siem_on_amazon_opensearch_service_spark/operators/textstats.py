@@ -126,7 +126,9 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     three line rules are trivially true; they are kept for parity with
     the published rule set.)"""
     r = gopher_rule_cols(F.col(text_col))
-    passes = gopher_passes_col(F.col(text_col))
+    passes = None
+    for c in r.values():  # fold from the SAME dict — don't rebuild the
+        passes = c if passes is None else (passes & c)  # expression tree
     return df.select(
         F.col(id_col),
         *[c.alias(name) for name, c in r.items()],

@@ -333,6 +333,16 @@ class Pipeline:
                 df = df.drop(*c.names) if c.minus else df.select(*c.names)
             elif isinstance(c, Eval):
                 for name, sql in c.assigns:
+                    # eval/parse must INTRODUCE names: withColumn would
+                    # silently replace while the SQL side appends a
+                    # duplicate column (WHERE then binds the original) —
+                    # refuse the divergence instead of picking a side
+                    if name in df.columns:
+                        raise ValueError(
+                            f"PPL: eval target {name!r} already exists; "
+                            "eval/parse introduce new columns (rename or "
+                            "drop the old one first)"
+                        )
                     df = df.withColumn(name, F.expr(sql))
             elif isinstance(c, Rename):
                 for old, new in c.pairs:
@@ -350,8 +360,20 @@ class Pipeline:
             elif isinstance(c, EventStats):
                 w = Window.partitionBy(*c.by)
                 for fn, arg, alias in c.aggs:
-                    df = df.withColumn(alias, _spark_agg(fn, arg).over(w))
+                    # Spark rejects count(DISTINCT) as a window function;
+                    # size(collect_set) over the same window is equivalent
+                    agg = (
+                        F.size(F.collect_set(arg).over(w)).cast("long")
+                        if fn == "distinct_count"
+                        else _spark_agg(fn, arg).over(w)
+                    )
+                    df = df.withColumn(alias, agg)
             elif isinstance(c, Parse):
+                if c.name in df.columns:
+                    raise ValueError(
+                        f"PPL: parse target {c.name!r} already exists; "
+                        "parse introduces a new column"
+                    )
                 df = df.withColumn(
                     c.name, F.expr(f"regexp_extract({c.field}, '{c.regex}', 1)")
                 )
@@ -422,6 +444,9 @@ class Pipeline:
                     else f"SELECT {cols} FROM ({q})"
                 )
             elif isinstance(c, Eval):
+                # contract: eval targets are NEW names (to_df enforces it
+                # where the schema is known; a duplicate here would make
+                # WHERE bind the pre-eval column)
                 adds = ", ".join(f"{sql} AS {name}" for name, sql in c.assigns)
                 q = f"SELECT *, {adds} FROM ({q})"
             elif isinstance(c, Rename):

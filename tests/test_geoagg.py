@@ -271,3 +271,8 @@ def test_categorize_text(spark):
     # top ordering: count desc then key asc
     rows = out.collect()
     assert rows[0].category == "user # logged in from #"
+
+
+def test_polygon_degenerate_raises():
+    with pytest.raises(ValueError, match="degenerate"):
+        geoagg.polygon_pred_sql("lat", "lon", [(0.0, 0.0), (0.0, 10.0), (0.0, 20.0)])

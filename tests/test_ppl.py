@@ -286,3 +286,25 @@ def test_unary_minus(tiny):
         "and value > -1 | stats count() as cnt, min(neg) as mn",
     )
     assert got["cnt"][0] == 12 and got["mn"][0] == 5.0
+
+
+def test_eval_existing_name_refused(tiny):
+    df, _ = tiny
+    with pytest.raises(ValueError, match="already exists"):
+        parse_ppl(
+            "search source=events | eval value = value * 2"
+        ).to_df(df.sparkSession, {"events": df}).collect()
+    with pytest.raises(ValueError, match="already exists"):
+        parse_ppl(
+            "search source=events | parse event_type '([a-z]+)' as value"
+        ).to_df(df.sparkSession, {"events": df}).collect()
+
+
+def test_eventstats_distinct_count(tiny):
+    got = run_both(
+        tiny,
+        "search source=events | eventstats distinct_count(user_id) as du "
+        "by event_type | fields event_id, du | sort event_id",
+    )
+    # click/view groups span users {1,2,3}; error spans {1,2}
+    assert len(got) == 12 and set(got["du"]) == {2, 3}
