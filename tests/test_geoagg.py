@@ -276,3 +276,34 @@ def test_categorize_text(spark):
 def test_polygon_degenerate_raises():
     with pytest.raises(ValueError, match="degenerate"):
         geoagg.polygon_pred_sql("lat", "lon", [(0.0, 0.0), (0.0, 10.0), (0.0, 20.0)])
+
+
+def test_polygon_random_battery(pts):
+    """20 deterministic pseudo-random polygons (3-9 vertices, convex and
+    concave alike) evaluated as 20 expression columns in ONE job, every
+    (polygon, point) pair checked against the PNPOLY reference."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    polys = []
+    while len(polys) < 20:
+        nv = int(rng.randint(3, 10))
+        vs = [(float(round(rng.uniform(-80, 80), 3)),
+               float(round(rng.uniform(-170, 170), 3))) for _ in range(nv)]
+        try:
+            geoagg.polygon_pred_sql("lat", "lon", vs)
+        except ValueError:
+            continue  # degenerate draw
+        polys.append(vs)
+    cols = [
+        F.expr(geoagg.polygon_pred_sql("lat", "lon", vs)).alias(f"p{i}")
+        for i, vs in enumerate(polys)
+    ]
+    rows = pts.select("id", "lat", "lon", *cols).collect()
+    n_inside = 0
+    for r in rows:
+        for i, vs in enumerate(polys):
+            exp = py_pnpoly(r.lat, r.lon, vs)
+            assert r[f"p{i}"] == exp, (r.id, i)
+            n_inside += exp
+    assert 0 < n_inside < len(rows) * len(polys)
