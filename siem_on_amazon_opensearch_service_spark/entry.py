@@ -974,6 +974,13 @@ PPL_QUERIES = {
         "| where kstr != '' | stats count() as cnt, max(kstr) as mk by event_type "
         "| sort event_type"
     ),
+    "ppl_like_filter": (
+        "search source=events | where like(event_type, 'c%') or "
+        "like(event_type, 'e%') | fillnull with 0 in value "
+        "| stats count() as cnt, sum(value) as sv by event_type "
+        "| eval sv_r = round(sv, 4) | fields event_type, cnt, sv_r "
+        "| sort event_type"
+    ),
     "ppl_stddev_profile": (
         "search source=events | stats stddev(value) as sd, var(value) as vr "
         "by event_type | eval sd_r = round(sd, 4), vr_r = round(vr, 4) "

@@ -213,6 +213,15 @@ def _atom(p: _P) -> str:
         name = p.next()[1]
         low = name.lower()
         if p.peek() == ("op", "("):
+            if low == "like":  # SQL-infix rendering: like(f, 'pat%')
+                p.next()
+                target = _expr(p)
+                p.expect_op(",")
+                pat = _expr(p)
+                p.expect_op(")")
+                if not (pat.startswith("'") and pat.endswith("'")):
+                    raise ValueError("PPL: like() needs a quoted pattern")
+                return f"({target} LIKE {pat})"
             if low not in _FUNCS:
                 raise ValueError(f"PPL: unknown function {name!r}")
             p.next()
@@ -277,6 +286,12 @@ class Parse:
     field: str
     regex: str
     name: str
+
+
+@dataclass
+class FillNull:
+    value: str  # literal SQL text
+    fields: list
 
 
 @dataclass
@@ -377,6 +392,11 @@ class Pipeline:
                 df = df.withColumn(
                     c.name, F.expr(f"regexp_extract({c.field}, '{c.regex}', 1)")
                 )
+            elif isinstance(c, FillNull):
+                for fld in c.fields:
+                    df = df.withColumn(
+                        fld, F.coalesce(F.col(fld), F.expr(c.value))
+                    )
             elif isinstance(c, Lookup):
                 if c.table not in tables:
                     raise ValueError(f"PPL: unknown lookup table {c.table!r}")
@@ -478,6 +498,12 @@ class Pipeline:
                     f"SELECT *, regexp_extract({c.field}, '{c.regex}', 1) "
                     f"AS {c.name} FROM ({q})"
                 )
+            elif isinstance(c, FillNull):
+                reps = ", ".join(
+                    f"coalesce({fld}, {c.value}) AS {fld}" for fld in c.fields
+                )
+                excl = ", ".join(c.fields)
+                q = f"SELECT * EXCLUDE ({excl}), {reps} FROM ({q})"
             elif isinstance(c, Lookup):
                 rel = (tables or {}).get(c.table, c.table)
                 if c.local == c.key:
@@ -636,6 +662,24 @@ def parse_ppl(text: str) -> Pipeline:
                 if any(e != a for e, a in by):
                     raise ValueError("PPL: eventstats by takes plain fields")
                 pipe.commands.append(EventStats(aggs, [a for _, a in by]))
+        elif cmd == "fillnull":
+            if not p.kw("with"):
+                raise ValueError("PPL: fillnull syntax is 'fillnull with <value> in f1, f2'")
+            k, v = p.next()
+            if k == "num":
+                val = v
+            elif k == "str":
+                val = "'" + v[1:-1].replace("'", "''") + "'"
+            elif k == "op" and v == "-" and p.peek()[0] == "num":
+                val = "-" + p.next()[1]
+            else:
+                raise ValueError("PPL: fillnull needs a literal value")
+            if not p.kw("in"):
+                raise ValueError("PPL: fillnull syntax is 'fillnull with <value> in f1, f2'")
+            flds = [p.expect_name()]
+            while p.eat_op(","):
+                flds.append(p.expect_name())
+            pipe.commands.append(FillNull(val, flds))
         elif cmd == "lookup":
             table = p.expect_name()
             key = p.expect_name()

@@ -308,3 +308,37 @@ def test_eventstats_distinct_count(tiny):
     )
     # click/view groups span users {1,2,3}; error spans {1,2}
     assert len(got) == 12 and set(got["du"]) == {2, 3}
+
+
+def test_fillnull_and_like(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "event_type": ["click_a", "click_b", None, "view_a"],
+            "value": [1.0, None, 3.0, None],
+        }
+    )
+    p = str(tmp_path / "nulls.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+    df = spark.createDataFrame(pdf)
+    q = (
+        "search source=events | fillnull with 0 in value "
+        "| fillnull with 'unknown' in event_type "
+        "| where like(event_type, 'click%') or value = 0 "
+        "| fields event_id, event_type, value | sort event_id"
+    )
+    pipe = parse_ppl(q)
+    got = pipe.to_df(spark, {"events": df}).toPandas()
+    exp = con.sql(pipe.to_sql()).df()
+    ga = got.sort_values("event_id").reset_index(drop=True)
+    ea = exp[got.columns].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ga, ea, check_dtype=False)
+    # rows: 1 (click_a), 2 (click_b, value filled 0), 4 (value filled 0)
+    assert list(ga["event_id"]) == [1, 2, 4]
+    assert ga.loc[1, "value"] == 0.0 and ga.loc[2, "event_type"] == "view_a"
+    with pytest.raises(ValueError):
+        parse_ppl("search source=events | fillnull value")
+    with pytest.raises(ValueError):
+        parse_ppl("search source=events | where like(event_type, value)")
