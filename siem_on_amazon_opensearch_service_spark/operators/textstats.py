@@ -448,7 +448,8 @@ def token_estimates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def c4_pipeline_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
     """C4-style corpus filter pipeline, end to end in ONE scan: language
     gate (lang_pred == 'en') -> Gopher quality gate -> exact dedup (one
@@ -461,21 +462,29 @@ def c4_pipeline_stats(
     (the column builders exist precisely so this composition does NOT
     become three scans + two joins); dedup is one hash aggregation on the
     md5 key; 2 exchanges total."""
-    text = F.col(text_col)
-    # tokenize ONCE per row behind a generator boundary; every gate then
-    # references the materialized array (the chunking module's
-    # countermeasure — without it this projection re-tokenized ~20x/row)
-    bound = df.select(
-        text.alias("__text"),
-        F.explode(F.array(tokens_col(text))).alias("__toks"),
-    )
-    txt, tk = F.col("__text"), F.col("__toks")
-    per = bound.select(
-        F.md5(txt).alias("h"),
-        F.size(tk).alias("nt"),
-        (lang_pred_col(txt, tk) == "en").alias("is_en"),
-        gopher_passes_col(txt, tk).alias("q"),
-    )
+    if impl == "arrow":
+        # the chunking lesson (BENCH/scaling_r4g.md): one Python pass over
+        # Arrow batches beats the JVM per-expression regex/array traffic on
+        # bandwidth-bound hosts (sf1/local[32]: 81 s column -> see tests)
+        per = _c4_facts_arrow(df.select(F.col(text_col)), text_col)
+    elif impl == "column":
+        text = F.col(text_col)
+        # tokenize ONCE per row behind a generator boundary; every gate
+        # then references the materialized array (without it this
+        # projection re-tokenized ~20x/row)
+        bound = df.select(
+            text.alias("__text"),
+            F.explode(F.array(tokens_col(text))).alias("__toks"),
+        )
+        txt, tk = F.col("__text"), F.col("__toks")
+        per = bound.select(
+            F.md5(txt).alias("h"),
+            F.size(tk).alias("nt"),
+            (lang_pred_col(txt, tk) == "en").alias("is_en"),
+            gopher_passes_col(txt, tk).alias("q"),
+        )
+    else:
+        raise ValueError(f"c4_pipeline_stats: unknown impl {impl!r}")
     # rows sharing an md5 group share text, hence identical nt/is_en/q —
     # so gate tallies AND dedup both fall out of ONE hash aggregation on
     # the md5 key followed by one global fold (2 exchanges, 1 scan)
@@ -496,3 +505,85 @@ def c4_pipeline_stats(
         F.coalesce(F.sum(F.when(keep, F.col("nt"))), F.lit(0))
         .cast("long").alias("survivor_tokens"),
     )
+
+
+def _c4_facts_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow-batched (h, nt, is_en, q) facts for the C4 pipeline: a Python
+    mirror of the column gates (same analyzer regex, same thresholds, same
+    occurrence-counting stopword hits), vectorized per batch.  The JVM
+    column path re-reads the text through several regex/array expressions;
+    on bandwidth-bound hosts the single Python pass wins (the chunking
+    impl="arrow" lesson, BENCH/scaling_r4g.md).  Equality with the column
+    path is asserted in tests."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    split = _re.compile(r"[^A-Za-z0-9_]+")
+    en, de = set(STOPWORDS_EN), set(STOPWORDS_DE)
+    es, fr = set(STOPWORDS_ES), set(STOPWORDS_FR)
+    gopher = set(GOPHER_STOPWORDS)
+    schema = StructType(
+        [
+            StructField("h", StringType()),
+            StructField("nt", IntegerType()),
+            StructField("is_en", BooleanType()),
+            StructField("q", BooleanType()),
+        ]
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            hs, nts, ens, qs = [], [], [], []
+            for txt in pdf["__text"].values:
+                t = txt or ""
+                toks = [x for x in split.split(t.lower()) if x]
+                n = len(toks)
+                hs.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+                nts.append(n)
+                c_en = sum(1 for x in toks if x in en)
+                c_de = sum(1 for x in toks if x in de)
+                c_es = sum(1 for x in toks if x in es)
+                c_fr = sum(1 for x in toks if x in fr)
+                best = max(c_en, c_de, c_es, c_fr)
+                ens.append(best > 0 and c_en == best)
+                if n == 0:
+                    qs.append(False)
+                    continue
+                mean_len = sum(len(x) for x in toks) / n
+                n_sym = t.count("#") + t.count("...")
+                stop_hits = sum(1 for x in toks if x in gopher)
+                n_alpha = sum(1 for x in toks if x.lower() != x.upper())
+                lines = [l for l in t.split("\n") if l != ""]
+                nl = len(lines)
+                bullet_ok = (
+                    nl == 0
+                    or sum(1 for l in lines if l.startswith(("- ", "* ", "•"))) / nl <= 0.9
+                )
+                ellip_ok = (
+                    nl == 0 or sum(1 for l in lines if l.endswith("...")) / nl <= 0.3
+                )
+                dup_ok = nl == 0 or (nl - len(set(lines))) / nl <= 0.3
+                qs.append(
+                    50 <= n <= 100_000
+                    and 3.0 <= mean_len <= 10.0
+                    and n_sym / n <= 0.1
+                    and n_alpha / n >= 0.8
+                    and stop_hits >= 2
+                    and bullet_ok
+                    and ellip_ok
+                    and dup_ok
+                )
+            yield pd.DataFrame({"h": hs, "nt": nts, "is_en": ens, "q": qs})
+
+    return df.select(F.col(text_col).alias("__text")).mapInPandas(gen, schema)

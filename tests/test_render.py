@@ -77,3 +77,33 @@ def test_filtered_knn_prefilter_semantics(spark):
     )[:5]
     assert ids == [-i for _, i in ref]
     # the query (vec 1, odd) is allowed even though it fails the filter
+
+
+def test_c4_arrow_equals_column(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.textstats import (
+        c4_pipeline_stats,
+    )
+
+    texts = []
+    base_words = ("the of and to in for is that have with word data table "
+                  "row line value item alpha beta gamma delta").split()
+    for i in range(60):
+        words = [base_words[(i * 7 + j) % len(base_words)] for j in range(i % 130)]
+        t = " ".join(words)
+        if i % 5 == 0:
+            t += " ### ... ..."
+        if i % 7 == 0:
+            t = "- bullet one\n- bullet two\n" + t + "\nend..."
+        if i % 11 == 0:
+            t = t + "\n" + t  # duplicate lines
+        texts.append((i, t))
+    texts += [(200, ""), (201, "der die das und von zu ist " * 12),
+              (202, "el la los y de en es un " * 12), (203, "12345 67 89 " * 30)]
+    # exact duplicates to exercise dedup
+    texts += [(300, texts[10][1]), (301, texts[10][1])]
+    df = spark.createDataFrame(texts, "doc_id long, text string").repartition(4)
+    a = c4_pipeline_stats(df, impl="arrow").collect()[0]
+    c = c4_pipeline_stats(df, impl="column").collect()[0]
+    assert tuple(a) == tuple(c), (tuple(a), tuple(c))
+    with pytest.raises(ValueError):
+        c4_pipeline_stats(df, impl="nope")
