@@ -202,6 +202,14 @@ def main() -> None:
             spark, idx_dir, "span_near(slop=3 reset connection)", k=10
         ).collect())
 
+    # intervals (r4h): minimal-interval algebra (antichain + filter)
+    queries["bm25_intervals_distributed"] = best3(
+        lambda: search_df(
+            spark, idx_dir,
+            "intervals(not_containing(unordered(connection reset) error))",
+            k=10,
+        ).collect())
+
     # function_score (r4d): full scored match set (no top-k sort) joined
     # with docs for the decay field, rewrite, TakeOrdered
     from siem_on_amazon_opensearch_service_spark.operators import relevance as _rel
@@ -251,6 +259,11 @@ def main() -> None:
     qs.search("span_near(slop=3 reset connection)", k=10).collect()
     queries["bm25_span_near_distributed_warm"] = best3(
         lambda: qs.search("span_near(slop=3 reset connection)", k=10).collect())
+    qs.search("intervals(ordered(max_gaps=2 connection reset))", k=10).collect()
+    queries["bm25_intervals_distributed_warm"] = best3(
+        lambda: qs.search(
+            "intervals(ordered(max_gaps=2 connection reset))", k=10
+        ).collect())
     # warm score-rewriting wrappers (r4d): session-pinned base + docs
     _rel.function_score_df(spark, idx_dir, "error OR timeout", k=10,
                            functions=_fs_fns, session=qs).collect()

@@ -458,6 +458,33 @@ BM25_QUERIES: dict[str, dict] = {
     # per-term SCORING_BOOLEAN_REWRITE.  Same match set as ``re*``,
     # different scores — both asserted in tests/test_span_multi.py.
     "bm25_span_multi": {"query": "span_multi(re*) AND error", "k": 10},
+    # r4h: intervals — Lucene/OpenSearch minimal-interval algebra
+    # (functions/intervals.py): ANTICHAIN semantics (greedy ordered
+    # chain / merge-path unordered sweep + minimalization — NOT the
+    # span family's iterator enumeration, divergence asserted in
+    # tests/test_intervals.py), max_gaps over per-interval content,
+    # relational filters as existentials over the reference's minimal
+    # intervals.  freq = float32 fold of 1/(1+width); weight = summed
+    # idf over ALL spec terms.  The SQL oracle renders the definitional
+    # all-pairs + NOT-EXISTS-minimalization CTEs (2-term combines,
+    # any_of over terms, one filter level); wider/nested specs are
+    # frozen-Python-oracle territory like wide span_near.
+    "bm25_intervals_ordered": {
+        "query": "intervals(ordered(max_gaps=2 connection reset))", "k": 10,
+    },
+    "bm25_intervals_unordered": {
+        "query": "intervals(unordered(error timeout)) AND refused", "k": 10,
+    },
+    "bm25_intervals_any_of": {
+        "query": "intervals(any_of(refused denied)) OR timeout", "k": 10,
+    },
+    "bm25_intervals_not_containing": {
+        "query": "intervals(not_containing(unordered(connection reset) error))",
+        "k": 10,
+    },
+    "bm25_intervals_before": {
+        "query": "intervals(before(ordered(connection reset) timeout))", "k": 10,
+    },
 }
 
 
@@ -2513,6 +2540,9 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_phrase_prefix_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, '"connection re"*', k=10
     )
+    bm["bm25_intervals_warm"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, "intervals(ordered(max_gaps=2 connection reset))", k=10
+    )
     bm["bm25_span_multi_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "span_multi(re*)", k=10
     )
@@ -3692,6 +3722,9 @@ def queries_map() -> dict:
     q["bm25_sloppy_warm"] = _bm25_warm('"connection reset"~2', 10)
     q["bm25_span_near_warm"] = _bm25_warm("span_near(slop=3 reset connection)", 10)
     q["bm25_phrase_prefix_warm"] = _bm25_warm('"connection re"*', 10)
+    q["bm25_intervals_warm"] = _bm25_warm(
+        "intervals(ordered(max_gaps=2 connection reset))", 10
+    )
     q["bm25_span_multi_warm"] = _bm25_warm("span_multi(re*)", 10)
     q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)
     q["bm25_terms_set_warm"] = _bm25_warm(

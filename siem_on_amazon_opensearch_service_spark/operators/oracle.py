@@ -23,6 +23,7 @@ import pandas as pd
 from ..functions import bm25
 from ..functions.analysis import tokenize
 from ..functions.sloppy import sloppy_freq
+from ..functions.intervals import intervals_freq, spec_required_terms
 from ..functions.spans import span_contain_freq, span_freq
 from ..functions.smallfloat import encode_lengths
 from ..plans.query import (
@@ -37,6 +38,7 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    Intervals,
     SpanContaining,
     SpanFirst,
     SpanNear,
@@ -174,6 +176,38 @@ class LuceneOracle:
                 np.asarray(docids, dtype=np.int64),
                 np.asarray(pfs, dtype=np.float64),
                 [len(imap)],
+            )
+            return mask, acc * node.boost
+        if isinstance(node, Intervals):
+            # minimal-interval kernel per candidate doc; candidates =
+            # docs holding every REQUIRED term (optional any_of /
+            # negated-reference terms only add candidates when required
+            # is empty)
+            req = sorted(spec_required_terms(node.spec))
+            maps = {t: self.postings.get(t, {}) for t in node.terms}
+            if req:
+                common = set(maps[req[0]])
+                for t in req[1:]:
+                    common &= set(maps[t])
+            else:
+                common = set()
+                for m in maps.values():
+                    common |= set(m)
+            docids, pfs = [], []
+            for d in sorted(common):
+                pos_of = {
+                    t: np.asarray(m[d], dtype=np.int64)
+                    for t, m in maps.items()
+                    if d in m
+                }
+                f = float(intervals_freq(node.spec, pos_of))
+                if f:
+                    docids.append(d)
+                    pfs.append(f)
+            dfs = [len(maps[t]) for t in node.terms]
+            mask, acc = self._score_clause(
+                np.asarray(docids, dtype=np.int64),
+                np.asarray(pfs, dtype=np.float64), dfs,
             )
             return mask, acc * node.boost
         if isinstance(node, (MultiPhrase, SpanOr)):

@@ -46,6 +46,7 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    Intervals,
     SpanContaining,
     SpanFirst,
     SpanMulti,
@@ -198,6 +199,16 @@ def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
                 "from the index's span-iterator candidates; evaluate "
                 "through an index (search_df/match_docids_df)"
             )
+        if isinstance(n, Intervals):
+            # minimal-interval semantics: filters and max_gaps apply to
+            # the MINIMALIZED interval set, which a selection
+            # existential cannot reproduce (the span_containing lesson,
+            # one algebra over) — refuse rather than silently diverge
+            raise NotImplementedError(
+                "intervals percolation is not supported: filters/"
+                "max_gaps act on the minimal-interval antichain; "
+                "evaluate through an index (search_df/match_docids_df)"
+            )
         if isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 _no_contain(c)
@@ -227,6 +238,12 @@ def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
             )
         if isinstance(n, SpanNear):
             return _span_predicate(toks, list(n.terms), n.slop, n.in_order)
+        if isinstance(n, Intervals):
+            raise NotImplementedError(
+                "intervals percolation is not supported: filters/"
+                "max_gaps act on the minimal-interval antichain; "
+                "evaluate through an index (search_df/match_docids_df)"
+            )
         if isinstance(n, (SpanContaining, SpanWithin)):
             # NOT index-free-percolatable: the index side consumes the
             # span ITERATOR's emitted candidates (ordered chain /

@@ -53,6 +53,7 @@ from ..plans.query import (
     And,
     AtLeast,
     Fuzzy,
+    Intervals,
     MultiPhrase,
     Node,
     Not,
@@ -82,6 +83,15 @@ from ..plans.query import (
     wildcard_regex,
     wildcard_to_like,
 )
+from ..functions.intervals import (
+    EXISTENTIAL_FILTERS as _IV_EXISTENTIAL,
+    IAnyOf as _IAnyOf,
+    ICombine as _ICombine,
+    IFilter as _IFilter,
+    ITerm as _ITerm,
+    intervals_freqs_flat,
+    spec_required_terms as _iv_required_terms,
+)
 from ..functions.sloppy import sloppy_freqs_flat
 from ..functions.spans import (
     span_contain_freqs_flat,
@@ -94,16 +104,17 @@ from . import segments
 
 #: scoring leaf node types; phrase-like = positional (Phrase, MultiPhrase)
 _LEAF = (Term, Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot,
-         SpanContaining, SpanWithin)
+         SpanContaining, SpanWithin, Intervals)
 _PHRASELIKE = (Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot,
-               SpanContaining, SpanWithin)
+               SpanContaining, SpanWithin, Intervals)
 
 
 def _leaf_terms(leaf: Node) -> list[str]:
     """Flat term list of a scoring leaf (MultiPhrase slots flattened)."""
     if isinstance(leaf, Term):
         return [leaf.term]
-    if isinstance(leaf, (Phrase, SpanNear, SpanOr, SpanContaining, SpanWithin)):
+    if isinstance(leaf, (Phrase, SpanNear, SpanOr, SpanContaining, SpanWithin,
+                         Intervals)):
         return list(leaf.terms)
     if isinstance(leaf, SpanFirst):
         return [leaf.term]
@@ -921,6 +932,10 @@ def _required_terms(node: Node) -> set[str]:
         # only the include term is required; the exclude term's ABSENCE
         # is fine (and its presence doesn't preclude a match)
         return {node.include}
+    if isinstance(node, Intervals):
+        # the spec's own required-term algebra (any_of = intersection,
+        # negated filter references optional)
+        return _iv_required_terms(node.spec)
     if isinstance(node, (MultiPhrase, SpanOr)):
         # only SINGLETON slots pin a specific term; a multi-alternative
         # slot requires one-of, which no single term expresses
@@ -1002,6 +1017,37 @@ def _intersect_ranges(a, b) -> tuple[np.ndarray, np.ndarray]:
 _RARE_DECODE_MAX = 65_536  # df below this: decode the term driver-side
 
 
+def _iv_spec_coverage(spec, per_term: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Docid-range coverage of an intervals spec — the same superset
+    argument as the boolean tree: term -> its coverage; ordered/
+    unordered -> intersection over children (every child must emit an
+    interval); any_of -> union; existential filters -> source AND
+    reference intersected (both sides must emit); negated filters ->
+    source only (the reference can only SHRINK the match set)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if isinstance(spec, _ITerm):
+        return per_term.get(spec.term, empty)
+    if isinstance(spec, _ICombine):
+        r = None
+        for c in spec.children:
+            cc = _iv_spec_coverage(c, per_term)
+            r = cc if r is None else _intersect_ranges(r, cc)
+            if r[0].size == 0:
+                break
+        return r
+    if isinstance(spec, _IAnyOf):
+        r = empty
+        for c in spec.children:
+            r = _union_ranges(r, _iv_spec_coverage(c, per_term))
+        return r
+    if isinstance(spec, _IFilter):
+        r = _iv_spec_coverage(spec.source, per_term)
+        if spec.kind in _IV_EXISTENTIAL:
+            r = _intersect_ranges(r, _iv_spec_coverage(spec.reference, per_term))
+        return r
+    raise TypeError(spec)
+
+
 def _coverage_ranges(node: Node, per_term: dict) -> tuple[np.ndarray, np.ndarray] | None:
     """Recursive docid-range coverage of a boolean tree: ranges outside
     which NO match of ``node`` can live.  Term -> its block (or exact,
@@ -1033,6 +1079,8 @@ def _coverage_ranges(node: Node, per_term: dict) -> tuple[np.ndarray, np.ndarray
             if r[0].size == 0:
                 break
         return r
+    if isinstance(node, Intervals):
+        return _iv_spec_coverage(node.spec, per_term)
     if isinstance(node, (Phrase, SpanNear, SpanContaining, SpanWithin)):
         # every term is required (a span_near match needs all clauses;
         # containing/within need every big clause AND the little term),
@@ -1422,6 +1470,11 @@ def _shard_local_topk(
         for ci, lf in enumerate(leaves)
         if isinstance(lf, (SpanContaining, SpanWithin))
     }
+    intervals_kind = {
+        ci: (lf.spec, lf.terms, lf.required_slots)
+        for ci, lf in enumerate(leaves)
+        if isinstance(lf, Intervals)
+    }
     mult = _positive_multiplicity(ast)
     mult_arr = np.array([float(mult.get(lf, 0)) for lf in leaves], dtype=np.float64)
     w64 = np.array([np.float64(w) for w in weights], dtype=np.float64)
@@ -1529,9 +1582,14 @@ def _shard_local_topk(
                 for slot in range(phrase_slots[ci]):
                     pp = pos_acc.get((ci, slot))
                     if not pp:
-                        if ci in span_not_kind and slot == 1:
-                            # span_not's exclude slot is OPTIONAL: no
-                            # exclude postings here = nothing excluded
+                        if (ci in span_not_kind and slot == 1) or (
+                            ci in intervals_kind
+                            and slot not in intervals_kind[ci][2]
+                        ):
+                            # span_not's exclude slot / a non-required
+                            # intervals slot (any_of branch, negated
+                            # filter reference) is OPTIONAL: absence
+                            # here = that term simply doesn't occur
                             slot_flat.append((
                                 np.empty(0, dtype=np.int64),
                                 np.empty(0, dtype=np.int64),
@@ -1544,6 +1602,16 @@ def _shard_local_topk(
                         np.concatenate([x for _, x in pp]),
                     ))
                 if not ok:
+                    continue
+                if ci in intervals_kind:
+                    # intervals: minimal-interval kernel, float freq
+                    spec_, terms_, req_ = intervals_kind[ci]
+                    docs_, freqs = intervals_freqs_flat(
+                        [d for d, _ in slot_flat], [p for _, p in slot_flat],
+                        spec_, terms_, req_,
+                    )
+                    if docs_.size:
+                        leaf_posts[ci] = (docs_, freqs)
                     continue
                 if ci in span_first_kind:
                     # span_first: count of positions < end
@@ -1731,6 +1799,11 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
         for ci, leaf in enumerate(leaves)
         if isinstance(leaf, (SpanContaining, SpanWithin))
     }
+    intervals_k = {
+        ci: (leaf.spec, leaf.terms, leaf.required_slots)
+        for ci, leaf in enumerate(leaves)
+        if isinstance(leaf, Intervals)
+    }
     empty = pd.DataFrame({"clause": [], "docid": [], "tf": []}).astype(
         {"clause": "int32", "docid": "int64", "tf": "float64"}
     )
@@ -1741,9 +1814,12 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
         for slot in range(b_n[ci]):
             g = pdf[pdf["slot"] == slot]
             if not len(g):
-                if ci in spans_not and slot == 1:
-                    # span_not's exclude slot is OPTIONAL: no exclude
-                    # postings in this bucket = nothing excluded
+                if (ci in spans_not and slot == 1) or (
+                    ci in intervals_k and slot not in intervals_k[ci][2]
+                ):
+                    # span_not's exclude slot / a non-required intervals
+                    # slot (any_of branch, negated filter reference) is
+                    # OPTIONAL: absence = the term simply doesn't occur
                     slot_flat.append((
                         np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.int64),
@@ -1757,6 +1833,13 @@ def _phrase_freq_df(decoded: DataFrame, leaves: list[Node]) -> DataFrame:
                 np.concatenate(pos_arrs) if pos_arrs else np.empty(0, dtype=np.int64)
             )
             slot_flat.append((doc_flat, pos_flat))
+        if ci in intervals_k:
+            spec_, terms_, req_ = intervals_k[ci]
+            docs, freqs = intervals_freqs_flat(
+                [d for d, _ in slot_flat], [p for _, p in slot_flat],
+                spec_, terms_, req_,
+            )
+            return pd.DataFrame({"clause": ci, "docid": docs, "tf": freqs})
         if ci in spans_first:
             docs, freqs = span_first_freqs_flat(
                 slot_flat[0][0], slot_flat[0][1], spans_first[ci]
@@ -2741,6 +2824,11 @@ class LocalIndex:
                 w_fn = lambda: bm25.clause_weight(
                     [self._term_postings(t)[0].size for t in node.terms],
                     self.stats["doc_count"])
+            elif isinstance(node, Intervals):
+                docids, tfs = self._intervals_postings(node)
+                w_fn = lambda: bm25.clause_weight(
+                    [self._term_postings(t)[0].size for t in node.terms],
+                    self.stats["doc_count"])
             else:  # MultiPhrase/SpanOr: grouped per-slot weight association
                 docids, tfs = self._phrase_postings(node.slots, 0)
                 w_fn = lambda: bm25.grouped_weight(
@@ -2801,6 +2889,17 @@ class LocalIndex:
                 return np.empty(0, np.int64), np.empty(0, np.int64)
         docs = keys // SHIFT
         return np.unique(docs, return_counts=True)
+
+    def _intervals_postings(self, node: Intervals) -> tuple[np.ndarray, np.ndarray]:
+        """intervals frequencies over the same flat (docid, position)
+        arrays (functions/intervals.py kernel — minimal-interval
+        semantics; optional slots pass through as genuinely-absent
+        terms)."""
+        flat = [self._term_positions(t) for t in node.terms]
+        return intervals_freqs_flat(
+            [d for d, _ in flat], [p for _, p in flat],
+            node.spec, node.terms, node.required_slots,
+        )
 
     def _span_postings(self, node: SpanNear) -> tuple[np.ndarray, np.ndarray]:
         """span_near frequencies over the same flat (docid, position)
@@ -2932,6 +3031,12 @@ class LocalIndex:
                 terms = (lf.include,)
             elif isinstance(lf, (SpanContaining, SpanWithin)):
                 docids, tfs = self._span_contain_postings(lf)
+                w = bm25.clause_weight(
+                    [self._term_postings(t)[0].size for t in lf.terms],
+                    self.stats["doc_count"])
+                terms = lf.terms
+            elif isinstance(lf, Intervals):
+                docids, tfs = self._intervals_postings(lf)
                 w = bm25.clause_weight(
                     [self._term_postings(t)[0].size for t in lf.terms],
                     self.stats["doc_count"])

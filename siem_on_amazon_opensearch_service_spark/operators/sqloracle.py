@@ -23,6 +23,7 @@ from ..plans.query import (
     Phrase,
     PhrasePrefix,
     Regexp,
+    Intervals,
     SpanContaining,
     SpanFirst,
     SpanMulti,
@@ -42,7 +43,8 @@ from ..plans.query import (
 #: scoring leaf node types (Wildcard/Fuzzy/Regexp render as grouped
 #: term-set leaves)
 LEAVES = (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy, Regexp, SpanMulti,
-          SpanNear, SpanFirst, SpanNot, SpanOr, SpanContaining, SpanWithin)
+          SpanNear, SpanFirst, SpanNot, SpanOr, SpanContaining, SpanWithin,
+          Intervals)
 
 
 def _mt_pred(leaf) -> str:
@@ -220,6 +222,32 @@ def _leaf_ctes(leaves: list[Node]) -> str:
                 f"(SELECT term, count(DISTINCT docid) AS df FROM tok "
                 f"WHERE term IN (SELECT term FROM exp_{i}) GROUP BY term))) AS FLOAT)"
             )
+        elif isinstance(leaf, Intervals):
+            # intervals: definitional minimal-interval CTEs
+            # (functions/intervals.py sql_intervals_freq — all-pairs
+            # candidates + NOT EXISTS minimalization, result-not-
+            # mechanics).  Renderable shapes: terms, any_of over terms,
+            # 2-term ordered/unordered (+max_gaps), one filter over two
+            # such; wider specs raise there and stay frozen-Python-
+            # oracle territory like wide span_near.  Weight = summed idf
+            # over ALL spec terms in first-appearance order (the
+            # engine's bm25.clause_weight fold order).
+            from ..functions.intervals import sql_intervals_freq
+
+            parts.append(
+                sql_intervals_freq(leaf.spec, f"ivf_{i}", f"iv{i}").strip()
+            )
+            parts.append(
+                f"tf_{i} AS (SELECT docid, CAST(freq AS DOUBLE) AS tf "
+                f"FROM ivf_{i} WHERE freq > 0)"
+            )
+            idf_sum = " + ".join(
+                f"ln(1 + (CAST((SELECT doc_count FROM stats) AS DOUBLE) - "
+                f"(SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5) / "
+                f"((SELECT count(DISTINCT docid) FROM tok WHERE term = {_q(t)}) + 0.5))"
+                for t in leaf.terms
+            )
+            weight = f"CAST({idf_sum} AS FLOAT)"
         elif isinstance(leaf, SpanNear):
             # span_near: 2-clause closed forms (functions/spans.py —
             # adjacent cross pairs / merge-path pairs); wider spans are

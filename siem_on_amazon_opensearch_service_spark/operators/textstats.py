@@ -27,24 +27,102 @@ def _stop_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
 
-def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _text_facts_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars, n_alnum, n_stop) integer facts in ONE
+    Arrow pass — a Python mirror of the column facts (same analyzer
+    regex, same char classes).  The column path reads the text through
+    three separate JVM regex/array expressions; the single vectorized
+    pass wins on bandwidth-bound hosts (the chunking/c4 impl="arrow"
+    lesson, BENCH/scaling_r4g.md).  Downstream ratio/quality arithmetic
+    stays in shared column expressions over these INTEGER facts, so
+    impl parity needs no float recipe at all."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    split = _re.compile(r"[^A-Za-z0-9_]+")
+    not_alnum_space = _re.compile(r"[^A-Za-z0-9_ ]")
+    stop = set(STOPWORDS_EN)
+    id_field = df.schema[id_col]
+    schema = StructType([
+        id_field,
+        StructField("n_tokens", IntegerType()),
+        StructField("n_chars", LongType()),
+        StructField("n_alnum", LongType()),
+        StructField("n_stop", IntegerType()),
+    ])
+    src = df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__text"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            nt, nc, na, ns = [], [], [], []
+            for t in pdf["__text"].values:
+                toks = [x for x in split.split(t.lower()) if x]
+                nt.append(len(toks))
+                nc.append(len(t))
+                na.append(len(not_alnum_space.sub("", t)))
+                ns.append(sum(1 for x in toks if x in stop))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "n_tokens": nt, "n_chars": nc, "n_alnum": na, "n_stop": ns,
+            })
+
+    return src.mapInPandas(gen, schema)
+
+
+def text_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "arrow",
+) -> DataFrame:
     """(id, n_tokens, n_chars, punct_ratio, stopword_ratio, quality) —
     quality is a deterministic [0,1] blend: length saturation, low
     punctuation, healthy stopword share (the length/punct/stopword-ratio
-    heuristic family)."""
-    toks = tokens_col(F.col(text_col))
-    n_tok = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    alnum = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9_ ]", ""))
-    punct_ratio = F.when(n_chars > 0, F.round((n_chars - alnum) / n_chars, 6)).otherwise(0.0)
-    stop_ratio = F.when(n_tok > 0, F.round(_stop_hits(toks, STOPWORDS_EN) / n_tok, 6)).otherwise(0.0)
+    heuristic family).
+
+    Two implementations produce IDENTICAL rows (equality-tested):
+    ``impl="arrow"`` (default) computes the integer facts in one Arrow
+    pass; ``impl="column"`` is the oracle-shaped column reference (three
+    JVM text scans — projection collapse re-reads the text per fact).
+    Ratios and the quality blend are the SAME column expressions over
+    the integer facts in both modes."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if impl == "arrow":
+        facts = _text_facts_arrow(df, id_col, text_col)
+    elif impl == "column":
+        toks = tokens_col(t)
+        facts = df.select(
+            F.col(id_col),
+            F.size(toks).alias("n_tokens"),
+            F.length(t).cast("long").alias("n_chars"),
+            F.length(F.regexp_replace(t, "[^A-Za-z0-9_ ]", "")).cast("long").alias("n_alnum"),
+            _stop_hits(toks, STOPWORDS_EN).alias("n_stop"),
+        )
+    else:
+        raise ValueError(f"text_metrics: unknown impl {impl!r}")
+    n_tok = F.col("n_tokens")
+    n_chars = F.col("n_chars")
+    punct_ratio = F.when(
+        n_chars > 0, F.round((n_chars - F.col("n_alnum")) / n_chars, 6)
+    ).otherwise(0.0)
+    stop_ratio = F.when(
+        n_tok > 0, F.round(F.col("n_stop") / n_tok, 6)
+    ).otherwise(0.0)
     quality = F.round(
         0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
         + 0.3 * (1.0 - punct_ratio)
         + 0.3 * F.least(stop_ratio * 4.0, F.lit(1.0)),
         6,
     )
-    return df.select(
+    return facts.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars"),
@@ -428,16 +506,66 @@ def bpe_token_estimate(text: Column) -> Column:
     return (word_units + punct.cast("long")).alias("bpe_tokens")
 
 
-def token_estimates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _token_facts_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, nt, nb, nc) in ONE Arrow pass: analyzer token count, BPE-ish
+    estimate (ceil(len/4) word units + punctuation singletons with the
+    exact Java \\s class [ \\t\\n\\x0B\\f\\r] — Python's \\s
+    would also eat unicode whitespace), chars.  Mirror of the column
+    facts below, equality-tested."""
+    import re as _re
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    split = _re.compile(r"[^A-Za-z0-9_]+")
+    not_word_ws = _re.compile(r"[^A-Za-z0-9_ \t\n\x0B\f\r]")
+    id_field = df.schema[id_col]
+    schema = StructType([
+        id_field,
+        StructField("nt", IntegerType()),
+        StructField("nb", LongType()),
+        StructField("nc", IntegerType()),
+    ])
+    src = df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__text"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            nt, nb, nc = [], [], []
+            for t in pdf["__text"].values:
+                toks = [x for x in split.split(t.lower()) if x]
+                nt.append(len(toks))
+                units = sum((len(x) + 3) // 4 for x in toks)
+                nb.append(units + len(not_word_ws.findall(t)))
+                nc.append(len(t))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "nt": nt, "nb": nb, "nc": nc})
+
+    return src.mapInPandas(gen, schema)
+
+
+def token_estimates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "arrow",
+) -> DataFrame:
     """Corpus token-budget summary: whitespace-analyzer count vs the
-    BPE-ish estimate, total and mean (round-6), chars per BPE token."""
-    t = F.col(text_col)
-    per = df.select(
-        F.col(id_col),
-        token_count(t).alias("nt"),
-        bpe_token_estimate(t).alias("nb"),
-        F.length(t).alias("nc"),
-    )
+    BPE-ish estimate, total and mean (round-6), chars per BPE token.
+    impl="arrow" (default) computes the per-doc facts in one Arrow pass
+    (the corpus-scale path); impl="column" is the oracle-shaped column
+    reference — identical results, equality-tested."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if impl == "arrow":
+        per = _token_facts_arrow(df, id_col, text_col)
+    elif impl == "column":
+        per = df.select(
+            F.col(id_col),
+            token_count(t).alias("nt"),
+            bpe_token_estimate(t).alias("nb"),
+            F.length(t).alias("nc"),
+        )
+    else:
+        raise ValueError(f"token_estimates: unknown impl {impl!r}")
     return per.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nt").cast("long").alias("word_tokens"),

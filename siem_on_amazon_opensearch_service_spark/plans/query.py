@@ -58,6 +58,15 @@ import re
 from dataclasses import dataclass
 
 from ..functions.analysis import tokenize
+from ..functions.intervals import (
+    FILTER_KINDS as _IV_FILTER_KINDS,
+    IAnyOf,
+    ICombine,
+    IFilter,
+    ITerm,
+    spec_required_terms,
+    spec_terms,
+)
 from ..functions.spans import SPAN_NOT_MAX_DIST as _SPAN_NOT_MAX_DIST
 
 
@@ -247,6 +256,45 @@ class SpanMulti(Node):
 
     inner: Node  # Wildcard | Fuzzy | Regexp
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Intervals(Node):
+    """Lucene/OpenSearch ``intervals`` query — minimal-interval algebra
+    over single-term sources (functions/intervals.py holds the frozen
+    semantics).  DQL surface::
+
+        intervals(ordered(max_gaps=3 connection reset))
+        intervals(not_containing(unordered(error timeout) refused))
+        intervals(any_of(denied refused))
+
+    combinators ``ordered`` / ``unordered`` (optional ``max_gaps=N``),
+    ``any_of``, and the relational filters ``containing`` /
+    ``contained_by`` / ``not_containing`` / ``not_contained_by`` /
+    ``not_overlapping`` / ``before`` / ``after`` (two args: source then
+    reference), nested arbitrarily over bare analyzed words.  Frequency
+    = float32 fold of 1/(1+width) over the root's minimal intervals;
+    weight = summed idf over ALL spec terms (filter references
+    included) in first-appearance order — IntervalQuery builds one
+    SimWeight from every extracted term.  Repeated terms anywhere in
+    one spec are rejected at parse (the span-family rule).  Multi-term
+    interval sources (prefix/wildcard/fuzzy) are out of scope — no
+    syntax admits them, nothing silently diverges."""
+
+    spec: object  # ITerm | ICombine | IAnyOf | IFilter tree
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        return tuple(spec_terms(self.spec))
+
+    @property
+    def required_slots(self) -> frozenset:
+        """Slot indices (into ``terms``) whose term every match needs;
+        terms under ``any_of`` branches or negated-filter references are
+        optional — decode paths substitute empty position lists."""
+        req = spec_required_terms(self.spec)
+        return frozenset(i for i, t in enumerate(self.terms) if t in req)
 
 
 @dataclass(frozen=True)
@@ -488,7 +536,8 @@ def parse(query: str) -> Node:
             raise ValueError(f"boost must be positive, got {nxt!r} in {query!r}")
         if isinstance(node, (Term, Phrase, PhrasePrefix, Wildcard, Fuzzy,
                              SpanNear, SpanFirst, SpanNot, SpanOr,
-                             SpanMulti, SpanContaining, SpanWithin)):
+                             SpanMulti, SpanContaining, SpanWithin,
+                             Intervals)):
             import dataclasses
 
             return dataclasses.replace(node, boost=node.boost * b)
@@ -725,6 +774,111 @@ def parse(query: str) -> Node:
             )
         return maybe_boost(SpanOr(tuple(sorted(words))))
 
+    def parse_intervals() -> Node:
+        """``intervals(<expr>)`` — one nested interval-source expression:
+        bare analyzed words, ``ordered(...)``/``unordered(...)`` with an
+        optional ``max_gaps=N`` param anywhere among the args, ``any_of``
+        (>= 2 sources), and the two-arg relational filters.  Repeated
+        terms anywhere in the spec are rejected (span-family rule)."""
+        take()  # '('
+
+        def parse_expr():
+            t2 = peek()
+            if t2 is None:
+                raise ValueError(f"missing ')' in intervals in {query!r}")
+            if t2 == ")":
+                raise ValueError(f"empty intervals source in {query!r}")
+            take()
+            low = t2.lower()
+            if low in ("ordered", "unordered") and peek() == "(":
+                take()
+                children: list = []
+                max_gaps = -1
+                while True:
+                    t3 = peek()
+                    if t3 is None:
+                        raise ValueError(f"missing ')' after {low} in {query!r}")
+                    if t3 == ")":
+                        take()
+                        break
+                    if t3.lower().startswith("max_gaps="):
+                        take()
+                        try:
+                            max_gaps = int(t3[len("max_gaps="):])
+                        except ValueError:
+                            raise ValueError(
+                                f"bad intervals max_gaps {t3!r} in {query!r}"
+                            ) from None
+                        if max_gaps < 0:
+                            raise ValueError(
+                                f"intervals max_gaps must be >= 0 in {query!r}"
+                            )
+                        continue
+                    children.append(parse_expr())
+                if len(children) < 2:
+                    raise ValueError(
+                        f"intervals {low} needs >= 2 sources in {query!r}"
+                    )
+                return ICombine(low, tuple(children), max_gaps)
+            if low == "any_of" and peek() == "(":
+                take()
+                children = []
+                while True:
+                    t3 = peek()
+                    if t3 is None:
+                        raise ValueError(f"missing ')' after any_of in {query!r}")
+                    if t3 == ")":
+                        take()
+                        break
+                    children.append(parse_expr())
+                if len(children) < 2:
+                    raise ValueError(
+                        f"intervals any_of needs >= 2 sources in {query!r}"
+                    )
+                return IAnyOf(tuple(children))
+            if low in _IV_FILTER_KINDS and peek() == "(":
+                take()
+                src = parse_expr()
+                ref = parse_expr()
+                if peek() != ")":
+                    raise ValueError(
+                        f"intervals {low} takes exactly (source reference) in {query!r}"
+                    )
+                take()
+                return IFilter(low, src, ref)
+            ws = tokenize(t2)
+            if len(ws) != 1:
+                raise ValueError(
+                    f"intervals source {t2!r} must analyze to one term in {query!r}"
+                )
+            return ITerm(ws[0])
+
+        spec = parse_expr()
+        if peek() != ")":
+            raise ValueError(
+                f"intervals takes exactly one source expression in {query!r}"
+            )
+        take()
+        terms_all: list[str] = []
+
+        def collect(s) -> None:
+            if isinstance(s, ITerm):
+                terms_all.append(s.term)
+            elif isinstance(s, (ICombine, IAnyOf)):
+                for c in s.children:
+                    collect(c)
+            else:
+                collect(s.source)
+                collect(s.reference)
+
+        collect(spec)
+        if len(set(terms_all)) != len(terms_all):
+            raise ValueError(
+                f"intervals with repeated terms is not supported in {query!r} "
+                "(Lucene's same-term interval machinery is out of scope)"
+            )
+        return maybe_boost(Intervals(spec))
+
     def parse_span_multi() -> Node:
         """``span_multi(<multiterm atom>)`` — exactly one wildcard, fuzzy
         or regexp atom; an inner boost folds into the wrapper boost."""
@@ -774,6 +928,8 @@ def parse(query: str) -> Node:
             return parse_span_or()
         if t.lower() in ("span_containing", "span_within") and peek() == "(":
             return parse_span_contain(t.lower())
+        if t.lower() == "intervals" and peek() == "(":
+            return parse_intervals()
         if t == "(":
             node = parse_or()
             if peek() != ")":
@@ -1239,6 +1395,11 @@ def phrase_slots(leaf: Node) -> tuple[tuple[str, ...], ...]:
         return ((leaf.include,), (leaf.exclude,))
     if isinstance(leaf, (MultiPhrase, SpanOr)):
         return leaf.slots
+    if isinstance(leaf, Intervals):
+        # one slot per distinct spec term, first-appearance order; slots
+        # outside required_slots are OPTIONAL (any_of branches, negated
+        # filter references) — consumers substitute empty position lists
+        return tuple((t,) for t in leaf.terms)
     raise TypeError(leaf)
 
 
@@ -1368,7 +1529,8 @@ def query_terms(node: Node) -> list[str]:
         if isinstance(n, Term):
             if n.term not in out:
                 out.append(n.term)
-        elif isinstance(n, (Phrase, SpanNear, SpanOr, SpanContaining, SpanWithin)):
+        elif isinstance(n, (Phrase, SpanNear, SpanOr, SpanContaining,
+                            SpanWithin, Intervals)):
             for t in n.terms:
                 if t not in out:
                     out.append(t)
