@@ -227,6 +227,24 @@ def main() -> None:
             k=10, tie_breaker=0.3,
         ).collect())
 
+    # msearch (r4h): 8 dashboard panels from ONE postings scan / decode /
+    # aggregation — the whole batch should cost about one multi-clause
+    # query, not eight (compare against the per-query *_distributed rows)
+    from siem_on_amazon_opensearch_service_spark.operators.search import msearch_df
+
+    _ms_batch = {
+        "p_and": "error AND timeout",
+        "p_term": "error",
+        "p_phrase": '"connection reset"',
+        "p_fan": "timeout OR refused OR denied",
+        "p_role": "error AND role:assistant",
+        "p_mixed": "(error AND NOT timeout) OR refused",
+        "p_conj": "connection AND reset",
+        "p_boost": "error^2 OR timeout",
+    }
+    queries["bm25_msearch8_distributed"] = best3(
+        lambda: msearch_df(spark, idx_dir, _ms_batch, k=10).collect())
+
     # warm dashboard session (QuerySession): pinned postings listing;
     # single terms on the zero-exchange fused path, everything else on
     # the r4 one-Python-stage shard-local plan (phrases included)
@@ -275,6 +293,9 @@ def main() -> None:
         lambda: _rel.dis_max_df(
             spark, idx_dir, ["error", "timeout AND refused", '"connection reset"'],
             k=10, tie_breaker=0.3, session=qs).collect())
+    qs.msearch(_ms_batch, k=10).collect()
+    queries["bm25_msearch8_distributed_warm"] = best3(
+        lambda: qs.msearch(_ms_batch, k=10).collect())
     qs.close()
 
     # 3) relational / dedup sample over driver tables

@@ -331,6 +331,33 @@ def _bm25_warm(query: str, k: int = 10, **filt):
     return run
 
 
+#: msearch driver batch — a dashboard refresh's panel queries: shared
+#: leaves ('error', 'timeout' appear in several panels and are decoded/
+#: scored once), a phrase, an OR fan, and a DQL field filter
+MSEARCH_BATCH: dict[str, str] = {
+    "panel_errors": "error AND timeout",
+    "panel_conn": '"connection reset"',
+    "panel_fan": "timeout OR refused OR denied",
+    "panel_role": "error AND role:assistant",
+}
+
+
+def _bm25_msearch(warm: bool):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        idx = ensure_index(spark, _sf_label(sf_dir))
+        if warm:
+            out = _warm_session(spark, idx).msearch(MSEARCH_BATCH, k=10)
+        else:
+            out = search.msearch_df(spark, idx, MSEARCH_BATCH, k=10)
+        return out.select(
+            "qid", "docid",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"),
+        )
+
+    return run
+
+
 BM25_QUERIES: dict[str, dict] = {
     "bm25_term": {"query": "error", "k": 10},
     "bm25_term_rare": {"query": "w00042", "k": 10},
@@ -2546,6 +2573,10 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_span_multi_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "span_multi(re*)", k=10
     )
+    bm["bm25_msearch"] = sqloracle.msearch_sql(ORACLE_TRANSCRIPTS, MSEARCH_BATCH, k=10)
+    bm["bm25_msearch_warm"] = sqloracle.msearch_sql(
+        ORACLE_TRANSCRIPTS, MSEARCH_BATCH, k=10
+    )
     bm["bm25_completion_suggest"] = (
         f"WITH {sqloracle._base_ctes(ORACLE_TRANSCRIPTS)}, "
         "terms AS (SELECT docid, unnest(list_distinct(toks)) AS term FROM tok0), "
@@ -3726,6 +3757,8 @@ def queries_map() -> dict:
         "intervals(ordered(max_gaps=2 connection reset))", 10
     )
     q["bm25_span_multi_warm"] = _bm25_warm("span_multi(re*)", 10)
+    q["bm25_msearch"] = _bm25_msearch(warm=False)
+    q["bm25_msearch_warm"] = _bm25_msearch(warm=True)
     q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)
     q["bm25_terms_set_warm"] = _bm25_warm(
         "timeout OR refused OR denied OR failed", 10, minimum_should_match=2

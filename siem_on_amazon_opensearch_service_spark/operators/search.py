@@ -2247,6 +2247,237 @@ def search_df(
     )
 
 
+def msearch_df(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, str],
+    k: int | None = 10,
+    *,
+    _stats: dict | None = None,
+    _dfs: dict | None = None,
+    _docs: DataFrame | None = None,
+    _postings: DataFrame | None = None,
+    _prune_memo: dict | None = None,
+    _expand_memo: dict | None = None,
+) -> DataFrame:
+    """Multi-search (the ``_msearch`` API shape): N DQL queries answered
+    from ONE postings scan, returning DataFrame(qid string, docid long,
+    score float) — each query's (score desc, docid asc) top-k, scores
+    identical to per-query ``search_df``.
+
+    A dashboard refresh fires one query per panel against the same index;
+    run separately each pays its own postings scan + decode + docs join +
+    aggregation.  At 10^12 docs that is N full scans for one refresh.
+    Here the batch shares everything shareable:
+
+    - the UNIQUE leaves across all queries form one global clause space —
+      a leaf used by five panels is scanned, decoded, phrase-resolved and
+      BM25-scored ONCE (clause weights depend only on the leaf and corpus
+      stats, never on which query asked);
+    - one postings scan covers the union term set (term pushdown + bucket
+      partition pruning), pruned to the UNION of per-query coverage
+      ranges (each is a match-set superset, so the union covers every
+      query's matches);
+    - a tiny literal clause->queries fan-out (explode) hands each scored
+      row to its queries, and ONE (qid, docid) aggregation pivots every
+      query's clauses in a single exchange;
+    - per-query boolean masks / keyword+time filters / boost-weighted
+      score folds are qid-dispatched column expressions over the shared
+      pivot; per-query top-k is one window over the qid partitioning.
+
+    Total: 2 exchanges for the whole batch (aggregation + window) vs
+    2N for separate queries — plus one scan instead of N.
+
+    Per-query filters come from DQL atoms only (``role:``/``tool:``/
+    ``ts>=`` inside each query string).  ``collapse`` / ``search_after``
+    / ``minimum_should_match`` are per-query request options outside the
+    query string — not supported here; route those via ``search_df``."""
+    if not queries:
+        raise ValueError("msearch_df needs at least one query")
+    if k is not None and k <= 0:
+        raise ValueError(f"msearch_df: k must be a positive int or None, got {k}")
+    qids = list(queries)
+    none_kwargs = {
+        "role": None, "tool": None, "ts_min": None, "ts_max": None,
+        "role_exists": False, "tool_exists": False,
+        "role_not": (), "tool_not": (),
+        "role_not_exists": False, "tool_not_exists": False,
+    }
+
+    def _exp(leaf) -> list[str]:
+        if _expand_memo is not None and leaf in _expand_memo:
+            return _expand_memo[leaf]
+        out = _expand_leaf(index_dir, leaf)
+        if _expand_memo is not None:
+            _expand_memo[leaf] = out
+        return out
+
+    asts: list[Node] = []
+    filts: list[dict] = []
+    for qid in qids:
+        q = queries[qid]
+        ast, dqlf = extract_filters(parse(q), q)
+        filt = merge_filters(q, dict(none_kwargs), dqlf)
+        if _has_multiterm(ast):
+            ast = expand_multiterm(ast, _exp, MAX_CLAUSE_COUNT)
+        _require_positive_coverage(ast, f"msearch_df[{qid!r}]")
+        asts.append(ast)
+        filts.append(filt)
+
+    # global clause space: unique leaves across the batch
+    leaves: list[Node] = []
+    for ast in asts:
+        for lf in _leaves(ast):
+            if lf not in leaves:
+                leaves.append(lf)
+    _check_positions(index_dir, leaves)
+    terms = sorted({t for lf in leaves for t in _leaf_terms(lf)})
+    stats = _stats if _stats is not None else _load_stats(index_dir)
+    if _dfs is not None:
+        missing = [t for t in terms if t not in _dfs]
+        if missing:
+            got = _load_dfs(index_dir, missing)
+            for t in missing:
+                _dfs[t] = got.get(t, 0)
+        dfs = {t: _dfs[t] for t in terms if _dfs[t] > 0}
+    else:
+        dfs = _load_dfs(index_dir, terms)
+    weights = _clause_weights(leaves, dfs, stats["doc_count"])
+
+    if _postings is not None:
+        nb = _postings_buckets(index_dir)
+        postings = _postings
+        if nb and "bucket" in postings.columns:
+            bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
+            postings = postings.filter(F.col("bucket").isin(bs))
+        postings = postings.filter(F.col("term").isin(terms))
+    else:
+        postings = _read_postings_spark(spark, index_dir, terms)
+
+    # shared-decode pruning: the union of per-query coverage ranges.  All
+    # queries must yield a plan (an unprunable query needs every block, so
+    # the shared decode can't drop any); an EMPTY per-query plan (provably
+    # no matches) simply contributes nothing to the union.  Theta pruning
+    # is per-query-score-frontier-specific and does not compose here.
+    prune = None
+    if k is not None and "blk_first" in postings.columns:
+        memo_key = ("msearch", tuple(qids), tuple(queries[q] for q in qids), k)
+        if _prune_memo is not None and memo_key in _prune_memo:
+            prune = _prune_memo[memo_key]
+        else:
+            plans = []
+            for ast in asts:
+                p = _plan_intersection_prune(index_dir, ast, stats, dfs)
+                if p is None:
+                    plans = None
+                    break
+                plans.append(p)
+            if plans:
+                # union of the per-query coverage ranges: a docid outside
+                # every query's coverage cannot match any of them (each
+                # plan is a match-set superset)
+                lo, hi = plans[0]["lo"], plans[0]["hi"]
+                for p in plans[1:]:
+                    lo, hi = _union_ranges((lo, hi), (p["lo"], p["hi"]))
+                prune = {"lo": lo, "hi": hi, "shard_size": plans[0]["shard_size"]}
+            if _prune_memo is not None:
+                _prune_memo[memo_key] = prune
+
+    decoded, has_phrase = _decode_postings_df(postings, leaves, prune=prune)
+    term_rows = (
+        decoded.filter(F.col("pos").isNull()) if has_phrase else decoded
+    ).select("clause", "docid", F.col("tf").cast("double").alias("tf"))
+    parts = [term_rows]
+    ph = _phrase_freq_df(decoded, leaves)
+    if ph is not None:
+        parts.append(ph)
+    cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+    # docs projection: norm always; keyword/ts columns only if some query
+    # in the batch filters on them
+    need_cols = ["docid", "norm"]
+    for fld in ("role", "tool"):
+        if any(
+            f.get(fld) is not None or f.get(f"{fld}_not")
+            or f.get(f"{fld}_exists") or f.get(f"{fld}_not_exists")
+            for f in filts
+        ):
+            need_cols.append(fld)
+    if any(f.get("ts_min") is not None or f.get("ts_max") is not None for f in filts):
+        need_cols.append("ts")
+    docs = _docs if _docs is not None else spark.read.parquet(os.path.join(index_dir, "docs"))
+    docs = docs.select(*need_cols)
+
+    scored = cand.join(docs, "docid").withColumn(
+        "score",
+        _score_expr(weights, stats["avgdl"], F.col("clause"), F.col("tf"), F.col("norm")),
+    )
+
+    # clause -> queries fan-out (tiny literal): each shared leaf's scored
+    # rows explode to exactly the queries that reference it
+    leaf_sets = [set(_leaves(ast)) for ast in asts]
+    qids_for_clause = [
+        [qi for qi, ls in enumerate(leaf_sets) if leaf in ls] for leaf in leaves
+    ]
+    fan = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(q) for q in qs) + ")" for qs in qids_for_clause
+        )
+        + ")"
+    )
+    fanned = scored.withColumn(
+        "qn", F.explode(F.element_at(fan, F.col("clause").cast("int") + 1))
+    )
+
+    # ONE (qid, docid) aggregation for the whole batch: conditional max
+    # per global clause ((qn, docid, clause) rows are unique, so max-of-one
+    # is the value); keyword/ts columns are per-docid constants, max picks
+    # the value through
+    aggs = [
+        F.max(F.when(F.col("clause") == ci, F.col("score"))).alias(f"c{ci}")
+        for ci in range(len(leaves))
+    ] + [F.max(c).alias(c) for c in need_cols[2:]]
+    pivoted = fanned.groupBy("qn", "docid").agg(*aggs)
+
+    # per-query mask + filters + boost-weighted float64 score fold,
+    # qid-dispatched (same arithmetic as the cold pivot path)
+    keep = F.lit(False)
+    score_chain = None
+    for qi, (ast, filt) in enumerate(zip(asts, filts)):
+        cond = (F.col("qn") == qi) & _mask_expr(ast, leaves)
+        for c in _docs_filter_conditions(filt):
+            cond = cond & c
+        keep = keep | cond
+        mult = _positive_multiplicity(ast)
+        total = F.lit(0.0)
+        for ci, leaf in enumerate(leaves):
+            m = mult.get(leaf, 0)
+            if m:
+                piece = F.coalesce(F.col(f"c{ci}").cast("double"), F.lit(0.0))
+                total = total + (piece if m == 1 else F.lit(float(m)) * piece)
+        score_chain = (
+            F.when(F.col("qn") == qi, total)
+            if score_chain is None
+            else score_chain.when(F.col("qn") == qi, total)
+        )
+    out = pivoted.filter(keep).withColumn("score", score_chain.cast("float"))
+
+    if k is not None:
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy("qn").orderBy(F.col("score").desc(), F.col("docid").asc())
+        out = out.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= int(k)
+        )
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    return out.select(
+        F.element_at(qid_arr, F.col("qn").cast("int") + 1).alias("qid"),
+        "docid",
+        "score",
+    ).orderBy("qid", F.col("score").desc(), F.col("docid").asc())
+
+
 def match_docids_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
     """The boolean MATCH SET of a query as DataFrame(docid) — posting-set
     algebra as DataFrame set ops: intersect = inner join, union =
@@ -3640,6 +3871,23 @@ class QuerySession:
             _prune_memo=self._prune_memo,
             _norms_bc=self.norms_bc,
             _filter_mask_bc=self._filter_mask_bc(filt),
+            _expand_memo=self._expand_memo,
+        )
+
+    def msearch(self, queries: dict[str, str], k: int | None = 10) -> DataFrame:
+        """Warm multi-search: the one-scan batch plan over the session's
+        pinned postings/docs/stats (see msearch_df) — a dashboard refresh
+        as one job instead of one per panel."""
+        return msearch_df(
+            self.spark,
+            self.dir,
+            queries,
+            k=k,
+            _stats=self.stats,
+            _dfs=self._dfs,
+            _docs=self.docs,
+            _postings=self.postings,
+            _prune_memo=self._prune_memo,
             _expand_memo=self._expand_memo,
         )
 

@@ -668,6 +668,25 @@ FROM (
 )"""
 
 
+def msearch_sql(path: str, queries: dict[str, str], k: int = 10) -> str:
+    """DuckDB statement for ``msearch_df``: (qid, docid, score_r) — each
+    query's ``bm25_sql`` rendered independently and UNION ALL'd under its
+    qid literal.  Deliberately the definitional per-query form: the
+    engine's shared one-scan batch plan must be invisible in the values."""
+    parts = []
+    for qid, q in queries.items():
+        lit = "'" + qid.replace("'", "''") + "'"
+        parts.append(
+            f"SELECT {lit} AS qid, t.docid, t.score_r FROM (\n{bm25_sql(path, q, k=k)}\n) t"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        "SELECT qid, docid, score_r FROM (\n"
+        + body
+        + "\n) u ORDER BY qid, score_r DESC, docid"
+    )
+
+
 def mlt_sql(
     path: str,
     docid: int,
