@@ -165,6 +165,102 @@ def _mask(node: Node, present: dict[Node, Column]) -> Column:
     raise TypeError(node)
 
 
+def _facts_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    nonterm: list[tuple[int, Node]],
+) -> DataFrame:
+    """One Arrow pass emitting the packed (__id, __facts) frame: Python
+    tokenize + integer facts instead of the JVM split() expression.
+    Row-identical to the column builder — same char-based truncation
+    (the corpus's ASCII contract, _truncate_text_col), same lower ->
+    word-run split, same per-leaf tf definitions — but the text column
+    crosses memory once per Arrow batch instead of allocating a
+    java.lang.String per token: 2-3x faster single-threaded AND scaling
+    on bandwidth-starved hosts (the chunking/c4 impl='arrow' lesson,
+    BENCH/scaling_r4g.md)."""
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from ..functions import analysis as _analysis
+
+    split = _re.compile(_analysis.SQL_SPLIT_RE)
+    tb, tk, tm = (
+        _analysis.TRUNCATE_BYTES,
+        _analysis.TRUNCATE_KEEP,
+        _analysis.TRUNCATE_MARK,
+    )
+    need_pos: set[str] = set()
+    for _, leaf in nonterm:
+        if isinstance(leaf, Phrase):
+            need_pos.update(leaf.terms)
+        elif isinstance(leaf, SpanFirst):
+            need_pos.add(leaf.term)
+        elif isinstance(leaf, SpanNot):
+            need_pos.update((leaf.include, leaf.exclude))
+        # SpanOr: membership counts only — no positions
+
+    def leaf_tf(leaf: Node, cnt: dict, pos: dict) -> int:
+        if isinstance(leaf, Phrase):
+            p0 = pos.get(leaf.terms[0], ())
+            sets = [set(pos.get(t, ())) for t in leaf.terms[1:]]
+            return sum(
+                1 for p in p0 if all((p + j + 1) in s for j, s in enumerate(sets))
+            )
+        if isinstance(leaf, SpanFirst):
+            return sum(1 for p in pos.get(leaf.term, ()) if p < leaf.end)
+        if isinstance(leaf, SpanNot):
+            exc = pos.get(leaf.exclude, ())
+            return sum(
+                1
+                for p in pos.get(leaf.include, ())
+                if not any(abs(q - p) <= leaf.dist for q in exc)
+            )
+        if isinstance(leaf, SpanOr):
+            alts = set(leaf.terms)
+            return sum(cnt.get(t, 0) for t in alts)
+        raise TypeError(leaf)
+
+    schema = StructType(
+        [
+            StructField("__id", df.schema[id_col].dataType),
+            StructField("__facts", ArrayType(LongType())),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for t in pdf["__text"].values:
+                if len(t) > tb:
+                    t = t[:tk] + tm
+                toks = [x for x in split.split(t.lower()) if x]
+                cnt: dict[str, int] = {}
+                for x in toks:
+                    cnt[x] = cnt.get(x, 0) + 1
+                facts = [len(toks)] + [cnt.get(term, 0) for term in terms]
+                if nonterm:
+                    pos: dict[str, list[int]] = {}
+                    if need_pos:
+                        for i, x in enumerate(toks):
+                            if x in need_pos:
+                                pos.setdefault(x, []).append(i)
+                    facts += [leaf_tf(leaf, cnt, pos) for _, leaf in nonterm]
+                rows.append(facts)
+            yield pd.DataFrame({"__id": pdf["__id"].values, "__facts": rows})
+
+    return src.mapInPandas(gen, schema)
+
+
 def bm25_adhoc_df(
     df: DataFrame,
     query: str,
@@ -172,13 +268,20 @@ def bm25_adhoc_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     minimum_should_match: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id_col, score float32) — BM25 top-k over a raw table, no index.
 
     Identical scores to building an index over the same rows with the
     given ids as docids and querying it (tests assert this against
     LocalIndex).  Field filters are rejected: an arbitrary table has no
-    role/tool/ts contract — filter the DataFrame before calling."""
+    role/tool/ts contract — filter the DataFrame before calling.
+
+    ``impl``: "arrow" (default) extracts the packed per-doc facts in one
+    Arrow pass (the fast path on bandwidth-bound hosts); "column" is the
+    pure-Column reference formulation — row-identical by construction
+    (tests assert score equality on every leaf type), kept as the
+    oracle-shaped spec."""
     ast, dqlf = extract_filters(parse(query), query)
     if dqlf:
         raise ValueError(
@@ -195,34 +298,41 @@ def bm25_adhoc_df(
     # re-tokenizing the text column.  The checkpoint is ~(2 + #terms +
     # #phrase-like-leaves) longs per doc — the standard
     # storage-for-a-second-scan trade the dedup operators make too.
-    toks = _toks_col(F.col(text_col))
     terms = sorted({t for lf in leaves for t in _leaf_terms_of(lf)})
     tcol = {t: f"__t{i}" for i, t in enumerate(terms)}
-    def _term_eq(t: str):
-        # NOTE: a `lambda x, t=t:` default-arg binding reads as the
-        # two-argument (element, index) lambda form to F.filter — bind
-        # through a closure instead
-        return lambda x: x == F.lit(t)
-
-    # all facts come out of ONE let-binding (the dedup module's
-    # single-element-transform trick): projection collapse would
-    # otherwise inline — and re-evaluate — the tokenize expression into
-    # every count column (measured: no speedup at all from the single
-    # pass until this).  body(a) sees the token array once per row.
     nonterm = [
         (ci, leaf) for ci, leaf in enumerate(leaves) if not isinstance(leaf, Term)
     ]
+    if impl == "arrow":
+        packed = _facts_arrow(df, id_col, text_col, terms, nonterm).localCheckpoint(
+            eager=True
+        )
+    elif impl == "column":
+        toks = _toks_col(F.col(text_col))
 
-    def body(a):
-        facts = [F.size(a).cast("long")]
-        facts += [F.size(F.filter(a, _term_eq(t))).cast("long") for t in terms]
-        facts += [_leaf_tf(leaf, a).cast("long") for _, leaf in nonterm]
-        return F.array(*facts)
+        def _term_eq(t: str):
+            # NOTE: a `lambda x, t=t:` default-arg binding reads as the
+            # two-argument (element, index) lambda form to F.filter — bind
+            # through a closure instead
+            return lambda x: x == F.lit(t)
 
-    facts_col = F.element_at(F.transform(F.array(toks), body), 1)
-    packed = df.select(
-        F.col(id_col).alias("__id"), facts_col.alias("__facts")
-    ).localCheckpoint(eager=True)
+        # all facts come out of ONE let-binding (the dedup module's
+        # single-element-transform trick): projection collapse would
+        # otherwise inline — and re-evaluate — the tokenize expression into
+        # every count column (measured: no speedup at all from the single
+        # pass until this).  body(a) sees the token array once per row.
+        def body(a):
+            facts = [F.size(a).cast("long")]
+            facts += [F.size(F.filter(a, _term_eq(t))).cast("long") for t in terms]
+            facts += [_leaf_tf(leaf, a).cast("long") for _, leaf in nonterm]
+            return F.array(*facts)
+
+        facts_col = F.element_at(F.transform(F.array(toks), body), 1)
+        packed = df.select(
+            F.col(id_col).alias("__id"), facts_col.alias("__facts")
+        ).localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"impl must be 'arrow' or 'column', got {impl!r}")
 
     # unpack AFTER the checkpoint: the materialized frame holds the
     # packed longs, so per-column element_at reads, never re-tokenizes

@@ -115,6 +115,51 @@ class TestAdhocVsDuck:
         )
 
 
+class TestAdhocImplParity:
+    """impl='arrow' (default, one Arrow facts pass) must be row-identical
+    to impl='column' (the pure-Column reference) — full match sets, every
+    supported leaf type, and the truncation boundary."""
+
+    @pytest.mark.parametrize("q", ADHOC_QUERIES)
+    def test_full_match_set_identical(self, transcripts_with_docids, q):
+        def rows(impl):
+            return sorted(
+                (int(r["docid"]), np.float32(r["score"]))
+                for r in bm25_adhoc_df(
+                    transcripts_with_docids, q, k=None,
+                    id_col="docid", text_col="text", impl=impl,
+                ).collect()
+            )
+
+        assert rows("arrow") == rows("column"), q
+
+    def test_truncation_boundary(self, spark):
+        """A text past TRUNCATE_BYTES must tokenize identically in both
+        impls (char-based truncation + marker)."""
+        from siem_on_amazon_opensearch_service_spark.functions import analysis
+
+        long = ("alpha beta " * (analysis.TRUNCATE_BYTES // 10 + 10)).strip()
+        assert len(long) > analysis.TRUNCATE_BYTES
+        df = spark.createDataFrame(
+            [(0, long), (1, "alpha beta alpha"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        def rows(impl):
+            return sorted(
+                (int(r["doc_id"]), np.float32(r["score"]))
+                for r in bm25_adhoc_df(
+                    df, "alpha AND beta", k=None, impl=impl
+                ).collect()
+            )
+
+        assert rows("arrow") == rows("column")
+
+    def test_bad_impl_rejected(self, spark):
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="impl"):
+            bm25_adhoc_df(df, "a", impl="bogus")
+
+
 class TestAdhocRejections:
     def test_field_filter_rejected(self, spark):
         df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
