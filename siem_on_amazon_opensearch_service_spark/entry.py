@@ -1019,6 +1019,12 @@ PPL_QUERIES = {
         "search source=events | stats count() as cnt, distinct_count(user_id) as du "
         "by span(ts, 1d), event_type | sort ts_span, event_type"
     ),
+    "ppl_multispan_histogram": (
+        # n>1 spans (r4h): epoch-anchored fixed intervals via the
+        # dialect-common date_trunc(parent) + INTERVAL arithmetic
+        "search source=events | stats count() as cnt by span(ts, 6h) "
+        "| sort ts_span"
+    ),
     "ppl_eventstats_share": (
         "search source=events | eventstats count() as n by event_type "
         "| where n > 1900 | stats count() as cnt by event_type | sort event_type"

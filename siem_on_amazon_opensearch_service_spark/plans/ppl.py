@@ -590,24 +590,58 @@ def _parse_aggs(p: _P) -> list:
     return aggs
 
 
+#: multi-span parents: unit -> (date_trunc parent grain, INTERVAL unit,
+#: sub-field extractor, parent modulus).  A span of n units is rendered
+#: date_trunc(parent) + INTERVAL n UNIT * floor(sub/n) — ONE
+#: dialect-common string (verified value-identical Spark vs DuckDB).
+#: Valid only when n divides the parent modulus: then within-parent
+#: anchoring equals OpenSearch fixed_interval's epoch anchoring.
+_SPAN_PARENTS = {
+    "m": ("hour", "MINUTE", "minute", 60),
+    "h": ("day", "HOUR", "hour", 24),
+}
+
+
 def _parse_by_item(p: _P) -> tuple[str, str]:
-    """A stats by-item: a plain field, or ``span(field, 1d)`` time
-    bucketing (PPL's date_histogram-in-the-pipe) — unit spans only (1m/
-    1h/1d, the date_trunc grains both engines share; n>1 spans would need
-    epoch arithmetic with diverging timestamp codecs, refused loudly)."""
+    """A stats by-item: a plain field, or ``span(field, n unit)`` time
+    bucketing (PPL's date_histogram-in-the-pipe).  n=1 uses the
+    date_trunc grains both engines share (1m/1h/1d); n>1 uses the
+    dialect-common date_trunc(parent) + INTERVAL arithmetic and requires
+    n to divide the parent grain (5m, 15m, 6h, ... — equal to
+    epoch-anchored fixed_interval buckets by the divisibility argument).
+    n>1 days is refused: epoch-day arithmetic has no dialect-common
+    rendering (Spark datediff vs DuckDB date_diff signatures diverge)."""
     name = p.expect_name()
     if name.lower() == "span":
         p.expect_op("(")
         fld = p.expect_name()
         p.expect_op(",")
         k, v = p.next()
-        if k != "num" or v != "1":
-            raise ValueError("PPL: span supports 1m/1h/1d only")
+        if k != "num" or not v.isdigit() or int(v) < 1:
+            raise ValueError(f"PPL: span needs a positive integer count, got {v!r}")
+        n = int(v)
         unit = p.expect_name().lower()
         if unit not in _SPAN_UNITS:
             raise ValueError(f"PPL: unknown span unit {unit!r}")
         p.expect_op(")")
-        return (f"date_trunc('{_SPAN_UNITS[unit]}', {fld})", f"{fld}_span")
+        if n == 1:
+            return (f"date_trunc('{_SPAN_UNITS[unit]}', {fld})", f"{fld}_span")
+        if unit not in _SPAN_PARENTS:
+            raise ValueError(
+                "PPL: multi-unit spans support m/h only (n>1 days would "
+                "need dialect-diverging epoch-day arithmetic)"
+            )
+        parent, iunit, sub, mod = _SPAN_PARENTS[unit]
+        if mod % n:
+            raise ValueError(
+                f"PPL: span count must divide {mod} for unit {unit!r} "
+                f"(epoch-anchored fixed_interval equivalence), got {n}"
+            )
+        return (
+            f"date_trunc('{parent}', {fld}) + INTERVAL '{n}' {iunit} "
+            f"* cast(floor({sub}({fld}) / {n}) as int)",
+            f"{fld}_span",
+        )
     return (name, name)
 
 

@@ -174,6 +174,35 @@ def test_span_semantics(tiny_ts):
     assert [int(r.cnt) for r in got.itertuples()] == [3, 3, 2]
 
 
+MULTI_SPAN_QUERIES = [
+    "search source=events | stats count() as cnt by span(ts, 5m) | sort ts_span",
+    "search source=events | stats count() as cnt by span(ts, 15m) | sort ts_span",
+    "search source=events | stats count() as cnt by span(ts, 30m) | sort ts_span",
+    "search source=events | stats count() as cnt by span(ts, 6h) | sort ts_span",
+    "search source=events | stats count() as cnt, max(value) as mx by span(ts, 12h), event_type | sort ts_span, event_type",
+]
+
+
+@pytest.mark.parametrize("q", MULTI_SPAN_QUERIES)
+def test_multi_span_cross_engine(tiny_ts, q):
+    run_both(tiny_ts, q)
+
+
+def test_multi_span_semantics(tiny_ts):
+    """5m buckets are epoch-anchored fixed intervals: 10:15 and 11:45 /
+    11:59 land in distinct buckets; 10:15+10:59 on day 2 split as
+    expected.  Also asserts the bucket VALUES (floor-to-5m)."""
+    got = run_both(
+        tiny_ts,
+        "search source=events | stats count() as cnt by span(ts, 30m) | sort ts_span",
+    )
+    import pandas as pd
+
+    starts = list(pd.to_datetime(got["ts_span"]))
+    assert all(t.minute in (0, 30) and t.second == 0 for t in starts)
+    assert int(got["cnt"].sum()) == 8
+
+
 def test_eventstats_keeps_rows(tiny_ts):
     got = run_both(
         tiny_ts,
@@ -194,7 +223,12 @@ def test_parse_extracts(tiny_ts):
 
 
 @pytest.mark.parametrize("bad", [
-    "search source=events | stats count() by span(ts, 5m)",
+    # multi-unit spans must divide the parent grain; days have no
+    # dialect-common n>1 rendering
+    "search source=events | stats count() by span(ts, 7m)",
+    "search source=events | stats count() by span(ts, 5h)",
+    "search source=events | stats count() by span(ts, 2d)",
+    "search source=events | stats count() by span(ts, 0m)",
     "search source=events | stats count() by span(ts, 1w)",
     "search source=events | eventstats count() as n by span(ts, 1d)",
     r"search source=events | parse props '(\d+)' as k",
