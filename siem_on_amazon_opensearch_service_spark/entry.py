@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from .functions.analysis import SQL_SPLIT_RE
 from .operators import aggs
 from .operators import adhoc, chunking, packing, render
-from .operators import geoagg, percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
+from .operators import geoagg, joinfield, percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators.build import build_index
 from .plans import ppl
 from .streaming import alerts
@@ -329,6 +329,36 @@ def _bm25_warm(query: str, k: int = 10, **filt):
         )
 
     return run
+
+
+def q_bm25_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-field has_child (r4h): conversations with turns matching the
+    child query, scored by the docid-ordered float64 sum of the matching
+    children's float32 BM25 scores (operators/joinfield)."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = joinfield.has_child_df(
+        spark, idx, "error AND timeout", k=10, score_mode="sum"
+    )
+    return out.select(
+        "conv_id", "n_children",
+        F.round(F.col("score").cast("double"), 3).alias("score_r"),
+    )
+
+
+def q_bm25_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-field has_parent (r4h): every turn of each conversation
+    containing the child match, the conversation's max child score
+    propagated — 'show whole conversations containing X'."""
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = joinfield.has_parent_df(
+        spark, idx, '"connection reset"', k=15, score_mode="max"
+    )
+    return out.select(
+        "docid", "conv_id",
+        F.round(F.col("score").cast("double"), 3).alias("score_r"),
+    )
 
 
 #: msearch driver batch — a dashboard refresh's panel queries: shared
@@ -2579,6 +2609,12 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_span_multi_warm"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "span_multi(re*)", k=10
     )
+    bm["bm25_has_child"] = sqloracle.has_child_sql(
+        ORACLE_TRANSCRIPTS, "error AND timeout", k=10, score_mode="sum"
+    )
+    bm["bm25_has_parent"] = sqloracle.has_parent_sql(
+        ORACLE_TRANSCRIPTS, '"connection reset"', k=15, score_mode="max"
+    )
     bm["bm25_msearch"] = sqloracle.msearch_sql(ORACLE_TRANSCRIPTS, MSEARCH_BATCH, k=10)
     bm["bm25_msearch_warm"] = sqloracle.msearch_sql(
         ORACLE_TRANSCRIPTS, MSEARCH_BATCH, k=10
@@ -3763,6 +3799,8 @@ def queries_map() -> dict:
         "intervals(ordered(max_gaps=2 connection reset))", 10
     )
     q["bm25_span_multi_warm"] = _bm25_warm("span_multi(re*)", 10)
+    q["bm25_has_child"] = q_bm25_has_child
+    q["bm25_has_parent"] = q_bm25_has_parent
     q["bm25_msearch"] = _bm25_msearch(warm=False)
     q["bm25_msearch_warm"] = _bm25_msearch(warm=True)
     q["bm25_filter_negated_warm"] = _bm25_warm("error AND NOT role:assistant", 10)

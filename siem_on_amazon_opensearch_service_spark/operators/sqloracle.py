@@ -668,6 +668,96 @@ FROM (
 )"""
 
 
+def _join_field_prefix(path: str, query: str) -> tuple[str, str]:
+    """Shared CTE prefix for the join-field oracles: the child query's
+    full scored match set joined to conv_id, plus the per-conversation
+    aggregate frame carrying every score mode (max/min, ordered-fold sum
+    — the engine's docid-ordered float64 fold, textually replayed)."""
+    ast, dqlf = extract_filters(parse(query), query)
+    filt = merge_filters(query, {}, dqlf)
+    leaves: list[Node] = []
+
+    def collect(n: Node) -> None:
+        if isinstance(n, LEAVES):
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (And, Or, AtLeast)):
+            for c in n.children:
+                collect(c)
+        elif isinstance(n, Not):
+            collect(n.child)
+
+    collect(ast)
+    fsql = _filters_sql(filt)
+    prefix = f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)}),
+ch AS (
+  SELECT d.conv_id, c.docid, CAST(c.s AS DOUBLE) AS s
+  FROM combined c JOIN d USING (docid){fsql}
+),
+agg AS (
+  SELECT conv_id, count(*) AS n_children,
+         list_reduce(list_prepend(0.0, list(s ORDER BY docid)), (a, b) -> a + b) AS ssum,
+         max(s) AS smax, min(s) AS smin
+  FROM ch GROUP BY conv_id
+)"""
+    return prefix, fsql
+
+
+def _join_field_score(score_mode: str) -> str:
+    return {
+        "none": "0.0",
+        "max": "smax",
+        "min": "smin",
+        "sum": "ssum",
+        "avg": "ssum / n_children",
+    }[score_mode]
+
+
+def has_child_sql(
+    path: str,
+    query: str,
+    k: int = 10,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: int | None = None,
+) -> str:
+    """DuckDB statement for ``joinfield.has_child_df``: (conv_id,
+    n_children, score_r) — conversations with >= min_children matching
+    turns, scored by the join-field mode, (score desc, conv_id) top-k."""
+    prefix, _ = _join_field_prefix(path, query)
+    mx = f" AND n_children <= {int(max_children)}" if max_children is not None else ""
+    s = _join_field_score(score_mode)
+    return f"""{prefix}
+SELECT conv_id, n_children,
+       round(CAST(CAST({s} AS FLOAT) AS DOUBLE), 3) AS score_r
+FROM agg
+WHERE n_children >= {int(min_children)}{mx}
+ORDER BY CAST({s} AS FLOAT) DESC, conv_id ASC
+LIMIT {int(k)}"""
+
+
+def has_parent_sql(
+    path: str,
+    query: str,
+    k: int = 10,
+    score_mode: str = "max",
+    score: bool = True,
+) -> str:
+    """DuckDB statement for ``joinfield.has_parent_df``: (docid, conv_id,
+    score_r) — every turn of each matching conversation, the aggregate
+    score propagated (or 0 when ``score`` is false)."""
+    prefix, _ = _join_field_prefix(path, query)
+    s = _join_field_score(score_mode) if score else "0.0"
+    return f"""{prefix}
+SELECT d.docid, d.conv_id,
+       round(CAST(CAST({s} AS FLOAT) AS DOUBLE), 3) AS score_r
+FROM d JOIN agg USING (conv_id)
+ORDER BY CAST({s} AS FLOAT) DESC, d.docid ASC
+LIMIT {int(k)}"""
+
+
 def msearch_sql(path: str, queries: dict[str, str], k: int = 10) -> str:
     """DuckDB statement for ``msearch_df``: (qid, docid, score_r) — each
     query's ``bm25_sql`` rendered independently and UNION ALL'd under its
