@@ -1145,6 +1145,26 @@ def q_doc_c4_pipeline(spark, sf_dir):
     return textstats.c4_pipeline_stats(_docs(spark, sf_dir))
 
 
+def q_doc_bpe_pair_counts(spark, sf_dir):
+    """BPE trainer's first-iteration pair counts (r4h, operators/bpe):
+    adjacent char pairs over the analyzer word vocabulary weighted by
+    word frequency, top-20 by (count desc, pair asc) — the SQL-oracled
+    anchor of the K-merge trainer (full bpe_train == the frozen python
+    reference is pytest-verified; K sequential argmaxes are not
+    SQL-expressible)."""
+    from .operators import bpe
+
+    syms = bpe.word_freqs(_docs(spark, sf_dir), "text").select(
+        "freq", F.filter(F.split(F.col("word"), ""), lambda c: c != "").alias("syms")
+    )
+    return (
+        bpe.pair_counts(syms)
+        .select(F.concat("a", "b").alias("pair"), "cnt")
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
 ALARM_THRESHOLD, ALARM_M = 4, 2
 
 
@@ -3739,6 +3759,17 @@ FROM per"""
             "CAST(sum(nb) AS BIGINT) AS bpe_tokens, round(avg(nb), 6) AS avg_bpe_tokens, "
             "round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) AS chars_per_bpe_token FROM per"
         ),
+        "doc_bpe_pair_counts": (
+            "WITH words AS (SELECT word, count(*) AS freq FROM ("
+            "  SELECT unnest(list_filter(string_split_regex("
+            f"    lower(coalesce(text, '')), '{SQL_SPLIT_RE}'), x -> x <> '')) AS word"
+            "  FROM documents) GROUP BY word) "
+            "SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM ("
+            "  SELECT unnest(list_transform(range(1, length(word)), "
+            "    i -> substr(word, i, 2))) AS pair, freq "
+            "  FROM words WHERE length(word) >= 2) "
+            "GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"
+        ),
         "events_geo_bbox_filter": (
             f"WITH g AS ({GEO_CTE}) SELECT event_type, count(*) AS cnt FROM g "
             f"WHERE {geoagg.bbox_pred_sql('lat', 'lon', **GEO_BBOX)} "
@@ -3883,6 +3914,7 @@ def queries_map() -> dict:
             "events_geo_polygon_filter": q_events_geo_polygon_filter,
             "events_geo_sorted": q_events_geo_sorted,
             "doc_token_estimates": q_doc_token_estimates,
+            "doc_bpe_pair_counts": q_doc_bpe_pair_counts,
             "doc_analyze": q_doc_analyze,
             "doc_c4_pipeline": q_doc_c4_pipeline,
             "events_categorize_text": q_events_categorize_text,
