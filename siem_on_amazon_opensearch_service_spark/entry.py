@@ -725,6 +725,24 @@ DISTANCE_FEATURE_SPEC = {
     "boost": 2.0,
 }
 
+# r4i: rank_feature (operators/relevance.py) — saturation is pure rational
+# double math (bit-exact cross-engine); log round-trips ln through float32
+# on both engines (the decay-function recipe).
+RANK_FEATURE_SAT_SPEC = {
+    "query": "error OR timeout",
+    "field": "turn_idx",
+    "fn": {"kind": "saturation", "pivot": 5.0},
+    "k": 10,
+    "boost": 2.5,
+}
+RANK_FEATURE_LOG_SPEC = {
+    "query": "connection AND reset",
+    "field": "dl",
+    "fn": {"kind": "log", "scaling_factor": 1.0},
+    "k": 10,
+    "boost": 1.5,
+}
+
 
 def q_bm25_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch constant_score: filter-context match set, every hit
@@ -747,6 +765,24 @@ def q_bm25_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
     )
+
+
+def _rank_feature(spec: dict):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """OpenSearch rank_feature as a bool-should companion: score =
+        float32(bm25 + boost * fn(feature)) — the popularity/recency
+        boost idiom (operators/relevance.py)."""
+        _prep(spark)
+        idx = ensure_index(spark, _sf_label(sf_dir))
+        out = relevance.rank_feature_df(
+            spark, idx, spec["query"], spec["field"], spec["fn"],
+            k=spec["k"], boost=spec["boost"],
+        )
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+        )
+
+    return run
 
 
 def q_bm25_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2692,6 +2728,14 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_constant_score"] = relevance.constant_score_sql(
         ORACLE_TRANSCRIPTS, **CONSTANT_SCORE_SPEC
     )
+    for nm, spec in (
+        ("bm25_rank_feature_sat", RANK_FEATURE_SAT_SPEC),
+        ("bm25_rank_feature_log", RANK_FEATURE_LOG_SPEC),
+    ):
+        bm[nm] = relevance.rank_feature_sql(
+            ORACLE_TRANSCRIPTS, spec["query"], spec["field"], spec["fn"],
+            k=spec["k"], boost=spec["boost"],
+        )
     bm["bm25_distance_feature"] = relevance.distance_feature_sql(
         ORACLE_TRANSCRIPTS, DISTANCE_FEATURE_SPEC["query"],
         k=DISTANCE_FEATURE_SPEC["k"], origin=DISTANCE_FEATURE_SPEC["origin"],
@@ -3852,6 +3896,8 @@ def queries_map() -> dict:
     q["bm25_boosting"] = q_bm25_boosting
     q["bm25_constant_score"] = q_bm25_constant_score
     q["bm25_distance_feature"] = q_bm25_distance_feature
+    q["bm25_rank_feature_sat"] = _rank_feature(RANK_FEATURE_SAT_SPEC)
+    q["bm25_rank_feature_log"] = _rank_feature(RANK_FEATURE_LOG_SPEC)
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,

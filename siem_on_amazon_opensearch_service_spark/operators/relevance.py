@@ -380,6 +380,136 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# rank_feature
+
+RANK_FEATURE_KINDS = ("saturation", "log", "sigmoid")
+
+
+def _rank_feature_val(fn: dict, x, is_sql: bool):
+    """One rank_feature function over a float64 feature value ``x``
+    (Column or SQL string) -> float64 in [0, 1) (saturation/sigmoid) or
+    unbounded (log).  EXACTNESS: saturation is pure rational double
+    arithmetic (bit-exact cross-engine); log/sigmoid round-trip the
+    transcendental (ln / pow) through float32 on BOTH engines to absorb
+    libm-vs-JVM last-ulp differences (the decay-function recipe).
+    A missing feature contributes 0 — ES's unindexed-rank_feature
+    behavior."""
+    kind = fn["kind"]
+    if kind not in RANK_FEATURE_KINDS:
+        raise ValueError(
+            f"rank_feature kind must be one of {RANK_FEATURE_KINDS}, got {kind!r}"
+        )
+    if kind == "saturation":
+        pivot = float(fn["pivot"])
+        if pivot <= 0:
+            raise ValueError("saturation pivot must be > 0")
+        if is_sql:
+            v = f"({x} / ({x} + {pivot!r}))"
+        else:
+            v = x / (x + F.lit(pivot))
+    elif kind == "log":
+        scaling = float(fn.get("scaling_factor", 1.0))
+        if scaling <= 0:
+            raise ValueError("log scaling_factor must be > 0")
+        if is_sql:
+            v = f"CAST(CAST(ln({scaling!r} + {x}) AS FLOAT) AS DOUBLE)"
+        else:
+            v = F.log(F.lit(scaling) + x).cast("float").cast("double")
+    else:  # sigmoid
+        pivot, ex = float(fn["pivot"]), float(fn["exponent"])
+        if pivot <= 0 or ex <= 0:
+            raise ValueError("sigmoid pivot and exponent must be > 0")
+        # pivot^exp computed ONCE in python, float32-rounded like x^exp
+        import numpy as _np
+
+        pe = float(_np.float32(pivot**ex))
+        if is_sql:
+            xe = f"CAST(CAST(pow({x}, {ex!r}) AS FLOAT) AS DOUBLE)"
+            v = f"({xe} / ({xe} + {pe!r}))"
+        else:
+            xe = F.pow(x, F.lit(ex)).cast("float").cast("double")
+            v = xe / (xe + F.lit(pe))
+    if is_sql:
+        return f"COALESCE({v}, 0.0)"
+    return F.coalesce(v, F.lit(0.0))
+
+
+def rank_feature_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    fn: dict,
+    k: int = 10,
+    boost: float = 1.0,
+    session=None,
+    **filt,
+) -> DataFrame:
+    """OpenSearch ``rank_feature`` as a bool-should companion to a text
+    query: score = float32(bm25(query) + boost * fn(feature)) — the
+    popularity/recency-boost idiom (saturation / log / sigmoid over a
+    numeric doc field, e.g. turn_idx or dl).
+
+    Same plan shape as function_score: full scored match set, docid join
+    to the column-pruned feature projection, one JVM score expression,
+    TakeOrdered page."""
+    import os
+
+    if session is not None:
+        base = session.search(query, k=None, **filt)
+    else:
+        base = search_df(spark, index_dir, query, k=None, **filt)
+    if (
+        session is not None
+        and session.docs is not None
+        and field in session.docs.columns
+    ):
+        docs = session.docs.select("docid", field)
+    else:
+        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "docid", field
+        )
+    val = _rank_feature_val(fn, F.col(field).cast("double"), is_sql=False)
+    final = (
+        F.col("score").cast("double") + F.lit(float(boost)) * val
+    ).cast("float")
+    out = base.join(docs, "docid").select("docid", final.alias("score"))
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def rank_feature_sql(
+    path: str,
+    query: str,
+    field: str,
+    fn: dict,
+    k: int = 10,
+    boost: float = 1.0,
+    **kwargs,
+) -> str:
+    """DuckDB oracle for rank_feature_df: (docid BIGINT, score_r DOUBLE)."""
+    ast, dqlf = extract_filters(parse(query), query)
+    filt = merge_filters(query, dict(kwargs), dqlf)
+    leaves = _collect_leaves(ast)
+    fsql = _filters_sql(filt)
+    # `dl` (exact token count, == docs parquet dl) lives in its own CTE,
+    # not in d; every other feature field is a d column.
+    feat_join = " LEFT JOIN dl fdl USING (docid)" if field == "dl" else ""
+    src = "fdl.dl" if field == "dl" else f"d.{field}"
+    val = _rank_feature_val(fn, f"CAST({src} AS DOUBLE)", is_sql=True)
+    final = f"(CAST(c.s AS DOUBLE) + {float(boost)!r} * {val})"
+    return f"""WITH RECURSIVE {_base_ctes(path)},
+{_leaf_ctes(leaves)},
+combined AS ({_combine_sql(ast, leaves)})
+SELECT docid, round(CAST(score AS DOUBLE), 3) AS score_r
+FROM (
+  SELECT c.docid, CAST({final} AS FLOAT) AS score
+  FROM combined c JOIN d USING (docid){feat_join}{fsql}
+  ORDER BY score DESC, c.docid ASC
+  LIMIT {k}
+)"""
+
+
+# ---------------------------------------------------------------------------
 # rescore
 
 def rescore_df(

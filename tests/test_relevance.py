@@ -256,6 +256,109 @@ class TestWarmRelevance:
             rel.boosting_df(spark, tiny_index[0], "error", "NOT timeout", 0.5,
                             k=5, session=session)
 
+class TestRankFeature:
+    """rank_feature (r4h): score = float32(bm25 + boost * fn(feature)).
+    saturation is pure rational double math; log/sigmoid round-trip the
+    transcendental through float32 on both engines."""
+
+    FNS = [
+        ({"kind": "saturation", "pivot": 5.0}, "turn_idx"),
+        ({"kind": "log", "scaling_factor": 1.0}, "dl"),
+        ({"kind": "sigmoid", "pivot": 6.0, "exponent": 1.5}, "turn_idx"),
+    ]
+
+    @pytest.mark.parametrize("fn,field", FNS, ids=lambda f: f if isinstance(f, str) else f["kind"])
+    def test_matches_oracle(self, spark, tiny_index, parquet, fn, field):
+        from siem_on_amazon_opensearch_service_spark.operators.relevance import (
+            rank_feature_df,
+            rank_feature_sql,
+        )
+
+        idx, _ = tiny_index
+        got = _engine_pairs(
+            rank_feature_df(spark, idx, "error OR timeout", field, fn,
+                            k=10, boost=2.5)
+        )
+        exp = _oracle_pairs(
+            rank_feature_sql(parquet, "error OR timeout", field, fn,
+                             k=10, boost=2.5)
+        )
+        assert got == exp, fn["kind"]
+
+    def test_brute_force_saturation(self, spark, tiny_index):
+        """Independent recomputation: join the base match set to turn_idx
+        and fold the exact arithmetic in python."""
+        import numpy as np
+
+        from siem_on_amazon_opensearch_service_spark.operators.relevance import (
+            rank_feature_df,
+        )
+        from siem_on_amazon_opensearch_service_spark.operators.search import search_df
+
+        idx, _ = tiny_index
+        base = {
+            r["docid"]: float(np.float32(r["score"]))
+            for r in search_df(spark, idx, "error", k=None).collect()
+        }
+        tix = {
+            r["docid"]: r["turn_idx"]
+            for r in spark.read.parquet(f"{idx}/docs").select(
+                "docid", "turn_idx").collect()
+        }
+        pivot, boost = 5.0, 2.5
+        exp = {
+            d: np.float32(s + boost * (tix[d] / (tix[d] + pivot)))
+            for d, s in base.items()
+        }
+        top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = [
+            (r["docid"], np.float32(r["score"]))
+            for r in rank_feature_df(
+                spark, idx, "error", "turn_idx",
+                {"kind": "saturation", "pivot": pivot}, k=10, boost=boost,
+            ).collect()
+        ]
+        assert got == [(d, s) for d, s in top]
+
+    def test_warm_equals_cold(self, spark, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.relevance import (
+            rank_feature_df,
+        )
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            QuerySession,
+        )
+
+        idx, _ = tiny_index
+        fn = {"kind": "sigmoid", "pivot": 4.0, "exponent": 2.0}
+        cold = _engine_pairs(
+            rank_feature_df(spark, idx, "error AND timeout", "dl", fn, k=10)
+        )
+        sess = QuerySession(spark, idx)
+        try:
+            warm = _engine_pairs(
+                rank_feature_df(spark, idx, "error AND timeout", "dl", fn,
+                                k=10, session=sess)
+            )
+        finally:
+            sess.close()
+        assert warm == cold
+
+    def test_rejects_bad_specs(self, spark, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.relevance import (
+            rank_feature_df,
+        )
+
+        idx, _ = tiny_index
+        for fn in [
+            {"kind": "nope"},
+            {"kind": "saturation", "pivot": 0.0},
+            {"kind": "log", "scaling_factor": -1.0},
+            {"kind": "sigmoid", "pivot": 1.0, "exponent": 0.0},
+        ]:
+            with pytest.raises(ValueError):
+                rank_feature_df(spark, idx, "error", "dl", fn).collect()
+
+
 class TestConstantScore:
     def test_matches_oracle(self, spark, tiny_index, parquet):
         idx = tiny_index[0]
