@@ -27,6 +27,7 @@ from .functions.analysis import SQL_SPLIT_RE
 from .operators import aggs
 from .operators import adhoc, chunking, packing, render
 from .operators import geoagg, joinfield, percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
+from .operators import deletes as deletes_ops
 from .operators.build import build_index
 from .plans import ppl
 from .streaming import alerts
@@ -725,6 +726,64 @@ DISTANCE_FEATURE_SPEC = {
     "boost": 2.0,
 }
 
+# r4i: soft deletes (operators/deletes.py).  DELETE_QUERY tombstones via
+# _delete_by_query; the live row searches WITH tombstones (Lucene
+# pre-merge semantics: scores unchanged, deleted docs filtered), the
+# expunge row searches the physically merged store (survivor stats).
+DELETE_QUERY = "timeout"
+LIVE_QUERY = "error OR timeout"
+
+
+def ensure_deleted_index(spark: SparkSession, label: str) -> str:
+    src = ensure_index(spark, label)
+    out = f"{GEN_ROOT}/index_sf{label}_deleted"
+    marker = os.path.join(out, "_deleted.json")
+    if not (os.path.exists(marker) and _index_current_format(out)):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(src, out)
+        info = deletes_ops.delete_by_query(spark, out, DELETE_QUERY)
+        with open(marker, "w") as f:
+            json.dump(info, f)
+    return out
+
+
+def ensure_expunged_index(spark: SparkSession, label: str) -> str:
+    src = ensure_deleted_index(spark, label)
+    out = f"{GEN_ROOT}/index_sf{label}_expunged"
+    marker = os.path.join(out, "_expunged.json")
+    if not (os.path.exists(marker) and _index_current_format(out)):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(src, out)
+        info = deletes_ops.expunge_deletes(spark, out)
+        with open(marker, "w") as f:
+            json.dump(info, f)
+    return out
+
+
+def q_bm25_live_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_delete_by_query tombstones + live search: deleted docs vanish,
+    survivors keep their exact undeleted BM25 scores (stats untouched
+    until merge — Lucene pre-merge semantics)."""
+    _prep(spark)
+    idx = ensure_deleted_index(spark, _sf_label(sf_dir))
+    out = deletes_ops.search_live_df(spark, idx, LIVE_QUERY, k=10)
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
+def q_bm25_after_expunge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search after expunge_deletes (the physical merge): docids stable,
+    df/idf/avgdl recomputed from survivors, so scores shift exactly as a
+    Lucene merge shifts them."""
+    _prep(spark)
+    idx = ensure_expunged_index(spark, _sf_label(sf_dir))
+    out = search.search_df(spark, idx, LIVE_QUERY, k=10)
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
 # r4i: rank_feature (operators/relevance.py) — saturation is pure rational
 # double math (bit-exact cross-engine); log round-trips ln through float32
 # on both engines (the decay-function recipe).
@@ -815,6 +874,25 @@ def q_events_t_test(spark, sf_dir):
 def q_events_rate(spark, sf_dir):
     """OpenSearch rate agg: per-day buckets normalized to events/hour."""
     return aggs.rate_agg(_events(spark, sf_dir), "ts", "day", unit_hours=1.0)
+
+
+def q_events_rollup_daily(spark, sf_dir):
+    """OpenSearch index rollup: hourly (bucket, event_type) summary built
+    once, the daily dashboard histogram answered FROM the summary —
+    sum/min/max re-aggregate, avg re-derives as sum/count
+    (operators/rollup.py)."""
+    from .operators import rollup as _ru
+
+    roll = _ru.build_rollup(_events(spark, sf_dir), "ts", "hour", ["event_type"], "value")
+    return _ru.rollup_date_histogram(roll, "day", ["event_type"])
+
+
+def q_events_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection over hourly counts (trailing-24
+    window, current bucket excluded, |z|>3 flags) — integer counts make
+    every moment exact, so both engines agree bit-for-bit."""
+    return aggs.anomaly_zscore(_events(spark, sf_dir), "ts", "hour",
+                               window_size=24, z_threshold=3.0)
 
 
 def q_events_mad(spark, sf_dir):
@@ -2728,6 +2806,12 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_constant_score"] = relevance.constant_score_sql(
         ORACLE_TRANSCRIPTS, **CONSTANT_SCORE_SPEC
     )
+    bm["bm25_live_after_delete"] = deletes_ops.live_bm25_sql(
+        ORACLE_TRANSCRIPTS, LIVE_QUERY, DELETE_QUERY, k=10
+    )
+    bm["bm25_after_expunge"] = deletes_ops.expunged_bm25_sql(
+        ORACLE_TRANSCRIPTS, LIVE_QUERY, DELETE_QUERY, k=10
+    )
     for nm, spec in (
         ("bm25_rank_feature_sat", RANK_FEATURE_SAT_SPEC),
         ("bm25_rank_feature_log", RANK_FEATURE_LOG_SPEC),
@@ -3898,6 +3982,8 @@ def queries_map() -> dict:
     q["bm25_distance_feature"] = q_bm25_distance_feature
     q["bm25_rank_feature_sat"] = _rank_feature(RANK_FEATURE_SAT_SPEC)
     q["bm25_rank_feature_log"] = _rank_feature(RANK_FEATURE_LOG_SPEC)
+    q["bm25_live_after_delete"] = q_bm25_live_after_delete
+    q["bm25_after_expunge"] = q_bm25_after_expunge
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,

@@ -1,0 +1,389 @@
+"""Lucene-style soft deletes: _delete_by_query tombstones, live search,
+and merge-time expunge.
+
+The reference manages retention through OpenSearch — ISM policies and
+index deletion (`/root/reference/source/lambda/deploy_es/index.py:397`,
+`:506-508`) — and delegates the document-level delete machinery to
+Lucene: a delete marks liveDocs bits, matches vanish from results
+immediately, but postings/doc-values stay on disk and **term statistics
+still include deleted docs** until a segment merge physically expunges
+them.  This module re-expresses that lifecycle over the bucketed
+parquet store:
+
+* ``delete_by_query`` resolves the match set with the percolator's
+  index-free column predicate — ONE scan of the docs store, no search
+  plan — and appends ``(docid)`` tombstones to ``deletes/``.  The log is
+  append-only: a delete costs O(matches) IO no matter how large the
+  index is (the liveDocs-bits analogue; postings are never rewritten on
+  delete).  Re-deleting the same docs appends nothing.
+* ``search_live_df`` answers queries with Lucene PRE-MERGE semantics:
+  the full scored match set (``search_df(k=None)``) anti-joined to the
+  tombstone set, then the (score desc, docid asc) page.  Surviving
+  docs keep their exact undeleted scores because df/idf/avgdl are
+  untouched.  Theta/block-max pruning stays off on this path (k=None):
+  the pruning frontier is computed from the tombstone-blind top-k,
+  which can sit strictly above surviving docs — the same reasoning
+  that gates pruning under a ``search_after`` cursor.  The tombstone
+  side of the anti-join is a small parquet relation; AQE broadcasts it
+  while it fits and falls back to a shuffled anti-join past that.
+* ``expunge_deletes`` is the physical merge: docs/postings/dict/stats/
+  manifest rebuilt from survivors via the same partials->salted-merge
+  stages as a fresh build, then swapped in atomically per directory
+  and the tombstone log cleared.  Stats drop to survivor counts, so
+  BM25 scores shift exactly as a Lucene merge shifts them.  docids are
+  NOT renumbered: the stable (conv_id, turn_idx)-rank docid is this
+  engine's cross-build contract, so merged stores leave docid HOLES
+  (Lucene renumbers per segment; our docid is a logical key, which
+  keeps post-merge results join-compatible with every pre-merge
+  artifact).  Readers scatter-load docid-indexed arrays
+  (``search._docid_indexed``), so holes cost max(docid)+1 filler bytes
+  and are never consulted — an expunged docid appears in no postings
+  row.
+
+Scale shape: delete is one column-predicate scan + an append; live
+search adds one anti-join to the cold plan; expunge is a full rebuild
+by design (the explicit off-ingest-path maintenance knob, like
+``_forcemerge``) and inherits the build's skew-salted shuffle and
+adaptive bucket sizing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import build as _build
+from .build import _merge_stage, _partials_stage
+from .percolate import compile_predicate, tokens_col
+from .search import search_df
+from . import sqloracle as _so
+from ..plans.query import Or, Term, parse
+
+DELETES_SUBDIR = "deletes"
+
+
+def _deletes_path(index_dir: str) -> str:
+    return os.path.join(index_dir, DELETES_SUBDIR)
+
+
+def has_deletes(index_dir: str) -> bool:
+    p = _deletes_path(index_dir)
+    if not os.path.isdir(p):
+        return False
+    return any(f.endswith(".parquet") for f in os.listdir(p))
+
+
+def deleted_docids(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The tombstone set as DataFrame(docid), deduplicated; None when the
+    index has no tombstones."""
+    if not has_deletes(index_dir):
+        return None
+    return spark.read.parquet(_deletes_path(index_dir)).select("docid").distinct()
+
+
+def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> dict:
+    """OpenSearch ``_delete_by_query``: append tombstones for every doc
+    matching the DQL ``query``.
+
+    Match semantics are the percolator's index-free column predicate
+    (``percolate.compile_predicate`` — match-set-identical to the index
+    path for every supported shape; spans/intervals refuse loudly
+    there), evaluated in ONE scan of the docs store.  Pure-negative
+    queries (``NOT error``) are VALID here, unlike ``search_df``:
+    deletion is filter context over a scan, so the complement needs no
+    postings lookup — the same reason OpenSearch accepts bool/must_not
+    in ``_delete_by_query``.  Only docids not already tombstoned are
+    appended, so repeated deletes are byte-level no-ops.  Returns
+    ``{"deleted": new, "total_tombstones": all}``."""
+    pred = compile_predicate(query, index_dir)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    matches = docs.filter(
+        pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
+    ).select("docid")
+    existing = deleted_docids(spark, index_dir)
+    # count BEFORE the append: the tombstone relation is a lazy dir scan,
+    # so counting it after the write would see the new files too
+    n_existing = 0 if existing is None else existing.count()
+    new = matches if existing is None else matches.join(existing, "docid", "left_anti")
+    new = new.persist()
+    try:
+        n_new = new.count()
+        if n_new:
+            new.write.mode("append").parquet(_deletes_path(index_dir))
+    finally:
+        new.unpersist()
+    return {"deleted": n_new, "total_tombstones": n_existing + n_new}
+
+
+def search_live_df(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int | None = 10,
+    session=None,
+    **filt,
+) -> DataFrame:
+    """Tombstone-aware BM25 top-k (Lucene pre-merge semantics): deleted
+    docs are excluded from results, surviving docs keep their exact
+    undeleted scores (stats untouched until ``expunge_deletes``).
+
+    With no tombstones this IS ``search_df`` (pruned fast plan).  With
+    tombstones the full match set is computed unpruned (k=None — see
+    module docstring for why pruning must sit out), anti-joined, and
+    paged.  ``session`` routes through a warm QuerySession."""
+    dels = deleted_docids(spark, index_dir)
+    if dels is None:
+        if session is not None:
+            return session.search(query, k=k, **filt)
+        return search_df(spark, index_dir, query, k=k, **filt)
+    if session is not None:
+        base = session.search(query, k=None, **filt)
+    else:
+        base = search_df(spark, index_dir, query, k=None, **filt)
+    live = base.join(dels, "docid", "left_anti")
+    if k is None:
+        return live
+    return live.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """The physical merge (``_forcemerge`` with ``only_expunge_deletes``):
+    rebuild docs/postings/dict/stats/manifest from surviving docs,
+    swap each store atomically, clear the tombstone log.
+
+    docids survive unchanged (stable-logical-key contract; see module
+    docstring), so the docs store keeps its docid->shard map
+    (``shard = docid // shard_size``) and every shard-ranged reader
+    works untouched.  Returns survivor/expunged counts and the
+    recomputed stats."""
+    with open(os.path.join(index_dir, "_build.json")) as f:
+        params = json.load(f)
+    dels = deleted_docids(spark, index_dir)
+    if dels is None:
+        st = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        return {"expunged": 0, "n_docs": st["n_docs"], "doc_count": st["doc_count"]}
+    n_salts = params["n_salts"]
+    positions = params["positions"]
+    nb = params.get("postings_buckets", 0)
+    n_shards = max(1, -(-params["total_docs"] // params["shard_size"]))
+
+    docs_path = os.path.join(index_dir, "docs")
+    docs = spark.read.parquet(docs_path)
+    survivors = docs.join(dels, "docid", "left_anti")
+
+    # every derived store is written to a tmp sibling BEFORE any swap, so
+    # a crash mid-compute leaves the live index untouched (the swap
+    # window itself is the same per-dir exposure force_merge has)
+    tmp = {name: os.path.join(index_dir, name + "_xp") for name in
+           ("docs", "postings", "dict", "stats", "manifest")}
+    for p in tmp.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+    (
+        survivors.repartitionByRange(n_shards, "docid")
+        .sortWithinPartitions("docid")
+        .write.mode("overwrite")
+        .parquet(tmp["docs"])
+    )
+    survivors = spark.read.parquet(tmp["docs"])
+
+    seg = _partials_stage(survivors, positions, n_salts)
+    wp = max(8, spark.sparkContext.defaultParallelism)
+    merged = _merge_stage(seg, wp, n_buckets=nb or None)
+    if nb:
+        _build.write_postings_bucketed(merged, tmp["postings"], nb)
+    else:
+        (
+            merged.sortWithinPartitions("term", "salt", "shard_min")
+            .write.mode("overwrite")
+            .parquet(tmp["postings"])
+        )
+    post = spark.read.parquet(tmp["postings"])
+    agg = post.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf"))
+    if nb:
+        _build.write_dict_bucketed(agg, tmp["dict"], nb)
+    else:
+        ndp = max(1, spark.sparkContext.defaultParallelism // 4)
+        (
+            agg.repartitionByRange(ndp, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(tmp["dict"])
+        )
+    manifest = (
+        survivors.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("n_tokens"),
+            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_nonempty"),
+            F.min("docid").alias("min_docid"),
+            F.max("docid").alias("max_docid"),
+        )
+        .withColumn("status", F.lit("complete"))
+    )
+    manifest.write.mode("overwrite").parquet(tmp["manifest"])
+    (
+        spark.read.parquet(tmp["manifest"])
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_nonempty").alias("doc_count"),
+            F.sum("n_tokens").alias("sum_dl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp["stats"])
+    )
+
+    n_before = int(params["total_docs"])
+    st = spark.read.parquet(tmp["stats"]).collect()[0]
+    for name, tp in tmp.items():
+        live = os.path.join(index_dir, name)
+        shutil.rmtree(live, ignore_errors=True)
+        os.replace(tp, live)
+        open(os.path.join(live, "_SUCCESS"), "a").close()
+    # partials fed the OLD postings; they are stale now — drop them so a
+    # later resume/append can't resurrect expunged docs
+    shutil.rmtree(os.path.join(index_dir, "partials"), ignore_errors=True)
+    shutil.rmtree(_deletes_path(index_dir), ignore_errors=True)
+    return {
+        "expunged": n_before - int(st["n_docs"]),
+        "n_docs": int(st["n_docs"]),
+        "doc_count": int(st["doc_count"]),
+        "sum_dl": int(st["sum_dl"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+def _delete_terms(delete_query: str) -> list[str]:
+    """The SQL-renderable delete shapes: a single term or a flat OR of
+    terms (token-membership semantics — exactly the percolator predicate
+    for those shapes).  Richer delete queries work engine-side; their
+    oracles would need the full leaf-CTE machinery."""
+    ast = parse(delete_query)
+    if isinstance(ast, Term):
+        return [ast.term]
+    if isinstance(ast, Or) and all(isinstance(c, Term) for c in ast.children):
+        return [c.term for c in ast.children]
+    raise ValueError(
+        "oracle supports delete queries that are a term or a flat OR of "
+        f"terms, got {delete_query!r}"
+    )
+
+
+def live_bm25_sql(path: str, query: str, delete_query: str, k: int = 10) -> str:
+    """Oracle for ``search_live_df`` PRE-merge: full-corpus stats (deleted
+    docs still count in df/idf/avgdl), tombstoned docids filtered from
+    the final page."""
+    ast, dqlf = _so.extract_filters(_so.parse(query), query)
+    filt = _so.merge_filters(query, {}, dqlf)
+    leaves: list = []
+
+    def collect(n) -> None:
+        if isinstance(n, _so.LEAVES):
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (_so.And, _so.Or, _so.AtLeast)):
+            for c in n.children:
+                collect(c)
+        elif isinstance(n, _so.Not):
+            collect(n.child)
+
+    collect(ast)
+    fsql = _so._filters_sql(filt)
+    inlist = ", ".join(_so._q(t) for t in _delete_terms(delete_query))
+    anti = (
+        f"{' AND' if fsql else ' WHERE'} "
+        f"c.docid NOT IN (SELECT docid FROM delset)"
+    )
+    return f"""WITH RECURSIVE {_so._base_ctes(path)},
+delset AS (SELECT DISTINCT docid FROM tok WHERE term IN ({inlist})),
+{_so._leaf_ctes(leaves)},
+combined AS ({_so._combine_sql(ast, leaves)})
+SELECT docid, round(CAST(s AS DOUBLE), 3) AS score_r
+FROM (
+  SELECT c.docid, c.s
+  FROM combined c JOIN d USING (docid){fsql}{anti}
+  ORDER BY c.s DESC, c.docid ASC
+  LIMIT {k}
+)"""
+
+
+def expunged_bm25_sql(path: str, query: str, delete_query: str, k: int = 10) -> str:
+    """Oracle for a search on the EXPUNGED index: docids keep their
+    full-corpus rank, but tok0/dl/stats/dln/tok — everything scoring
+    reads — are survivor-scoped, so df/idf/avgdl drop exactly as the
+    merge drops them.  Mirrors ``sqloracle._base_ctes`` with the corpus
+    CTEs forked before/after the delete set."""
+    ast, dqlf = _so.extract_filters(_so.parse(query), query)
+    filt = _so.merge_filters(query, {}, dqlf)
+    leaves: list = []
+
+    def collect(n) -> None:
+        if isinstance(n, _so.LEAVES):
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (_so.And, _so.Or, _so.AtLeast)):
+            for c in n.children:
+                collect(c)
+        elif isinstance(n, _so.Not):
+            collect(n.child)
+
+    collect(ast)
+    fsql = _so._filters_sql(filt)
+    inlist = ", ".join(_so._q(t) for t in _delete_terms(delete_query))
+    trunc = _so.sql_truncate_expr("text")
+    base = f"""
+raw AS (
+  SELECT conv_id, turn_idx, role, tool, ts, {trunc} AS text
+  FROM read_parquet('{path}')
+),
+dfull AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+         conv_id, turn_idx, role, tool, ts, text
+  FROM raw
+),
+tok0f AS (
+  SELECT docid,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '{_so.SQL_SPLIT_RE}'),
+                     x -> x <> '') AS toks
+  FROM dfull
+),
+delset AS (
+  SELECT DISTINCT docid
+  FROM (SELECT docid, unnest(toks) AS term FROM tok0f)
+  WHERE term IN ({inlist})
+),
+d AS (SELECT * FROM dfull WHERE docid NOT IN (SELECT docid FROM delset)),
+tok0 AS (SELECT * FROM tok0f WHERE docid NOT IN (SELECT docid FROM delset)),
+dl AS (SELECT docid, len(toks) AS dl FROM tok0),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         CAST(sum(dl) AS DOUBLE) / count(*) FILTER (WHERE dl > 0) AS avgdl
+  FROM dl
+),
+dln AS (SELECT docid, {_so.sql_decode_case('dl')} AS dl_dec FROM dl),
+tok AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY pre_pos) - 1 AS pos
+  FROM (
+    SELECT docid, unnest(toks) AS term, generate_subscripts(toks, 1) AS pre_pos
+    FROM tok0
+  )
+)"""
+    return f"""WITH RECURSIVE {base},
+{_so._leaf_ctes(leaves)},
+combined AS ({_so._combine_sql(ast, leaves)})
+SELECT docid, round(CAST(s AS DOUBLE), 3) AS score_r
+FROM (
+  SELECT c.docid, c.s
+  FROM combined c JOIN d USING (docid){fsql}
+  ORDER BY c.s DESC, c.docid ASC
+  LIMIT {k}
+)"""

@@ -2964,6 +2964,42 @@ def more_like_this_df(
 # local path (latency bench + WAND)
 
 
+def _docid_indexed(d, cols: list[str]) -> dict:
+    """docid-indexed numpy arrays from a docs projection (sorted by
+    docid): each array has size max(docid)+1, scatter-assigned.  A
+    one-shot build's store is dense and hits the zero-copy identity path;
+    an EXPUNGED store (soft deletes merged away — operators/deletes.py
+    keeps docids stable, so merged-out ids leave holes) gets zero/NaT/
+    None fillers in the holes.  Filler slots are unreachable: an expunged
+    docid appears in no postings row, so no scoring or filter-mask path
+    ever indexes one."""
+    ids = d["docid"].to_numpy()
+    n = int(ids.max()) + 1 if len(ids) else 0
+    if len(np.unique(ids)) != len(ids):
+        raise ValueError("docs store has duplicate docids")
+    dense = n == len(ids)  # sorted + unique => ids == arange(n)
+    out = {}
+    for c in cols:
+        v = d[c].to_numpy()
+        if c == "norm":
+            v = v.astype(np.uint8)
+        if dense:
+            out[c] = v
+        elif v.dtype == np.uint8:
+            a = np.zeros(n, np.uint8)
+            a[ids] = v
+            out[c] = a
+        elif np.issubdtype(v.dtype, np.datetime64):
+            a = np.full(n, np.datetime64("NaT"), v.dtype)
+            a[ids] = v
+            out[c] = a
+        else:
+            a = np.full(n, None, dtype=object)
+            a[ids] = v
+            out[c] = a
+    return out
+
+
 class LocalIndex:
     """Driver-side reader: postings via DuckDB parquet pruning, norms and
     keyword columns as docid-indexed numpy arrays."""
@@ -2976,12 +3012,12 @@ class LocalIndex:
         d = duckdb.sql(
             f"SELECT docid, norm, conv_id, role, tool, ts, dl FROM read_parquet('{index_dir}/docs/*.parquet') ORDER BY docid"
         ).df()
-        assert (d["docid"].to_numpy() == np.arange(len(d))).all(), "docids must be dense"
-        self.norms = d["norm"].to_numpy().astype(np.uint8)
-        self.conv = d["conv_id"].to_numpy()
-        self.role = d["role"].to_numpy()
-        self.tool = d["tool"].to_numpy()
-        self.ts = d["ts"].to_numpy()
+        arr = _docid_indexed(d, ["norm", "conv_id", "role", "tool", "ts"])
+        self.norms = arr["norm"]
+        self.conv = arr["conv_id"]
+        self.role = arr["role"]
+        self.tool = arr["tool"]
+        self.ts = arr["ts"]
         self.cache = bm25.norm_inverse_cache(self.stats["avgdl"])
         self._term_cache: dict[str, list[dict]] = {}
 
@@ -3025,7 +3061,10 @@ class LocalIndex:
     # -- exhaustive vectorized eval (mirrors oracle arithmetic exactly)
 
     def _eval(self, node: Node) -> tuple[np.ndarray, np.ndarray]:
-        n = self.stats["n_docs"]
+        # docid SPACE, not doc count: an expunged store keeps stable
+        # docids with holes, so masks size to max(docid)+1 (== the
+        # norms array), which equals n_docs only for dense stores
+        n = len(self.norms)
         if isinstance(node, _LEAF):
             if isinstance(node, Term):
                 docids, tfs = self._term_postings(node.term)
@@ -3796,11 +3835,11 @@ class QuerySession:
             d = duckdb.sql(
                 f"SELECT docid, norm, role, tool, ts FROM read_parquet('{index_dir}/docs/*.parquet') ORDER BY docid"
             ).df()
-            assert (d["docid"].to_numpy() == np.arange(len(d))).all(), "docids must be dense"
-            self._role = d["role"].to_numpy()
-            self._tool = d["tool"].to_numpy()
-            self._ts = d["ts"].to_numpy()
-            self.norms_bc = spark.sparkContext.broadcast(d["norm"].to_numpy().astype(np.uint8))
+            arr = _docid_indexed(d, ["norm", "role", "tool", "ts"])
+            self._role = arr["role"]
+            self._tool = arr["tool"]
+            self._ts = arr["ts"]
+            self.norms_bc = spark.sparkContext.broadcast(arr["norm"])
         self._mask_memo: dict = {}
         self._expand_memo: dict = {}
 

@@ -1,0 +1,273 @@
+"""Soft deletes: _delete_by_query tombstones, live search (pre-merge
+Lucene semantics), and expunge (physical merge with stable docids)."""
+
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.operators import deletes as dl
+from siem_on_amazon_opensearch_service_spark.operators.search import (
+    LocalIndex,
+    QuerySession,
+    search_df,
+)
+
+DELQ = "timeout"
+Q = "error OR timeout"
+
+
+@pytest.fixture(scope="module")
+def parquet(tmp_path_factory, tiny_corpus_pdf):
+    p = str(tmp_path_factory.mktemp("deletes") / "corpus.parquet")
+    tiny_corpus_pdf.to_parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def del_index(spark, tiny_index, tmp_path_factory):
+    """A private copy of the tiny index with 'timeout' docs tombstoned."""
+    src, _ = tiny_index
+    out = str(tmp_path_factory.mktemp("del") / "index")
+    shutil.copytree(src, out)
+    info = dl.delete_by_query(spark, out, DELQ)
+    assert info["deleted"] > 0
+    yield out, info
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def xp_index(spark, del_index, tmp_path_factory):
+    """The deleted copy, expunged (physical merge)."""
+    src, _ = del_index
+    out = str(tmp_path_factory.mktemp("xp") / "index")
+    shutil.copytree(src, out)
+    info = dl.expunge_deletes(spark, out)
+    yield out, info
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _pairs(df):
+    rows = df.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("s")
+    ).collect()
+    return [(int(r["docid"]), float(r["s"])) for r in rows]
+
+
+def _files(d):
+    return sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+class TestDeleteByQuery:
+    def test_idempotent(self, spark, del_index):
+        idx, info = del_index
+        before = _files(os.path.join(idx, dl.DELETES_SUBDIR))
+        again = dl.delete_by_query(spark, idx, DELQ)
+        assert again["deleted"] == 0
+        assert again["total_tombstones"] == info["total_tombstones"]
+        assert _files(os.path.join(idx, dl.DELETES_SUBDIR)) == before
+
+    def test_pure_negative_delete_valid(self, spark, tiny_index, tmp_path_factory):
+        """Deletion is filter context over a scan, so NOT-only queries
+        are legal (OpenSearch accepts must_not in _delete_by_query) —
+        unlike search_df, which needs positive postings coverage."""
+        out = str(tmp_path_factory.mktemp("neg") / "index")
+        shutil.copytree(tiny_index[0], out)
+        try:
+            total = spark.read.parquet(os.path.join(out, "docs")).count()
+            n_err = dl.delete_by_query(spark, out, "error")["deleted"]
+            # tombstone the complement too: everything is now deleted
+            info = dl.delete_by_query(spark, out, "NOT error")
+            assert info["total_tombstones"] == total
+            assert info["deleted"] == total - n_err
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_tombstones_match_percolator_set(self, spark, del_index, tiny_index):
+        idx, info = del_index
+        # tombstones == docs whose token set contains the term
+        docs = spark.read.parquet(os.path.join(tiny_index[0], "docs"))
+        from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+            compile_predicate,
+            tokens_col,
+        )
+
+        pred = compile_predicate(DELQ)
+        exp = {
+            r["docid"]
+            for r in docs.filter(
+                pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
+            ).select("docid").collect()
+        }
+        got = {
+            r["docid"] for r in dl.deleted_docids(spark, idx).collect()
+        }
+        assert got == exp and len(got) == info["total_tombstones"]
+
+
+class TestLiveSearch:
+    def test_excludes_deleted_scores_unchanged(self, spark, tiny_index, del_index):
+        """THEOREM: live top-k == tombstone-blind full match set, python-
+        filtered by the tombstones, ranked (score desc, docid asc)."""
+        idx, _ = del_index
+        dels = {r["docid"] for r in dl.deleted_docids(spark, idx).collect()}
+        # rank on the RAW float32 score (the engine's sort key), round
+        # only for the comparison — 3dp rounding can tie distinct raws
+        full = [
+            (int(r["docid"]), float(np.float32(r["score"])))
+            for r in search_df(spark, tiny_index[0], Q, k=None).collect()
+        ]
+        exp = [
+            (d, round(s, 3))
+            for d, s in sorted(
+                [(d, s) for d, s in full if d not in dels],
+                key=lambda t: (-t[1], t[0]),
+            )[:10]
+        ]
+        got = _pairs(dl.search_live_df(spark, idx, Q, k=10))
+        assert got == exp
+        assert dels & {d for d, _ in got} == set()
+
+    def test_matches_sql_oracle(self, spark, del_index, parquet):
+        idx, _ = del_index
+        got = _pairs(dl.search_live_df(spark, idx, Q, k=10))
+        exp = [
+            (int(d), float(s))
+            for d, s in duckdb.sql(dl.live_bm25_sql(parquet, Q, DELQ, k=10)).fetchall()
+        ]
+        assert got == exp
+
+    def test_no_tombstones_is_plain_search(self, spark, tiny_index):
+        got = _pairs(dl.search_live_df(spark, tiny_index[0], Q, k=10))
+        exp = _pairs(search_df(spark, tiny_index[0], Q, k=10))
+        assert got == exp
+
+    def test_delete_everything_matching(self, spark, del_index):
+        idx, _ = del_index
+        assert dl.search_live_df(spark, idx, DELQ, k=10).count() == 0
+
+    def test_warm_session_live(self, spark, del_index):
+        idx, _ = del_index
+        sess = QuerySession(spark, idx)
+        try:
+            warm = _pairs(dl.search_live_df(spark, idx, Q, k=10, session=sess))
+        finally:
+            sess.close()
+        cold = _pairs(dl.search_live_df(spark, idx, Q, k=10))
+        assert warm == cold
+
+
+class TestExpunge:
+    def test_stats_shrink_and_tombstones_cleared(self, spark, tiny_index, del_index, xp_index):
+        idx, info = xp_index
+        assert not dl.has_deletes(idx)
+        assert not os.path.exists(os.path.join(idx, "partials"))
+        n_del = del_index[1]["total_tombstones"]
+        assert info["expunged"] == n_del
+        full = spark.read.parquet(os.path.join(tiny_index[0], "docs")).count()
+        assert info["n_docs"] == full - n_del
+
+    def test_deleted_docids_gone_from_store(self, spark, del_index, xp_index):
+        idx, _ = xp_index
+        dels = {r["docid"] for r in dl.deleted_docids(spark, del_index[0]).collect()}
+        docs_ids = {
+            r["docid"]
+            for r in spark.read.parquet(os.path.join(idx, "docs")).select("docid").collect()
+        }
+        assert dels & docs_ids == set()
+
+    def test_docids_stable_text_equal(self, spark, tiny_index, xp_index):
+        idx, _ = xp_index
+        old = {
+            r["docid"]: r["text"]
+            for r in spark.read.parquet(os.path.join(tiny_index[0], "docs")).collect()
+        }
+        for r in spark.read.parquet(os.path.join(idx, "docs")).collect():
+            assert old[r["docid"]] == r["text"]
+
+    def test_matches_survivor_oracle(self, spark, xp_index, parquet):
+        idx, _ = xp_index
+        got = _pairs(search_df(spark, idx, Q, k=10))
+        exp = [
+            (int(d), float(s))
+            for d, s in duckdb.sql(
+                dl.expunged_bm25_sql(parquet, Q, DELQ, k=10)
+            ).fetchall()
+        ]
+        assert got == exp
+
+    def test_localindex_hole_tolerant(self, spark, xp_index):
+        idx, _ = xp_index
+        li = LocalIndex(idx)
+        exp = _pairs(search_df(spark, idx, Q, k=10))
+        got = [(int(d), round(float(s), 3)) for d, s in li.search(Q, k=10)]
+        assert got == exp
+
+    def test_warm_equals_cold_on_expunged(self, spark, xp_index):
+        idx, _ = xp_index
+        sess = QuerySession(spark, idx)
+        try:
+            warm = _pairs(sess.search("error AND timeout", k=10))
+            warm_f = _pairs(sess.search(Q, k=10, role="assistant"))
+        finally:
+            sess.close()
+        cold = _pairs(search_df(spark, idx, "error AND timeout", k=10))
+        cold_f = _pairs(search_df(spark, idx, Q, k=10, role="assistant"))
+        assert warm == cold and warm_f == cold_f
+
+    def test_expunge_noop_when_clean(self, spark, tiny_index, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("clean") / "index")
+        shutil.copytree(tiny_index[0], out)
+        try:
+            info = dl.expunge_deletes(spark, out)
+            assert info["expunged"] == 0
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+
+class TestOracleShapes:
+    def test_delete_query_shape_rejected(self):
+        with pytest.raises(ValueError):
+            dl.live_bm25_sql("x.parquet", Q, '"connection reset"')
+        with pytest.raises(ValueError):
+            dl.live_bm25_sql("x.parquet", Q, "error AND timeout")
+
+    def test_or_of_terms_accepted(self, parquet):
+        sql = dl.live_bm25_sql(parquet, "error", "timeout OR refused")
+        assert "delset" in sql and duckdb.sql(sql) is not None
+
+
+class TestDocidIndexed:
+    def test_dense_identity_and_holes(self):
+        import pandas as pd
+
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            _docid_indexed,
+        )
+
+        dense = pd.DataFrame(
+            {"docid": [0, 1, 2], "norm": [3, 4, 5], "role": ["a", "b", "c"]}
+        )
+        a = _docid_indexed(dense, ["norm", "role"])
+        assert a["norm"].dtype == np.uint8 and list(a["norm"]) == [3, 4, 5]
+        holey = pd.DataFrame(
+            {"docid": [0, 2, 5], "norm": [3, 4, 5], "role": ["a", "b", "c"],
+             "ts": pd.to_datetime(["2025-01-01", "2025-01-02", "2025-01-03"])}
+        )
+        b = _docid_indexed(holey, ["norm", "role", "ts"])
+        assert len(b["norm"]) == 6
+        assert b["norm"][2] == 4 and b["norm"][1] == 0
+        assert b["role"][5] == "c" and b["role"][3] is None
+        assert np.isnat(b["ts"][1]) and not np.isnat(b["ts"][2])
+        with pytest.raises(ValueError):
+            _docid_indexed(
+                pd.DataFrame({"docid": [1, 1], "norm": [1, 2]}), ["norm"]
+            )
