@@ -28,6 +28,7 @@ from .operators import aggs
 from .operators import adhoc, chunking, packing, render
 from .operators import geoagg, joinfield, percolate, dedup, relevance, sampling, search, similarity, sqloracle, suggest, textstats
 from .operators import deletes as deletes_ops
+from .operators import rollup as rollup_ops
 from .operators.build import build_index
 from .plans import ppl
 from .streaming import alerts
@@ -881,10 +882,10 @@ def q_events_rollup_daily(spark, sf_dir):
     once, the daily dashboard histogram answered FROM the summary —
     sum/min/max re-aggregate, avg re-derives as sum/count
     (operators/rollup.py)."""
-    from .operators import rollup as _ru
-
-    roll = _ru.build_rollup(_events(spark, sf_dir), "ts", "hour", ["event_type"], "value")
-    return _ru.rollup_date_histogram(roll, "day", ["event_type"])
+    roll = rollup_ops.build_rollup(
+        _events(spark, sf_dir), "ts", "hour", ["event_type"], "value"
+    )
+    return rollup_ops.rollup_date_histogram(roll, "day", ["event_type"])
 
 
 def q_events_anomaly_zscore(spark, sf_dir):
@@ -3003,6 +3004,32 @@ FROM x GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
             "SELECT round(median(abs(value - "
             "(SELECT median(value) FROM events))), 6) AS mad_r FROM events"
         ),
+        # rollup answer must equal the SAME aggregation on the raw table
+        "events_rollup_daily": rollup_ops.rollup_histogram_sql(
+            "events", "ts", "day", ["event_type"], "value"
+        ),
+        "events_anomaly_zscore": (
+            "WITH per AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt "
+            "FROM events GROUP BY 1), "
+            "w AS (SELECT bucket, cnt, "
+            "count(cnt) OVER fr AS n_prev, "
+            "avg(CAST(cnt AS DOUBLE)) OVER fr AS mean, "
+            "avg(CAST(cnt AS DOUBLE) * cnt) OVER fr AS m2 "
+            "FROM per WINDOW fr AS (ORDER BY bucket "
+            "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+            "SELECT bucket, cnt, "
+            "CASE WHEN n_prev = 24 THEN round(mean, 6) END AS mean_r, "
+            "CASE WHEN n_prev = 24 AND "
+            "sqrt(greatest(round(m2 - mean * mean, 6), 0.0)) > 0 "
+            "THEN round((cnt - mean) / "
+            "sqrt(greatest(round(m2 - mean * mean, 6), 0.0)), 6) END AS z_r, "
+            "coalesce(abs(CASE WHEN n_prev = 24 AND "
+            "sqrt(greatest(round(m2 - mean * mean, 6), 0.0)) > 0 "
+            "THEN round((cnt - mean) / "
+            "sqrt(greatest(round(m2 - mean * mean, 6), 0.0)), 6) END) > 3.0, "
+            "false) AS anomaly "
+            "FROM w ORDER BY bucket"
+        ),
         "events_top_metrics": (
             "SELECT ts, event_id, value FROM events "
             "ORDER BY ts DESC, event_id ASC, value ASC LIMIT 3"
@@ -4016,6 +4043,8 @@ def queries_map() -> dict:
             "events_derivative": q_events_derivative,
             "events_cumulative_sum": q_events_cumulative_sum,
             "events_mad": q_events_mad,
+            "events_rollup_daily": q_events_rollup_daily,
+            "events_anomaly_zscore": q_events_anomaly_zscore,
             "events_boxplot": q_events_boxplot,
             "events_t_test": q_events_t_test,
             "events_rate": q_events_rate,

@@ -654,6 +654,48 @@ def normalize_agg(
     )
 
 
+def anomaly_zscore(
+    df: DataFrame,
+    ts: str = "ts",
+    interval: str = "hour",
+    window_size: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over date_histogram counts —
+    the OpenSearch anomaly-detection plugin's alerting idiom reduced to
+    a deterministic closed form (the plugin's RCF forest is randomized;
+    a trailing-window z-score is the standard SIEM baseline the
+    reference's CloudWatch-alarm integrations assume).
+
+    Per bucket: mean/std of the TRAILING ``window_size`` buckets
+    (current excluded, so a spike can't mask itself), population
+    variance via E[x^2]-E[x]^2 (round-6 — the matrix_stats naive-moment
+    recipe, SQL-replicable), z = (cnt-mean)/std, flagged when |z| >
+    ``z_threshold``.  Buckets without a full trailing window emit NULL
+    z / false flag.  Scale: the windowed pass runs over the REDUCED
+    bucket frame (cardinality = time-range/interval), same single-task
+    shape as every pipeline agg here; the raw scan is the distributed
+    groupBy."""
+    per = date_histogram(df, ts, interval)
+    w = Window.orderBy("bucket").rowsBetween(-window_size, -1)
+    n_prev = F.count("cnt").over(w)
+    mean = F.avg(F.col("cnt").cast("double")).over(w)
+    m2 = F.avg(F.col("cnt").cast("double") * F.col("cnt")).over(w)
+    var = F.round(m2 - mean * mean, 6)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(
+        (n_prev == window_size) & (std > 0),
+        F.round((F.col("cnt") - mean) / std, 6),
+    )
+    return per.select(
+        "bucket",
+        "cnt",
+        F.when(n_prev == window_size, F.round(mean, 6)).alias("mean_r"),
+        z.alias("z_r"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("anomaly"),
+    ).orderBy("bucket")
+
+
 def moving_fn(
     df: DataFrame, ts: str = "ts", interval: str = "day",
     window_size: int = 3, how: str = "max",
