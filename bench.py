@@ -375,6 +375,22 @@ def main() -> None:
     _sug.build_suggest_model(spark, idx_dir)
     queries["suggest_model_build"] = round(time.perf_counter() - t0, 3)
 
+    # soft deletes (r4i) — LAST: expunge rewrites the bench index.
+    # delete = one docs scan + tombstone append; live search = unpruned
+    # cold plan + anti-join (the pre-merge tax); expunge = survivor
+    # rebuild (the off-ingest maintenance knob, one measured run)
+    from siem_on_amazon_opensearch_service_spark.operators import deletes as _del
+
+    t0 = time.perf_counter()
+    ndel = _del.delete_by_query(spark, idx_dir, "timeout")["deleted"]
+    queries["delete_by_query"] = round(time.perf_counter() - t0, 3)
+    queries["delete_by_query_n"] = ndel
+    queries["bm25_live_after_delete"] = best3(
+        lambda: _del.search_live_df(spark, idx_dir, "error AND refused", k=10).collect())
+    t0 = time.perf_counter()
+    _del.expunge_deletes(spark, idx_dir)
+    queries["expunge_deletes"] = round(time.perf_counter() - t0, 3)
+
     total = time.perf_counter() - t_all
     print(
         json.dumps(

@@ -177,9 +177,15 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
 
     # every derived store is written to a tmp sibling BEFORE any swap, so
     # a crash mid-compute leaves the live index untouched (the swap
-    # window itself is the same per-dir exposure force_merge has)
+    # window itself is the same per-dir exposure force_merge has).
+    # partials are REWRITTEN from survivors, not dropped: they are the
+    # canonical re-derivation source — streaming crash recovery
+    # (incremental.recover_orphans -> _refresh_postings_dict_full) and
+    # build resume both rebuild postings from ALL partials, so stale or
+    # missing partials after an expunge would resurrect deleted docs or
+    # silently drop the corpus on the next recovery.
     tmp = {name: os.path.join(index_dir, name + "_xp") for name in
-           ("docs", "postings", "dict", "stats", "manifest")}
+           ("docs", "partials", "postings", "dict", "stats", "manifest")}
     for p in tmp.values():
         shutil.rmtree(p, ignore_errors=True)
 
@@ -193,7 +199,12 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
 
     seg = _partials_stage(survivors, positions, n_salts)
     wp = max(8, spark.sparkContext.defaultParallelism)
-    merged = _merge_stage(seg, wp, n_buckets=nb or None)
+    (
+        seg.repartition(wp, "term", "salt")
+        .write.mode("overwrite")
+        .parquet(tmp["partials"])
+    )
+    merged = _merge_stage(spark.read.parquet(tmp["partials"]), wp, n_buckets=nb or None)
     if nb:
         _build.write_postings_bucketed(merged, tmp["postings"], nb)
     else:
@@ -245,9 +256,6 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         shutil.rmtree(live, ignore_errors=True)
         os.replace(tp, live)
         open(os.path.join(live, "_SUCCESS"), "a").close()
-    # partials fed the OLD postings; they are stale now — drop them so a
-    # later resume/append can't resurrect expunged docs
-    shutil.rmtree(os.path.join(index_dir, "partials"), ignore_errors=True)
     shutil.rmtree(_deletes_path(index_dir), ignore_errors=True)
     return {
         "expunged": n_before - int(st["n_docs"]),

@@ -6,6 +6,7 @@ import shutil
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -169,11 +170,64 @@ class TestExpunge:
     def test_stats_shrink_and_tombstones_cleared(self, spark, tiny_index, del_index, xp_index):
         idx, info = xp_index
         assert not dl.has_deletes(idx)
-        assert not os.path.exists(os.path.join(idx, "partials"))
         n_del = del_index[1]["total_tombstones"]
         assert info["expunged"] == n_del
         full = spark.read.parquet(os.path.join(tiny_index[0], "docs")).count()
         assert info["n_docs"] == full - n_del
+
+    def test_partials_rewritten_from_survivors(self, spark, del_index, xp_index):
+        """partials are the canonical re-derivation source (crash recovery
+        and build resume rebuild postings from them) — expunge must leave
+        them survivor-only, neither stale nor missing."""
+        from siem_on_amazon_opensearch_service_spark.streaming.incremental import (
+            _refresh_postings_dict_full,
+        )
+
+        idx, _ = xp_index
+        assert os.path.exists(os.path.join(idx, "partials"))
+        dels = {r["docid"] for r in dl.deleted_docids(spark, del_index[0]).collect()}
+        before = _pairs(search_df(spark, idx, Q, k=10))
+        # the recovery slow path (rebuild postings+dict from partials)
+        # must reproduce the expunged store exactly
+        _refresh_postings_dict_full(spark, idx)
+        assert _pairs(search_df(spark, idx, Q, k=10)) == before
+        assert not dels & {d for d, _ in before}
+
+    def test_append_after_expunge(self, spark, xp_index, tiny_corpus_pdf, tmp_path_factory):
+        """Streaming appends keep working on an expunged store: new docids
+        continue from the ORIGINAL docid space (stable-key contract), and
+        the appended docs are searchable alongside survivors."""
+        import json as _json
+
+        from siem_on_amazon_opensearch_service_spark.streaming.incremental import (
+            append_batch,
+        )
+
+        out = str(tmp_path_factory.mktemp("xpa") / "index")
+        shutil.copytree(xp_index[0], out)
+        try:
+            with open(os.path.join(out, "_build.json")) as f:
+                base = _json.load(f)["total_docs"]
+            batch = pd.DataFrame(
+                {
+                    "conv_id": ["zz_new_conv"] * 2,
+                    "turn_idx": [0, 1],
+                    "role": ["user", "assistant"],
+                    "text": ["totally novel timeout words", "error timeout zz"],
+                    "tool": [None, "grep"],
+                    "ts": [pd.Timestamp("2025-07-01 00:00:00"),
+                           pd.Timestamp("2025-07-01 00:01:00")],
+                }
+            )
+            r = append_batch(spark, spark.createDataFrame(batch), out, batch_id=7)
+            assert r["appended"] == 2
+            ids = {
+                row["docid"]
+                for row in search_df(spark, out, "zz", k=5).collect()
+            }
+            assert ids and all(d >= base for d in ids)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
 
     def test_deleted_docids_gone_from_store(self, spark, del_index, xp_index):
         idx, _ = xp_index
@@ -222,6 +276,20 @@ class TestExpunge:
         cold = _pairs(search_df(spark, idx, "error AND timeout", k=10))
         cold_f = _pairs(search_df(spark, idx, Q, k=10, role="assistant"))
         assert warm == cold and warm_f == cold_f
+
+    def test_sharded_warm_on_expunged(self, spark, xp_index):
+        """Past the broadcast cap the session resolves norms/filters from
+        per-shard ranged reads — those scatter over docid holes too."""
+        idx, _ = xp_index
+        sess = QuerySession(spark, idx, broadcast_cap=0)
+        try:
+            assert sess.sharded
+            warm = _pairs(sess.search(Q, k=10))
+            warm_t = _pairs(sess.search("error", k=10, role="assistant"))
+        finally:
+            sess.close()
+        assert warm == _pairs(search_df(spark, idx, Q, k=10))
+        assert warm_t == _pairs(search_df(spark, idx, "error", k=10, role="assistant"))
 
     def test_expunge_noop_when_clean(self, spark, tiny_index, tmp_path_factory):
         out = str(tmp_path_factory.mktemp("clean") / "index")
