@@ -17,15 +17,16 @@ parquet store:
   index is (the liveDocs-bits analogue; postings are never rewritten on
   delete).  Re-deleting the same docs appends nothing.
 * ``search_live_df`` answers queries with Lucene PRE-MERGE semantics:
-  the full scored match set (``search_df(k=None)``) anti-joined to the
-  tombstone set, then the (score desc, docid asc) page.  Surviving
-  docs keep their exact undeleted scores because df/idf/avgdl are
-  untouched.  Theta/block-max pruning stays off on this path (k=None):
-  the pruning frontier is computed from the tombstone-blind top-k,
-  which can sit strictly above surviving docs — the same reasoning
-  that gates pruning under a ``search_after`` cursor.  The tombstone
-  side of the anti-join is a small parquet relation; AQE broadcasts it
-  while it fits and falls back to a shuffled anti-join past that.
+  tombstoned docs drop from results, survivors keep their exact
+  undeleted scores because df/idf/avgdl are untouched.  The cold path
+  stays PRUNED: a tombstone-blind theta would overshoot the live k-th
+  total (the search_after-cursor failure mode), so theta seeds drop
+  tombstoned candidates first — a driver-side DuckDB IN-probe of the
+  tombstone parquet, O(seed-pool) work at any tombstone volume — after
+  which the block sweep's superset argument holds for the live ranking
+  unchanged.  The result-set exclusion itself is a distributed
+  anti-join placed before collapsing/paging; AQE broadcasts the
+  tombstone side while it fits and shuffles past that.
 * ``expunge_deletes`` is the physical merge: docs/postings/dict/stats/
   manifest rebuilt from survivors via the same partials->salted-merge
   stages as a fresh build, then swapped in atomically per directory
@@ -131,10 +132,14 @@ def search_live_df(
     docs are excluded from results, surviving docs keep their exact
     undeleted scores (stats untouched until ``expunge_deletes``).
 
-    With no tombstones this IS ``search_df`` (pruned fast plan).  With
-    tombstones the full match set is computed unpruned (k=None — see
-    module docstring for why pruning must sit out), anti-joined, and
-    paged.  ``session`` routes through a warm QuerySession."""
+    With no tombstones this IS ``search_df``.  With tombstones the cold
+    path STAYS PRUNED: theta seeds drop tombstoned candidates (a
+    driver-side IN-probe of the tombstone parquet, O(seed-pool) work),
+    so theta lower-bounds the LIVE k-th total and the block sweep stays
+    exact; the tombstone anti-join runs before paging inside the plan.
+    ``session`` routes through a warm QuerySession (full match set +
+    anti-join — the warm plans take per-partition top-k inside their
+    generators, where the exclusion can't reach)."""
     dels = deleted_docids(spark, index_dir)
     if dels is None:
         if session is not None:
@@ -142,12 +147,13 @@ def search_live_df(
         return search_df(spark, index_dir, query, k=k, **filt)
     if session is not None:
         base = session.search(query, k=None, **filt)
-    else:
-        base = search_df(spark, index_dir, query, k=None, **filt)
-    live = base.join(dels, "docid", "left_anti")
-    if k is None:
-        return live
-    return live.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+        live = base.join(dels, "docid", "left_anti")
+        if k is None:
+            return live
+        return live.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    return search_df(
+        spark, index_dir, query, k=k, _exclude_dir=_deletes_path(index_dir), **filt
+    )
 
 
 def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:

@@ -60,14 +60,19 @@ def rollup_date_histogram(
         F.min("min_metric").alias("min_metric"),
         F.max("max_metric").alias("max_metric"),
     )
+    # sums of doubles are accumulation-order-dependent at the last ulp
+    # (partial-agg order differs between engines/partitionings); the
+    # float32 round-trip absorbs that — double error ~1e-13 relative is
+    # far below half a float32 ulp, so the cast is deterministic where a
+    # fixed-decimal round has boundary flips.  min/max copy exact values.
     return out.select(
         F.col("bucket_out").alias("bucket"),
         *dims,
         "doc_count",
-        F.round(F.col("sum_metric"), 6).alias("sum_r"),
-        F.round(F.col("sum_metric") / F.col("doc_count"), 6).alias("avg_r"),
-        F.round(F.col("min_metric"), 6).alias("min_r"),
-        F.round(F.col("max_metric"), 6).alias("max_r"),
+        F.col("sum_metric").cast("float").cast("double").alias("sum_r"),
+        (F.col("sum_metric") / F.col("doc_count")).cast("float").cast("double").alias("avg_r"),
+        F.col("min_metric").alias("min_r"),
+        F.col("max_metric").alias("max_r"),
     )
 
 
@@ -87,10 +92,10 @@ def rollup_histogram_sql(
     return f"""
 SELECT date_trunc('{interval}', {ts_col}) AS bucket{sel_dims},
        count(*) AS doc_count,
-       round(sum({metric_col}), 6) AS sum_r,
-       round(sum({metric_col}) / count(*), 6) AS avg_r,
-       round(min({metric_col}), 6) AS min_r,
-       round(max({metric_col}), 6) AS max_r
+       CAST(CAST(sum({metric_col}) AS FLOAT) AS DOUBLE) AS sum_r,
+       CAST(CAST(sum({metric_col}) / count(*) AS FLOAT) AS DOUBLE) AS avg_r,
+       min({metric_col}) AS min_r,
+       max({metric_col}) AS max_r
 FROM {rel}
 GROUP BY 1{', ' + dcols if dims else ''}
 ORDER BY bucket{', ' + dcols if dims else ''}

@@ -514,7 +514,24 @@ def _fetch_row_bytes(index_dir: str, r: dict):
     ).fetchone()
 
 
-def _conj_seed_totals(index_dir, ast, leaves, rows, rare_maps, weights, mult, dfs, cache, k, filters):
+def _tombstoned_among(exclude_dir: str, docids: np.ndarray) -> set:
+    """Tombstoned members of a candidate docid pool: a driver-side DuckDB
+    IN-probe of the tombstone parquet — O(pool) work however large the
+    tombstone log grows (the pool is seed-sized, a few thousand ids)."""
+    import duckdb
+
+    if not docids.size:
+        return set()
+    idl = ",".join(str(int(d)) for d in np.unique(docids))
+    rows = duckdb.sql(
+        f"SELECT DISTINCT docid FROM read_parquet('{exclude_dir}/*.parquet') "
+        f"WHERE docid IN ({idl})"
+    ).fetchall()
+    return {int(r[0]) for r in rows}
+
+
+def _conj_seed_totals(index_dir, ast, leaves, rows, rare_maps, weights, mult, dfs, cache, k, filters,
+                      exclude_dir=None):
     """EXACT theta seeds for trees with no sufficient term (the 'hot AND
     hot' conjunction the suff-seed path cannot serve): candidates are the
     rarest REQUIRED term's entries (its full rare decode, or its
@@ -617,11 +634,16 @@ def _conj_seed_totals(index_dir, ast, leaves, rows, rare_maps, weights, mult, df
         passing = set(int(x) for x in nd.index[ok])
     else:
         passing = None
+    # tombstoned candidates can't seed theta: live search ranks only
+    # survivors, so theta must lower-bound the LIVE k-th total
+    dead = _tombstoned_among(exclude_dir, cand) if exclude_dir else set()
 
     norm_map = nd["norm"].to_dict()
     totals = []
     for d in cand.astype(int).tolist():
         if passing is not None and d not in passing:
+            continue
+        if d in dead:
             continue
         has = {t: (tf_maps[t].get(d, 0) > 0) for t in leaf_terms}
         if not _eval_membership(ast, has):
@@ -648,6 +670,7 @@ def _plan_block_prune(
     stats: dict,
     k: int,
     filters: dict | None = None,
+    exclude_dir: str | None = None,
 ):
     """Distributed block-max pruning plan (Term / OR-of-Terms).
 
@@ -775,7 +798,8 @@ def _plan_block_prune(
         # no sufficient term ('hot AND hot' and friends): exact verified
         # seeds from the rarest required term (see _conj_seed_totals)
         tot = _conj_seed_totals(
-            index_dir, ast, leaves, rows, rare_maps, weights, mult, dfs, cache, k, filters
+            index_dir, ast, leaves, rows, rare_maps, weights, mult, dfs, cache, k, filters,
+            exclude_dir=exclude_dir,
         )
         if tot is None or tot.size < k:
             return None
@@ -819,13 +843,19 @@ def _plan_block_prune(
         f"SELECT docid, norm, role, tool, ts FROM read_parquet('{index_dir}/docs/*.parquet') "
         f"WHERE docid IN ({idl})"
     ).df().set_index("docid")
-    if filters:
+    if filters or exclude_dir:
         # keyword/time-filtered queries: theta must come from docs that
         # PASS the filters (an unfiltered seed could overshoot the
-        # filtered k-th total).  Seed docs failing filters drop from the
-        # pool; their absence only lowers theta (stays a valid bound).
-        ok = filter_mask(nd["role"], nd["tool"], nd["ts"], filters)
-        passing = set(nd.index[ok])
+        # filtered k-th total).  Same argument for tombstones (live
+        # search ranks survivors only).  Dropped seeds only lower theta
+        # — it stays a valid bound.
+        if filters:
+            ok = filter_mask(nd["role"], nd["tool"], nd["ts"], filters)
+            passing = set(int(x) for x in nd.index[ok])
+        else:
+            passing = set(int(x) for x in nd.index)
+        if exclude_dir:
+            passing -= _tombstoned_among(exclude_dir, docids)
         keep_ent = np.fromiter((int(d) in passing for d in docids), dtype=bool, count=docids.size)
         # rebuild the pooled streams with only passing docs
         new_pool_w = []
@@ -1953,6 +1983,7 @@ def search_df(
     minimum_should_match: int | None = None,
     collapse: str | None = None,
     *,
+    _exclude_dir: str | None = None,
     _stats: dict | None = None,
     _dfs: dict | None = None,
     _docs: DataFrame | None = None,
@@ -2049,7 +2080,7 @@ def search_df(
     if k is not None and k > 0 and search_after is None and "blk_first" in postings.columns:  # r2 format only
         memo_key = (query, k, role, tool, str(ts_min), str(ts_max), role_exists,
                     tool_exists, role_not, tool_not, role_not_exists,
-                    tool_not_exists, minimum_should_match, collapse)
+                    tool_not_exists, minimum_should_match, collapse, _exclude_dir)
         if _prune_memo is not None and memo_key in _prune_memo:
             prune = _prune_memo[memo_key]
         else:
@@ -2070,6 +2101,7 @@ def search_df(
                 p = _plan_block_prune(
                     index_dir, ast, leaves, dfs, stats, k,
                     filters=filters if f_active else None,
+                    exclude_dir=_exclude_dir,
                 )
                 if p is not None:
                     plans.append(p)
@@ -2106,6 +2138,16 @@ def search_df(
         group), then the (score desc, docid asc) page.  The window
         shuffles on the collapse key; group sizes are conversation-sized,
         so no skew concern at scale."""
+        if _exclude_dir is not None:
+            # live search (soft deletes): tombstoned docids drop BEFORE
+            # collapsing/paging — a distributed anti-join, never a driver
+            # materialization; AQE broadcasts the tombstone side while it
+            # fits.  Scores of survivors are untouched (pre-merge Lucene
+            # semantics: stats still count deleted docs).
+            # no distinct: anti-join semantics ignore duplicate tombstones,
+            # and the dedup would cost an extra exchange
+            dels = spark.read.parquet(_exclude_dir).select("docid")
+            scored_all = scored_all.join(dels, "docid", "left_anti")
         if collapse is not None:
             from pyspark.sql.window import Window as _W
 
@@ -2154,7 +2196,11 @@ def search_df(
             "filters": filters_d if (sharded_warm and _filter_mask_bc is None) else None,
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
-    elif _postings is not None and (k is None or k > 0) and search_after is None and collapse is None:
+    elif (_postings is not None and (k is None or k > 0) and search_after is None
+          and collapse is None and _exclude_dir is None):
+        # (_exclude_dir gate: the shard-local plan takes its per-partition
+        # top-k INSIDE the generator, before _finalize's tombstone
+        # anti-join could run — a tombstoned doc would evict a live one)
         # Warm multi-clause / phrase path (r4): shard-local fused
         # evaluation — ONE Python stage after a compressed-bytes
         # repartition on shard_min; handles every query shape including

@@ -137,6 +137,62 @@ class TestLiveSearch:
         assert got == exp
         assert dels & {d for d, _ in got} == set()
 
+    def test_live_pruned_shapes_match_reference(self, spark, tiny_index, del_index):
+        """The pruned live plan == python-filtered unpruned reference for
+        every prunable query shape, including ones whose natural top-k is
+        dominated by tombstoned docs (the delete term itself in an OR)."""
+        idx, _ = del_index
+        dels = {r["docid"] for r in dl.deleted_docids(spark, idx).collect()}
+        for q in ["error", "timeout OR refused OR denied",
+                  "error AND refused", "(error AND refused) OR denied"]:
+            full = [
+                (int(r["docid"]), float(np.float32(r["score"])))
+                for r in search_df(spark, tiny_index[0], q, k=None).collect()
+            ]
+            exp = [
+                (d, round(s, 3))
+                for d, s in sorted(
+                    [(d, s) for d, s in full if d not in dels],
+                    key=lambda t: (-t[1], t[0]),
+                )[:10]
+            ]
+            got = _pairs(dl.search_live_df(spark, idx, q, k=10))
+            assert got == exp, q
+
+    def test_live_prune_plan_engages(self, spark, del_index):
+        """Tombstones must not silently disable an engaging planner —
+        except when every seed is tombstoned (all matches deleted), where
+        declining is the correct exact answer."""
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            _leaves,
+            _load_dfs,
+            _load_stats,
+            _plan_block_prune,
+        )
+        from siem_on_amazon_opensearch_service_spark.plans.query import parse
+
+        idx, _ = del_index
+        xdir = os.path.join(idx, dl.DELETES_SUBDIR)
+        stats = _load_stats(idx)
+
+        def plans(q):
+            ast = parse(q)
+            leaves = _leaves(ast)
+            dfs = _load_dfs(idx, sorted({lf.term for lf in leaves}))
+            base = _plan_block_prune(idx, ast, leaves, dfs, stats, 10)
+            excl = _plan_block_prune(idx, ast, leaves, dfs, stats, 10,
+                                     exclude_dir=xdir)
+            return base, excl
+
+        # 'error' matches are mostly live: exclusion keeps whatever the
+        # base planner decided (engaged stays engaged)
+        base, excl = plans("error")
+        assert base is None or excl is not None
+        # every 'timeout' match is tombstoned: no live seeds can exist,
+        # the planner must decline rather than emit a bogus theta
+        _, excl_dead = plans(DELQ)
+        assert excl_dead is None
+
     def test_matches_sql_oracle(self, spark, del_index, parquet):
         idx, _ = del_index
         got = _pairs(dl.search_live_df(spark, idx, Q, k=10))
