@@ -785,6 +785,40 @@ def q_bm25_after_expunge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r4i: update_by_query (operators/updates.py) — metadata-only update;
+# scoring artifacts byte-identical, only the docs projection changes.
+UPDATE_QUERY = "refused"
+UPDATE_SET = {"tool": "quarantine"}
+UPDATED_SEARCH = "error AND tool:quarantine"
+
+
+def ensure_updated_index(spark: SparkSession, label: str) -> str:
+    src = ensure_index(spark, label)
+    out = f"{GEN_ROOT}/index_sf{label}_updated"
+    marker = os.path.join(out, "_updated.json")
+    if not (os.path.exists(marker) and _index_current_format(out)):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(src, out)
+        from .operators import updates as updates_ops
+
+        info = updates_ops.update_by_query(spark, out, UPDATE_QUERY, dict(UPDATE_SET))
+        with open(marker, "w") as f:
+            json.dump(info, f)
+    return out
+
+
+def q_bm25_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_update_by_query (metadata-only): docs matching 'refused' get
+    tool=quarantine; a keyword-filtered search then finds them with
+    scores identical to the un-updated index (postings untouched)."""
+    _prep(spark)
+    idx = ensure_updated_index(spark, _sf_label(sf_dir))
+    out = search.search_df(spark, idx, UPDATED_SEARCH, k=10)
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
 # r4i: rank_feature (operators/relevance.py) — saturation is pure rational
 # double math (bit-exact cross-engine); log round-trips ln through float32
 # on both engines (the decay-function recipe).
@@ -2807,6 +2841,11 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_constant_score"] = relevance.constant_score_sql(
         ORACLE_TRANSCRIPTS, **CONSTANT_SCORE_SPEC
     )
+    from .operators import updates as updates_ops
+
+    bm["bm25_after_update"] = updates_ops.updated_bm25_sql(
+        ORACLE_TRANSCRIPTS, UPDATED_SEARCH, UPDATE_QUERY, dict(UPDATE_SET), k=10
+    )
     bm["bm25_live_after_delete"] = deletes_ops.live_bm25_sql(
         ORACLE_TRANSCRIPTS, LIVE_QUERY, DELETE_QUERY, k=10
     )
@@ -4011,6 +4050,7 @@ def queries_map() -> dict:
     q["bm25_rank_feature_log"] = _rank_feature(RANK_FEATURE_LOG_SPEC)
     q["bm25_live_after_delete"] = q_bm25_live_after_delete
     q["bm25_after_expunge"] = q_bm25_after_expunge
+    q["bm25_after_update"] = q_bm25_after_update
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,
