@@ -137,20 +137,20 @@ def search_live_df(
     driver-side IN-probe of the tombstone parquet, O(seed-pool) work),
     so theta lower-bounds the LIVE k-th total and the block sweep stays
     exact; the tombstone anti-join runs before paging inside the plan.
-    ``session`` routes through a warm QuerySession (full match set +
-    anti-join — the warm plans take per-partition top-k inside their
-    generators, where the exclusion can't reach)."""
+    ``session`` routes through a warm QuerySession: the same pruned +
+    anti-join plan over the session's pinned postings/stats (the
+    shard-local warm plan gates itself off under exclusions — its
+    per-partition top-k would run before the anti-join — and falls back
+    to the decode+join shape, still warm)."""
     dels = deleted_docids(spark, index_dir)
     if dels is None:
         if session is not None:
             return session.search(query, k=k, **filt)
         return search_df(spark, index_dir, query, k=k, **filt)
     if session is not None:
-        base = session.search(query, k=None, **filt)
-        live = base.join(dels, "docid", "left_anti")
-        if k is None:
-            return live
-        return live.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+        return session.search(
+            query, k=k, _exclude_dir=_deletes_path(index_dir), **filt
+        )
     return search_df(
         spark, index_dir, query, k=k, _exclude_dir=_deletes_path(index_dir), **filt
     )

@@ -3919,6 +3919,7 @@ class QuerySession:
         search_after: tuple | None = None,
         minimum_should_match: int | None = None,
         collapse: str | None = None,
+        _exclude_dir: str | None = None,
     ) -> DataFrame:
         # DQL field filters must reach the broadcast mask, so extract them
         # here as well (search_df re-extracts; the merge is idempotent)
@@ -3949,6 +3950,7 @@ class QuerySession:
             search_after=search_after,
             minimum_should_match=minimum_should_match,
             collapse=collapse,
+            _exclude_dir=_exclude_dir,
             _stats=self.stats,
             _dfs=self._dfs,
             _docs=self.docs,

@@ -212,14 +212,21 @@ class TestLiveSearch:
         assert dl.search_live_df(spark, idx, DELQ, k=10).count() == 0
 
     def test_warm_session_live(self, spark, del_index):
+        """Warm live == cold live for the fused single-term path (anti-
+        join after in-generator scoring) AND the gated multi-clause path
+        (shard-local refuses exclusions -> warm decode+join)."""
         idx, _ = del_index
         sess = QuerySession(spark, idx)
         try:
             warm = _pairs(dl.search_live_df(spark, idx, Q, k=10, session=sess))
+            warm_t = _pairs(dl.search_live_df(spark, idx, "error", k=10, session=sess))
+            warm_a = _pairs(dl.search_live_df(
+                spark, idx, "error AND refused", k=10, session=sess))
         finally:
             sess.close()
-        cold = _pairs(dl.search_live_df(spark, idx, Q, k=10))
-        assert warm == cold
+        assert warm == _pairs(dl.search_live_df(spark, idx, Q, k=10))
+        assert warm_t == _pairs(dl.search_live_df(spark, idx, "error", k=10))
+        assert warm_a == _pairs(dl.search_live_df(spark, idx, "error AND refused", k=10))
 
 
 class TestExpunge:
