@@ -2161,6 +2161,52 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+def _hybrid_leg_sqls() -> list:
+    """The two hybrid legs as DuckDB subqueries (shared by the RRF and
+    min_max fusion oracles): raw-float32 ad-hoc BM25 + round-6 cosine —
+    the cross-engine rank rule for both fusion techniques."""
+    vec = f'''
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_HYBRID_VEC_QID})
+SELECT e.vec_id AS doc_id,
+       round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+                i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+         6) AS score
+FROM embeddings e, q WHERE e.vec_id <> {_HYBRID_VEC_QID}
+ORDER BY score DESC, doc_id ASC LIMIT {_HYBRID_WINDOW}'''
+    return [
+        (sqloracle.bm25_adhoc_sql("documents", _HYBRID_LEX_QUERY,
+                                  k=_HYBRID_WINDOW, rounded=False),
+         "doc_id", "score"),
+        (vec, "doc_id", "score"),
+    ]
+
+
+def q_hybrid_minmax_topk(spark, sf_dir):
+    """OpenSearch hybrid query + normalization processor (min_max +
+    weighted arithmetic mean, weights 0.7 lexical / 0.3 vector): same
+    legs as the RRF row, normalized per leg over the rank window,
+    missing legs contribute 0."""
+    lex = adhoc.bm25_adhoc_df(
+        _docs(spark, sf_dir), _HYBRID_LEX_QUERY, k=_HYBRID_WINDOW
+    )
+    vec = similarity.cosine_topk(
+        _emb(spark, sf_dir), [_HYBRID_VEC_QID], k=_HYBRID_WINDOW
+    ).select(
+        F.col("vec_id").alias("doc_id"), F.round(F.col("cos"), 6).alias("score")
+    )
+    fused = adhoc.hybrid_fuse(
+        [lex, vec], k=10, id_col="doc_id", weights=[0.7, 0.3],
+        rank_window=_HYBRID_WINDOW,
+    )
+    return fused.select(
+        "doc_id", F.round(F.col("hybrid_score"), 9).alias("hybrid_r")
+    )
+
+
 _PACK_CAPACITY = 128
 _PACK_BUCKETS = 8
 
@@ -3550,26 +3596,12 @@ FROM pk_bins"""
         ),
         "hybrid_rrf_topk": f"""
 SELECT doc_id, round(rrf_score, 9) AS rrf_r FROM (
-{sqloracle.rrf_sql(
-    [
-        (sqloracle.bm25_adhoc_sql("documents", _HYBRID_LEX_QUERY,
-                                  k=_HYBRID_WINDOW, rounded=False),
-         "doc_id", "score"),
-        (f'''
-WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_HYBRID_VEC_QID})
-SELECT e.vec_id AS doc_id,
-       round(list_sum(list_transform(generate_series(1, len(e.embedding)),
-                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
-                i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
-            * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
-                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
-         6) AS score
-FROM embeddings e, q WHERE e.vec_id <> {_HYBRID_VEC_QID}
-ORDER BY score DESC, doc_id ASC LIMIT {_HYBRID_WINDOW}''', "doc_id", "score"),
-    ],
-    k=10, id_col="doc_id", rank_window=_HYBRID_WINDOW,
-)})""",
+{sqloracle.rrf_sql(_hybrid_leg_sqls(), k=10, id_col="doc_id",
+                   rank_window=_HYBRID_WINDOW)})""",
+        "hybrid_minmax_topk": f"""
+SELECT doc_id, round(hybrid_score, 9) AS hybrid_r FROM (
+{sqloracle.hybrid_sql(_hybrid_leg_sqls(), k=10, id_col="doc_id",
+                      weights=[0.7, 0.3], rank_window=_HYBRID_WINDOW)})""",
         "doc_lm_score": f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tok AS (
@@ -4165,6 +4197,7 @@ def queries_map() -> dict:
             "doc_temperature_sample": q_doc_temperature_sample,
             "doc_denoising_pairs": q_doc_denoising_pairs,
             "hybrid_rrf_topk": q_hybrid_rrf_topk,
+            "hybrid_minmax_topk": q_hybrid_minmax_topk,
             "doc_dedup_clusters": q_doc_dedup_clusters,
             "doc_decontamination": q_doc_decontamination,
             "doc_split_stats": q_doc_split_stats,

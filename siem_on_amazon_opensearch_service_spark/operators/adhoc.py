@@ -463,6 +463,67 @@ def rrf_fuse(
     )
 
 
+def hybrid_fuse(
+    legs: list[DataFrame],
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_cols: list[str] | None = None,
+    weights: list[float] | None = None,
+    rank_window: int = 100,
+) -> DataFrame:
+    """OpenSearch hybrid query + normalization processor (the 2.x neural
+    search default): per-leg ``min_max`` normalization over the leg's
+    rank window — nrm = (s - min)/(max - min), a single-point leg
+    normalizes to 1.0 — combined by the WEIGHTED ARITHMETIC MEAN over
+    all legs with a missing leg contributing 0 (the processor averages
+    over every sub-query, not just the ones that matched).  Returns
+    (id_col, hybrid_score double) top-k by (score desc, id asc).
+
+    Determinism contract: leg inputs must be cross-engine-exact values
+    (raw float32 BM25 / round-6 cosine — the RRF rank rule); min/max are
+    exact selections and the normalization is two IEEE double ops on
+    exact inputs, so both engines produce bit-identical hybrid scores.
+    The mean folds textually in leg order.  Same scale shape as
+    rrf_fuse: legs are already top-window frames, fusion adds no
+    cluster-scale shuffle."""
+    from pyspark.sql import Window
+
+    if score_cols is None:
+        score_cols = ["score"] * len(legs)
+    if weights is None:
+        weights = [1.0] * len(legs)
+    if len(weights) != len(legs):
+        raise ValueError("one weight per leg")
+    wsum = float(sum(weights))
+    fused = None
+    for i, (leg, sc) in enumerate(zip(legs, score_cols)):
+        w = Window.orderBy(F.col("__s").desc(), F.col(id_col).asc())
+        top = (
+            leg.select(id_col, F.col(sc).cast("double").alias("__s"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= rank_window)
+        )
+        ext = top.select(
+            F.col(id_col),
+            "__s",
+            F.min("__s").over(Window.partitionBy()).alias("__mn"),
+            F.max("__s").over(Window.partitionBy()).alias("__mx"),
+        )
+        nrm = F.when(
+            F.col("__mx") == F.col("__mn"), F.lit(1.0)
+        ).otherwise((F.col("__s") - F.col("__mn")) / (F.col("__mx") - F.col("__mn")))
+        r = ext.select(F.col(id_col), nrm.alias(f"__n{i}"))
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    total = F.lit(0.0)
+    for i, wt in enumerate(weights):
+        total = total + F.lit(float(wt)) * F.coalesce(F.col(f"__n{i}"), F.lit(0.0))
+    return (
+        fused.select(F.col(id_col), (total / F.lit(wsum)).alias("hybrid_score"))
+        .orderBy(F.col("hybrid_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def multi_match_df(
     df: DataFrame,
     query: str,

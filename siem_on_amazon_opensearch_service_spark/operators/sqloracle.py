@@ -1041,6 +1041,43 @@ ORDER BY rrf_score DESC, id ASC
 LIMIT {int(k)}"""
 
 
+def hybrid_sql(
+    leg_sqls: list[tuple[str, str, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    weights: list[float] | None = None,
+    rank_window: int = 100,
+) -> str:
+    """DuckDB statement for operators.adhoc.hybrid_fuse: per-leg min_max
+    normalization over the rank window (single-point leg -> 1.0),
+    weighted arithmetic mean with missing legs as 0, folded textually in
+    leg order."""
+    if weights is None:
+        weights = [1.0] * len(leg_sqls)
+    wsum = float(sum(weights))
+    legs = []
+    for i, (sql, lid, lsc) in enumerate(leg_sqls):
+        legs.append(
+            f"hleg_{i} AS (SELECT {lid} AS id, "
+            f"CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0 "
+            f"ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END AS n{i} "
+            f"FROM (SELECT {lid}, CAST({lsc} AS DOUBLE) AS s, row_number() OVER "
+            f"(ORDER BY {lsc} DESC, {lid} ASC) AS r FROM ({sql})) "
+            f"WHERE r <= {int(rank_window)})"
+        )
+    join = "hleg_0"
+    for i in range(1, len(leg_sqls)):
+        join += f" FULL OUTER JOIN hleg_{i} USING (id)"
+    total = " + ".join(
+        f"{float(w)!r} * COALESCE(n{i}, 0.0)" for i, w in enumerate(weights)
+    )
+    return f"""WITH {', '.join(legs)}
+SELECT id AS {id_col}, ({total}) / {wsum!r} AS hybrid_score
+FROM {join}
+ORDER BY hybrid_score DESC, id ASC
+LIMIT {int(k)}"""
+
+
 def multi_match_sql(
     path: str,
     query: str,
