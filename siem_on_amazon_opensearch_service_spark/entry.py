@@ -272,6 +272,28 @@ def q_bm25_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("index_ord", F.col("score_r").desc(), "docid")
 
 
+# r4i: ISM lifecycle (operators/ism.py) — the reference's rotation +
+# retention/rollover plane (aws.ini index_rotation + the shipped ISM
+# policy).  as_of/retain chosen so the sf0.01 weekly buckets exercise
+# delete (old bucket) and rollover (active bucket over max_docs).
+ISM_AS_OF = "2025-06-20T00:00:00"
+ISM_RETAIN_DAYS = 14.0
+ISM_MAX_DOCS = 1000
+
+
+def q_ops_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISM lifecycle plan over the weekly-rotated indexes: per index
+    (n_docs from stats, newest ts, age vs as_of) -> retain / rollover /
+    delete — pure metadata-scale planning, no corpus scan."""
+    from .operators import ism as ism_ops
+
+    _prep(spark)
+    dirs = ensure_rotated_indexes(spark, _sf_label(sf_dir), "week")
+    return ism_ops.lifecycle_plan(
+        spark, dirs, ISM_AS_OF, ISM_RETAIN_DAYS, ISM_MAX_DOCS
+    )
+
+
 def q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch highlight block: top-5 hits for 'error AND timeout'
     with query terms <em>-wrapped in the analyzed token stream."""
@@ -2887,8 +2909,13 @@ ORDER BY t.score_r DESC, t.docid"""
     bm["bm25_constant_score"] = relevance.constant_score_sql(
         ORACLE_TRANSCRIPTS, **CONSTANT_SCORE_SPEC
     )
+    from .operators import ism as ism_ops
     from .operators import updates as updates_ops
 
+    bm["ops_retention_plan"] = ism_ops.lifecycle_plan_sql(
+        ORACLE_TRANSCRIPTS, "week", f"index_sf{ORACLE_SF}_week",
+        ISM_AS_OF, ISM_RETAIN_DAYS, ISM_MAX_DOCS,
+    )
     bm["bm25_after_update"] = updates_ops.updated_bm25_sql(
         ORACLE_TRANSCRIPTS, UPDATED_SEARCH, UPDATE_QUERY, dict(UPDATE_SET), k=10
     )
@@ -4083,6 +4110,7 @@ def queries_map() -> dict:
     q["bm25_live_after_delete"] = q_bm25_live_after_delete
     q["bm25_after_expunge"] = q_bm25_after_expunge
     q["bm25_after_update"] = q_bm25_after_update
+    q["ops_retention_plan"] = q_ops_retention_plan
     q.update(
         {
             "events_terms_topn": q_events_terms_topn,
