@@ -538,12 +538,12 @@ def reindex(
         "conv_id", "turn_idx", "role", "tool", "ts", "text"
     )
     if query is not None:
-        from .percolate import compile_predicate, tokens_col
+        from .percolate import compile_predicate, with_tokens
 
         pred = compile_predicate(query)
-        matches = docs.filter(
-            pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
-        )
+        matches = with_tokens(docs).filter(
+            pred(F.col("__toks"), F.col("role"), F.col("tool"), F.col("ts"))
+        ).drop("__toks")
         if scope == "turn":
             from pyspark.sql import Window
 

@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 
 from . import build as _build
 from .build import _merge_stage, _partials_stage
-from .percolate import compile_predicate, tokens_col
+from .percolate import compile_predicate, with_tokens
 from .search import search_df
 from . import sqloracle as _so
 from ..plans.query import Or, Term, parse
@@ -101,9 +101,9 @@ def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> dict:
     appended, so repeated deletes are byte-level no-ops.  Returns
     ``{"deleted": new, "total_tombstones": all}``."""
     pred = compile_predicate(query, index_dir)
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    docs = with_tokens(spark.read.parquet(os.path.join(index_dir, "docs")))
     matches = docs.filter(
-        pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
+        pred(F.col("__toks"), F.col("role"), F.col("tool"), F.col("ts"))
     ).select("docid")
     existing = deleted_docids(spark, index_dir)
     # count BEFORE the append: the tombstone relation is a lazy dir scan,

@@ -341,26 +341,68 @@ def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
     return lambda toks, role, tool, ts: walk(ast, toks, role, tool, ts)
 
 
+def with_tokens(
+    df: DataFrame, text_col: str = "text", impl: str = "arrow",
+    out_col: str = "__toks",
+) -> DataFrame:
+    """df + an ``out_col`` array<string> column of frozen-analyzer
+    tokens, materialized ONCE.
+
+    ``impl='column'`` is the JVM rendering (``tokens_col`` — the
+    oracle-shaped reference).  ``'arrow'`` (default) computes the same
+    lists in one Arrow pass (``segments.tokenize_series``, row-identical
+    by the build's own parity tests): JVM ``split`` mints one
+    java.lang.String per token and saturates memory bandwidth at a
+    single core on DRAM-starved hosts (BENCH/scaling_r4g.md), and a
+    Column toks referenced by N sibling predicate projections is
+    re-evaluated N times (projection collapse) — the materialized
+    column pays the tokenize exactly once for any number of
+    consumers."""
+    if impl == "column":
+        return df.withColumn(out_col, tokens_col(F.col(text_col)))
+    if impl != "arrow":
+        raise ValueError(f"with_tokens impl must be arrow|column, got {impl!r}")
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    from . import segments
+
+    cols = [f.name for f in df.schema.fields]
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.assign(**{out_col: segments.tokenize_series(pdf[text_col])})
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(gen, schema)
+
+
 def percolate_df(
     df: DataFrame,
     queries: dict[str, str],
     text_col: str = "text",
     id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     index_dir: str | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Match every row of a transcript-shaped DataFrame against every
     saved query: returns (id_cols..., query_name) rows, one per
     (document, matching query), ordered for stable comparison.  Works
-    identically on a streaming DataFrame (drop the orderBy downstream)."""
+    identically on a streaming DataFrame (drop the orderBy downstream).
+    Tokens come from ONE ``with_tokens`` pass (default arrow), so N
+    saved queries share a single tokenize instead of collapsing into N."""
     if not queries:
         raise ValueError("percolate: no queries")
-    toks = tokens_col(F.col(text_col))
+    toked = with_tokens(df, text_col, impl=impl)
+    toks = F.col("__toks")
     role, tool, ts = F.col("role"), F.col("tool"), F.col("ts")
     flags = [
         compile_predicate(q, index_dir)(toks, role, tool, ts).alias(name)
         for name, q in sorted(queries.items())
     ]
-    wide = df.select(*id_cols, *flags)
+    wide = toked.select(*id_cols, *flags)
     names = sorted(queries)
     pairs = F.array(
         *[

@@ -29,7 +29,7 @@ import shutil
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .percolate import compile_predicate, tokens_col
+from .percolate import compile_predicate, with_tokens
 from . import sqloracle as _so
 
 UPDATABLE_FIELDS = ("role", "tool")
@@ -55,9 +55,9 @@ def update_by_query(
         raise ValueError("update_by_query needs at least one field to set")
     pred = compile_predicate(query, index_dir)
     docs_path = os.path.join(index_dir, "docs")
-    docs = spark.read.parquet(docs_path)
-    hit = pred(tokens_col(F.col("text")), F.col("role"), F.col("tool"), F.col("ts"))
-    out = docs.withColumn("_hit", hit)
+    docs = with_tokens(spark.read.parquet(docs_path))
+    hit = pred(F.col("__toks"), F.col("role"), F.col("tool"), F.col("ts"))
+    out = docs.withColumn("_hit", hit).drop("__toks")
     for fld, val in set_fields.items():
         new = F.lit(val).cast("string") if val is not None else F.lit(None).cast("string")
         out = out.withColumn(fld, F.when(F.col("_hit"), new).otherwise(F.col(fld)))

@@ -187,6 +187,48 @@ REF_SAVED = "/root/reference/source/saved_objects"
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_SAVED), reason="reference not present")
+class TestWithTokensArrow:
+    """The arrow tokenize pass must be row-identical to the JVM column
+    rendering — it is the corpus-scale default for every percolation
+    scan (delete_by_query / update_by_query / reindex / percolate_df)."""
+
+    def test_token_arrays_identical(self, tdf):
+        from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+            with_tokens,
+        )
+
+        a = with_tokens(tdf, impl="arrow").select("conv_id", "turn_idx", "__toks")
+        c = with_tokens(tdf, impl="column").select("conv_id", "turn_idx", "__toks")
+        key = lambda r: (r["conv_id"], r["turn_idx"])
+        am = {key(r): list(r["__toks"]) for r in a.collect()}
+        cm = {key(r): list(r["__toks"]) for r in c.collect()}
+        assert am == cm
+
+    def test_percolate_impls_identical(self, tdf):
+        from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+            percolate_df,
+        )
+
+        qs = {
+            "q1": "error AND role:assistant",
+            "q2": '"connection reset"',
+            "q3": "timeout OR refused",
+            "q4": "err*",
+        }
+        rows = lambda impl: sorted(
+            map(tuple, percolate_df(tdf, qs, impl=impl).collect())
+        )
+        assert rows("arrow") == rows("column")
+
+    def test_bad_impl_rejected(self, tdf):
+        from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+            with_tokens,
+        )
+
+        with pytest.raises(ValueError):
+            with_tokens(tdf, impl="nope")
+
+
 class TestReferenceSavedSearchPercolation:
     def test_compiled_saved_searches_percolate(self, tdf):
         """The saved-search compiler's DQL output percolates directly —
