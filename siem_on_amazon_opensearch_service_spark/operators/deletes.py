@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 
 from . import build as _build
 from .build import _merge_stage, _partials_stage
-from .percolate import compile_predicate, with_tokens
+from .percolate import compile_predicate, filter_fields, with_tokens
 from .search import search_df
 from . import sqloracle as _so
 from ..plans.query import Or, Term, parse
@@ -101,7 +101,11 @@ def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> dict:
     appended, so repeated deletes are byte-level no-ops.  Returns
     ``{"deleted": new, "total_tombstones": all}``."""
     pred = compile_predicate(query, index_dir)
-    docs = with_tokens(spark.read.parquet(os.path.join(index_dir, "docs")))
+    fields = filter_fields(query)
+    cols = ["docid"] + [f for f in ("role", "tool", "ts") if f in fields] + ["text"]
+    docs = with_tokens(
+        spark.read.parquet(os.path.join(index_dir, "docs")).select(*cols)
+    )
     matches = docs.filter(
         pred(F.col("__toks"), F.col("role"), F.col("tool"), F.col("ts"))
     ).select("docid")

@@ -341,6 +341,29 @@ def compile_predicate(query: str, index_dir: str | None = None) -> "callable":
     return lambda toks, role, tool, ts: walk(ast, toks, role, tool, ts)
 
 
+def filter_fields(query: str) -> set:
+    """The metadata columns a DQL query's predicates actually touch —
+    {'role','tool','ts'} subset.  Used to prune the percolation scan's
+    input columns: the Arrow tokenize pass is a column-pruning barrier
+    (the Python runner consumes whole rows), so untouched columns must be
+    dropped BEFORE it — both for IO and because a source may carry
+    degenerate columns (an all-null field inferred as void) that the
+    parquet reader cannot even materialize."""
+    out: set = set()
+
+    def walk(x) -> None:
+        if isinstance(x, FieldFilter):
+            out.add("ts" if x.field.startswith("ts_") else x.field)
+        for c in getattr(x, "children", ()) or ():
+            walk(c)
+        ch = getattr(x, "child", None)
+        if ch is not None:
+            walk(ch)
+
+    walk(parse(query))
+    return out
+
+
 def with_tokens(
     df: DataFrame, text_col: str = "text", impl: str = "arrow",
     out_col: str = "__toks",
@@ -395,7 +418,15 @@ def percolate_df(
     saved queries share a single tokenize instead of collapsing into N."""
     if not queries:
         raise ValueError("percolate: no queries")
-    toked = with_tokens(df, text_col, impl=impl)
+    fields: set = set()
+    for q in queries.values():
+        fields |= filter_fields(q)
+    keep = list(dict.fromkeys(
+        list(id_cols)
+        + [f for f in ("role", "tool", "ts") if f in fields]
+        + [text_col]
+    ))
+    toked = with_tokens(df.select(*keep), text_col, impl=impl)
     toks = F.col("__toks")
     role, tool, ts = F.col("role"), F.col("tool"), F.col("ts")
     flags = [
