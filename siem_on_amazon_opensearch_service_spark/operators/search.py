@@ -2010,7 +2010,12 @@ def search_df(
     ``_stats`` / ``_dfs`` / ``_docs`` are warm-session injection points
     (QuerySession): pre-loaded corpus stats, term dfs superset, and a
     persisted docs projection replace the per-query stats/dict reads and
-    the docs parquet scan."""
+    the docs parquet scan.
+
+    ``_exclude_dir`` is the liveDocs hook (operators/deletes.py): a
+    tombstone parquet dir whose docids are anti-joined out before
+    collapsing/paging, with theta seeds dropping tombstoned candidates
+    so pruning stays exact for the live ranking."""
     ast, dqlf = extract_filters(parse(query), query)
     ast = apply_minimum_should_match(ast, minimum_should_match, query)
     filt = merge_filters(
