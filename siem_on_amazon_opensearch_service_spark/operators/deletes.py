@@ -65,13 +65,56 @@ from . import sqloracle as _so
 from ..plans.query import Or, Term, parse
 
 DELETES_SUBDIR = "deletes"
+SWAP_MARKER = "_xp_swap.json"
+
+# swap order matters for the marker-less window: partials BEFORE docs,
+# so "new docs + stale partials" — the state where a later
+# _refresh_postings_dict_full would rebuild postings from pre-expunge
+# partials and resurrect deleted docs — cannot occur.  The inverse
+# intermediate (new survivor-only partials + old docs) is benign: the
+# tombstone log is cleared last, so live search still excludes the
+# deleted docs, and a postings refresh from survivor partials simply
+# completes the expunge early.
+_SWAP_ORDER = ("partials", "postings", "dict", "stats", "manifest", "docs")
 
 
 def _deletes_path(index_dir: str) -> str:
     return os.path.join(index_dir, DELETES_SUBDIR)
 
 
+def complete_expunge_swap(index_dir: str) -> bool:
+    """Finish (roll forward) an expunge whose swap was interrupted.
+
+    ``expunge_deletes`` writes every rebuilt store to ``<name>_xp``
+    BEFORE creating the ``_xp_swap.json`` marker, so once the marker
+    exists the swap can always complete: any store whose ``_xp`` sibling
+    still exists is swapped in, the tombstone log is cleared, and the
+    marker is removed.  Idempotent; returns True if a swap was pending.
+    Called from the tombstone read path (``has_deletes``), from
+    ``expunge_deletes`` itself, and from streaming crash recovery —
+    so no reader ever observes a half-swapped index across the stores
+    it consults together."""
+    marker = os.path.join(index_dir, SWAP_MARKER)
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        pending = json.load(f)["stores"]
+    for name in pending:
+        tp = os.path.join(index_dir, name + "_xp")
+        if os.path.isdir(tp):
+            live = os.path.join(index_dir, name)
+            shutil.rmtree(live, ignore_errors=True)
+            os.replace(tp, live)
+            open(os.path.join(live, "_SUCCESS"), "a").close()
+    shutil.rmtree(_deletes_path(index_dir), ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
 def has_deletes(index_dir: str) -> bool:
+    # roll an interrupted expunge swap forward before trusting the log:
+    # a pre-crash tombstone file must not be read against post-swap stores
+    complete_expunge_swap(index_dir)
     p = _deletes_path(index_dir)
     if not os.path.isdir(p):
         return False
@@ -170,6 +213,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     (``shard = docid // shard_size``) and every shard-ranged reader
     works untouched.  Returns survivor/expunged counts and the
     recomputed stats."""
+    complete_expunge_swap(index_dir)  # roll forward an interrupted swap
     with open(os.path.join(index_dir, "_build.json")) as f:
         params = json.load(f)
     dels = deleted_docids(spark, index_dir)
@@ -179,7 +223,15 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     n_salts = params["n_salts"]
     positions = params["positions"]
     nb = params.get("postings_buckets", 0)
+    # total_docs is the DOCID-SPACE size (docids are stable, expunge
+    # leaves holes) — correct for shard geometry, NOT for live counts
     n_shards = max(1, -(-params["total_docs"] // params["shard_size"]))
+    # the pre-expunge LIVE count comes from the stats store: a second
+    # delete->expunge cycle would otherwise re-count the first cycle's
+    # holes (total_docs never shrinks) and over-report 'expunged'
+    n_before = int(
+        spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]["n_docs"]
+    )
 
     docs_path = os.path.join(index_dir, "docs")
     docs = spark.read.parquet(docs_path)
@@ -194,8 +246,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     # build resume both rebuild postings from ALL partials, so stale or
     # missing partials after an expunge would resurrect deleted docs or
     # silently drop the corpus on the next recovery.
-    tmp = {name: os.path.join(index_dir, name + "_xp") for name in
-           ("docs", "partials", "postings", "dict", "stats", "manifest")}
+    tmp = {name: os.path.join(index_dir, name + "_xp") for name in _SWAP_ORDER}
     for p in tmp.values():
         shutil.rmtree(p, ignore_errors=True)
 
@@ -259,14 +310,22 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         .parquet(tmp["stats"])
     )
 
-    n_before = int(params["total_docs"])
     st = spark.read.parquet(tmp["stats"]).collect()[0]
-    for name, tp in tmp.items():
+    # every _xp store is fully written: the marker makes the swap
+    # roll-forward-able from any crash point (complete_expunge_swap);
+    # _SWAP_ORDER (partials before docs) keeps even the marker-less
+    # window free of the stale-partials-with-new-docs hazard
+    marker = os.path.join(index_dir, SWAP_MARKER)
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"stores": list(_SWAP_ORDER)}, f)
+    os.replace(marker + ".tmp", marker)
+    for name in _SWAP_ORDER:
         live = os.path.join(index_dir, name)
         shutil.rmtree(live, ignore_errors=True)
-        os.replace(tp, live)
+        os.replace(tmp[name], live)
         open(os.path.join(live, "_SUCCESS"), "a").close()
     shutil.rmtree(_deletes_path(index_dir), ignore_errors=True)
+    os.remove(marker)
     return {
         "expunged": n_before - int(st["n_docs"]),
         "n_docs": int(st["n_docs"]),

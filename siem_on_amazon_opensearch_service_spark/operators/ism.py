@@ -67,8 +67,20 @@ def lifecycle_plan(
         newest = duckdb.sql(
             f"SELECT max(ts) FROM read_parquet('{d}/docs/*.parquet')"
         ).fetchone()[0]
+        if newest is None:
+            # an empty docs store has no age: planning over it would
+            # compare None vs datetime below — refuse loudly rather than
+            # silently retaining or deleting an index of unknown age
+            raise ValueError(
+                f"lifecycle_plan: index {d!r} has no docs (max(ts) is NULL); "
+                "remove it from index_dirs or repair the store"
+            )
         rows.append((os.path.basename(d.rstrip("/")), int(st[0]), newest))
-    active = max(rows, key=lambda r: r[2])[0]
+    # ACTIVE = every index sharing the max newest_ts (ties possible when
+    # two buckets end on the same instant) — matches the oracle's
+    # 'newest = (SELECT max(newest) ...)' predicate, which marks ALL
+    # tied indexes rollover-eligible
+    active_ts = max(r[2] for r in rows)
     out = []
     for name, n_docs, newest in rows:
         # exact integer microseconds, ONE division — the identical op
@@ -78,7 +90,7 @@ def lifecycle_plan(
         age_days = round(age_us / 86400e6, 6)
         if age_days > retain_days:
             action = "delete"
-        elif name == active and n_docs >= max_docs:
+        elif newest == active_ts and n_docs >= max_docs:
             action = "rollover"
         else:
             action = "retain"

@@ -1964,6 +1964,28 @@ def _mask_expr(node: Node, leaves: list[Node]):
     raise TypeError(node)
 
 
+def _tombstone_fingerprint(exclude_dir: str | None):
+    """Identity of a tombstone log's CURRENT contents, for memo keys.
+
+    The deletes/ dir is append-only (delete_by_query writes new parquet
+    files) and expunge may clear it, so a path string does not identify
+    a tombstone SET.  The fingerprint is the sorted (basename, size)
+    listing — O(#files) driver-side metadata, no data read.  A missing
+    or empty dir fingerprints distinctly from ``None`` (no live-search).
+    """
+    if exclude_dir is None:
+        return None
+    try:
+        names = sorted(
+            (n, os.path.getsize(os.path.join(exclude_dir, n)))
+            for n in os.listdir(exclude_dir)
+            if n.endswith(".parquet")
+        )
+    except FileNotFoundError:
+        names = []
+    return (exclude_dir, tuple(names))
+
+
 def search_df(
     spark: SparkSession,
     index_dir: str,
@@ -2083,9 +2105,17 @@ def search_df(
     # search_after disables score pruning: the cursor asks for docs BELOW
     # the top-k score frontier, exactly what theta pruning cuts
     if k is not None and k > 0 and search_after is None and "blk_first" in postings.columns:  # r2 format only
+        # the tombstone log is append-only and mutable: keying on the
+        # path alone would replay a theta seeded against an OLDER
+        # (smaller) tombstone set after delete_by_query appends more —
+        # the stale theta can exceed the new live k-th total and the
+        # block sweep would cut docs that now belong in the live top-k
+        # (the _finalize anti-join drops deleted docs but cannot restore
+        # pruned replacements).  Fingerprint the log's file listing.
         memo_key = (query, k, role, tool, str(ts_min), str(ts_max), role_exists,
                     tool_exists, role_not, tool_not, role_not_exists,
-                    tool_not_exists, minimum_should_match, collapse, _exclude_dir)
+                    tool_not_exists, minimum_should_match, collapse,
+                    _tombstone_fingerprint(_exclude_dir))
         if _prune_memo is not None and memo_key in _prune_memo:
             prune = _prune_memo[memo_key]
         else:

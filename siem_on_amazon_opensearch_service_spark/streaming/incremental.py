@@ -137,6 +137,13 @@ def recover_orphans(spark: SparkSession, out_dir: str, params: dict) -> bool:
     a crash at any point mid-recovery leaves the trigger intact and the
     next append re-runs recovery to completion.  Returns True if recovery
     ran."""
+    # an interrupted EXPUNGE swap must roll forward first: recovery's
+    # trigger (max docid >= total_docs) cannot see that state, and
+    # _refresh_postings_dict_full over a half-swapped index would rebuild
+    # postings from whichever partials generation happens to be live
+    from ..operators.deletes import complete_expunge_swap
+
+    complete_expunge_swap(out_dir)
     total = params["total_docs"]
     ssz = params["shard_size"]
     docs_path = os.path.join(out_dir, "docs")

@@ -228,6 +228,37 @@ class TestLiveSearch:
         assert warm_t == _pairs(dl.search_live_df(spark, idx, "error", k=10))
         assert warm_a == _pairs(dl.search_live_df(spark, idx, "error AND refused", k=10))
 
+    def test_warm_prune_memo_not_stale_after_more_deletes(
+        self, spark, tiny_index, tmp_path_factory
+    ):
+        """REGRESSION (r4 advice): the prune-plan memo keyed on the
+        tombstone-log PATH only.  A warm session that searches, then
+        appends more tombstones via delete_by_query, then searches again
+        got a memo hit whose theta was seeded against the OLD (smaller)
+        tombstone set — the stale theta can exceed the new live k-th
+        total, the block sweep cuts the replacement docs, and the
+        anti-join cannot restore them: silently short/missing results.
+        The memo key now fingerprints the tombstone file listing."""
+        out = str(tmp_path_factory.mktemp("stale") / "index")
+        shutil.copytree(tiny_index[0], out)
+        sess = QuerySession(spark, out)
+        try:
+            # round 1: some tombstones, then a pruned live query seeds
+            # the memo against THIS tombstone set
+            assert dl.delete_by_query(spark, out, "timeout")["deleted"] > 0
+            first = _pairs(dl.search_live_df(spark, out, Q, k=5, session=sess))
+            assert first  # non-degenerate
+            # round 2: grow the log — docs in/near the live top-k vanish,
+            # so the fresh live top-5 needs docs BELOW the old frontier
+            # (exactly what a replayed stale theta would have cut)
+            assert dl.delete_by_query(spark, out, "refused")["deleted"] > 0
+            warm2 = _pairs(dl.search_live_df(spark, out, Q, k=5, session=sess))
+            cold2 = _pairs(dl.search_live_df(spark, out, Q, k=5))
+            assert warm2 == cold2
+        finally:
+            sess.close()
+            shutil.rmtree(out, ignore_errors=True)
+
 
 class TestExpunge:
     def test_stats_shrink_and_tombstones_cleared(self, spark, tiny_index, del_index, xp_index):
@@ -290,6 +321,76 @@ class TestExpunge:
             }
             assert ids and all(d >= base for d in ids)
         finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_second_cycle_expunged_count(self, spark, xp_index, tmp_path_factory):
+        """REGRESSION (r4 advice): 'expunged' was computed against
+        _build.json total_docs, which is the docid-SPACE size and never
+        shrinks — a second delete->expunge cycle re-counted the first
+        cycle's holes.  The count now diffs the pre-expunge live n_docs
+        from the stats store."""
+        out = str(tmp_path_factory.mktemp("xp2") / "index")
+        shutil.copytree(xp_index[0], out)
+        try:
+            live_before = spark.read.parquet(os.path.join(out, "docs")).count()
+            info_d = dl.delete_by_query(spark, out, "refused")
+            assert info_d["deleted"] > 0
+            info_x = dl.expunge_deletes(spark, out)
+            assert info_x["expunged"] == info_d["total_tombstones"]
+            assert info_x["n_docs"] == live_before - info_d["total_tombstones"]
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_interrupted_swap_rolls_forward(
+        self, spark, tiny_index, monkeypatch, tmp_path_factory
+    ):
+        """REGRESSION (r4 advice): a crash mid-swap (after some stores
+        replaced, before others) left survivor docs beside pre-expunge
+        partials with no recovery trigger.  Expunge now writes a swap
+        marker before the replace loop; complete_expunge_swap (invoked by
+        has_deletes, expunge resume, and streaming recovery) rolls the
+        swap forward to the exact full-expunge state."""
+        ref = str(tmp_path_factory.mktemp("xpr") / "index")
+        out = str(tmp_path_factory.mktemp("xpc") / "index")
+        shutil.copytree(tiny_index[0], ref)
+        shutil.copytree(tiny_index[0], out)
+        try:
+            dl.delete_by_query(spark, ref, DELQ)
+            exp_info = dl.expunge_deletes(spark, ref)
+            exp_hits = _pairs(search_df(spark, ref, Q, k=10))
+
+            dl.delete_by_query(spark, out, DELQ)
+            real_replace = os.replace
+            calls = {"n": 0}
+
+            def crashing_replace(src, dst):
+                # call 1 = the marker commit; call 2 = the first store
+                # (partials); crash before the second store swaps
+                if calls["n"] >= 2 and dst.startswith(out):
+                    raise OSError("simulated crash mid-swap")
+                if dst.startswith(out):
+                    calls["n"] += 1
+                return real_replace(src, dst)
+
+            monkeypatch.setattr(dl.os, "replace", crashing_replace)
+            with pytest.raises(OSError, match="simulated crash"):
+                dl.expunge_deletes(spark, out)
+            monkeypatch.setattr(dl.os, "replace", real_replace)
+
+            assert os.path.exists(os.path.join(out, dl.SWAP_MARKER))
+            # half-swapped: partials are new, docs/postings still old
+            assert os.path.isdir(os.path.join(out, "docs_xp"))
+            # the tombstone read path rolls the swap forward
+            assert not dl.has_deletes(out)
+            assert not os.path.exists(os.path.join(out, dl.SWAP_MARKER))
+            assert not os.path.isdir(os.path.join(out, "docs_xp"))
+            assert _pairs(search_df(spark, out, Q, k=10)) == exp_hits
+            st = spark.read.parquet(os.path.join(out, "stats")).collect()[0]
+            assert int(st["n_docs"]) == exp_info["n_docs"]
+            # idempotent second call
+            assert not dl.complete_expunge_swap(out)
+        finally:
+            shutil.rmtree(ref, ignore_errors=True)
             shutil.rmtree(out, ignore_errors=True)
 
     def test_deleted_docids_gone_from_store(self, spark, del_index, xp_index):

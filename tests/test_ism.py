@@ -86,3 +86,39 @@ class TestLifecyclePlan:
     def test_empty_rejected(self, spark):
         with pytest.raises(ValueError):
             ism.lifecycle_plan(spark, [], AS_OF, 1.0, 1)
+
+    def test_empty_index_rejected_loudly(self, spark, rotated, tmp_path):
+        """REGRESSION (r4 advice): an index whose docs store has NULL
+        max(ts) used to raise a bare TypeError (None vs datetime) from
+        the active-index max(); now it's a named ValueError."""
+        dirs, _ = rotated
+        import pandas as pd
+
+        empty = str(tmp_path / "tiny_week_empty")
+        os.makedirs(os.path.join(empty, "docs"))
+        os.makedirs(os.path.join(empty, "stats"))
+        pd.DataFrame({"n_docs": [0]}).to_parquet(
+            os.path.join(empty, "stats", "s.parquet")
+        )
+        pd.DataFrame(
+            {"docid": pd.Series([], dtype="int64"),
+             "ts": pd.Series([], dtype="datetime64[us]")}
+        ).to_parquet(os.path.join(empty, "docs", "d.parquet"))
+        with pytest.raises(ValueError, match="max\\(ts\\) is NULL"):
+            ism.lifecycle_plan(spark, dirs + [empty], AS_OF, 14.0, 500)
+
+    def test_tied_newest_all_rollover_eligible(self, spark, rotated, tmp_path):
+        """REGRESSION (r4 advice): two indexes tying on newest ts — the
+        engine marked only one active while the oracle's 'newest = max'
+        predicate marks every tied index.  Both now roll over."""
+        dirs, _ = rotated
+        # duplicate the newest bucket under a different name: exact tie
+        plan0 = ism.lifecycle_plan(spark, dirs, AS_OF, 10_000.0, 1)
+        newest_name = plan0.orderBy(F.col("newest_ts").desc()).first()["index"]
+        src = next(d for d in dirs if os.path.basename(d) == newest_name)
+        twin = str(tmp_path / (newest_name + "b"))
+        shutil.copytree(src, twin)
+        plan = ism.lifecycle_plan(spark, dirs + [twin], AS_OF, 10_000.0, 1)
+        acts = {r["index"]: r["action"] for r in plan.collect()}
+        assert acts[newest_name] == "rollover"
+        assert acts[newest_name + "b"] == "rollover"
