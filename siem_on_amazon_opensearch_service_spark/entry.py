@@ -448,6 +448,13 @@ BM25_QUERIES: dict[str, dict] = {
         "minimum_should_match": 2,
     },
     "bm25_dql_exists": {"query": "tool:* AND file", "k": 10},
+    # r5: OpenSearch `match` query — analyze ARBITRARY input at query
+    # time (paste-a-log-line investigation flow).  Parse-time rewrite
+    # into Term/Fuzzy leaves under Or/And, so every engine path and the
+    # SQL oracle apply unchanged; punctuation drops via the analyzer.
+    "bm25_match_or": {"query": "match(Connection reset by peer!)", "k": 10},
+    "bm25_match_and": {"query": "match(operator=and connection reset error)", "k": 10},
+    "bm25_match_fuzzy": {"query": "match(fuzziness=AUTO conection resett)", "k": 10},
     "bm25_wildcard_and": {"query": "err* AND timeout", "k": 10},
     # r4b: fuzzy term queries (Lucene FuzzyQuery, SCORING_BOOLEAN_REWRITE;
     # classic Levenshtein so engine/oracle arithmetic is identical).
@@ -4248,6 +4255,10 @@ def queries_map() -> dict:
 # LLM-pipeline operators.  Relative order of the remainder is preserved,
 # so the full-registry mirror (tests/test_entry_oracles.py) is unchanged.
 _DRIVER_PRIORITY = [
+    # (a) rows new this round — never attested anywhere yet
+    "bm25_match_or",
+    "bm25_match_and",
+    "bm25_match_fuzzy",
     # (b) canaries — keep two long-attested rows as cross-round anchors
     "bm25_term",
     "bm25_bool_and",

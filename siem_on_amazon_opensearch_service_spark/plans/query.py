@@ -25,6 +25,7 @@ Grammar:
              | word-with-*-or-?             # wildcard/prefix term query
              | word '~' [0|1|2]             # fuzzy term query (bare ~ = AUTO)
              | '/' pattern '/'              # regexp term query (anchored)
+             | 'match' '(' params? text ')' # match query: analyze free text
              | word
 
 Field atoms on keyword fields (role, tool) are NON-SCORING filters, the
@@ -910,12 +911,92 @@ def parse(query: str) -> Node:
             SpanMulti(dataclasses.replace(inner, boost=1.0), boost=b)
         )
 
+    def parse_match() -> Node:
+        """``match(<free text>)`` — OpenSearch's ``match`` query: analyze
+        ARBITRARY input at query time (the paste-a-log-line investigation
+        flow; ``searchSourceJSON query.query`` free text) into a bool of
+        term queries.  Params before the text, like the query DSL's:
+
+            match(connection reset by peer)            # operator=or
+            match(operator=and connection reset)       # all terms required
+            match(fuzziness=AUTO conection resett)     # per-term AUTO ladder
+            match(operator=and fuzziness=1 a b)
+
+        Rewrites at parse time into the existing leaf machinery — Term
+        atoms (or Fuzzy atoms under ``fuzziness``, dictionary-expanded
+        like ``term~N``) under Or/And — so search, WAND, warm sessions,
+        and the SQL oracle all apply unchanged.  Lucene keeps duplicate
+        analyzed tokens as separate clauses (scores accumulate); so do
+        we.  Tokens are run through the frozen analyzer, so punctuation
+        in pasted input drops out; a query that analyzes to no terms is
+        a loud error (ES: zero_terms_query=none would match nothing)."""
+        take()  # '('
+        op = "or"
+        fuzz: int | str | None = None
+        words: list[str] = []
+        while True:
+            t2 = peek()
+            if t2 is None:
+                raise ValueError(f"missing ')' after match in {query!r}")
+            if t2 == ")":
+                take()
+                break
+            if t2 == "(":
+                raise ValueError(
+                    f"'(' inside match(...) in {query!r}: the argument is "
+                    "free text, not an expression"
+                )
+            t2 = take()
+            low = t2.lower()
+            if not words and low.startswith("operator="):
+                v = low.split("=", 1)[1]
+                if v not in ("and", "or"):
+                    raise ValueError(
+                        f"match operator must be and|or, got {t2!r} in {query!r}"
+                    )
+                op = v
+                continue
+            if not words and low.startswith("fuzziness="):
+                v = low.split("=", 1)[1]
+                if v == "auto":
+                    fuzz = "auto"
+                else:
+                    try:
+                        fuzz = int(v)
+                    except ValueError:
+                        raise ValueError(
+                            f"match fuzziness must be AUTO|0|1|2, got {t2!r} "
+                            f"in {query!r}"
+                        ) from None
+                    if not 0 <= fuzz <= MAX_FUZZY_EDITS:
+                        raise ValueError(
+                            f"match fuzziness must be AUTO|0|1|2, got {t2!r} "
+                            f"in {query!r}"
+                        )
+                continue
+            words.extend(tokenize(t2.strip('"')))
+        if not words:
+            raise ValueError(f"match() analyzed to no terms in {query!r}")
+
+        def leaf(w: str) -> Node:
+            if fuzz is None:
+                return Term(w)
+            e = auto_fuzzy_edits(len(w)) if fuzz == "auto" else fuzz
+            return Term(w) if e == 0 else Fuzzy(w, e)
+
+        leaves = tuple(leaf(w) for w in words)
+        if len(leaves) == 1:
+            return leaves[0]
+        return And(leaves) if op == "and" else Or(leaves)
+
     def parse_atom() -> Node:
         t = take()
         if t.upper() in ("AND", "OR", "NOT"):
             # a bare operator would otherwise lowercase into a term —
             # surprising ('AND' silently searching for 'and'); reject
             raise ValueError(f"operator {t!r} where a term was expected in {query!r}")
+        if t.lower() == "match" and peek() == "(":
+            return parse_match()
         if t.lower() == "span_near" and peek() == "(":
             return parse_span_near()
         if t.lower() == "span_multi" and peek() == "(":
