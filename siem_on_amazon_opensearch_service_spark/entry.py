@@ -1646,6 +1646,114 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+#: deterministic IOC indicator feed for events_ioc_match — literal rows
+#: shared between the Spark side and the SQL oracle.  v6 rows use the
+#: reference's band layout: network_start/end = LOW 32 bits,
+#: v6_network2_* = middle 48, v6_network1_* = upper 48
+#: (ioc_database/lambda_function.py:296-315).
+_IOC_HI0 = (0x2A00 << 32) | (0x0DB8 << 16)  # upper-48 of 2a00:0db8:x::
+_IOC_ROWS = [
+    ("feedA", "ipv4-addr", "bad-140", 140 << 24, (141 << 24) - 1, 0, 0, 0, 0),
+    ("feedB", "ipv4-addr", "bad-150-151", 150 << 24, (152 << 24) - 1, 0, 0, 0, 0),
+    ("feedB", "ipv4-addr", "bad-150-low", 150 << 24, (150 << 24) + (1 << 23) - 1, 0, 0, 0, 0),
+    ("feed6", "ipv6-addr", "bad-v6-lo300", 1, 300, 0, 0, _IOC_HI0, _IOC_HI0 + 4095),
+    ("feed6", "ipv6-addr", "bad-v6-hi100", 0, (1 << 32) - 1, 0, 0, _IOC_HI0 + 100, _IOC_HI0 + 199),
+]
+_IOC_SCHEMA = (
+    "provider string, type string, name string, network_start long, "
+    "network_end long, v6_network2_start long, v6_network2_end long, "
+    "v6_network1_start long, v6_network1_end long"
+)
+
+
+def _ioc_match_sql() -> str:
+    """DuckDB oracle for events_ioc_match: recompute the synthetic
+    addresses ARITHMETICALLY (the dotted-quad/v6-text rendering is a
+    bijection of the same integers, so no string parsing is needed),
+    mirror enrich._PRIVATE_RANGES for the v4 skip, and replay the v4
+    interval + v6 3-band joins over the same literal indicator rows."""
+    from .operators.enrich import _PRIVATE_RANGES
+
+    vals = ", ".join(
+        f"('{p}', '{t}', '{n}', {a}, {b}, {c}, {d}, {e}, {f})"
+        for p, t, n, a, b, c, d, e, f in _IOC_ROWS
+    )
+    priv = " OR ".join(
+        f"e.ip4 BETWEEN {lo} AND {hi}" for lo, hi in _PRIVATE_RANGES
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id,
+         event_id % 2 = 0 AS is4,
+         (((event_id % 100 + 100) * 256 + (event_id * 7) % 250) * 256
+            + (event_id * 13) % 256) * 256 + event_id % 256 AS ip4,
+         {_IOC_HI0} + event_id % 4096 AS hi6,
+         0 AS mid6,
+         event_id % 997 + 1 AS lo6
+  FROM events
+),
+ioc(provider, type, name, network_start, network_end, v6_network2_start,
+    v6_network2_end, v6_network1_start, v6_network1_end) AS (VALUES {vals}),
+m AS (
+  SELECT e.event_id, i.provider, i.name
+  FROM ev e JOIN ioc i
+    ON e.is4 AND i.type = 'ipv4-addr'
+   AND e.ip4 BETWEEN i.network_start AND i.network_end
+   AND NOT ({priv})
+  UNION ALL
+  SELECT e.event_id, i.provider, i.name
+  FROM ev e JOIN ioc i
+    ON NOT e.is4 AND i.type = 'ipv6-addr'
+   AND e.lo6 BETWEEN i.network_start AND i.network_end
+   AND e.mid6 BETWEEN i.v6_network2_start AND i.v6_network2_end
+   AND e.hi6 BETWEEN i.v6_network1_start AND i.v6_network1_end
+)
+SELECT provider, name, count(*) AS matches,
+       count(DISTINCT event_id) AS n_events
+FROM m GROUP BY provider, name ORDER BY provider, name
+"""
+
+
+def q_events_ioc_match(spark, sf_dir):
+    """IOC IP indicator match (SURVEY.md §2.4; reference siem/ioc.py:
+    165-228 + the v6 band join :296-315): synthesize a deterministic
+    mixed v4/v6 source address per event (even event_id -> dotted quad,
+    odd -> 2a00:db8:x::y), range-join the literal indicator feed through
+    enrich.ioc_ip_match (private-range skip, v4 interval + v6 3-band
+    conjunctive broadcast joins), roll up match counts per indicator."""
+    from .operators import enrich
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    v4 = F.concat_ws(
+        ".",
+        (eid % 100 + 100).cast("string"),
+        ((eid * 7) % 250).cast("string"),
+        ((eid * 13) % 256).cast("string"),
+        (eid % 256).cast("string"),
+    )
+    v6 = F.concat(
+        F.lit("2a00:db8:"),
+        F.lower(F.hex(eid % 4096)),
+        F.lit("::"),
+        F.lower(F.hex(eid % 997 + 1)),
+    )
+    src = ev.select(
+        "event_id",
+        F.when(eid % 2 == 0, v4).otherwise(v6).alias("source_ip"),
+    )
+    ioc = spark.createDataFrame(_IOC_ROWS, _IOC_SCHEMA)
+    m = enrich.ioc_ip_match(src, ioc)
+    return (
+        m.groupBy("provider", "name")
+        .agg(
+            F.count("*").alias("matches"),
+            F.count_distinct("event_id").alias("n_events"),
+        )
+        .orderBy("provider", "name")
+    )
+
+
 def q_events_topn_per_group(spark, sf_dir):
     """Composite bucket agg: per event_type, top-2 hours by count
     (terms-within-terms, SURVEY.md §2.5 table/pie drilldowns)."""
@@ -3019,6 +3127,7 @@ ORDER BY t.score_r DESC, t.docid"""
             ") r ON e.user_id >= r.lo AND e.user_id <= r.hi "
             "GROUP BY r.bucket_id ORDER BY r.bucket_id"
         ),
+        "events_ioc_match": _ioc_match_sql(),
         "index_manifest_stats": (
             f"SELECT CAST(count(*) AS BIGINT) AS n_shards, "
             f"CAST(sum(n_docs) AS BIGINT) AS n_docs, "
@@ -4187,6 +4296,7 @@ def queries_map() -> dict:
             "doc_c4_pipeline": q_doc_c4_pipeline,
             "events_categorize_text": q_events_categorize_text,
             "events_range_join": q_events_range_join,
+            "events_ioc_match": q_events_ioc_match,
             "index_manifest_stats": q_index_manifest_stats,
             "transcripts_percolate": q_transcripts_percolate,
             "transcripts_role_topn": q_transcripts_role_topn,
@@ -4259,6 +4369,7 @@ _DRIVER_PRIORITY = [
     "bm25_match_or",
     "bm25_match_and",
     "bm25_match_fuzzy",
+    "events_ioc_match",
     # (b) canaries — keep two long-attested rows as cross-round anchors
     "bm25_term",
     "bm25_bool_and",

@@ -58,22 +58,29 @@ def ipv4_to_int(col: Column) -> Column:
     T.StructField("hi", T.LongType()),
     T.StructField("mid", T.LongType()),
     T.StructField("lo", T.LongType()),
+    T.StructField("private", T.BooleanType()),
 ]))
 def ipv6_to_int3(s: pd.Series) -> pd.DataFrame:
     """IPv6 -> 3-way int split (upper48/mid48/low32) exactly like the
     reference's IOC database encoding (ioc_database/lambda_function.py:
-    296-315) so conjunctive band range-joins stay in int64."""
-    his, mids, los = [], [], []
+    296-315) so conjunctive band range-joins stay in int64.  ``private``
+    carries ipaddress.is_private (the reference skips private IPs before
+    IOC lookup, siem/ioc.py:170-172) so callers need no second parse
+    pass; invalid addresses yield all-NULL fields."""
+    his, mids, los, privs = [], [], [], []
     for v in s:
         try:
-            n = int(ipaddress.IPv6Address(v))
+            a = ipaddress.IPv6Address(v)
+            n = int(a)
         except (ValueError, TypeError):
             his.append(None); mids.append(None); los.append(None)
+            privs.append(None)
             continue
         his.append((n >> 80) & ((1 << 48) - 1))
         mids.append((n >> 32) & ((1 << 48) - 1))
         los.append(n & ((1 << 32) - 1))
-    return pd.DataFrame({"hi": his, "mid": mids, "lo": los})
+        privs.append(a.is_private)
+    return pd.DataFrame({"hi": his, "mid": mids, "lo": los, "private": privs})
 
 
 def is_valid_ipv4(col: Column) -> Column:

@@ -33,19 +33,64 @@ def is_private_ipv4(ip_int: Column) -> Column:
     return cond
 
 
+#: the reference's v6 indicator band columns (ioc_database/
+#: lambda_function.py:296-315): network_start/end hold the LOW 32 bits
+#: for 'ipv6-addr' rows, v6_network2_* the middle 48, v6_network1_* the
+#: upper 48 — three conjunctive int64 bands instead of one int128 range
+_V6_BANDS = (
+    "v6_network1_start", "v6_network1_end",
+    "v6_network2_start", "v6_network2_end",
+)
+
+
 def ioc_ip_match(df: DataFrame, ioc: DataFrame, ip_col: str = "source_ip") -> DataFrame:
     """IOC IP range match (siem/ioc.py:165-228): int-encode the event IP,
-    skip private ranges, broadcast-range-join the indicator table
-    (provider, network_start, network_end, name)."""
+    skip private ranges, broadcast-range-join the indicator table.
+
+    v4 indicators: ``(provider, network_start, network_end, name)``
+    ranges over the 32-bit int encoding.  v6 indicators (matched when the
+    table carries a ``type`` column plus the reference's band columns,
+    ``v6_network1_{start,end}`` = upper 48 bits and ``v6_network2_*`` =
+    middle 48, with ``network_start/end`` reused for the LOW 32 bits on
+    ``type='ipv6-addr'`` rows) join via the reference's three conjunctive
+    int64 band predicates — an int128 range split so every comparison
+    stays in long arithmetic (siem/ioc.py:296-315).  A table without the
+    v6 columns matches v4 only, as before.  Both sides are broadcast
+    (indicator feeds are MB-scale); the event side streams — no shuffle
+    at any corpus size."""
+    from ..functions.scalars import ipv6_to_int3
+
+    has_v6 = "type" in ioc.columns and all(c in ioc.columns for c in _V6_BANDS)
+    ioc4 = ioc.filter(F.col("type") == "ipv4-addr") if "type" in ioc.columns else ioc
     ip_int = ipv4_to_int(F.col(ip_col))
-    cand = df.withColumn("ip_int", ip_int).filter(
+    cand4 = df.withColumn("ip_int", ip_int).filter(
         is_valid_ipv4(F.col(ip_col)) & ~is_private_ipv4(F.col("ip_int"))
     )
-    return cand.join(
-        F.broadcast(ioc),
+    out4 = cand4.join(
+        F.broadcast(ioc4),
         (F.col("ip_int") >= F.col("network_start")) & (F.col("ip_int") <= F.col("network_end")),
         "inner",
+    ).drop("ip_int")
+    if not has_v6:
+        return out4
+    ioc6 = ioc.filter(F.col("type") == "ipv6-addr")
+    v6 = ipv6_to_int3(F.col(ip_col))
+    cand6 = (
+        df.filter(~is_valid_ipv4(F.col(ip_col)))
+        .withColumn("_v6", v6)
+        .filter(F.col("_v6.hi").isNotNull() & ~F.col("_v6.private"))
     )
+    out6 = cand6.join(
+        F.broadcast(ioc6),
+        (F.col("_v6.lo") >= F.col("network_start"))
+        & (F.col("_v6.lo") <= F.col("network_end"))
+        & (F.col("_v6.mid") >= F.col("v6_network2_start"))
+        & (F.col("_v6.mid") <= F.col("v6_network2_end"))
+        & (F.col("_v6.hi") >= F.col("v6_network1_start"))
+        & (F.col("_v6.hi") <= F.col("v6_network1_end")),
+        "inner",
+    ).drop("_v6")
+    return out4.unionByName(out6)
 
 
 def geoip_lookup(df: DataFrame, geo: DataFrame, ip_col: str) -> DataFrame:

@@ -35,6 +35,72 @@ class TestEnrichJoins:
         got = enrich.ioc_ip_match(ev, ioc_table).select("name").collect()
         assert [r["name"] for r in got] == ["bad-public"]
 
+    @pytest.fixture(scope="class")
+    def ioc_v6_table(self, spark):
+        """Mixed v4+v6 indicator table in the reference's DB layout:
+        v6 rows reuse network_start/end for the LOW 32 bits and carry
+        the upper-48/middle-48 bands (ioc_database/lambda_function.py:
+        296-315)."""
+        import ipaddress as ipa
+
+        def bands(cidr):
+            net = ipa.IPv6Network(cidr)
+            lo_n, hi_n = int(net[0]), int(net[-1])
+            m48 = (1 << 48) - 1
+            return (
+                lo_n & 0xFFFFFFFF, hi_n & 0xFFFFFFFF,
+                (lo_n >> 32) & m48, (hi_n >> 32) & m48,
+                (lo_n >> 80) & m48, (hi_n >> 80) & m48,
+            )
+
+        s1 = bands("2a00:db8:bad::/48")
+        s2 = bands("2a00:db8:bad:1::/64")
+        rows = [
+            ("feedA", "ipv4-addr", "bad-public", 1684300900, 1684301000, 0, 0, 0, 0),
+            ("feed6", "ipv6-addr", "bad-v6-net", s1[0], s1[1], s1[2], s1[3], s1[4], s1[5]),
+            ("feed6", "ipv6-addr", "bad-v6-sub", s2[0], s2[1], s2[2], s2[3], s2[4], s2[5]),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "provider string, type string, name string, network_start long, "
+            "network_end long, v6_network2_start long, v6_network2_end long, "
+            "v6_network1_start long, v6_network1_end long",
+        )
+
+    def test_ioc_v6_band_match(self, spark, ioc_v6_table):
+        """REGRESSION (r4 verdict): v6 indicators silently never matched —
+        ioc_ip_match filtered is_valid_ipv4.  Now the reference's 3-band
+        conjunctive join applies to non-v4 addresses."""
+        ev = spark.createDataFrame(
+            [
+                (1, "2a00:db8:bad::17"),        # in /48 net, not in :1 subnet
+                (2, "2a00:db8:bad:1::99"),      # in both
+                (3, "2a00:db8:aaaa::1"),        # in neither
+                (4, "fe80::1"),                 # link-local -> private, skipped
+                (5, "fd12:3456::1"),            # ULA -> private, skipped
+                (6, "not-an-ip"),               # invalid, skipped
+                (7, ".".join(str((1684300950 >> s) & 255) for s in (24, 16, 8, 0))),
+            ],
+            "event_id long, source_ip string",
+        )
+        got = sorted(
+            (r["event_id"], r["name"])
+            for r in enrich.ioc_ip_match(ev, ioc_v6_table).collect()
+        )
+        assert got == [
+            (1, "bad-v6-net"),
+            (2, "bad-v6-net"),
+            (2, "bad-v6-sub"),
+            (7, "bad-public"),
+        ]
+
+    def test_ioc_v4_only_table_backcompat(self, spark, ioc_table):
+        """A table without type/band columns keeps the v4-only shape."""
+        ev = spark.createDataFrame(
+            [(1, "2a00:db8:bad::17")], "event_id long, source_ip string"
+        )
+        assert enrich.ioc_ip_match(ev, ioc_table).count() == 0
+
     def test_xff_resolution(self, spark):
         # trusted proxies: 10.0.0.0/8 and 192.168.0.0/16 (as ranges)
         trusted = spark.createDataFrame(
