@@ -163,6 +163,82 @@ def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic nested-enrichment synthesis for the nested-query rows
+#: (the reference's threat.enrichments array-of-struct, data.ini:280-302):
+#: docid % 4 elements; element i = (provider p((docid+i)%5),
+#: score_v (docid*7+i*13)%100, matched (docid+i)%3==0).  The SQL oracle
+#: replays the same integer arithmetic (entry tests + sqloracle
+#: extra_where hook).
+def _with_enrichments(df: DataFrame) -> DataFrame:
+    full = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda i: F.struct(
+            F.concat(F.lit("p"), ((F.col("docid") + i) % 5).cast("string")).alias("provider"),
+            ((F.col("docid") * 7 + i * 13) % 100).alias("score_v"),
+            (((F.col("docid") + i) % 3) == 0).alias("matched"),
+        ),
+    )
+    return df.withColumn("enr", F.slice(full, 1, (F.col("docid") % 4).cast("int")))
+
+
+_NESTED_EXISTS_SQL = (
+    "len(list_filter(range(0, c.docid % 4), i -> "
+    "('p' || CAST((c.docid + i) % 5 AS VARCHAR)) = 'p1' "
+    "AND (c.docid * 7 + i * 13) % 100 >= 50)) > 0"
+)
+
+
+def q_bm25_nested_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ``nested`` query in filter context (mapping type
+    "nested", reference data.ini:280-302): 'error' hits whose synthesized
+    enrichments contain ONE element with provider='p1' AND score_v>=50 —
+    the same-element semantics a flattened mapping cannot express.
+    Scores untouched (filter context); page (score desc, docid asc)."""
+    from .operators import nested as _nested
+
+    _prep(spark)
+    idx = ensure_index(spark, _sf_label(sf_dir))
+    out = _nested.nested_search_df(
+        spark, idx, "error", 10,
+        with_nested=_with_enrichments, arr_col="enr",
+        pred=lambda e: (e["provider"] == "p1") & (e["score_v"] >= 50),
+    )
+    return out.select(
+        "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+    )
+
+
+def q_events_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nested`` agg -> terms on an element field with a ``reverse_nested``
+    parent count, plus an element-level filter inside the nested context
+    (sev >= 50): doc_count counts ELEMENTS, parent_docs counts distinct
+    parent events.  Elements synthesized deterministically from event_id
+    (event_id % 3 of them; provider p((event_id+i)%4), sev
+    (event_id*11+i*17)%100)."""
+    from .operators import nested as _nested
+
+    ev = _events(spark, sf_dir)
+    # provider index (event_id + i*(event_id%2)) % 4: EVEN events repeat
+    # one provider across both elements, so doc_count (elements) strictly
+    # exceeds parent_docs (reverse_nested) for those buckets — the row
+    # attests the two counts are genuinely different quantities
+    full = F.transform(
+        F.sequence(F.lit(0), F.lit(1)),
+        lambda i: F.struct(
+            F.concat(
+                F.lit("p"),
+                ((F.col("event_id") + i * (F.col("event_id") % 2)) % 4).cast("string"),
+            ).alias("provider"),
+            ((F.col("event_id") * 11 + i * 17) % 100).alias("sev"),
+        ),
+    )
+    ev = ev.withColumn("enr", F.slice(full, 1, (F.col("event_id") % 3).cast("int")))
+    return _nested.nested_terms_agg(
+        ev, "enr", "provider", n=10, parent_key="event_id",
+        pred=lambda e: e["sev"] >= 50,
+    )
+
+
 def q_bm25_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch significant_text: JLH-scored terms over-represented in
     the text of 'timeout'-matching docs vs the corpus (per-doc fg counts,
@@ -2810,6 +2886,26 @@ def oracle_sql_map() -> dict[str, str]:
         kw = {k: v for k, v in spec.items() if k not in ("query", "k")}
         bm[name] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, spec["query"], k=spec["k"], **kw)
     bm["bm25_match_count"] = sqloracle.match_count_sql(ORACLE_TRANSCRIPTS, "error AND timeout")
+    # nested query: the bm25 page with the same-element EXISTS replayed
+    # arithmetically over docid (the synthesis in _with_enrichments)
+    bm["bm25_nested_filter"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, "error", k=10, extra_where=_NESTED_EXISTS_SQL
+    )
+    bm["events_nested_agg"] = """
+SELECT provider, count(*) AS doc_count,
+       count(DISTINCT event_id) AS parent_docs
+FROM (
+  SELECT event_id,
+         'p' || CAST((event_id + i * (event_id % 2)) % 4 AS VARCHAR) AS provider
+  FROM (
+    SELECT event_id,
+           unnest(list_filter(range(0, event_id % 3),
+                              i -> (event_id * 11 + i * 17) % 100 >= 50)) AS i
+    FROM events
+  )
+)
+GROUP BY provider ORDER BY doc_count DESC, provider ASC LIMIT 10
+"""
     bm["bm25_matches_role_terms"] = sqloracle.match_agg_sql(
         ORACLE_TRANSCRIPTS, "error AND timeout",
         "SELECT role, count(*) AS cnt FROM m GROUP BY role "
@@ -4178,6 +4274,8 @@ def queries_map() -> dict:
         'error AND "connection reset"',
         lambda d: aggs.date_histogram(d, "ts", "day"),
     )
+    q["bm25_nested_filter"] = q_bm25_nested_filter
+    q["events_nested_agg"] = q_events_nested_agg
     q["bm25_highlight"] = q_bm25_highlight
     q["bm25_multi_index"] = q_bm25_multi_index
     q["bm25_term_suggest"] = q_bm25_term_suggest
@@ -4370,6 +4468,8 @@ _DRIVER_PRIORITY = [
     "bm25_match_and",
     "bm25_match_fuzzy",
     "events_ioc_match",
+    "bm25_nested_filter",
+    "events_nested_agg",
     # (b) canaries — keep two long-attested rows as cross-round anchors
     "bm25_term",
     "bm25_bool_and",

@@ -602,6 +602,7 @@ def bm25_sql(
     source_where: str | None = None,
     minimum_should_match: int | None = None,
     collapse: str | None = None,
+    extra_where: str | None = None,
 ) -> str:
     """Full DuckDB statement: (docid BIGINT, score_r DOUBLE) top-k.  The
     query string is the same DQL surface as search_df — field filters
@@ -656,13 +657,19 @@ def bm25_sql(
             f"{' AND' if fsql else ' WHERE'} "
             f"(c.s < {s!r} OR (c.s = {s!r} AND c.docid > {d}))"
         )
+    # extra_where: an arbitrary non-scoring predicate over the joined hit
+    # row (c.docid / d.* in scope) — e.g. a nested-query EXISTS over a
+    # derived array column (entry.q_bm25_nested_filter)
+    extra = ""
+    if extra_where:
+        extra = f"{' AND' if (fsql or cursor) else ' WHERE'} ({extra_where})"
     return f"""WITH RECURSIVE {_base_ctes(path, source_where)},
 {_leaf_ctes(leaves)},
 combined AS ({_combine_sql(ast, leaves)})
 SELECT docid, round(CAST(s AS DOUBLE), 3) AS score_r
 FROM (
   SELECT c.docid, c.s
-  FROM combined c JOIN d USING (docid){fsql}{cursor}{coll}
+  FROM combined c JOIN d USING (docid){fsql}{cursor}{extra}{coll}
   ORDER BY c.s DESC, c.docid ASC
   LIMIT {k}
 )"""
