@@ -387,6 +387,19 @@ def main() -> None:
     queries["delete_by_query_n"] = ndel
     queries["bm25_live_after_delete"] = best3(
         lambda: _del.search_live_df(spark, idx_dir, "error AND refused", k=10).collect())
+    # warm live multi-clause (r5): the shard-local fused plan keeps its
+    # one-exchange shape under tombstones — the session broadcasts the
+    # sorted tombstone array and the generator drops deleted candidates
+    # before its per-partition top-k (no anti-join in the plan)
+    qs_live = QuerySession(spark, idx_dir)
+    _del.search_live_df(
+        spark, idx_dir, "error AND refused", k=10, session=qs_live
+    ).collect()  # session + tombstone-broadcast warmup
+    queries["bm25_live_multiclause_warm"] = best3(
+        lambda: _del.search_live_df(
+            spark, idx_dir, "error AND refused", k=10, session=qs_live
+        ).collect())
+    qs_live.close()
     t0 = time.perf_counter()
     _del.expunge_deletes(spark, idx_dir)
     queries["expunge_deletes"] = round(time.perf_counter() - t0, 3)

@@ -1439,6 +1439,7 @@ def _shard_local_topk(
     filters: dict | None,
     norms_bc,
     mask_bc,
+    exclude_bc=None,
 ) -> DataFrame:
     """Warm-session evaluation in ONE Python stage (VERDICT r3 items 2/7/8).
 
@@ -1708,6 +1709,23 @@ def _shard_local_topk(
             yield empty
             return
         cand = np.unique(np.concatenate(cand_parts))
+        if exclude_bc is not None:
+            # warm live search: drop tombstoned candidates BEFORE the
+            # per-partition top-k, so a deleted doc can never evict a
+            # live replacement from the partition's cut (the reason the
+            # plan used to gate off under _exclude_dir).  dels is the
+            # session's broadcast sorted docid array; scores of the
+            # survivors are untouched (pre-merge Lucene semantics).
+            dels = exclude_bc.value
+            if dels.size:
+                idx = np.searchsorted(dels, cand)
+                hit = (idx < dels.size) & (
+                    dels[np.minimum(idx, dels.size - 1)] == cand
+                )
+                cand = cand[~hit]
+            if not cand.size:
+                yield empty
+                return
 
         present: dict[int, np.ndarray] = {}
         tf_at: dict[int, np.ndarray] = {}
@@ -1964,6 +1982,26 @@ def _mask_expr(node: Node, leaves: list[Node]):
     raise TypeError(node)
 
 
+#: warm live search ships the tombstone docid set into the shard-local
+#: generator as a broadcast SORTED int64 array (8 B/docid — 80 MB at the
+#: cap); past the cap the multi-clause warm path falls back to the cold
+#: join plan whose anti-join streams the tombstones instead
+EXCLUDE_BROADCAST_CAP = 10_000_000
+
+
+def _load_tombstone_array(exclude_dir: str) -> np.ndarray:
+    """The tombstone log as a sorted, deduplicated int64 docid array —
+    driver-side DuckDB scan of the deletes/ parquet (O(log) once per
+    distinct tombstone fingerprint; QuerySession memoizes)."""
+    import duckdb
+
+    d = duckdb.sql(
+        f"SELECT DISTINCT docid FROM read_parquet('{exclude_dir}/*.parquet') "
+        "ORDER BY docid"
+    ).df()
+    return d["docid"].to_numpy().astype(np.int64)
+
+
 def _tombstone_fingerprint(exclude_dir: str | None):
     """Identity of a tombstone log's CURRENT contents, for memo keys.
 
@@ -2006,6 +2044,7 @@ def search_df(
     collapse: str | None = None,
     *,
     _exclude_dir: str | None = None,
+    _exclude_bc=None,
     _stats: dict | None = None,
     _dfs: dict | None = None,
     _docs: DataFrame | None = None,
@@ -2232,10 +2271,16 @@ def search_df(
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
     elif (_postings is not None and (k is None or k > 0) and search_after is None
-          and collapse is None and _exclude_dir is None):
+          and collapse is None
+          and (_exclude_dir is None or _exclude_bc is not None)):
         # (_exclude_dir gate: the shard-local plan takes its per-partition
         # top-k INSIDE the generator, before _finalize's tombstone
-        # anti-join could run — a tombstoned doc would evict a live one)
+        # anti-join could run — a tombstoned doc would evict a live one.
+        # r5: with the session's tombstone BROADCAST the generator drops
+        # tombstoned candidates itself, before its top-k, so warm live
+        # multi-clause/phrase queries keep the fused one-exchange plan;
+        # only a tombstone set past EXCLUDE_BROADCAST_CAP falls back to
+        # the cold join plan's anti-join)
         # Warm multi-clause / phrase path (r4): shard-local fused
         # evaluation — ONE Python stage after a compressed-bytes
         # repartition on shard_min; handles every query shape including
@@ -2247,6 +2292,7 @@ def search_df(
         return _shard_local_topk(
             spark, index_dir, ast, leaves, weights, stats, k,
             postings, prune, filters_d, _norms_bc, _filter_mask_bc,
+            exclude_bc=_exclude_bc if _exclude_dir is not None else None,
         )
     else:
         decoded, has_phrase = _decode_postings_df(postings, leaves, prune=prune)
@@ -3923,6 +3969,30 @@ class QuerySession:
             self.norms_bc = spark.sparkContext.broadcast(arr["norm"])
         self._mask_memo: dict = {}
         self._expand_memo: dict = {}
+        self._excl_memo: dict = {}
+
+    def _exclude_bc(self, exclude_dir: str | None):
+        """Tombstone broadcast for warm live search, memoized on the
+        log's content fingerprint (append-only log: a new delete changes
+        the fingerprint and triggers a fresh load — the same staleness
+        rule as the prune memo).  Returns None when the set exceeds
+        EXCLUDE_BROADCAST_CAP (the multi-clause path then falls back to
+        the cold anti-join plan).  Superseded broadcasts unpersist
+        eagerly — one live tombstone broadcast per session."""
+        if exclude_dir is None:
+            return None
+        fp = _tombstone_fingerprint(exclude_dir)
+        if fp in self._excl_memo:
+            return self._excl_memo[fp]
+        arr = _load_tombstone_array(exclude_dir)
+        bc = None
+        if arr.size <= EXCLUDE_BROADCAST_CAP:
+            bc = self.spark.sparkContext.broadcast(arr)
+        for old in self._excl_memo.values():
+            if old is not None:
+                old.unpersist()
+        self._excl_memo = {fp: bc}
+        return bc
 
     def _filter_mask_bc(self, filt: dict):
         if self.sharded:
@@ -3986,6 +4056,7 @@ class QuerySession:
             minimum_should_match=minimum_should_match,
             collapse=collapse,
             _exclude_dir=_exclude_dir,
+            _exclude_bc=self._exclude_bc(_exclude_dir),
             _stats=self.stats,
             _dfs=self._dfs,
             _docs=self.docs,
@@ -4025,3 +4096,6 @@ class QuerySession:
             self.norms_bc.unpersist()
         for bc in self._mask_memo.values():
             bc.unpersist()
+        for bc in self._excl_memo.values():
+            if bc is not None:
+                bc.unpersist()

@@ -213,8 +213,9 @@ class TestLiveSearch:
 
     def test_warm_session_live(self, spark, del_index):
         """Warm live == cold live for the fused single-term path (anti-
-        join after in-generator scoring) AND the gated multi-clause path
-        (shard-local refuses exclusions -> warm decode+join)."""
+        join after in-generator scoring) AND the multi-clause path (r5:
+        shard-local with the broadcast tombstone set fused before the
+        per-partition top-k)."""
         idx, _ = del_index
         sess = QuerySession(spark, idx)
         try:
@@ -227,6 +228,56 @@ class TestLiveSearch:
         assert warm == _pairs(dl.search_live_df(spark, idx, Q, k=10))
         assert warm_t == _pairs(dl.search_live_df(spark, idx, "error", k=10))
         assert warm_a == _pairs(dl.search_live_df(spark, idx, "error AND refused", k=10))
+
+    def test_warm_live_multiclause_stays_shard_local(self, spark, del_index):
+        """r5 (r4 verdict item 5): warm live multi-clause/phrase queries
+        keep the fused shard-local plan — tombstones drop inside the
+        generator via the session's broadcast, so the plan has NO
+        anti-join and exactly ONE exchange — and results equal cold live
+        for every shape."""
+        idx, _ = del_index
+        sess = QuerySession(spark, idx)
+        try:
+            for q in [Q, "error AND refused", '"connection reset"',
+                      "(error AND NOT refused) OR denied"]:
+                df = dl.search_live_df(spark, idx, q, k=10, session=sess)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert "LeftAnti" not in plan, q
+                assert plan.count("Exchange") == 1, (q, plan)
+                assert _pairs(df) == _pairs(dl.search_live_df(spark, idx, q, k=10)), q
+        finally:
+            sess.close()
+
+    def test_warm_live_sharded_mode(self, spark, del_index):
+        """Past the norms broadcast cap (broadcast_cap=0) the tombstone
+        broadcast is independent: warm live multi-clause still runs and
+        matches cold live."""
+        idx, _ = del_index
+        sess = QuerySession(spark, idx, broadcast_cap=0)
+        try:
+            got = _pairs(dl.search_live_df(spark, idx, Q, k=10, session=sess))
+        finally:
+            sess.close()
+        assert got == _pairs(dl.search_live_df(spark, idx, Q, k=10))
+
+    def test_warm_live_past_exclude_cap_falls_back(
+        self, spark, del_index, monkeypatch
+    ):
+        """A tombstone set past EXCLUDE_BROADCAST_CAP must not broadcast:
+        the session returns no bc and the multi-clause plan falls back to
+        the cold anti-join — same results."""
+        from siem_on_amazon_opensearch_service_spark.operators import search as se
+
+        idx, _ = del_index
+        monkeypatch.setattr(se, "EXCLUDE_BROADCAST_CAP", 0)
+        sess = QuerySession(spark, idx)
+        try:
+            df = dl.search_live_df(spark, idx, Q, k=10, session=sess)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "LeftAnti" in plan  # the fallback anti-join IS present
+            assert _pairs(df) == _pairs(dl.search_live_df(spark, idx, Q, k=10))
+        finally:
+            sess.close()
 
     def test_warm_prune_memo_not_stale_after_more_deletes(
         self, spark, tiny_index, tmp_path_factory
