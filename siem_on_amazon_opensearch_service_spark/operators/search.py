@@ -12,15 +12,18 @@ Lucene stand-in):
   metadata-only) can restrict the decode to surviving docid ranges:
   theta/block-max for Term/OR queries and required-term coverage
   intersection for conjunctions (rare terms decoded driver-side — the
-  drive-by-rarest plan).  Surviving rows decode in an Arrow-batched
-  mapInPandas, join the docid-sorted docs table for norms + keyword/time
-  filters (filters push into the docs scan); single-clause queries go
-  straight to top-k, multi-clause pivot to columns and evaluate the
-  boolean AST as pure Spark column algebra (positive-path occurrence-
-  weighted scoring = Lucene bool semantics); top-k is a global
-  ``orderBy(score desc, docid asc).limit(k)`` (TakeOrderedAndProject).
-  This mirrors the reference's scatter/gather across shards
-  (SURVEY.md §3.3) with Spark partitions as the shards.
+  drive-by-rarest plan).  On r2-format indexes (a ``_build.json``
+  shard_size) cold queries run the SAME fused generators as warm
+  sessions (r5 unification): single terms score inside the decode stage
+  with per-shard ranged norm reads (zero exchanges), every other shape
+  runs ``_shard_local_topk`` over a compressed-bytes repartition — so
+  the corpus-sized docs table is never joined, only the matched docids'
+  norm slices are read.  The legacy join plan (decode -> docs join for
+  norms/filters -> pivot -> boolean column algebra -> global top-k)
+  remains for search_after cursors, collapse, k=0, cold live search
+  under tombstones, and pre-r2 indexes.  This mirrors the reference's
+  scatter/gather across shards (SURVEY.md §3.3) with Spark partitions
+  as the shards.
 
 - ``LocalIndex``: driver-side numpy reader (DuckDB parquet scan, no Spark
   job) for query-latency benchmarking, with an exhaustive vectorized
@@ -1246,13 +1249,20 @@ def _in_ranges(docids: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray
     return out
 
 
-def _shard_size_of(index_dir: str) -> int | None:
+def _build_params(index_dir: str) -> dict:
     import json
 
     try:
         with open(os.path.join(index_dir, "_build.json")) as f:
-            return int(json.load(f)["shard_size"])
-    except (OSError, KeyError, ValueError):
+            return json.load(f)
+    except OSError:
+        return {}
+
+
+def _shard_size_of(index_dir: str) -> int | None:
+    try:
+        return int(_build_params(index_dir)["shard_size"])
+    except (KeyError, ValueError):
         return None
 
 
@@ -1440,6 +1450,7 @@ def _shard_local_topk(
     norms_bc,
     mask_bc,
     exclude_bc=None,
+    presplit: bool = False,
 ) -> DataFrame:
     """Warm-session evaluation in ONE Python stage (VERDICT r3 items 2/7/8).
 
@@ -1530,18 +1541,49 @@ def _shard_local_topk(
             "_filter_mask_bc; QuerySession builds it automatically"
         )
 
-    cols = ["term", "shard_min", "docs_bytes", "tfs_bytes", "blk_n"]
+    _COL_TYPES = {
+        "term": "string", "shard_min": "int",
+        "docs_bytes": "binary", "tfs_bytes": "binary", "pos_bytes": "binary",
+        "blk_n": "array<int>", "blk_first": "array<long>",
+        "blk_last": "array<long>", "blk_doc_off": "array<long>",
+        "blk_tf_off": "array<long>", "blk_pos_off": "array<long>",
+    }
+    # the split pass needs the block tables regardless of pruning
+    cols = ["term", "shard_min", "docs_bytes", "tfs_bytes", "blk_n",
+            "blk_first", "blk_last", "blk_doc_off", "blk_tf_off"]
     if any_phrase:
         cols += ["pos_bytes", "blk_pos_off"]
     if prune is not None:
-        cols += ["blk_first", "blk_last", "blk_doc_off", "blk_tf_off"]
         p_lo, p_hi = prune["lo"], prune["hi"]
     # partition count bounded by the SHARD count: hashing ~7 distinct
     # shard_min values into 32 partitions launches 32 tasks for <=7
     # non-empty ones (pure scheduling overhead on small corpora; at
     # 10^5+ shards the parallelism bound applies instead)
     n_shards = max(1, -(-stats["n_docs"] // shard_size)) if shard_size else 1 << 30
-    parts = postings.select(*cols).repartition(
+    pre = postings.select(*cols)
+    if shard_size is not None and n_shards > 1 and not presplit:
+        # r5 CORRECTNESS FIX: a merged (term, salt) row concatenates that
+        # term's encodings for EVERY shard ≡ salt (mod n_salts), and its
+        # shard_min is only the first covered shard — two terms sharing a
+        # shard can carry different shard_min values (a rare term starts
+        # at its first shard; a hot term at the residue itself), so
+        # hashing merged rows on shard_min splits a docid's evidence
+        # across partitions and the per-partition top-k under-scores or
+        # drops it.  Slice rows into per-shard sub-rows first (byte
+        # slicing at block boundaries — segments.split_rows_by_shard);
+        # after the split shard_min IS the shard id and the invariant the
+        # plan relies on ("all terms' rows for a docid shard land in the
+        # same task") holds by construction.
+        _split_schema = ", ".join(f"{c} {_COL_TYPES[c]}" for c in cols)
+
+        def _split(batches):
+            for pdf in batches:
+                got = segments.split_rows_by_shard(pdf, shard_size, any_phrase)
+                if len(got):
+                    yield got
+
+        pre = pre.mapInPandas(_split, schema=_split_schema)
+    parts = pre.repartition(
         min(max(8, spark.sparkContext.defaultParallelism), n_shards), "shard_min"
     )
     ast_b, leaves_b, filters_b = ast, leaves, filters
@@ -2049,6 +2091,7 @@ def search_df(
     _dfs: dict | None = None,
     _docs: DataFrame | None = None,
     _postings: DataFrame | None = None,
+    _presplit: bool = False,
     _prune_memo: dict | None = None,
     _norms_bc=None,
     _filter_mask_bc=None,
@@ -2191,8 +2234,15 @@ def search_df(
                 _prune_memo[memo_key] = prune
     any_phrase_q = any(isinstance(lf, _PHRASELIKE) for lf in leaves)
     has_filters = filters_active(filt)
-    sharded_warm = _postings is not None and _norms_bc is None
-    shard_sz = _shard_size_of(index_dir) if sharded_warm else None
+    # r5 norms unification (VERDICT r4 plan audit): ANY query without
+    # broadcast norms — cold calls and past-the-cap sharded sessions
+    # alike — can run the fused generators with per-shard ranged norm
+    # reads, so the cold docs-norms join (broadcast under AQE, a full
+    # docs-table SMJ at 100x scale) stops being load-bearing.  shard_sz
+    # doubles as the format gate: only the r2 builder writes
+    # _build.json's shard_size (and the shard_min postings column the
+    # fused paths repartition on).
+    shard_sz = _shard_size_of(index_dir) if _norms_bc is None else None
     filters_d = (
         {"role": role, "tool": tool, "ts_min": ts_min, "ts_max": ts_max,
          "role_exists": role_exists, "tool_exists": tool_exists,
@@ -2247,7 +2297,7 @@ def search_df(
         and len(leaves) == 1
         and (
             (_norms_bc is not None and (not has_filters or _filter_mask_bc is not None))
-            or (sharded_warm and shard_sz is not None)
+            or shard_sz is not None
         )
     ):
         # Warm single-term fast path (QuerySession): scoring is FUSED into
@@ -2267,10 +2317,11 @@ def search_df(
             "shard_size": shard_sz,
             # sharded + filtered single terms stay zero-exchange: the
             # filter evaluates inside the generator's ranged norm fetch
-            "filters": filters_d if (sharded_warm and _filter_mask_bc is None) else None,
+            "filters": filters_d if (_norms_bc is None and _filter_mask_bc is None) else None,
         }
         scored, _ = _decode_postings_df(postings, leaves, prune=prune, score_ctx=ctx)
-    elif (_postings is not None and (k is None or k > 0) and search_after is None
+    elif ((_postings is not None or shard_sz is not None)
+          and (k is None or k > 0) and search_after is None
           and collapse is None
           and (_exclude_dir is None or _exclude_bc is not None)):
         # (_exclude_dir gate: the shard-local plan takes its per-partition
@@ -2293,6 +2344,7 @@ def search_df(
             spark, index_dir, ast, leaves, weights, stats, k,
             postings, prune, filters_d, _norms_bc, _filter_mask_bc,
             exclude_bc=_exclude_bc if _exclude_dir is not None else None,
+            presplit=_presplit,
         )
     else:
         decoded, has_phrase = _decode_postings_df(postings, leaves, prune=prune)
@@ -3938,6 +3990,40 @@ class QuerySession:
         # sizes beyond executor storage Spark evicts to disk, and a
         # 10^12-doc deployment would pin only its hot buckets)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        # r5: pin the PER-SHARD-SPLIT listing (segments.split_rows_by_shard)
+        # so warm multi-clause queries skip the per-query split pass the
+        # shard-local co-location fix requires — the split happens once at
+        # pin time and the sub-rows persist.  Columns are pruned to the
+        # query paths' needs (drops df/cttf/shard_max/impact tables from
+        # executor memory).
+        self._presplit = False
+        _ssz = _shard_size_of(index_dir)
+        if _ssz and max(1, -(-self.stats["n_docs"] // _ssz)) > 1:
+            keep = ["term", "shard_min", "docs_bytes", "tfs_bytes",
+                    "pos_bytes", "blk_n", "blk_first", "blk_last",
+                    "blk_doc_off", "blk_tf_off", "blk_pos_off"]
+            if "bucket" in self.postings.columns:
+                keep.append("bucket")
+            types = {
+                "term": "string", "shard_min": "int", "bucket": "int",
+                "docs_bytes": "binary", "tfs_bytes": "binary",
+                "pos_bytes": "binary", "blk_n": "array<int>",
+                "blk_first": "array<long>", "blk_last": "array<long>",
+                "blk_doc_off": "array<long>", "blk_tf_off": "array<long>",
+                "blk_pos_off": "array<long>",
+            }
+            _wp = bool(_build_params(index_dir).get("positions", True))
+
+            def _presplit_pass(batches, _ssz=_ssz, _wp=_wp):
+                for pdf in batches:
+                    got = segments.split_rows_by_shard(pdf, _ssz, _wp)
+                    if len(got):
+                        yield got
+
+            self.postings = self.postings.select(*keep).mapInPandas(
+                _presplit_pass, schema=", ".join(f"{c} {types[c]}" for c in keep)
+            )
+            self._presplit = True
         if cache_postings:
             self.postings = self.postings.persist()
         cap = self.DEFAULT_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
@@ -4061,6 +4147,7 @@ class QuerySession:
             _dfs=self._dfs,
             _docs=self.docs,
             _postings=self.postings,
+            _presplit=self._presplit,
             _prune_memo=self._prune_memo,
             _norms_bc=self.norms_bc,
             _filter_mask_bc=self._filter_mask_bc(filt),

@@ -288,6 +288,87 @@ def encode_shard_postings(
     return pd.DataFrame(data, columns=cols)
 
 
+def split_rows_by_shard(
+    pdf: pd.DataFrame, shard_size: int, with_pos: bool
+) -> pd.DataFrame:
+    """Split merged segment rows into per-SHARD sub-rows by byte slicing
+    at block boundaries (no decode).
+
+    The salted merge concatenates a (term, salt) group's per-shard
+    encodings into ONE row whose ``shard_min`` is only the FIRST covered
+    shard — so hash-partitioning rows on shard_min does NOT co-locate
+    all terms' evidence for a docid unless every query term covers every
+    shard (r5 bug: wide rare-term expansions lost docs whose clause
+    evidence straddled partitions).  Blocks never cross shards (they are
+    built per shard and the merge concatenates whole block tables), and
+    delta chains restart absolute at every block boundary, so a row
+    slices exactly into per-shard sub-rows: contiguous block runs with
+    rebased byte offsets.  After this pass ``shard_min`` IS the shard id
+    and the repartition key is sound for any term/shard coverage.
+
+    Cost: one pass over the given rows' compressed bytes (memoryview
+    slicing); single-shard rows pass through unsliced.  Output carries
+    exactly the input columns — columns outside the sliced set (e.g.
+    ``bucket``) are copied from the parent row onto every sub-row.
+    QuerySession runs this ONCE at pin time so warm queries pay no
+    per-query split; the cold path splits just its query terms' rows.
+    """
+    cols = list(pdf.columns)
+    sliced = {
+        "shard_min", "docs_bytes", "tfs_bytes", "pos_bytes",
+        "blk_n", "blk_first", "blk_last",
+        "blk_doc_off", "blk_tf_off", "blk_pos_off",
+    }
+    extra = [c for c in cols if c not in sliced]
+    out: dict[str, list] = {c: [] for c in cols}
+    for row in pdf.to_dict("records"):
+        bf = np.asarray(row["blk_first"], dtype=np.int64)
+        if bf.size == 0:
+            for c in cols:
+                out[c].append(row[c])
+            continue
+        g = bf // shard_size
+        if g[0] == g[-1]:
+            row["shard_min"] = int(g[0])
+            for c in cols:
+                out[c].append(row[c])
+            continue
+        cut = np.nonzero(np.diff(g))[0] + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [g.size]))
+        bl = np.asarray(row["blk_last"], dtype=np.int64)
+        bn = np.asarray(row["blk_n"], dtype=np.int64)
+        doff = np.asarray(row["blk_doc_off"], dtype=np.int64)
+        toff = np.asarray(row["blk_tf_off"], dtype=np.int64)
+        d_ends = np.append(doff[1:], len(row["docs_bytes"]))
+        t_ends = np.append(toff[1:], len(row["tfs_bytes"]))
+        if with_pos:
+            poff = np.asarray(row["blk_pos_off"], dtype=np.int64)
+            p_ends = np.append(poff[1:], len(row["pos_bytes"]))
+        dview = memoryview(row["docs_bytes"])
+        tview = memoryview(row["tfs_bytes"])
+        pview = memoryview(row["pos_bytes"]) if with_pos else None
+        for i0, i1 in zip(starts, ends):
+            sub = {
+                "shard_min": int(g[i0]),
+                "docs_bytes": bytes(dview[doff[i0] : d_ends[i1 - 1]]),
+                "tfs_bytes": bytes(tview[toff[i0] : t_ends[i1 - 1]]),
+                "blk_n": bn[i0:i1],
+                "blk_first": bf[i0:i1],
+                "blk_last": bl[i0:i1],
+                "blk_doc_off": doff[i0:i1] - doff[i0],
+                "blk_tf_off": toff[i0:i1] - toff[i0],
+            }
+            if with_pos:
+                sub["pos_bytes"] = bytes(pview[poff[i0] : p_ends[i1 - 1]])
+                sub["blk_pos_off"] = poff[i0:i1] - poff[i0]
+            for c in extra:
+                sub[c] = row[c]
+            for c in cols:
+                out[c].append(sub[c])
+    return pd.DataFrame(out, columns=cols)
+
+
 def first_docid(docs_bytes: bytes) -> int:
     """Absolute first docID of a segment row (delta chains restart at block
     boundaries, so the first VByte value is the absolute docID)."""

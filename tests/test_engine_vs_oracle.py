@@ -2,9 +2,12 @@
 the frozen Lucene-semantics oracle exactly — docids AND float32 scores —
 on every query class the reference's dashboards use (SURVEY.md §5.2)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from siem_on_amazon_opensearch_service_spark.operators.oracle import LuceneOracle
 from siem_on_amazon_opensearch_service_spark.operators.search import LocalIndex, search_df
@@ -958,3 +961,71 @@ class TestShardedSingleTermZeroExchange:
                 ], q
         finally:
             qs.close()
+
+
+class TestShardLocalCoLocation:
+    """r5 regression: the salted merge concatenates a (term, salt) group's
+    per-shard encodings into one row whose shard_min is only the FIRST
+    covered shard, so hashing merged rows on shard_min does not co-locate
+    all terms' evidence for a docid — wide rare-term expansions silently
+    dropped/under-scored docs whose clause evidence straddled partitions
+    (warm AND cold shard-local paths alike).  Fixed by the query-time
+    per-shard row split (segments.split_rows_by_shard)."""
+
+    WIDE = ["w000*", "w00042~2", "w0004* OR w0005*", "w00042~1 OR w00055~1"]
+
+    def test_warm_wide_expansion_rank_identity(self, spark, tiny_index, oracle):
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        for cap in (None, 0):  # broadcast mode and sharded mode
+            kw = {} if cap is None else {"broadcast_cap": 0}
+            qs = QuerySession(spark, tiny_index[0], **kw)
+            try:
+                for q in self.WIDE:
+                    got = [
+                        (r["docid"], np.float32(r["score"]))
+                        for r in qs.search(q, k=10).collect()
+                    ]
+                    _assert_hits_equal(got, oracle.search(q, k=10), f"warm(cap={cap}):{q}")
+            finally:
+                qs.close()
+
+    def test_split_rows_round_trip(self, spark, tiny_index):
+        """Every split sub-row decodes, its docids all fall inside the
+        sub-row's single shard, and the concatenation over sub-rows equals
+        the unsplit row's full decode."""
+        import json
+
+        from siem_on_amazon_opensearch_service_spark.operators import segments
+
+        idx = tiny_index[0]
+        with open(os.path.join(idx, "_build.json")) as f:
+            shard_size = int(json.load(f)["shard_size"])
+        pdf = (
+            spark.read.parquet(os.path.join(idx, "postings"))
+            .filter(F.col("df") >= 2)
+            .limit(400)
+            .toPandas()
+        )
+        # a term has one row per SALT; keep single-row terms so sub-rows
+        # map back to exactly one original row by term
+        pdf = pdf[pdf.groupby("term")["term"].transform("size") == 1]
+        assert len(pdf)
+        cols = ["term", "shard_min", "docs_bytes", "tfs_bytes", "pos_bytes",
+                "blk_n", "blk_first", "blk_last", "blk_doc_off", "blk_tf_off",
+                "blk_pos_off"]
+        split = segments.split_rows_by_shard(pdf[cols], shard_size, True)
+        multi = 0
+        for _, orig in pdf.iterrows():
+            d0, t0 = segments.decode_docs_tfs(orig)
+            subs = split[split["term"] == orig["term"]]
+            parts_d, parts_t = [], []
+            for _, sub in subs.iterrows():
+                d, t = segments.decode_docs_tfs(sub)
+                assert (d // shard_size == sub["shard_min"]).all()
+                parts_d.append(d)
+                parts_t.append(t)
+            multi += int(len(subs) > 1)
+            assert (np.concatenate(parts_d) == d0).all()
+            assert (np.concatenate(parts_t) == t0).all()
+        assert multi > 0  # the fixture index genuinely has multi-shard rows
