@@ -85,6 +85,22 @@ def ensure_index(spark: SparkSession, label: str) -> str:
     return out
 
 
+def ensure_index_multishard(spark: SparkSession, label: str) -> str:
+    """Index over the same corpus FORCED to 8 docid shards (the driver's
+    default sf0.01 index is single-shard at DEFAULT_SHARD_DOCS, so the
+    shard-local co-location class of bug — r5: merged (term,salt) rows
+    carry only their FIRST covered shard as shard_min — is invisible to
+    every other row).  Scores/docids are shard-count-independent, so the
+    standard DuckDB oracle applies verbatim."""
+    out = index_dir(f"{label}_sh8")
+    if not os.path.exists(os.path.join(out, "postings", "_SUCCESS")) or not _index_current_format(out):
+        shutil.rmtree(out, ignore_errors=True)
+        path = ensure_corpus(label, spark)
+        df = spark.read.parquet(path)
+        build_index(spark, df, out, n_shards=8, n_salts=4)
+    return out
+
+
 def ensure_rotated_indexes(
     spark: SparkSession, label: str, interval: str = "week"
 ) -> list[str]:
@@ -128,6 +144,22 @@ def _bm25(query: str, k: int = 10, **filt):
         _prep(spark)
         idx = ensure_index(spark, _sf_label(sf_dir))
         out = search.search_df(spark, idx, query, k=k, **filt)
+        return out.select(
+            "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
+        )
+
+    return run
+
+
+def _bm25_sharded(query: str, k: int = 10):
+    """Like _bm25 but over the forced-8-shard index: the cold fused plan
+    with the per-shard row split is the path under test (a wide rare-term
+    expansion puts multi-clause evidence in rows with differing
+    shard_min — the r5 co-location regression surface)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        idx = ensure_index_multishard(spark, _sf_label(sf_dir))
+        out = search.search_df(spark, idx, query, k=k)
         return out.select(
             "docid", F.round(F.col("score").cast("double"), 3).alias("score_r")
         )
@@ -2891,6 +2923,12 @@ def oracle_sql_map() -> dict[str, str]:
     bm["bm25_nested_filter"] = sqloracle.bm25_sql(
         ORACLE_TRANSCRIPTS, "error", k=10, extra_where=_NESTED_EXISTS_SQL
     )
+    # scores/docids are shard-count-independent: the 8-shard rows reuse
+    # the standard corpus-level oracle
+    bm["bm25_wide_or_sharded"] = sqloracle.bm25_sql(ORACLE_TRANSCRIPTS, "w000*", k=10)
+    bm["bm25_and_sharded"] = sqloracle.bm25_sql(
+        ORACLE_TRANSCRIPTS, "error AND w00042~1", k=10
+    )
     bm["events_nested_agg"] = """
 SELECT provider, count(*) AS doc_count,
        count(DISTINCT event_id) AS parent_docs
@@ -4276,6 +4314,11 @@ def queries_map() -> dict:
     )
     q["bm25_nested_filter"] = q_bm25_nested_filter
     q["events_nested_agg"] = q_events_nested_agg
+    # r5: wide expansion over the forced-8-shard index — attests the
+    # shard-local co-location fix at driver level (sf0.01's default
+    # index is single-shard and cannot see this bug class)
+    q["bm25_wide_or_sharded"] = _bm25_sharded("w000*", 10)
+    q["bm25_and_sharded"] = _bm25_sharded("error AND w00042~1", 10)
     q["bm25_highlight"] = q_bm25_highlight
     q["bm25_multi_index"] = q_bm25_multi_index
     q["bm25_term_suggest"] = q_bm25_term_suggest
@@ -4470,6 +4513,8 @@ _DRIVER_PRIORITY = [
     "events_ioc_match",
     "bm25_nested_filter",
     "events_nested_agg",
+    "bm25_wide_or_sharded",
+    "bm25_and_sharded",
     # (b) canaries — keep two long-attested rows as cross-round anchors
     "bm25_term",
     "bm25_bool_and",
