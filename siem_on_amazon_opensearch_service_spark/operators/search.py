@@ -929,25 +929,29 @@ def _theta_sweep(per_term: dict, theta: float, shard_size: int):
 
 def _term_envelope(firsts: np.ndarray, lasts: np.ndarray, ubs: np.ndarray, bps: np.ndarray) -> np.ndarray:
     """Piecewise max of block upper bounds over breakpoint intervals
-    [bps[i], bps[i+1]) — the classic skyline sweep with a lazy heap.
-    Every block first/last+1 is a breakpoint, so no block starts or ends
-    mid-interval."""
-    import heapq
+    [bps[i], bps[i+1]): env[i] = max ub among blocks with
+    first <= bps[i] <= last.  Every block first/last+1 is a breakpoint,
+    so no block starts or ends mid-interval.
 
-    order = np.argsort(firsts, kind="mergesort")
-    f, l, u = firsts[order], lasts[order], ubs[order]
+    Vectorized (r5): the original per-breakpoint heap sweep was
+    O(terms x breakpoints) PYTHON-loop work — 8 s of driver time on a
+    100-term wildcard expansion whose rare-decoded terms contribute one
+    SINGLETON interval per posting (~500k intervals).  Singletons cover
+    exactly one breakpoint slot (their last+1 is the next breakpoint),
+    so they reduce to one np.maximum.at scatter; real multi-entry blocks
+    are bounded by _PRUNE_MAX_BLOCKS and take one slice-max each."""
     env = np.zeros(bps.size - 1, dtype=np.float64)
-    heap: list[tuple[float, int]] = []
-    j = 0
-    for i in range(bps.size - 1):
-        x = int(bps[i])
-        while j < f.size and f[j] <= x:
-            heapq.heappush(heap, (-float(u[j]), int(l[j])))
-            j += 1
-        while heap and heap[0][1] < x:
-            heapq.heappop(heap)
-        if heap:
-            env[i] = -heap[0][0]
+    single = lasts == firsts
+    if single.any():
+        idx = np.searchsorted(bps, firsts[single], side="left")
+        np.maximum.at(env, idx, ubs[single])
+    if not single.all():
+        f, l, u = firsts[~single], lasts[~single], ubs[~single]
+        i0s = np.searchsorted(bps, f, side="left")
+        i1s = np.searchsorted(bps, l, side="right")  # exclusive
+        for a, b, ub in zip(i0s, i1s, u):
+            seg = env[a:b]
+            np.maximum(seg, ub, out=seg)
     return env
 
 
