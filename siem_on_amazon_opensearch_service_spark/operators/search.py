@@ -485,6 +485,7 @@ _DECODE_SCHEMA = "clause int, slot int, docid long, tf long, pos array<long>"
 
 _PRUNE_MAX_BLOCKS = 200_000  # driver metadata budget for prune planning
 _PRUNE_MIN_DROP = 0.10  # skip pruning unless >=10% of the doc space drops
+_RARE_DECODE_BUDGET = 100_000  # max SUMMED df the planner may decode driver-side
 
 # conjunction ('hot AND hot') theta-seeding budgets: bounded driver work
 _CONJ_MAX_CAND = 4096         # candidate docids verified per plan
@@ -771,6 +772,20 @@ def _plan_block_prune(
         per_term.setdefault(r["term"], []).append((firsts, lasts, ubs))
         if r["term"] in suff:
             blocks.extend((float(ubs[bi]), ri, bi) for bi in range(lasts.size))
+    if not blocks and not conj_req:
+        # pure OR-of-rares (every sufficient term rare): no seed blocks
+        # can exist, so the sweep below could never run — exit BEFORE
+        # paying the driver-side rare decode (a 500-term fuzzy expansion
+        # was spending ~2 s decoding postings only to return None)
+        return None
+    if sum(dfs.get(t, 0) for t in rare_set) > _RARE_DECODE_BUDGET:
+        # planning-cost budget: "rare terms decode cheaply" is a
+        # PER-TERM argument — a wide expansion can class hundreds of
+        # mid-frequency terms as rare and the driver would read+decode
+        # megabytes of postings for an envelope that (measured) never
+        # prunes such queries anyway.  Past the budget, skip planning
+        # and let the fused executor plan run unpruned.
+        return None
     if rare_set:
         max_ninv = float(cache.max())
         tl_r = ",".join("'" + t.replace("'", "''") + "'" for t in sorted(rare_set))
