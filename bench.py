@@ -185,6 +185,13 @@ def main() -> None:
     # levenshtein scan, then the standard multi-clause plan
     queries["bm25_fuzzy_distributed"] = best3(
         lambda: search_df(spark, idx_dir, "w00042~1", k=10).collect())
+    # wide expansions (r5): 100-term wildcard / ~500-term fuzzy ORs —
+    # exercise the budgeted prune planner (early exit, no driver-side
+    # rare decode) + the shard-split fused OR plan
+    queries["bm25_wildcard_wide_distributed"] = best3(
+        lambda: search_df(spark, idx_dir, "w000*", k=10).collect())
+    queries["bm25_fuzzy_wide_distributed"] = best3(
+        lambda: search_df(spark, idx_dir, "w00042~2", k=10).collect())
 
     # sloppy phrase (r4c): per-doc greedy min-window sweep over positions
     # (the SloppyPhraseMatcher arithmetic) instead of exact adjacency
