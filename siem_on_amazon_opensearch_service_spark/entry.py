@@ -563,6 +563,13 @@ BM25_QUERIES: dict[str, dict] = {
     "bm25_match_or": {"query": "match(Connection reset by peer!)", "k": 10},
     "bm25_match_and": {"query": "match(operator=and connection reset error)", "k": 10},
     "bm25_match_fuzzy": {"query": "match(fuzziness=AUTO conection resett)", "k": 10},
+    # r5: OpenSearch `simple_query_string` — the end-user search-box
+    # syntax (Lucene SimpleQueryParser: + | - () ""~N *, left-to-right,
+    # lenient).  Parse-time rewrite into the existing leaf algebra.
+    "bm25_sqs_mixed": {"query": "simple_query_string(error + timeout | refused)", "k": 10},
+    "bm25_sqs_phrase_neg": {
+        "query": 'simple_query_string("connection reset"~2 -denied)', "k": 10,
+    },
     "bm25_wildcard_and": {"query": "err* AND timeout", "k": 10},
     # r4b: fuzzy term queries (Lucene FuzzyQuery, SCORING_BOOLEAN_REWRITE;
     # classic Levenshtein so engine/oracle arithmetic is identical).
@@ -4515,6 +4522,8 @@ _DRIVER_PRIORITY = [
     "events_nested_agg",
     "bm25_wide_or_sharded",
     "bm25_and_sharded",
+    "bm25_sqs_mixed",
+    "bm25_sqs_phrase_neg",
     # (b) canaries — keep two long-attested rows as cross-round anchors
     "bm25_term",
     "bm25_bool_and",

@@ -26,6 +26,8 @@ Grammar:
              | word '~' [0|1|2]             # fuzzy term query (bare ~ = AUTO)
              | '/' pattern '/'              # regexp term query (anchored)
              | 'match' '(' params? text ')' # match query: analyze free text
+             | 'simple_query_string' '(' params? sqs-text ')'
+                                            # SimpleQueryParser: + | - () "" * ~N, lenient
              | word
 
 Field atoms on keyword fields (role, tool) are NON-SCORING filters, the
@@ -477,6 +479,161 @@ _TS_RANGE = re.compile(r"^ts(>=|<=|>|<)(\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2})?
 #: values / field-scoped phrases), so it precedes the bare-word branch;
 #: /regexp/ (optionally ^boosted) precedes the paren branches because a
 #: pattern may contain grouping parens
+def _sqs_lex(text: str) -> list[tuple]:
+    """Char-lexer for ``simple_query_string`` bodies (Lucene
+    SimpleQueryParser's operator set): emits ``('op', c)`` for ``+ | ( )``
+    anywhere and ``-`` at clause start, ``('phrase', body, slop)`` for
+    quoted phrases with an optional ``~N`` slop suffix, ``('word', w)``
+    otherwise.  Lenient like the parser it mirrors: an unclosed quote
+    takes the rest of the text; a mid-word ``-`` stays part of the word
+    (``foo-bar`` analyzes as text, it is not a negation)."""
+    out: list[tuple] = []
+    word: list[str] = []
+    i, n = 0, len(text)
+
+    def flush():
+        if word:
+            out.append(("word", "".join(word)))
+            word.clear()
+
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            flush()
+            i += 1
+        elif c in "+|()":
+            flush()
+            out.append(("op", c))
+            i += 1
+        elif c == "-" and not word:
+            out.append(("op", "-"))
+            i += 1
+        elif c == '"' and not word:
+            j = text.find('"', i + 1)
+            if j < 0:
+                body, i = text[i + 1 :], n
+            else:
+                body, i = text[i + 1 : j], j + 1
+            m = re.match(r"~(\d+)", text[i:])
+            slop = 0
+            if m:
+                slop = int(m.group(1))
+                i += m.end()
+            out.append(("phrase", body, slop))
+        else:
+            word.append(c)
+            i += 1
+    flush()
+    return out
+
+
+def _sqs_word_node(w: str, default_op: str) -> Node | None:
+    """One SQS word -> a scoring node, or None if it analyzes away.
+    Trailing ``*`` = prefix query; ``~``/``~N`` = fuzzy (bare ``~`` is
+    SimpleQueryParser's default 2 edits; N lenient-clamps to the engine
+    max).  A word that analyzes to several tokens (``foo-bar``) combines
+    them with the default operator."""
+    fuzz: int | None = None
+    m = _FUZZY_SUFFIX.match(w)
+    if m and m.group(1):
+        w = m.group(1)
+        fuzz = int(m.group(2)) if m.group(2) else MAX_FUZZY_EDITS
+        fuzz = min(fuzz, MAX_FUZZY_EDITS)
+    prefix = w.endswith("*")
+    if prefix:
+        w = w.rstrip("*")
+    toks = tokenize(w)
+    if not toks:
+        return None
+    if prefix and fuzz is None and len(toks) == 1 and _WILDCARD_OK.match(toks[-1] + "*"):
+        return Wildcard(toks[-1] + "*")
+    nodes = [Term(t) if not fuzz else Fuzzy(t, fuzz) for t in toks]
+    if len(nodes) == 1:
+        return nodes[0]
+    return And(tuple(nodes)) if default_op == "and" else Or(tuple(nodes))
+
+
+def _sqs_parse(text: str, default_op: str) -> Node | None:
+    """Lenient left-to-right combine of the lexed clauses — Lucene
+    SimpleQueryParser applies operators strictly left to right with no
+    precedence (``a | b + c`` = ``(a OR b) AND c``).  ``-`` marks the
+    NEXT clause as excluded: negated clauses join their group as
+    ``AND NOT`` regardless of the pending operator (BooleanQuery
+    MUST_NOT).  Invalid pieces degrade instead of raising: a dangling
+    operator or empty group drops, a stray ``)`` is ignored."""
+    toks = _sqs_lex(text)
+    pos = 0
+
+    def group(depth: int) -> Node | None:
+        nonlocal pos
+        result: Node | None = None
+        nots: list[Node] = []
+        pending: str | None = None
+        neg = False
+
+        def add(clause: Node | None):
+            nonlocal result, pending, neg
+            if clause is not None:
+                if neg:
+                    nots.append(clause)
+                elif result is None:
+                    result = clause
+                else:
+                    op = pending or default_op
+                    result = And((result, clause)) if op == "and" else Or((result, clause))
+            pending = None
+            neg = False
+
+        while pos < len(toks):
+            t = toks[pos]
+            if t == ("op", ")"):
+                pos += 1
+                if depth:
+                    break
+                continue  # stray ')' at top level: lenient skip
+            if t == ("op", "("):
+                pos += 1
+                add(group(depth + 1))
+                continue
+            if t == ("op", "+"):
+                pending = "and"
+                pos += 1
+                continue
+            if t == ("op", "|"):
+                pending = "or"
+                pos += 1
+                continue
+            if t == ("op", "-"):
+                neg = True
+                pos += 1
+                continue
+            if t[0] == "phrase":
+                ptoks = tokenize(t[1])
+                node: Node | None
+                if not ptoks:
+                    node = None
+                elif len(ptoks) == 1:
+                    node = Term(ptoks[0])
+                else:
+                    node = Phrase(tuple(ptoks), slop=t[2])
+                pos += 1
+                add(node)
+                continue
+            pos += 1
+            add(_sqs_word_node(t[1], default_op))
+        if not nots:
+            return result
+        wrapped = tuple(Not(x) for x in nots)
+        if result is None:
+            # pure-negative group: keep the Nots — the engine's
+            # positive-coverage check raises loudly at query time
+            # (Lucene: a MUST_NOT-only boolean matches nothing)
+            return wrapped[0] if len(wrapped) == 1 else And(wrapped)
+        return And((result, *wrapped))
+
+    return group(0)
+
+
 _TOKEN_PAT = re.compile(
     r'(?:[^\s()"/]+:)?/[^/\s]+/(?:\^\d+(?:\.\d+)?)?'
     r'|\(|\)|[^\s()"]+:"[^"]*"|"[^"]*"|[^\s()]+'
@@ -989,6 +1146,58 @@ def parse(query: str) -> Node:
             return leaves[0]
         return And(leaves) if op == "and" else Or(leaves)
 
+    def parse_simple_query_string() -> Node:
+        """``simple_query_string(<text>)`` — the OpenSearch
+        simple_query_string query (Lucene SimpleQueryParser): the
+        END-USER search-box syntax that NEVER throws on malformed
+        input.  ``+`` = AND, ``|`` = OR, ``-`` = NOT (clause prefix),
+        ``"..."``[``~N``] = phrase with slop, trailing ``*`` = prefix,
+        ``word~N`` = fuzzy, ``( )`` = grouping; adjacent clauses join
+        with ``default_operator`` (param, ``or`` default).  Operators
+        apply strictly left to right (no precedence).  Rewrites at
+        parse time into the existing leaf algebra, so every engine
+        path and the SQL oracle apply unchanged.  The only errors are
+        the engine's own loud contracts: analyzing to no terms at all,
+        or a pure-negative query (positive-coverage check).
+
+            simple_query_string(connection reset | refused)
+            simple_query_string(default_operator=and "connection reset"~2 -tool)
+            simple_query_string(err* + (timeout | refused))
+        """
+        take()  # '('
+        parts: list[str] = []
+        depth = 0
+        default_op = "or"
+        first = True
+        while True:
+            t2 = peek()
+            if t2 is None:
+                break  # lenient: unclosed atom uses what it has
+            take()
+            if t2 == "(":
+                depth += 1
+            elif t2 == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            if first and t2.lower().startswith("default_operator="):
+                v = t2.lower().split("=", 1)[1]
+                if v in ("and", "or"):
+                    default_op = v
+                    first = False
+                    continue
+            first = False
+            parts.append(t2)
+        # the DQL tokenizer splits `"a b"~2` into two tokens; re-attach
+        # the slop suffix the space-join would orphan
+        body = re.sub(r'" ~(\d+)', r'"~\1', " ".join(parts))
+        node = _sqs_parse(body, default_op)
+        if node is None:
+            raise ValueError(
+                f"simple_query_string() analyzed to no terms in {query!r}"
+            )
+        return node
+
     def parse_atom() -> Node:
         t = take()
         if t.upper() in ("AND", "OR", "NOT"):
@@ -997,6 +1206,8 @@ def parse(query: str) -> Node:
             raise ValueError(f"operator {t!r} where a term was expected in {query!r}")
         if t.lower() == "match" and peek() == "(":
             return parse_match()
+        if t.lower() == "simple_query_string" and peek() == "(":
+            return parse_simple_query_string()
         if t.lower() == "span_near" and peek() == "(":
             return parse_span_near()
         if t.lower() == "span_multi" and peek() == "(":
