@@ -1029,3 +1029,52 @@ class TestShardLocalCoLocation:
             assert (np.concatenate(parts_d) == d0).all()
             assert (np.concatenate(parts_t) == t0).all()
         assert multi > 0  # the fixture index genuinely has multi-shard rows
+
+
+class TestSplitCoLocationProperty:
+    """Randomized geometry battery for segments.split_rows_by_shard:
+    random (n_shards, n_salts) builds x random hot/rare mixed queries,
+    cold AND warm results must match the frozen oracle exactly.  The
+    r5 co-location bug hid behind fixed geometry (sf0.01 = 1 shard) and
+    hot-term-only queries; this pins the fix across geometries."""
+
+    def test_random_geometries(self, spark, tiny_corpus_pdf, tmp_path_factory):
+        import random
+
+        from siem_on_amazon_opensearch_service_spark.operators.build import build_index
+        from siem_on_amazon_opensearch_service_spark.operators.oracle import LuceneOracle
+        from siem_on_amazon_opensearch_service_spark.operators.search import QuerySession
+
+        oracle = LuceneOracle(tiny_corpus_pdf)
+        df = spark.createDataFrame(tiny_corpus_pdf)
+        rnd = random.Random(20260819)
+        queries = [
+            "w000*",
+            "w0004* OR error",
+            "error AND w00042~1",
+            "w00042~2",
+            "(w0001* AND error) OR timeout",
+            'w0003* OR "connection reset"',
+        ]
+        for n_shards, n_salts in [(3, 2), (8, 4), (13, 8), (5, 5)]:
+            out = str(tmp_path_factory.mktemp("geom") / f"idx_{n_shards}_{n_salts}")
+            build_index(spark, df, out, n_shards=n_shards, n_salts=n_salts)
+            qs = QuerySession(spark, out)
+            try:
+                for q in rnd.sample(queries, 3):
+                    exp = [
+                        (h.docid, np.float32(h.score))
+                        for h in oracle.search(q, k=10)
+                    ]
+                    cold = [
+                        (r["docid"], np.float32(r["score"]))
+                        for r in search_df(spark, out, q, k=10).collect()
+                    ]
+                    warm = [
+                        (r["docid"], np.float32(r["score"]))
+                        for r in qs.search(q, k=10).collect()
+                    ]
+                    assert cold == exp, (n_shards, n_salts, q, "cold")
+                    assert warm == exp, (n_shards, n_salts, q, "warm")
+            finally:
+                qs.close()
