@@ -230,6 +230,7 @@ def _merge_stage(
     partials: DataFrame,
     num_partitions: int | None = None,
     n_buckets: int | None = None,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """Salted repartition-by-term merge: shuffle on (term, salt) so hot terms
     split across n_salts reducers; byte-concat merge (no re-encode).
@@ -256,7 +257,7 @@ def _merge_stage(
         pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
         pdf = pdf[seg_cols].drop_duplicates(subset=["term", "salt", "shard_min", "docs_bytes"])
         if len(pdf):
-            yield segments.merge_partition(pdf)
+            yield segments.merge_partition(pdf, max_bytes=max_bytes)
 
     if n_buckets:
         # Shuffle on (bucket, salt) instead of (term, salt): bucket is a
@@ -287,8 +288,16 @@ def build_index(
     write_partitions: int | None = None,
     n_buckets: int | None = None,
     validate_dense: bool = True,
+    max_segment_bytes: int | None = None,
 ) -> dict:
     """Build (or resume) the index at ``out_dir``; returns build stats.
+
+    ``max_segment_bytes`` caps a merged (term, salt) row's docs_bytes:
+    hot terms emit one row per ~max_segment_bytes shard-run instead of
+    one row concatenating the whole residue class — the row-width knob
+    for corpora where a hot term's postings exceed comfortable task
+    memory (SCALE.md §8).  Persisted in _build.json so incremental
+    appends and expunge merges keep the same row geometry.
 
     ``validate_dense=False`` skips the dense-turn_idx corpus-contract
     check — required for indexes over time-bucket SUBSETS (rotation:
@@ -309,7 +318,7 @@ def build_index(
     try:
         return _build_index_inner(
             spark, transcripts, out_dir, n_shards, n_salts, positions, resume,
-            write_partitions, n_buckets, validate_dense,
+            write_partitions, n_buckets, validate_dense, max_segment_bytes,
         )
     finally:
         spark_conf.set(coalesce_key, prev_coalesce)
@@ -326,6 +335,7 @@ def _build_index_inner(
     write_partitions: int | None,
     n_buckets: int | None,
     validate_dense: bool = True,
+    max_segment_bytes: int | None = None,
 ) -> dict:
     import time as _time
 
@@ -354,6 +364,7 @@ def _build_index_inner(
         n_salts = params["n_salts"]
         positions = params["positions"]
         n_buckets = params.get("postings_buckets", 0)
+        max_segment_bytes = params.get("max_segment_bytes")
 
     done_shards: set[int] = set()
     if resume and params is not None and os.path.exists(manifest_path):
@@ -390,6 +401,7 @@ def _build_index_inner(
             "shard_size": shard_size,
             "total_docs": total,
             "postings_buckets": n_buckets,
+            "max_segment_bytes": max_segment_bytes,
         }
         with open(params_path, "w") as f:
             json.dump(params, f)
@@ -452,7 +464,8 @@ def _build_index_inner(
         # SURVEY.md §5.2 item 5); cost is a shuffle of already-compressed
         # blobs, far below the tokenize stage it avoids repeating.
         wp = write_partitions or max(8, spark.sparkContext.defaultParallelism)
-        merged = _merge_stage(spark.read.parquet(partials_path), wp, n_buckets=n_buckets or None)
+        merged = _merge_stage(spark.read.parquet(partials_path), wp,
+                              n_buckets=n_buckets or None, max_bytes=max_segment_bytes)
         # merge output is already hash-partitioned; an in-partition sort
         # gives term-clustered files (parquet min/max row-group skipping at
         # query time) without a second shuffle

@@ -265,7 +265,8 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         .write.mode("overwrite")
         .parquet(tmp["partials"])
     )
-    merged = _merge_stage(spark.read.parquet(tmp["partials"]), wp, n_buckets=nb or None)
+    merged = _merge_stage(spark.read.parquet(tmp["partials"]), wp, n_buckets=nb or None,
+                          max_bytes=params.get("max_segment_bytes"))
     if nb:
         _build.write_postings_bucketed(merged, tmp["postings"], nb)
     else:

@@ -840,10 +840,28 @@ def _plan_block_prune(
         doff = np.append(np.asarray(r["blk_doc_off"], dtype=np.int64), r["dlen"])
         toff = np.append(np.asarray(r["blk_tf_off"], dtype=np.int64), r["tlen"])
         term_sql = str(r["term"]).replace("'", "''")
-        sl = duckdb.sql(
+        cands = duckdb.sql(
             f"SELECT docs_bytes, tfs_bytes FROM {_postings_sources(index_dir, [r['term']])} "
             f"WHERE term = '{term_sql}' AND salt = {int(r['salt'])} AND shard_min = {int(r['shard_min'])}"
-        ).fetchone()
+        ).fetchall()
+        # (term, salt, shard_min) is unique for classic merged rows but
+        # NOT under max_segment_bytes (capped runs can share a boundary
+        # shard) — pick the candidate whose first docid matches this
+        # metadata row's first block, so the byte offsets line up
+        want = (
+            int(np.asarray(r["blk_first"], dtype=np.int64)[0])
+            if len(r["blk_first"])
+            else None
+        )
+        sl = None
+        for cand in cands:
+            if len(cand[0]) == r["dlen"] and (
+                want is None or segments.first_docid(bytes(cand[0])) == want
+            ):
+                sl = cand
+                break
+        if sl is None:
+            continue  # seed unavailable: smaller pool only lowers theta
         for bi in bis:
             dsl = bytes(sl[0])[int(doff[bi]) : int(doff[bi + 1])]
             tsl = bytes(sl[1])[int(toff[bi]) : int(toff[bi + 1])]

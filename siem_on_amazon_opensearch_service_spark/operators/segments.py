@@ -439,12 +439,22 @@ def merge_rows(rows: pd.DataFrame) -> dict:
     }
 
 
-def merge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+def merge_partition(pdf: pd.DataFrame, max_bytes: int | None = None) -> pd.DataFrame:
     """Vectorized multi-group merge: same result as merge_rows() applied to
     every (term, salt) group of ``pdf``, but one pandas/numpy pass over the
     whole partition (no per-group Arrow round-trips).  Sort includes the
     first-docid tiebreak (see merge_rows) for determinism under
-    incremental boundary-shard collisions."""
+    incremental boundary-shard collisions.
+
+    ``max_bytes`` (r5, the 10^12-turn row-width knob — SCALE.md §8):
+    cap the concatenation so one (term, salt) group emits a ROW PER
+    shard-RUN of ~max_bytes of docs_bytes instead of one unbounded row —
+    a hot term's merged row otherwise grows with corpus/n_salts and must
+    fit task memory.  Runs split at input-row (= shard) boundaries, so
+    every reader works unchanged: decode concatenates a term's rows, the
+    query-time shard split and the planner treat rows independently.
+    Grouping by the exclusive running sum's max_bytes window is
+    deterministic for a given sorted input."""
     pdf = (
         pdf.assign(_fd=first_docids(pdf["docs_bytes"]))
         .sort_values(["term", "salt", "shard_min", "_fd"], kind="mergesort")
@@ -452,9 +462,20 @@ def merge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     n = len(pdf)
-    gid = (
+    new_group = (
         (pdf["term"] != pdf["term"].shift()) | (pdf["salt"] != pdf["salt"].shift())
-    ).cumsum().to_numpy() - 1
+    ).to_numpy()
+    if max_bytes:
+        base_gid = np.cumsum(new_group) - 1
+        dlens = pdf["docs_bytes"].str.len().to_numpy(dtype=np.int64)
+        c = np.cumsum(dlens)
+        excl = c - dlens
+        gfirst = np.nonzero(new_group)[0]
+        gcounts = np.diff(np.append(gfirst, n))
+        excl_in_group = excl - np.repeat(excl[gfirst], gcounts)
+        window = excl_in_group // int(max_bytes)
+        new_group = new_group | np.concatenate(([True], window[1:] != window[:-1]))
+    gid = np.cumsum(new_group) - 1
     first = np.nonzero(np.diff(gid, prepend=-1))[0]
     counts = np.diff(np.append(first, n))
     g = pdf.groupby(gid, sort=False)

@@ -72,9 +72,11 @@ def _first_docid_udf():
 def _refresh_postings_dict_full(spark: SparkSession, out_dir: str) -> None:
     """Crash-recovery slow path: rebuild postings + dict from all partials."""
     with open(os.path.join(out_dir, "_build.json")) as f:
-        nb = json.load(f).get("postings_buckets", 0)
+        _bp = json.load(f)
+    nb = _bp.get("postings_buckets", 0)
     merged = b._merge_stage(
-        spark.read.parquet(os.path.join(out_dir, "partials")), n_buckets=nb or None
+        spark.read.parquet(os.path.join(out_dir, "partials")), n_buckets=nb or None,
+        max_bytes=_bp.get("max_segment_bytes"),
     )
     postings_path = os.path.join(out_dir, "postings")
     if nb:
@@ -277,7 +279,8 @@ def append_batch(
         old_post = spark.read.parquet(postings_path).filter(F.col("bucket").isin(tb))
         untouched = old_post.join(F.broadcast(touched), ["term", "salt"], "left_anti").drop("bucket")
         touched_old = old_post.join(F.broadcast(touched), ["term", "salt"], "left_semi").drop("bucket")
-        re_merged = b._merge_stage(touched_old.unionByName(new_partials), n_buckets=nb)
+        re_merged = b._merge_stage(touched_old.unionByName(new_partials), n_buckets=nb,
+                                   max_bytes=params.get("max_segment_bytes"))
         tmp = postings_path + "_tmpb"
         shutil.rmtree(tmp, ignore_errors=True)
         b.write_postings_bucketed(untouched.unionByName(re_merged), tmp, nb)
@@ -292,7 +295,8 @@ def append_batch(
         old_post = spark.read.parquet(postings_path)
         untouched = old_post.join(F.broadcast(touched), ["term", "salt"], "left_anti")
         touched_old = old_post.join(F.broadcast(touched), ["term", "salt"], "left_semi")
-        re_merged = b._merge_stage(touched_old.unionByName(new_partials))
+        re_merged = b._merge_stage(touched_old.unionByName(new_partials),
+                                   max_bytes=params.get("max_segment_bytes"))
         _swap_write(
             untouched.unionByName(re_merged.sortWithinPartitions("term", "salt", "shard_min")),
             postings_path,
