@@ -1088,7 +1088,10 @@ def q_events_top_metrics(spark, sf_dir):
 
 def q_events_stats_bucket(spark, sf_dir):
     """OpenSearch stats_bucket over the daily histogram's counts."""
-    return aggs.stats_bucket(_events(spark, sf_dir), "ts", "day")
+    # sum_m is a sum() in the oracle (HUGEINT -> float64); min/max stay int
+    return aggs.stats_bucket(_events(spark, sf_dir), "ts", "day").withColumn(
+        "sum_m", F.col("sum_m").cast("double")
+    )
 
 
 def q_events_cumulative_cardinality(spark, sf_dir):
@@ -2471,14 +2474,26 @@ def q_doc_packing_stats(spark, sf_dir):
     packed = packing.pack_sequences(
         _docs(spark, sf_dir), _PACK_CAPACITY, n_buckets=_PACK_BUCKETS
     )
-    return packing.packing_stats(packed, _PACK_CAPACITY)
+    # DuckDB sum(BIGINT) -> HUGEINT renders as float64 in the driver's
+    # pandas frame; match it (values are exact integers below 2^53)
+    return (
+        packing.packing_stats(packed, _PACK_CAPACITY)
+        .withColumn("n_docs", F.col("n_docs").cast("double"))
+        .withColumn("overflow_bins", F.col("overflow_bins").cast("double"))
+    )
 
 
 def q_doc_denoising_pairs(spark, sf_dir):
     """T5-shaped span-corruption pairs (operators/packing.denoising_pairs):
     deterministic md5-seeded masking, sentinel-numbered runs, full
     input/target string value oracle via DuckDB window functions."""
-    return packing.denoising_pairs(_docs(spark, sf_dir)).orderBy("doc_id")
+    # n_spans/n_masked are sum() columns in the oracle (HUGEINT -> float64)
+    return (
+        packing.denoising_pairs(_docs(spark, sf_dir))
+        .withColumn("n_spans", F.col("n_spans").cast("double"))
+        .withColumn("n_masked", F.col("n_masked").cast("double"))
+        .orderBy("doc_id")
+    )
 
 
 def q_doc_temperature_sample(spark, sf_dir):
@@ -2492,7 +2507,8 @@ def q_doc_temperature_sample(spark, sf_dir):
     )
     return (
         kept.groupBy("lang")
-        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("doc_id").cast("double").alias("id_sum"))
         .orderBy("lang")
     )
 
@@ -2538,7 +2554,8 @@ def q_doc_split_stats(spark, sf_dir):
     )
     return (
         d.groupBy("split")
-        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum"))
+        .agg(F.count("*").alias("n"),
+             F.sum("doc_id").cast("double").alias("id_sum"))
         .orderBy("split")
     )
 
@@ -2547,7 +2564,8 @@ def q_doc_sample_stats(spark, sf_dir):
     """Deterministic 5% hash sample of the documents table (nested-sample
     property: subset of any larger rate)."""
     s = sampling.sample_by_hash(_docs(spark, sf_dir), "doc_id", 0.05)
-    return s.agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum"))
+    return s.agg(F.count("*").alias("n"),
+                 F.sum("doc_id").cast("double").alias("id_sum"))
 
 
 def q_emb_lsh_recall(spark, sf_dir):
@@ -4513,62 +4531,22 @@ def queries_map() -> dict:
 # LLM-pipeline operators.  Relative order of the remainder is preserved,
 # so the full-registry mirror (tests/test_entry_oracles.py) is unchanged.
 _DRIVER_PRIORITY = [
-    # (a) rows new this round — never attested anywhere yet
-    "bm25_match_or",
-    "bm25_match_and",
-    "bm25_match_fuzzy",
-    "events_ioc_match",
-    "bm25_nested_filter",
-    "events_nested_agg",
-    "bm25_wide_or_sharded",
-    "bm25_and_sharded",
-    "bm25_sqs_mixed",
-    "bm25_sqs_phrase_neg",
-    # (b) canaries — keep two long-attested rows as cross-round anchors
-    "bm25_term",
-    "bm25_bool_and",
-    # (c) never-driver-attested rows, one slate per family
-    "bm25_term_warm",
-    "bm25_bool_and_warm",
-    "bm25_sloppy_warm",
-    "bm25_phrase_prefix_warm",
-    "bm25_intervals_warm",
-    "bm25_span_near_warm",
-    "bm25_msearch_warm",
-    "bm25_function_score_warm",
-    "bm25_function_score_recency",
-    "bm25_random_score",
-    "bm25_rescore",
-    "bm25_dis_max",
-    "bm25_boosting",
-    "bm25_rank_feature_sat",
-    "bm25_distance_feature",
-    "bm25_rank_eval",
-    "bm25_live_after_delete",
-    "bm25_after_expunge",
-    "bm25_after_update",
-    "ops_retention_plan",
-    "events_rollup_daily",
-    "bm25_collapse",
-    "bm25_more_like_this",
-    "bm25_significant_text",
-    "bm25_multi_index",
-    "transcripts_percolate",
-    "bm25_named_queries",
-    "events_geotile_grid",
-    "events_geohash_grid",
-    "events_geo_distance",
-    "events_cidr_filter",
-    "events_geo_sorted",
-    "ppl_stats_by",
-    "ppl_span_histogram",
-    "ppl_parse_extract",
-    "ppl_lookup_enrich",
+    # (a) the six rows carrying the r5 dtype-only hash gap, fixed this
+    # round (Spark side cast to double to match the frozen oracle's
+    # HUGEINT->float64 rendering) — front-loaded to prove the fix
     "doc_packing_stats",
     "doc_denoising_pairs",
+    "doc_temperature_sample",
+    "doc_split_stats",
+    "doc_sample_stats",
+    "events_stats_bucket",
+    # (b) canaries — two long-attested rows as cross-round anchors
+    "bm25_term",
+    "bm25_bool_and",
+    # (c) never-driver-attested backlog, registry order (101 remained
+    # after r5; this window draws the next 42)
     "doc_decontamination",
     "doc_lm_score",
-    "doc_temperature_sample",
     "doc_dedup_clusters",
     "doc_gopher_quality",
     "doc_c4_pipeline",
@@ -4577,6 +4555,38 @@ _DRIVER_PRIORITY = [
     "emb_ivfpq_topk",
     "doc_bm25_adhoc",
     "events_significant_terms",
+    "bm25_matches_daily_histogram",
+    "bm25_highlight",
+    "bm25_term_suggest",
+    "bm25_explain",
+    "bm25_sorted_by_time",
+    "bm25_sorted_filtered",
+    "bm25_terms_enum",
+    "bm25_prefix_warm",
+    "bm25_fuzzy_warm",
+    "bm25_span_multi_warm",
+    "bm25_has_child",
+    "bm25_has_parent",
+    "bm25_msearch",
+    "bm25_filter_negated_warm",
+    "bm25_terms_set_warm",
+    "bm25_function_score_factor",
+    "bm25_phrase_suggest",
+    "bm25_ids_query",
+    "bm25_completion_suggest",
+    "bm25_pinned_query",
+    "bm25_constant_score",
+    "bm25_rank_feature_log",
+    "events_pipeline_avg_bucket",
+    "events_percentiles_bucket",
+    "events_rare_terms",
+    "events_multi_terms",
+    "events_weighted_avg",
+    "events_percentile_ranks",
+    "events_auto_date_histogram",
+    "events_composite_page",
+    "events_extended_stats",
+    "events_bucket_script",
 ]
 
 

@@ -362,6 +362,15 @@ def split_rows_by_shard(
             if with_pos:
                 sub["pos_bytes"] = bytes(pview[poff[i0] : p_ends[i1 - 1]])
                 sub["blk_pos_off"] = poff[i0:i1] - poff[i0]
+            else:
+                # positions=False indexes still carry the (empty) pos
+                # columns; a multi-shard row must emit them on every
+                # sub-row or the output loop KeyErrors (ADVICE r5).
+                # pos_bytes is b'' and blk_pos_off all-zero per block.
+                if "pos_bytes" in out:
+                    sub["pos_bytes"] = row["pos_bytes"]
+                if "blk_pos_off" in out:
+                    sub["blk_pos_off"] = np.zeros(i1 - i0, dtype=np.int64)
             for c in extra:
                 sub[c] = row[c]
             for c in cols:

@@ -320,3 +320,22 @@ class TestConjunctionTheta:
         rows = search.search_df(spark, idx, q, k=10).collect()
         got = [(int(r["docid"]), np.float32(r["score"])) for r in rows]
         assert got == [(d, np.float32(s)) for d, s in exp], q
+
+
+class TestSeedPoolEmptyGuard:
+    """ADVICE r5: the seed-candidate disambiguation can reject every
+    chosen row (sl None for all) — the planner must return None, not
+    raise ValueError from np.concatenate on an empty pool."""
+
+    def test_all_seeds_rejected_returns_none(self, idx, monkeypatch):
+        from siem_on_amazon_opensearch_service_spark.operators import segments
+
+        stats = search._load_stats(idx)
+        ast = parse("error")
+        leaves = search._leaves(ast)
+        dfs = search._load_dfs(idx, ["error"])
+        # force every candidate row to fail the first-docid disambiguation
+        monkeypatch.setattr(segments, "first_docid", lambda b: -1)
+        assert (
+            search._plan_block_prune(idx, ast, leaves, dfs, stats, 10) is None
+        )

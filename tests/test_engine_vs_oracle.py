@@ -1030,6 +1030,39 @@ class TestShardLocalCoLocation:
             assert (np.concatenate(parts_t) == t0).all()
         assert multi > 0  # the fixture index genuinely has multi-shard rows
 
+    def test_warm_positions_false_multishard(
+        self, spark, tiny_corpus_pdf, tmp_path_factory
+    ):
+        """ADVICE r5: on a positions=False index the pin-time pre-split
+        kept the (empty) pos columns but split_rows_by_shard emitted
+        multi-shard sub-rows without them -> KeyError('pos_bytes') on the
+        first warm query.  Warm must run and match cold on such an index."""
+        from siem_on_amazon_opensearch_service_spark.operators.build import build_index
+        from siem_on_amazon_opensearch_service_spark.operators.search import (
+            QuerySession,
+            search_df,
+        )
+
+        df = spark.createDataFrame(tiny_corpus_pdf)
+        out = str(tmp_path_factory.mktemp("nopos_ms") / "idx")
+        build_index(spark, df, out, n_shards=4, n_salts=2, positions=False)
+        exp = [
+            (r["docid"], np.float32(r["score"]))
+            for r in search_df(spark, out, "error AND timeout", k=10).collect()
+        ]
+        for cap in (None, 0):  # broadcast mode and sharded mode
+            kw = {} if cap is None else {"broadcast_cap": 0}
+            qs = QuerySession(spark, out, **kw)
+            try:
+                assert qs._presplit  # the crash path is the pre-split listing
+                got = [
+                    (r["docid"], np.float32(r["score"]))
+                    for r in qs.search("error AND timeout", k=10).collect()
+                ]
+            finally:
+                qs.close()
+            assert got == exp and got, f"cap={cap}"
+
 
 class TestSplitCoLocationProperty:
     """Randomized geometry battery for segments.split_rows_by_shard:

@@ -45,6 +45,20 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    """Dtype kind bucket as the driver's hash sees it: int vs float vs
+    other.  DuckDB sum(BIGINT) -> HUGEINT lands in pandas as float64 while
+    Spark's bigint stays int64 — value-equal but hash-different at the
+    driver.  The r5 artifact lost 2 rows to exactly this class because the
+    mirror compared float(a)==float(b) only."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k in "fc":
+        return "float"
+    return k
+
+
 def _cells_equal(a, b) -> bool:
     if isinstance(a, float) or isinstance(b, float):
         fa, fb = float(a), float(b)
@@ -69,6 +83,16 @@ def test_query_matches_oracle(name, entrymod, ddb, spark):
     sql = entrymod.oracle_sql()[name]
     got = qfn(spark, SF_DIR).toPandas()
     exp = ddb.sql(sql).df()
+    # dtype-kind strictness BEFORE canonicalization: int-vs-float drift
+    # between the engines fails the driver's hash even when every value
+    # matches, so the mirror must refuse it too
+    for col in set(got.columns) & set(exp.columns):
+        kg, ke = _kind(got[col]), _kind(exp[col])
+        if {kg, ke} == {"int", "float"}:
+            raise AssertionError(
+                f"{name}: col {col} dtype-kind {kg} (spark) != {ke} (oracle) "
+                f"— driver hash would fail on this row"
+            )
     ga, ea = _canon(got), _canon(exp)
     assert list(ga.columns) == list(ea.columns), f"{name}: columns {list(ga.columns)} != {list(ea.columns)}"
     assert len(ga) == len(ea), f"{name}: row count {len(ga)} != {len(ea)}"
