@@ -15,6 +15,10 @@ product stays in int64.
 
 from __future__ import annotations
 
+import re as _re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,6 +119,44 @@ def shingle_hashes_col(text: Column, k: int = 3) -> Column:
     return F.element_at(F.transform(F.array(th), body), 1)
 
 
+#: Python mirror of tokens_col (JVM split semantics for ASCII — the same
+#: equivalence chunking's Arrow path and every dedup oracle already rely on)
+_PY_SPLIT = _re.compile(SQL_SPLIT_RE)
+
+
+def _h48_batch(tokens: np.ndarray, lens: np.ndarray):
+    """(flat int64 h48 per token instance, row offsets) for a batch.
+
+    md5 runs once per DISTINCT token of the batch (pd.factorize — the
+    Zipf head repeats constantly, so distincts are a small fraction),
+    then codes map back; identical values to ``h48`` (md5-prefix of the
+    UTF-8 bytes, 12 hex chars as int)."""
+    import hashlib
+
+    if tokens.size:
+        codes, uniques = pd.factorize(tokens, use_na_sentinel=False)
+        uh = np.fromiter(
+            (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:12], 16) for u in uniques),
+            dtype=np.int64,
+            count=len(uniques),
+        )
+        flat = uh[codes]
+    else:
+        flat = np.empty(0, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    return flat, offsets
+
+
+def _tokenize_batch(texts: pd.Series):
+    """(token lists or None per row, notnull mask) — tokens_col mirror."""
+    rows = [
+        [t for t in _PY_SPLIT.split(x.lower()) if t] if isinstance(x, str) else None
+        for x in texts
+    ]
+    mask = np.array([r is not None for r in rows], dtype=bool)
+    return rows, mask
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: md5(text) -> (hash, n_dups, keeper=min id)."""
     return (
@@ -129,7 +171,106 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+def _minhash_signatures_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Arrow-batched mirror of the column minhash (r6).
+
+    Measured at the bench shape (100k transcript turns): the JVM
+    ``split(lower(text))`` alone costs 4.2 s of the column path's 5.5 s —
+    the per-token java.lang.String allocation stream that chunking's r4g
+    notes showed saturating DRAM on this host.  Here tokenize is one
+    vectorized regex pass, md5 runs per DISTINCT batch token, and the
+    Horner windows / 8 permutation minima are exact int64 numpy (same
+    overflow-safe domains as the column expressions).  Values are
+    IDENTICAL: equality-tested against the column impl, and the LSH/
+    jaccard oracles replay the same arithmetic."""
+    id_type = df.select(F.col(id_col)).schema[0].dataType
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(id_col, id_type)]
+        + [StructField(f"mh{i}", LongType()) for i in range(N_HASHES)]
+    )
+    src = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    MOD = np.int64(SHINGLE_MOD)
+    A = np.int64(SHINGLE_A)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows, mask = _tokenize_batch(pdf["__text"])
+            if not mask.any():
+                # all-null batch: still emit the null-identity rows below
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(),
+                     **{f"mh{i}": np.int64(MERSENNE61) for i in range(N_HASHES)}}
+                )
+                continue
+            kept = [r for r in rows if r is not None]
+            lens = np.fromiter((len(r) for r in kept), dtype=np.int64, count=len(kept))
+            total = int(lens.sum())
+            flat_tok = (
+                np.concatenate([np.asarray(r, dtype=object) for r in kept if r])
+                if total
+                else np.empty(0, dtype=object)
+            )
+            th, offsets = _h48_batch(flat_tok, lens)
+
+            # shingles: Horner windows for rows with >= k tokens, one
+            # whole-stream fold otherwise (including the empty stream,
+            # whose fold is 0 — the column impl's `otherwise` branch)
+            wide = lens >= k
+            wlens = np.where(wide, lens - k + 1, 0)
+            sh_lens = np.where(wide, wlens, 1)
+            sh_off = np.concatenate(([0], np.cumsum(sh_lens)))[:-1]
+            sh_flat = np.zeros(int(sh_lens.sum()), dtype=np.int64)
+            tw = int(wlens.sum())
+            if tw:
+                base = np.repeat(offsets[wide], wlens[wide])
+                intra = np.arange(tw, dtype=np.int64) - np.repeat(
+                    np.cumsum(wlens[wide]) - wlens[wide], wlens[wide]
+                )
+                starts = base + intra
+                acc = th[starts].copy()
+                for j in range(1, k):
+                    acc = (acc * A + th[starts + j]) % MOD
+                tgt = np.repeat(sh_off[wide], wlens[wide]) + intra
+                sh_flat[tgt] = acc
+            for i in np.nonzero(~wide)[0]:
+                a = np.int64(0)
+                for t in th[offsets[i] : offsets[i] + lens[i]]:
+                    a = (a * A + t) % MOD
+                sh_flat[sh_off[i]] = a
+
+            out = {id_col: pdf[id_col].to_numpy()[mask]}
+            for i, (pa, pb) in enumerate(zip(MINHASH_A, MINHASH_B)):
+                v = (np.int64(pa) * sh_flat + np.int64(pb)) % np.int64(MERSENNE61)
+                out[f"mh{i}"] = np.minimum.reduceat(v, sh_off)
+            frame = pd.DataFrame(out)
+            if not mask.all():
+                # null text: the column impl KEEPS these rows — the null
+                # shingle array folds through least() untouched, leaving
+                # every permutation at its MERSENNE61 identity (matched
+                # here so impl="arrow" is row-identical on any input)
+                nulls = pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy()[~mask],
+                     **{f"mh{i}": np.int64(MERSENNE61) for i in range(N_HASHES)}}
+                )
+                frame = pd.concat([frame, nulls], ignore_index=True)
+            yield frame
+
+    return src.mapInPandas(gen, schema)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
     """Per-doc MinHash signature — fully per-row, NO shuffle (r3), single
     array pass (r4).
 
@@ -143,7 +284,16 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     each token is md5-hashed exactly once and all 8 permutation minima
     update in the same traversal.  Measured ~12x faster than the
     string-shingle formulation on the 100k-turn bench shape.  Docs whose
-    text is null are dropped (null shingle array), as before."""
+    text is null are dropped (null shingle array), as before.
+
+    ``impl="arrow"`` (default, r6) computes the identical signature in an
+    Arrow batch stage (see :func:`_minhash_signatures_arrow` — the JVM
+    tokenizer's per-token String allocation dominated the column path);
+    ``impl="column"`` keeps the pure-expression reference shape."""
+    if impl == "arrow":
+        return _minhash_signatures_arrow(df, id_col, text_col, k)
+    if impl != "column":
+        raise ValueError(f"minhash_signatures: unknown impl {impl!r}")
     sh = df.select(F.col(id_col), shingle_hashes_col(F.col(text_col), k).alias("sh")).filter(
         F.size("sh") > 0
     )
@@ -319,7 +469,52 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48) -> DataFrame:
+def _simhash_arrow(df: DataFrame, id_col: str, text_col: str, bits: int) -> DataFrame:
+    """Arrow-batched mirror of the column simhash (r6): tokenize + h48 in
+    numpy (md5 per distinct batch token), per-bit ±1 sums via
+    np.add.reduceat — identical values, no shuffle at all (the column
+    path's groupBy moved per-doc partials; here every doc's tokens are
+    already in its batch row).  Docs with zero tokens are absent from the
+    output, matching the explode-based shape."""
+    id_type = df.select(F.col(id_col)).schema[0].dataType
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(id_col, id_type), StructField("simhash", LongType())]
+    )
+    src = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows, _ = _tokenize_batch(pdf["__text"])
+            keep = np.array(
+                [r is not None and len(r) > 0 for r in rows], dtype=bool
+            )
+            if not keep.any():
+                continue
+            kept = [r for r in rows if r]
+            lens = np.fromiter((len(r) for r in kept), dtype=np.int64, count=len(kept))
+            flat_tok = np.concatenate([np.asarray(r, dtype=object) for r in kept])
+            th, offsets = _h48_batch(flat_tok, lens)
+            sh = np.zeros(len(kept), dtype=np.int64)
+            for b in range(bits):
+                contrib = ((th >> np.int64(b)) & np.int64(1)) * np.int64(2) - np.int64(1)
+                s_b = np.add.reduceat(contrib, offsets)
+                sh |= np.where(s_b > 0, np.int64(1) << np.int64(b), np.int64(0))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "simhash": sh}
+            )
+
+    return src.mapInPandas(gen, schema)
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    impl: str = "arrow",
+) -> DataFrame:
     """Per-doc SimHash over token hashes: bit b set iff more (distinct-kept,
     frequency-weighted) tokens have bit b set than not.
 
@@ -328,7 +523,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     ``sum((hash>>b & 1)*2 - 1)`` per bit as independent agg columns, all
     whole-stage-codegen JVM expressions with map-side partial aggregation.
     The previous shape exploded 48 (id, bit) rows per token hash and
-    shuffled all of them; this shuffles only the per-doc partial sums."""
+    shuffled all of them; this shuffles only the per-doc partial sums.
+
+    ``impl="arrow"`` (default, r6) computes the identical hash in an Arrow
+    batch stage with NO shuffle (see :func:`_simhash_arrow`);
+    ``impl="column"`` keeps the pure-expression reference shape."""
+    if impl == "arrow":
+        return _simhash_arrow(df, id_col, text_col, bits)
+    if impl != "column":
+        raise ValueError(f"simhash: unknown impl {impl!r}")
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("t"))
     hashed = toks.select("id", h48(F.col("t")).alias("x"))
     bit_sums = [

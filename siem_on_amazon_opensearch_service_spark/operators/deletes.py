@@ -223,9 +223,6 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     n_salts = params["n_salts"]
     positions = params["positions"]
     nb = params.get("postings_buckets", 0)
-    # total_docs is the DOCID-SPACE size (docids are stable, expunge
-    # leaves holes) — correct for shard geometry, NOT for live counts
-    n_shards = max(1, -(-params["total_docs"] // params["shard_size"]))
     # the pre-expunge LIVE count comes from the stats store: a second
     # delete->expunge cycle would otherwise re-count the first cycle's
     # holes (total_docs never shrinks) and over-report 'expunged'
@@ -250,9 +247,15 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     for p in tmp.values():
         shutil.rmtree(p, ignore_errors=True)
 
+    # r6: NO repartitionByRange here — the live docs store is already
+    # docid-range-partitioned and sorted (build writes it that way;
+    # appends add disjoint higher ranges), and dropping rows preserves
+    # that layout.  The range shuffle moved the whole text payload AND
+    # ran the anti-join subtree twice (repartitionByRange samples its
+    # input).  sortWithinPartitions keeps in-file docid order when the
+    # scan packs multiple small files into one task.
     (
-        survivors.repartitionByRange(n_shards, "docid")
-        .sortWithinPartitions("docid")
+        survivors.sortWithinPartitions("docid")
         .write.mode("overwrite")
         .parquet(tmp["docs"])
     )

@@ -474,3 +474,49 @@ class TestDuplicateSpans:
         }
         assert st[1] >= 2  # both copies of the run marked
         assert st[2] == 0
+
+
+class TestArrowImplEquality:
+    """r6: the Arrow minhash/simhash reimplementations (numpy tokenize +
+    md5-per-distinct-token) must produce IDENTICAL rows to the column-
+    expression reference shapes, including the edge docs: null text,
+    punctuation-only text (empty token stream -> fold shingle 0 for
+    minhash, absent for simhash), and docs shorter than k tokens."""
+
+    @pytest.fixture(scope="class")
+    def edge_docs(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, None),
+            (2, "!!! ??? ..."),          # zero tokens after analysis
+            (3, "one two"),              # < k tokens
+            (4, "x"),                    # single token
+            (5, ""),                     # empty string (zero tokens)
+            (6, "alpha beta gamma"),     # exactly k tokens
+            (7, "Dup dup DUP dup"),      # case folding + repeats
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _sorted(self, df):
+        pdf = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+        return pdf
+
+    def test_minhash_equality_edge(self, edge_docs):
+        a = self._sorted(dedup.minhash_signatures(edge_docs, k=3, impl="arrow"))
+        c = self._sorted(dedup.minhash_signatures(edge_docs, k=3, impl="column"))
+        assert a.equals(c), (a, c)
+
+    def test_simhash_equality_edge(self, edge_docs):
+        a = self._sorted(dedup.simhash(edge_docs, impl="arrow"))
+        c = self._sorted(dedup.simhash(edge_docs, impl="column"))
+        assert a.equals(c), (a, c)
+
+    def test_minhash_equality_corpus(self, docs):
+        a = self._sorted(dedup.minhash_signatures(docs, k=3, impl="arrow"))
+        c = self._sorted(dedup.minhash_signatures(docs, k=3, impl="column"))
+        assert a.equals(c)
+
+    def test_simhash_equality_corpus(self, docs):
+        a = self._sorted(dedup.simhash(docs, impl="arrow"))
+        c = self._sorted(dedup.simhash(docs, impl="column"))
+        assert a.equals(c)
