@@ -57,7 +57,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import numpy as np
+import pandas as pd
+
 from . import build as _build
+from . import segments
 from .build import _merge_stage, _partials_stage
 from .percolate import compile_predicate, filter_fields, with_tokens
 from .search import search_df
@@ -66,6 +70,14 @@ from ..plans.query import Or, Term, parse
 
 DELETES_SUBDIR = "deletes"
 SWAP_MARKER = "_xp_swap.json"
+
+#: gates for the decode-side partials rebuild (expunge): tombstones ship
+#: as a broadcast sorted int64 array (8 B each — same cap as the warm
+#: live-search tombstone broadcast) and norms as a docid-indexed uint8
+#: array (1 B per docid-space slot).  Past either cap expunge falls back
+#: to the tokenize-from-survivors rebuild, which has no broadcast at all.
+EXPUNGE_DECODE_DELS_CAP = 10_000_000
+EXPUNGE_DECODE_NORMS_CAP = 200_000_000
 
 # swap order matters for the marker-less window: partials BEFORE docs,
 # so "new docs + stale partials" — the state where a later
@@ -203,6 +215,152 @@ def search_live_df(
     )
 
 
+def _survivor_partials(
+    spark: SparkSession,
+    index_dir: str,
+    dels: DataFrame,
+    params: dict,
+    survivors: DataFrame,
+    positions: bool,
+    n_salts: int,
+) -> DataFrame:
+    """Survivor-only partials for expunge, WITHOUT re-tokenizing.
+
+    The live partials already hold every surviving posting in encoded
+    form, so the rebuild decodes each per-(term, shard) row, drops the
+    tombstoned docids, and re-assembles the surviving entry streams with
+    the same ``segments.assemble_segment_rows`` the tokenize path uses —
+    byte-identical rows (identity-tested), one pass over compressed
+    postings instead of a docs-text shuffle + tokenize + explode +
+    factorize over the whole corpus (guide §2.3: move keys and encoded
+    bytes, not payloads).  Rows of shards with NO deletions pass through
+    untouched.  Norms come from a broadcast docid-indexed uint8 array
+    (norms are dl-only, unchanged for survivors); tombstones from a
+    broadcast sorted int64 array.  Past either broadcast cap, or on a
+    pre-r2 index without a partials store, falls back to the tokenize
+    rebuild from the survivor docs."""
+    import duckdb
+
+    partials_path = os.path.join(index_dir, "partials")
+    del_arr = np.sort(
+        np.array([r["docid"] for r in dels.collect()], dtype=np.int64)
+    ) if dels is not None else np.empty(0, dtype=np.int64)
+    total_docs = int(params["total_docs"])
+    if (
+        not os.path.isdir(partials_path)
+        or del_arr.size > EXPUNGE_DECODE_DELS_CAP
+        or total_docs > EXPUNGE_DECODE_NORMS_CAP
+    ):
+        return _partials_stage(survivors, positions, n_salts), False
+    nd = duckdb.sql(
+        f"SELECT docid, norm FROM read_parquet('{index_dir}/docs/*.parquet')"
+    ).df()
+    norms = np.zeros(total_docs, dtype=np.uint8)
+    norms[nd["docid"].to_numpy()] = nd["norm"].to_numpy().astype(np.uint8)
+    sc = spark.sparkContext
+    dels_bc = sc.broadcast(del_arr)
+    norms_bc = sc.broadcast(norms)
+    shard_size = int(params["shard_size"])
+    seg_cols = [c.split()[0] for c in segments.SEGMENT_SCHEMA.split(", ")]
+
+    from ..functions import varint
+
+    def filt(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[seg_cols]
+            sdels = dels_bc.value
+            frames = []
+            shards = pdf["shard_min"].to_numpy()
+            terms_col_v = pdf["term"].to_numpy(dtype=object)
+            docs_col = pdf["docs_bytes"].to_numpy(dtype=object)
+            tfs_col = pdf["tfs_bytes"].to_numpy(dtype=object)
+            pos_col = pdf["pos_bytes"].to_numpy(dtype=object) if positions else None
+            blkn_col = pdf["blk_n"].to_numpy(dtype=object)
+            df_col = pdf["df"].to_numpy(dtype=np.int64)
+            for shard in np.unique(shards):
+                lo = int(shard) * shard_size
+                hi = lo + shard_size - 1
+                a = np.searchsorted(sdels, lo)
+                b = np.searchsorted(sdels, hi, side="right")
+                sdel = sdels[a:b]
+                rows_idx = np.nonzero(shards == shard)[0]
+                if sdel.size == 0:
+                    frames.append(pdf.iloc[rows_idx])
+                    continue
+                # whole-shard batch decode: ONE varint pass per stream
+                # (a per-row decode loop measured ~1.5x SLOWER than the
+                # tokenize rebuild it was meant to replace — the per-row
+                # numpy overhead over a 500k-row sf1 vocabulary)
+                dbuf = b"".join(bytes(x) for x in docs_col[rows_idx])
+                tbuf = b"".join(bytes(x) for x in tfs_col[rows_idx])
+                blkn = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in blkn_col[rows_idx]]
+                )
+                gaps = varint.decode(dbuf).astype(np.int64)
+                e_doc_all = segments._segmented_cumsum(gaps, blkn)
+                e_tf_all = varint.decode(tbuf).astype(np.int64)
+                row_sizes = df_col[rows_idx]
+                row_off = np.concatenate(([0], np.cumsum(row_sizes)))
+                idx = np.searchsorted(sdel, e_doc_all)
+                hit = (idx < sdel.size) & (
+                    sdel[np.minimum(idx, sdel.size - 1)] == e_doc_all
+                )
+                hits_per_row = np.add.reduceat(
+                    hit.astype(np.int64), row_off[:-1]
+                )
+                untouched = rows_idx[hits_per_row == 0]
+                if untouched.size:
+                    frames.append(pdf.iloc[untouched])
+                touched = np.nonzero(hits_per_row > 0)[0]
+                if not touched.size:
+                    continue
+                kept_sizes = (row_sizes - hits_per_row)[touched]
+                live = kept_sizes > 0
+                row_is_touched = np.zeros(rows_idx.size, dtype=bool)
+                row_is_touched[touched] = True
+                ent_row = np.repeat(
+                    np.arange(rows_idx.size, dtype=np.int64), row_sizes
+                )
+                m = (~hit) & row_is_touched[ent_row]
+                if not m.any():
+                    continue  # every touched term vanished from this shard
+                e_doc = e_doc_all[m]
+                e_tf = e_tf_all[m]
+                pos_flat = None
+                if positions:
+                    pbuf = b"".join(bytes(x) for x in pos_col[rows_idx])
+                    pgaps = varint.decode(pbuf).astype(np.int64)
+                    pos_all = segments._segmented_cumsum(pgaps, e_tf_all)
+                    pos_flat = pos_all[np.repeat(m, e_tf_all)]
+                frames.append(
+                    segments.assemble_segment_rows(
+                        int(shard), n_salts,
+                        terms_col_v[rows_idx][touched][live],
+                        kept_sizes[live].astype(np.int64),
+                        e_doc,
+                        e_tf,
+                        norms_bc.value[e_doc],
+                        pos_flat,
+                        positions,
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[seg_cols]
+
+    # True: the input partials are already (term, salt)-clustered from the
+    # original build's write and mapInPandas preserves partitioning, so the
+    # caller can skip its (term, salt) repartition — a full shuffle of the
+    # partials bytes that bought nothing on this path
+    return (
+        spark.read.parquet(partials_path).mapInPandas(
+            filt, schema=segments.SEGMENT_SCHEMA
+        ),
+        True,
+    )
+
+
 def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     """The physical merge (``_forcemerge`` with ``only_expunge_deletes``):
     rebuild docs/postings/dict/stats/manifest from surviving docs,
@@ -261,13 +419,13 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     )
     survivors = spark.read.parquet(tmp["docs"])
 
-    seg = _partials_stage(survivors, positions, n_salts)
-    wp = max(8, spark.sparkContext.defaultParallelism)
-    (
-        seg.repartition(wp, "term", "salt")
-        .write.mode("overwrite")
-        .parquet(tmp["partials"])
+    seg, prepartitioned = _survivor_partials(
+        spark, index_dir, dels, params, survivors, positions, n_salts
     )
+    wp = max(8, spark.sparkContext.defaultParallelism)
+    if not prepartitioned:
+        seg = seg.repartition(wp, "term", "salt")
+    seg.write.mode("overwrite").parquet(tmp["partials"])
     merged = _merge_stage(spark.read.parquet(tmp["partials"]), wp, n_buckets=nb or None,
                           max_bytes=params.get("max_segment_bytes"))
     if nb:

@@ -102,31 +102,52 @@ def token_counts(texts: pd.Series) -> np.ndarray:
     return out
 
 
-def explode_entries(docids: np.ndarray, token_lists: pd.Series):
+def explode_entries(docids: np.ndarray, token_lists: pd.Series, with_codes: bool = False):
     """(docid, term, pos) arrays from per-doc token lists, grouped by term
     (docid/pos order preserved within each term).
 
     Terms are factorized to int codes and the sort runs on the codes —
     an object-string argsort over the position stream costs ~3x the whole
     rest of the encode.  Term groups come out in first-appearance order,
-    not lexicographic, which nothing downstream depends on."""
+    not lexicographic, which nothing downstream depends on.
+
+    ``with_codes=True`` additionally returns the sorted int code array so
+    the caller's term-boundary detection can compare ints instead of
+    object strings (r6: the object != pass cost ~0.1 s per sf1 shard)."""
     from itertools import chain
 
     lens = token_lists.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
-        return (
+        empty = (
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=object),
             np.empty(0, dtype=np.int64),
         )
+        return empty + (np.empty(0, dtype=np.int64),) if with_codes else empty
     ent_doc = np.repeat(np.asarray(docids, dtype=np.int64), lens)
     flat = np.fromiter(chain.from_iterable(token_lists.to_numpy()), dtype=object, count=total)
     offsets = np.repeat(np.cumsum(lens) - lens, lens)
     ent_pos = np.arange(total, dtype=np.int64) - offsets
     codes, _ = pd.factorize(flat, use_na_sentinel=False)
     order = np.argsort(codes, kind="stable")
+    if with_codes:
+        return ent_doc[order], flat[order], ent_pos[order], codes[order]
     return ent_doc[order], flat[order], ent_pos[order]
+
+
+def _split_runs(arr: np.ndarray, pts) -> list:
+    """np.split minus its per-piece swapaxes overhead: the assembly below
+    makes ~8k-piece splits 11 times per sf1 shard and np.split's
+    array_split path cost ~0.5 s of the 2 s encode (r6, profiled).
+    Pieces are views, exactly as np.split returns."""
+    out = []
+    prev = 0
+    for p in pts:
+        out.append(arr[prev:p])
+        prev = p
+    out.append(arr[prev:])
+    return out
 
 
 def encode_shard_postings(
@@ -148,7 +169,9 @@ def encode_shard_postings(
     metadata comes from ``np.maximum/minimum.reduceat`` — the per-term
     Python work is just slicing (a per-term numpy-encode loop measured
     4.1s/shard at sf0.5; this path ~0.3s)."""
-    ent_doc, ent_term, ent_pos = explode_entries(docids, token_lists)
+    ent_doc, ent_term, ent_pos, ent_code = explode_entries(
+        docids, token_lists, with_codes=True
+    )
     cols = [c.split()[0] for c in SEGMENT_SCHEMA.split(", ")]
     if not ent_doc.size:
         return pd.DataFrame([], columns=cols)
@@ -159,9 +182,10 @@ def encode_shard_postings(
     ent_norm = nb[np.searchsorted(did, ent_doc)]
 
     # (term, docid) entry boundaries over the position-level stream
+    # (int code compares — the object-string != pass cost ~0.1 s/shard)
     term_change = np.empty(ent_term.shape, dtype=bool)
     term_change[0] = True
-    term_change[1:] = ent_term[1:] != ent_term[:-1]
+    term_change[1:] = ent_code[1:] != ent_code[:-1]
     key_change = term_change.copy()
     key_change[1:] |= ent_doc[1:] != ent_doc[:-1]
     e_start = np.nonzero(key_change)[0]          # entry -> first ent row
@@ -169,14 +193,47 @@ def encode_shard_postings(
     e_tf = (e_end - e_start).astype(np.int64)
     e_doc = ent_doc[e_start]
     e_norm = ent_norm[e_start]
-    n_entries = e_start.size
 
     # per-term entry ranges
     t_first_ent = np.nonzero(term_change)[0]
     t_start = np.searchsorted(e_start, t_first_ent)  # entry index
-    t_end = np.append(t_start[1:], n_entries)
+    t_sizes = np.append(t_start[1:], e_start.size) - t_start
     terms = ent_term[t_first_ent]
-    t_sizes = t_end - t_start
+
+    return assemble_segment_rows(
+        shard, n_salts, terms, t_sizes, e_doc, e_tf, e_norm,
+        ent_pos if positions else None, positions,
+    )
+
+
+def assemble_segment_rows(
+    shard: int,
+    n_salts: int,
+    terms: np.ndarray,
+    t_sizes: np.ndarray,
+    e_doc: np.ndarray,
+    e_tf: np.ndarray,
+    e_norm: np.ndarray,
+    pos_flat: np.ndarray | None,
+    positions: bool,
+) -> pd.DataFrame:
+    """Entry streams -> one segment row per term (SEGMENT_SCHEMA).
+
+    The assembly half of ``encode_shard_postings``, factored out (r6) so
+    expunge can rebuild partials by DECODING the existing postings and
+    re-assembling the surviving entries — no re-tokenize, no docs-text
+    shuffle.  Inputs are ENTRY-level, grouped by term (``t_sizes`` entries
+    per term, docids ascending within each term); ``pos_flat`` is the
+    position-level stream aligned with entries (positions of entry i are
+    ``pos_flat[cum_tf[i]:cum_tf[i+1]]``), required when ``positions``.
+    Output is byte-identical to the tokenize path for the same entries
+    (identity-tested)."""
+    cols = [c.split()[0] for c in SEGMENT_SCHEMA.split(", ")]
+    n_entries = e_doc.size
+    if not n_entries:
+        return pd.DataFrame([], columns=cols)
+    t_start = np.cumsum(t_sizes) - t_sizes
+    t_end = np.cumsum(t_sizes)
 
     # block starts: every 128th entry within each term (entry indices)
     in_term = np.arange(n_entries, dtype=np.int64) - np.repeat(t_start, t_sizes)
@@ -228,15 +285,17 @@ def encode_shard_postings(
     tcum = np.concatenate(([0], np.cumsum(tlens)))
 
     if positions:
-        pos_gap = np.empty(ent_pos.shape, dtype=np.int64)
-        pos_gap[1:] = ent_pos[1:] - ent_pos[:-1]
-        pos_gap[e_start] = ent_pos[e_start]
+        e_start_pos = np.cumsum(e_tf) - e_tf   # position-level entry starts
+        e_end_pos = np.cumsum(e_tf)
+        pos_gap = np.empty(pos_flat.shape, dtype=np.int64)
+        pos_gap[1:] = pos_flat[1:] - pos_flat[:-1]
+        pos_gap[e_start_pos] = pos_flat[e_start_pos]
         plens = varint.encoded_lengths(pos_gap)
         pbuf = varint.encode(pos_gap, plens)
         pcum_ent = np.concatenate(([0], np.cumsum(plens)))
         # byte offset of each ENTRY's positions = offset of its first ent row
-        p_entry_off = pcum_ent[e_start]
-        p_entry_end = pcum_ent[e_end - 1] + np.diff(pcum_ent)[e_end - 1]
+        p_entry_off = pcum_ent[e_start_pos]
+        p_entry_end = pcum_ent[e_end_pos]
     # cttf per term = sum of tfs over the term's entries
     cttf_all = np.add.reduceat(e_tf, t_start)
 
@@ -257,32 +316,32 @@ def encode_shard_postings(
         "salt": np.full(n_terms, shard % n_salts, dtype=np.int64),
         "shard_min": np.full(n_terms, shard, dtype=np.int64),
         "shard_max": np.full(n_terms, shard, dtype=np.int64),
-        "df": (t_end - t_start).astype(np.int64),
+        "df": t_sizes.astype(np.int64),
         "cttf": cttf_all.astype(np.int64),
         "docs_bytes": [bytes(dview[a:b]) for a, b in zip(d0s, d1s)],
         "tfs_bytes": [bytes(tview[a:b]) for a, b in zip(t0s, t1s)],
-        "blk_first": np.split(blk_first_all, split_pts),
-        "blk_last": np.split(blk_last_all, split_pts),
-        "blk_n": np.split(blk_n_all, split_pts),
-        "blk_max_tf": np.split(blk_max_tf_all, split_pts),
-        "blk_min_norm": np.split(blk_min_norm_all, split_pts),
-        "blk_doc_off": np.split(dcum[blk_start] - base_per_block_d, split_pts),
-        "blk_tf_off": np.split(tcum[blk_start] - base_per_block_t, split_pts),
-        "blk_pareto_n": np.split(p_counts, split_pts),
-        "blk_pareto_tf": np.split(p_tf_all, p_off[t_blk_start[1:]]),
-        "blk_pareto_norm": np.split(p_norm_all, p_off[t_blk_start[1:]]),
+        "blk_first": _split_runs(blk_first_all, split_pts),
+        "blk_last": _split_runs(blk_last_all, split_pts),
+        "blk_n": _split_runs(blk_n_all, split_pts),
+        "blk_max_tf": _split_runs(blk_max_tf_all, split_pts),
+        "blk_min_norm": _split_runs(blk_min_norm_all, split_pts),
+        "blk_doc_off": _split_runs(dcum[blk_start] - base_per_block_d, split_pts),
+        "blk_tf_off": _split_runs(tcum[blk_start] - base_per_block_t, split_pts),
+        "blk_pareto_n": _split_runs(p_counts, split_pts),
+        "blk_pareto_tf": _split_runs(p_tf_all, p_off[t_blk_start[1:]]),
+        "blk_pareto_norm": _split_runs(p_norm_all, p_off[t_blk_start[1:]]),
     }
     if positions:
         pview = memoryview(pbuf)
         p0s = p_entry_off[t_start]
         p1s = p_entry_end[t_end - 1]
         data["pos_bytes"] = [bytes(pview[a:b]) for a, b in zip(p0s, p1s)]
-        data["blk_pos_off"] = np.split(
+        data["blk_pos_off"] = _split_runs(
             p_entry_off[blk_start] - np.repeat(p0s, t_nblocks), split_pts
         )
     else:
         data["pos_bytes"] = [b""] * n_terms
-        data["blk_pos_off"] = np.split(
+        data["blk_pos_off"] = _split_runs(
             np.zeros(blk_start.size, dtype=np.int64), split_pts
         )
     return pd.DataFrame(data, columns=cols)

@@ -554,3 +554,71 @@ class TestDocidIndexed:
             _docid_indexed(
                 pd.DataFrame({"docid": [1, 1], "norm": [1, 2]}), ["norm"]
             )
+
+
+class TestDecodeRebuildEquivalence:
+    """r6: expunge rebuilds partials by decoding the existing postings
+    and re-assembling the surviving entries (no re-tokenize).  The
+    decode path must produce the SAME row set (every column, bytes
+    included) as the tokenize-from-survivors path, and expunge must fall
+    back cleanly past the broadcast caps."""
+
+    def _canon(self, df):
+        pdf = df.toPandas()
+        def key(row):
+            return (row["term"], int(row["salt"]), int(row["shard_min"]),
+                    bytes(row["docs_bytes"]))
+        rows = sorted(pdf.to_dict("records"), key=key)
+        out = []
+        for r in rows:
+            out.append(tuple(
+                bytes(v) if isinstance(v, (bytes, bytearray)) else
+                tuple(np.asarray(v).tolist()) if hasattr(v, "__len__") and not isinstance(v, str) else v
+                for v in (r[c] for c in sorted(r))
+            ))
+        return out
+
+    def test_partials_row_set_identical(self, spark, del_index):
+        import json
+
+        idx, _ = del_index
+        with open(os.path.join(idx, "_build.json")) as f:
+            params = json.load(f)
+        dels = dl.deleted_docids(spark, idx)
+        assert dels is not None
+        survivors = spark.read.parquet(os.path.join(idx, "docs")).join(
+            dels, "docid", "left_anti"
+        )
+        from siem_on_amazon_opensearch_service_spark.operators.build import (
+            _partials_stage,
+        )
+
+        decode, prepart = dl._survivor_partials(
+            spark, idx, dels, params, survivors,
+            params["positions"], params["n_salts"],
+        )
+        assert prepart  # decode path: no (term, salt) reshuffle needed
+        tokenize = _partials_stage(
+            survivors, params["positions"], params["n_salts"]
+        )
+        assert self._canon(decode) == self._canon(tokenize)
+
+    def test_fallback_past_caps(self, spark, del_index, monkeypatch):
+        import json
+
+        idx, _ = del_index
+        with open(os.path.join(idx, "_build.json")) as f:
+            params = json.load(f)
+        dels = dl.deleted_docids(spark, idx)
+        survivors = spark.read.parquet(os.path.join(idx, "docs")).join(
+            dels, "docid", "left_anti"
+        )
+        monkeypatch.setattr(dl, "EXPUNGE_DECODE_DELS_CAP", 0)
+        fb, prepart = dl._survivor_partials(
+            spark, idx, dels, params, survivors,
+            params["positions"], params["n_salts"],
+        )
+        # row-set equality decode==tokenize is proven above; past the cap
+        # the tokenize stage must engage and still yield the partials
+        assert not prepart
+        assert fb.count() > 0
