@@ -157,6 +157,78 @@ def _tokenize_batch(texts: pd.Series):
     return rows, mask
 
 
+def _shingle_flat(kept: list, k: int):
+    """Token lists -> (sh_flat int64, row offsets, row shingle counts):
+    the numpy mirror of ``shingle_hashes_col`` — Horner windows for rows
+    with >= k tokens, one whole-stream fold otherwise (including the
+    empty stream, whose fold is 0 — the column impl's `otherwise`
+    branch).  Exact int64 arithmetic in the same overflow-safe domains."""
+    MOD = np.int64(SHINGLE_MOD)
+    A = np.int64(SHINGLE_A)
+    lens = np.fromiter((len(r) for r in kept), dtype=np.int64, count=len(kept))
+    total = int(lens.sum())
+    flat_tok = (
+        np.concatenate([np.asarray(r, dtype=object) for r in kept if r])
+        if total
+        else np.empty(0, dtype=object)
+    )
+    th, offsets = _h48_batch(flat_tok, lens)
+    wide = lens >= k
+    wlens = np.where(wide, lens - k + 1, 0)
+    sh_lens = np.where(wide, wlens, 1)
+    sh_off = np.concatenate(([0], np.cumsum(sh_lens)))[:-1]
+    sh_flat = np.zeros(int(sh_lens.sum()), dtype=np.int64)
+    tw = int(wlens.sum())
+    if tw:
+        base = np.repeat(offsets[wide], wlens[wide])
+        intra = np.arange(tw, dtype=np.int64) - np.repeat(
+            np.cumsum(wlens[wide]) - wlens[wide], wlens[wide]
+        )
+        starts = base + intra
+        acc = th[starts].copy()
+        for j in range(1, k):
+            acc = (acc * A + th[starts + j]) % MOD
+        tgt = np.repeat(sh_off[wide], wlens[wide]) + intra
+        sh_flat[tgt] = acc
+    for i in np.nonzero(~wide)[0]:
+        a = np.int64(0)
+        for t in th[offsets[i] : offsets[i] + lens[i]]:
+            a = (a * A + t) % MOD
+        sh_flat[sh_off[i]] = a
+    return sh_flat, sh_off, sh_lens
+
+
+def _shingle_rows_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Exploded (id, s) shingle-hash rows in one Arrow pass — the same
+    rows ``explode(shingle_hashes_col(text, k))`` produces (null text
+    drops; callers keep their own ``.distinct()``), without the JVM
+    tokenizer's per-token String allocation (r6: 4.2 s of the 5.5 s
+    minhash bench bar)."""
+    id_type = df.select(F.col(id_col)).schema[0].dataType
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type), StructField("s", LongType())]
+    )
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows, mask = _tokenize_batch(pdf["__text"])
+            if not mask.any():
+                continue
+            kept = [r for r in rows if r is not None]
+            sh_flat, _, sh_lens = _shingle_flat(kept, k)
+            ids = np.repeat(pdf["__id"].to_numpy()[mask], sh_lens)
+            yield pd.DataFrame({"id": ids, "s": sh_flat})
+
+    return src.mapInPandas(gen, schema)
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: md5(text) -> (hash, n_dups, keeper=min id)."""
     return (
@@ -193,8 +265,6 @@ def _minhash_signatures_arrow(
         + [StructField(f"mh{i}", LongType()) for i in range(N_HASHES)]
     )
     src = df.select(F.col(id_col), F.col(text_col).alias("__text"))
-    MOD = np.int64(SHINGLE_MOD)
-    A = np.int64(SHINGLE_A)
 
     def gen(batches):
         for pdf in batches:
@@ -209,41 +279,7 @@ def _minhash_signatures_arrow(
                 )
                 continue
             kept = [r for r in rows if r is not None]
-            lens = np.fromiter((len(r) for r in kept), dtype=np.int64, count=len(kept))
-            total = int(lens.sum())
-            flat_tok = (
-                np.concatenate([np.asarray(r, dtype=object) for r in kept if r])
-                if total
-                else np.empty(0, dtype=object)
-            )
-            th, offsets = _h48_batch(flat_tok, lens)
-
-            # shingles: Horner windows for rows with >= k tokens, one
-            # whole-stream fold otherwise (including the empty stream,
-            # whose fold is 0 — the column impl's `otherwise` branch)
-            wide = lens >= k
-            wlens = np.where(wide, lens - k + 1, 0)
-            sh_lens = np.where(wide, wlens, 1)
-            sh_off = np.concatenate(([0], np.cumsum(sh_lens)))[:-1]
-            sh_flat = np.zeros(int(sh_lens.sum()), dtype=np.int64)
-            tw = int(wlens.sum())
-            if tw:
-                base = np.repeat(offsets[wide], wlens[wide])
-                intra = np.arange(tw, dtype=np.int64) - np.repeat(
-                    np.cumsum(wlens[wide]) - wlens[wide], wlens[wide]
-                )
-                starts = base + intra
-                acc = th[starts].copy()
-                for j in range(1, k):
-                    acc = (acc * A + th[starts + j]) % MOD
-                tgt = np.repeat(sh_off[wide], wlens[wide]) + intra
-                sh_flat[tgt] = acc
-            for i in np.nonzero(~wide)[0]:
-                a = np.int64(0)
-                for t in th[offsets[i] : offsets[i] + lens[i]]:
-                    a = (a * A + t) % MOD
-                sh_flat[sh_off[i]] = a
-
+            sh_flat, sh_off, _ = _shingle_flat(kept, k)
             out = {id_col: pdf[id_col].to_numpy()[mask]}
             for i, (pa, pb) in enumerate(zip(MINHASH_A, MINHASH_B)):
                 v = (np.int64(pa) * sh_flat + np.int64(pb)) % np.int64(MERSENNE61)
@@ -363,7 +399,9 @@ def minhash_lsh_pairs(
     # verification intersects 8-byte shingle HASHES, not strings — same
     # jaccard modulo 48-bit collisions, mirrored exactly in the oracle,
     # and the verify shuffle carries ints instead of ~60-char strings
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingle_hashes_col(F.col(text_col), k)).alias("s")).distinct()
+    # (shingle rows from the Arrow pass, r6 — same rows as the exploded
+    # column expression, minus the JVM tokenizer)
+    sh = _shingle_rows_arrow(df, id_col, text_col, k).distinct()
     if persist_intermediates:
         banded = banded.localCheckpoint(eager=True)
         sh = sh.localCheckpoint(eager=True)
@@ -418,7 +456,7 @@ def ngram_jaccard(
     (:func:`shingle_hashes_col`), not strings — set sizes and
     intersections are identical modulo 48-bit collisions and the DuckDB
     oracle reproduces the same hashing, so engine == oracle exactly."""
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingle_hashes_col(F.col(text_col), k)).alias("s")).distinct()
+    sh = _shingle_rows_arrow(df, id_col, text_col, k).distinct()
     if max_shingle_df is not None:
         rare = sh.groupBy("s").agg(F.count("*").alias("sdf")).filter(
             F.col("sdf") <= max_shingle_df
@@ -781,9 +819,8 @@ def duplicate_span_stats(
 
     Returns (id, n_windows, n_dup_windows, dup_frac_r) per doc.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hashes_col(F.col(text_col), window)).alias("h"),
+    sh = _shingle_rows_arrow(df, id_col, text_col, window).withColumnRenamed(
+        "s", "h"
     )
     counts = sh.groupBy("h").agg(F.count("*").alias("c"))
     return (
