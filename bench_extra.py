@@ -102,7 +102,34 @@ def main() -> None:
     timed("cold_fuzzy_wide", lambda: search_df(spark, idx_dir, "w00042~2", k=10).collect())
     timed("cold_msearch8", lambda: msearch_df(spark, idx_dir, _MS_BATCH, k=10).collect())
 
+    # --- relevance wrappers (bench.py specs verbatim) ----------------------
+    from siem_on_amazon_opensearch_service_spark.operators import relevance as _rel
+
+    _FS_FNS = [{"kind": "gauss", "field": "ts", "origin": "2025-06-15T00:00:00",
+                "scale": 7 * 86400.0, "offset": 86400.0, "decay": 0.5}]
+    _DM_QS = ["error", "timeout AND refused", '"connection reset"']
+    timed("cold_function_score",
+          lambda: _rel.function_score_df(
+              spark, idx_dir, "error OR timeout", k=10, functions=_FS_FNS).collect())
+    timed("cold_dis_max",
+          lambda: _rel.dis_max_df(
+              spark, idx_dir, _DM_QS, k=10, tie_breaker=0.3).collect())
+
     # --- warm session -------------------------------------------------------
+    if pick("warm") or pick("cold_function_score") or pick("cold_dis_max"):
+        qs = QuerySession(spark, idx_dir)
+        _rel.function_score_df(spark, idx_dir, "error OR timeout", k=10,
+                               functions=_FS_FNS, session=qs).collect()
+        timed("warm_function_score",
+              lambda: _rel.function_score_df(
+                  spark, idx_dir, "error OR timeout", k=10,
+                  functions=_FS_FNS, session=qs).collect())
+        timed("warm_dis_max",
+              lambda: _rel.dis_max_df(
+                  spark, idx_dir, _DM_QS, k=10, tie_breaker=0.3,
+                  session=qs).collect())
+        qs.close()
+
     if pick("warm"):
         qs = QuerySession(spark, idx_dir)
         qs.search("error AND timeout", k=10).collect()

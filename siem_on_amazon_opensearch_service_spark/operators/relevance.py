@@ -725,9 +725,24 @@ def dis_max_df(
     the combine is a single exchange and the final arithmetic is a fixed
     left-to-right float64 fold the SQL oracle mirrors textually.  Missing
     clauses contribute 0.0 (scores are positive, so 0 is both the max
-    floor and the sum identity)."""
+    floor and the sum identity).
+
+    r6: on the r2 index format the whole query runs the fused shard-local
+    plan instead (one Python stage — the per-docid combine needs no
+    exchange; ``search._dis_max_shard_local``), score-identical by the
+    same float64-fold argument; the union plan below is the fallback for
+    legacy formats and ``k=None`` callers."""
     if not queries:
         raise ValueError("dis_max_df: at least one clause query required")
+    from .search import dis_max_fused
+
+    fused = dis_max_fused(
+        spark, index_dir, queries, k=k, tie_breaker=tie_breaker,
+        session=session,
+    )
+    if fused is not None:
+        return fused
+
     def _scored(q):
         if session is not None:
             return session.search(q, k=None)

@@ -3013,6 +3013,374 @@ def msearch_df(
     ).orderBy("qid", F.col("score").desc(), F.col("docid").asc())
 
 
+def _dis_max_shard_local(
+    spark: SparkSession,
+    index_dir: str,
+    asts: list[Node],
+    filts: list[dict],
+    leaves: list[Node],
+    weights: list[np.float32],
+    stats: dict,
+    k: int,
+    tie_breaker: float,
+    postings: DataFrame,
+    prune: dict | None,
+    norms_bc=None,
+    mask_bcs: list | None = None,
+    presplit: bool = False,
+) -> DataFrame:
+    """dis_max over the fused shard-local plan (r6).
+
+    ``dis_max_df``'s union plan evaluates every clause query as its own
+    full ``search_df(k=None)`` job (N scans + N decode stages), unions
+    the match sets and pays a groupBy(docid) exchange for the
+    conditional-max combine.  The combine is per-docid and every clause
+    score for a docid is complete inside its shard partition (the same
+    co-location argument as the single-query fused plan), so the whole
+    dis_max can run in ONE Python stage: the union clause space is
+    decoded once per shard partition, each clause query scores its own
+    candidates, and the ``max + tie_breaker * (sum - max)`` fold runs in
+    numpy over the partition's union match set, followed by a partition
+    top-k and the global (score desc, docid asc) page.
+
+    Arithmetic is exactly ``dis_max_df``'s: per-clause float32 scores
+    from the standalone recipe — the float64 fold adds each clause
+    query's leaves in that QUERY'S OWN leaf order (``_leaves(ast)``),
+    matching the per-query ``_shard_local_topk`` fold, NOT msearch's
+    global clause order — then per docid float64 s_i (exact 0.0 when the
+    clause misses: ``coalesce(max(...), 0.0)``), ``greatest`` ==
+    elementwise ``np.maximum``, a left-to-right float64 clause sum, and
+    one final float32 round.  Bit-identical to the union plan (tested)."""
+    any_phrase = any(isinstance(lf, _PHRASELIKE) for lf in leaves)
+    kinds = _leaf_eval_kinds(leaves)
+    term_clauses = kinds["term_clauses"]
+    cache = bm25.norm_inverse_cache(stats["avgdl"])
+    shard_size = _shard_size_of(index_dir)
+    docs_dir = os.path.join(index_dir, "docs")
+    if shard_size is None and norms_bc is None:
+        raise ValueError(
+            f"_dis_max_shard_local needs shard_size from {index_dir}/_build.json "
+            "or broadcast norms"
+        )
+    leaf_index = {lf: ci for ci, lf in enumerate(leaves)}
+    mult_arrs = []
+    for ast in asts:
+        m = _positive_multiplicity(ast)
+        mult_arrs.append(
+            np.array([float(m.get(lf, 0.0)) for lf in leaves], dtype=np.float64)
+        )
+    # per-clause-query fold order = the query's OWN leaf order (the order
+    # _resolve_leaf_posts inserts / _shard_local_topk adds in standalone
+    # evaluation) — float64 addition is commutative but not associative,
+    # so a 3+-leaf clause folded in msearch's global order could differ
+    # in the last ulp from the union plan's per-query search_df score
+    q_leaf_cis = [[leaf_index[lf] for lf in _leaves(a)] for a in asts]
+    flat_ors = [
+        isinstance(a, Term)
+        or (isinstance(a, Or) and all(isinstance(c, Term) for c in a.children))
+        for a in asts
+    ]
+    filters_list = [f if filters_active(f) else None for f in filts]
+    need_fetch = any(
+        f is not None and (mask_bcs is None or mask_bcs[qi] is None)
+        for qi, f in enumerate(filters_list)
+    )
+    if need_fetch and norms_bc is not None:
+        raise ValueError(
+            "filtered dis_max in broadcast mode requires per-clause "
+            "filter masks; QuerySession builds them automatically"
+        )
+
+    _COL_TYPES = {
+        "term": "string", "shard_min": "int",
+        "docs_bytes": "binary", "tfs_bytes": "binary", "pos_bytes": "binary",
+        "blk_n": "array<int>", "blk_first": "array<long>",
+        "blk_last": "array<long>", "blk_doc_off": "array<long>",
+        "blk_tf_off": "array<long>", "blk_pos_off": "array<long>",
+    }
+    cols = ["term", "shard_min", "docs_bytes", "tfs_bytes", "blk_n",
+            "blk_first", "blk_last", "blk_doc_off", "blk_tf_off"]
+    if any_phrase:
+        cols += ["pos_bytes", "blk_pos_off"]
+    n_shards = max(1, -(-stats["n_docs"] // shard_size)) if shard_size else 1 << 30
+    pre = postings.select(*cols)
+    if shard_size is not None and n_shards > 1 and not presplit:
+        _split_schema = ", ".join(f"{c} {_COL_TYPES[c]}" for c in cols)
+
+        def _split(batches):
+            for pdf in batches:
+                got = segments.split_rows_by_shard(pdf, shard_size, any_phrase)
+                if len(got):
+                    yield got
+
+        pre = pre.mapInPandas(_split, schema=_split_schema)
+    parts = pre.repartition(
+        min(max(8, spark.sparkContext.defaultParallelism), n_shards), "shard_min"
+    )
+    asts_b = asts
+    tie64 = np.float64(float(tie_breaker))
+    nq = len(asts)
+    empty = pd.DataFrame(
+        {"docid": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+    )
+
+    def gen(batches):
+        import duckdb
+
+        acc, pos_acc = _accumulate_partition(batches, term_clauses, prune)
+        if not acc:
+            yield empty
+            return
+        leaf_posts = _resolve_leaf_posts(acc, pos_acc, leaves, kinds)
+        if not leaf_posts:
+            yield empty
+            return
+        # one norms (+filter columns) fetch for the union candidate set
+        cand_u = np.unique(np.concatenate([d for d, _ in leaf_posts.values()]))
+        role_u = tool_u = ts_u = None
+        if norms_bc is not None:
+            norms_u = norms_bc.value[cand_u]
+        elif not need_fetch:
+            norms_u = _ranged_norms(docs_dir, shard_size, cand_u)
+        else:
+            norms_u = np.zeros(cand_u.size, dtype=np.uint8)
+            role_u = np.full(cand_u.size, None, dtype=object)
+            tool_u = np.full(cand_u.size, None, dtype=object)
+            ts_u = np.full(cand_u.size, np.datetime64("NaT", "us"))
+            for s in np.unique(cand_u // shard_size):
+                lo_d, hi_d = int(s) * shard_size, (int(s) + 1) * shard_size - 1
+                nd = duckdb.sql(
+                    f"SELECT docid, norm, role, tool, ts "
+                    f"FROM read_parquet('{docs_dir}/*.parquet') "
+                    f"WHERE docid >= {lo_d} AND docid <= {hi_d} ORDER BY docid"
+                ).df()
+                fd = nd["docid"].to_numpy()
+                idx = np.searchsorted(cand_u, fd)
+                okm = (idx < cand_u.size) & (
+                    cand_u[np.minimum(idx, cand_u.size - 1)] == fd
+                )
+                norms_u[idx[okm]] = nd["norm"].to_numpy()[okm].astype(np.uint8)
+                role_u[idx[okm]] = nd["role"].to_numpy(dtype=object)[okm]
+                tool_u[idx[okm]] = nd["tool"].to_numpy(dtype=object)[okm]
+                ts_u[idx[okm]] = nd["ts"].to_numpy()[okm]
+        fmask_u_memo: dict[int, np.ndarray] = {}
+
+        # per-clause-query match sets, standalone-identical scores
+        got: list[tuple | None] = []
+        for qi, ast in enumerate(asts_b):
+            marr = mult_arrs[qi]
+            pos_parts = [
+                leaf_posts[ci][0]
+                for ci in q_leaf_cis[qi]
+                if marr[ci] and ci in leaf_posts
+            ]
+            if not pos_parts:
+                got.append(None)
+                continue
+            cand = np.unique(np.concatenate(pos_parts))
+            posu = np.searchsorted(cand_u, cand)
+            norms = norms_u[posu]
+            flat = flat_ors[qi]
+            present: dict[int, np.ndarray] = {}
+            tot = np.zeros(cand.size, dtype=np.float64)
+            for ci in q_leaf_cis[qi]:
+                if ci not in leaf_posts:
+                    continue
+                d, t = leaf_posts[ci]
+                idx = np.searchsorted(cand, d)
+                okm = (idx < cand.size) & (
+                    cand[np.minimum(idx, cand.size - 1)] == d
+                )
+                pos = idx[okm]
+                if not flat:
+                    m = np.zeros(cand.size, dtype=bool)
+                    m[pos] = True
+                    present[ci] = m
+                if marr[ci]:
+                    sc = bm25.score_tf(
+                        t[okm], norms[pos], weights[ci], cache
+                    ).astype(np.float64)
+                    tot[pos] += marr[ci] * sc
+
+            if flat:
+                sel_m = np.ones(cand.size, dtype=bool)
+            else:
+                def ev(n: Node) -> np.ndarray:
+                    if isinstance(n, _LEAF):
+                        return present.get(
+                            leaf_index[n], np.zeros(cand.size, dtype=bool)
+                        )
+                    if isinstance(n, And):
+                        return np.logical_and.reduce([ev(c) for c in n.children])
+                    if isinstance(n, Or):
+                        return np.logical_or.reduce([ev(c) for c in n.children])
+                    if isinstance(n, AtLeast):
+                        return np.sum([ev(c) for c in n.children], axis=0) >= n.m
+                    if isinstance(n, Not):
+                        return ~ev(n.child)
+                    raise TypeError(n)
+
+                sel_m = ev(ast)
+            f = filters_list[qi]
+            if f is not None:
+                if mask_bcs is not None and mask_bcs[qi] is not None:
+                    sel_m = sel_m & mask_bcs[qi].value[cand]
+                else:
+                    if qi not in fmask_u_memo:
+                        fmask_u_memo[qi] = filter_mask(role_u, tool_u, ts_u, f)
+                    sel_m = sel_m & fmask_u_memo[qi][posu]
+            if not sel_m.any():
+                got.append(None)
+                continue
+            got.append((cand[sel_m], tot[sel_m].astype(np.float32)))
+
+        if all(g is None for g in got):
+            yield empty
+            return
+        # dis_max combine over the union match set — dis_max_df's exact
+        # arithmetic: s_i = double(float32 clause score) or exact 0.0,
+        # greatest == np.maximum, left-to-right float64 sum, one float32
+        # round.  Per-docid, hence shard-local-complete.
+        u = np.unique(np.concatenate([g[0] for g in got if g is not None]))
+        svecs = []
+        for g in got:
+            sv = np.zeros(u.size, dtype=np.float64)
+            if g is not None:
+                sv[np.searchsorted(u, g[0])] = g[1].astype(np.float64)
+            svecs.append(sv)
+        mx = svecs[0]
+        for sv in svecs[1:]:
+            mx = np.maximum(mx, sv)
+        sm = svecs[0]
+        for sv in svecs[1:]:
+            sm = sm + sv
+        final = (mx + tie64 * (sm - mx)).astype(np.float32)
+        order = np.lexsort((u, -final.astype(np.float64)))[:k]
+        yield pd.DataFrame({"docid": u[order], "score": final[order]})
+
+    out = parts.mapInPandas(gen, schema="docid long, score float")
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(int(k))
+
+
+def dis_max_fused(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    session=None,
+) -> DataFrame | None:
+    """Fused one-stage dis_max plan (r6) — or None when the r2 shard
+    geometry is unavailable, in which case ``relevance.dis_max_df`` falls
+    back to its union-of-match-sets plan.  With a warm ``session`` the
+    pinned stats / dfs / postings (pre-split) / norms / filter masks are
+    reused, mirroring ``QuerySession.msearch``."""
+    if not queries or k is None or k <= 0:
+        return None
+    _stats = session.stats if session is not None else None
+    _dfs = session._dfs if session is not None else None
+    _postings = session.postings if session is not None else None
+    _prune_memo = session._prune_memo if session is not None else None
+    _expand_memo = session._expand_memo if session is not None else None
+    presplit = session._presplit if session is not None else False
+    norms_bc = session.norms_bc if session is not None else None
+
+    none_kwargs = {
+        "role": None, "tool": None, "ts_min": None, "ts_max": None,
+        "role_exists": False, "tool_exists": False,
+        "role_not": (), "tool_not": (),
+        "role_not_exists": False, "tool_not_exists": False,
+    }
+
+    def _exp(leaf) -> list[str]:
+        if _expand_memo is not None and leaf in _expand_memo:
+            return _expand_memo[leaf]
+        out = _expand_leaf(index_dir, leaf)
+        if _expand_memo is not None:
+            _expand_memo[leaf] = out
+        return out
+
+    asts: list[Node] = []
+    filts: list[dict] = []
+    for i, q in enumerate(queries):
+        ast, dqlf = extract_filters(parse(q), q)
+        filt = merge_filters(q, dict(none_kwargs), dqlf)
+        if _has_multiterm(ast):
+            ast = expand_multiterm(ast, _exp, MAX_CLAUSE_COUNT)
+        _require_positive_coverage(ast, f"dis_max_df[{i}]")
+        asts.append(ast)
+        filts.append(filt)
+
+    leaves: list[Node] = []
+    for ast in asts:
+        for lf in _leaves(ast):
+            if lf not in leaves:
+                leaves.append(lf)
+    _check_positions(index_dir, leaves)
+    terms = sorted({t for lf in leaves for t in _leaf_terms(lf)})
+    stats = _stats if _stats is not None else _load_stats(index_dir)
+    if _dfs is not None:
+        missing = [t for t in terms if t not in _dfs]
+        if missing:
+            got = _load_dfs(index_dir, missing)
+            for t in missing:
+                _dfs[t] = got.get(t, 0)
+        dfs = {t: _dfs[t] for t in terms if _dfs[t] > 0}
+    else:
+        dfs = _load_dfs(index_dir, terms)
+    weights = _clause_weights(leaves, dfs, stats["doc_count"])
+
+    if _postings is not None:
+        nb = _postings_buckets(index_dir)
+        postings = _postings
+        if nb and "bucket" in postings.columns:
+            bs = sorted({_build.postings_bucket_py(t, nb) for t in terms})
+            postings = postings.filter(F.col("bucket").isin(bs))
+        postings = postings.filter(F.col("term").isin(terms))
+    else:
+        postings = _read_postings_spark(spark, index_dir, terms)
+
+    shard_sz = _shard_size_of(index_dir)
+    if "blk_first" not in postings.columns or (
+        shard_sz is None and norms_bc is None
+    ):
+        return None
+
+    # shared-decode pruning: union of per-clause coverage ranges (each a
+    # match-set superset — the same composition rule as msearch_df; theta
+    # pruning is per-query-frontier-specific and does not compose)
+    prune = None
+    memo_key = ("dis_max", tuple(queries), k)
+    if _prune_memo is not None and memo_key in _prune_memo:
+        prune = _prune_memo[memo_key]
+    else:
+        plans = []
+        for ast in asts:
+            p = _plan_intersection_prune(index_dir, ast, stats, dfs)
+            if p is None:
+                plans = None
+                break
+            plans.append(p)
+        if plans:
+            lo, hi = plans[0]["lo"], plans[0]["hi"]
+            for p in plans[1:]:
+                lo, hi = _union_ranges((lo, hi), (p["lo"], p["hi"]))
+            prune = {"lo": lo, "hi": hi, "shard_size": plans[0]["shard_size"]}
+        if _prune_memo is not None:
+            _prune_memo[memo_key] = prune
+
+    mask_bcs = (
+        [session._filter_mask_bc(f) for f in filts]
+        if session is not None
+        else None
+    )
+    return _dis_max_shard_local(
+        spark, index_dir, asts, filts, leaves, weights, stats, k,
+        tie_breaker, postings, prune, norms_bc=norms_bc, mask_bcs=mask_bcs,
+        presplit=presplit,
+    )
+
+
 def match_docids_df(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
     """The boolean MATCH SET of a query as DataFrame(docid) — posting-set
     algebra as DataFrame set ops: intersect = inner join, union =

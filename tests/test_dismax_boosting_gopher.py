@@ -61,6 +61,55 @@ class TestDisMax:
             rel.dis_max_df(spark, tiny_index[0], [], k=5)
 
 
+class TestDisMaxFusedEquivalence:
+    """The r6 fused shard-local dis_max plan must be BIT-identical
+    (unrounded float32 scores) to the union-of-match-sets fallback —
+    including the float64 fold-order hazard: a clause whose leaves sit at
+    different GLOBAL clause indices than its own local order (leaf shared
+    with an earlier clause) must still fold in its own `_leaves` order."""
+
+    CASES = [
+        # overlapping leaves: clause 2's local order (error, timeout,
+        # refused) != global order (timeout, error, refused)
+        (["timeout", "error OR timeout OR refused"], 0.3),
+        # 3-leaf conjunction + flat OR + sloppy phrase
+        (["error AND timeout AND refused", "connection OR reset", '"connection reset"~2'], 0.5),
+        # NOT + nested boolean
+        (["error AND NOT timeout", "timeout OR (refused AND error)"], 0.1),
+        # keyword-filtered clause (cold mode: ranged docs fetch)
+        (["error AND role:assistant", "timeout"], 0.3),
+        # prefix expansion
+        (["err*", "timeout"], 0.0),
+        # single clause (mx == sm identity branch)
+        (["error OR timeout"], 0.7),
+    ]
+
+    def _exact(self, df):
+        rows = df.collect()
+        return [(int(r["docid"]), float(r["score"])) for r in rows]
+
+    @pytest.mark.parametrize("qs,tb", CASES)
+    def test_fused_bit_identical_to_union(self, spark, tiny_index, qs, tb, monkeypatch):
+        from siem_on_amazon_opensearch_service_spark.operators import search as s
+
+        fused = rel.dis_max_df(spark, tiny_index[0], qs, k=2000, tie_breaker=tb)
+        fused_rows = self._exact(fused)
+        monkeypatch.setattr(s, "dis_max_fused", lambda *a, **k: None)
+        union_rows = self._exact(
+            rel.dis_max_df(spark, tiny_index[0], qs, k=2000, tie_breaker=tb)
+        )
+        assert fused_rows == union_rows, (qs, tb)
+
+    def test_fused_path_taken_on_r2_index(self, spark, tiny_index):
+        from siem_on_amazon_opensearch_service_spark.operators.search import dis_max_fused
+
+        out = dis_max_fused(spark, tiny_index[0], ["error", "timeout"], k=5)
+        assert out is not None
+        # one Python stage, no Join/Aggregate combine in the fused plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
+
 class TestBoosting:
     def test_matches_oracle(self, spark, tiny_index, parquet):
         got = _pairs(rel.boosting_df(
