@@ -320,18 +320,48 @@ def function_score_df(
     a TakeOrdered page.  The docid join is the only exchange beyond the
     base query's own; at cluster scale both sides are docid-partitioned
     parquet so AQE plans a shuffle-free sort-merge or broadcasts the
-    match set when the query is selective."""
-    import os
+    match set when the query is selective.
 
-    if session is not None:
-        base = session.search(query, k=None, **filt)
-    else:
-        base = search_df(spark, index_dir, query, k=None, **filt)
+    r6: on the r2 format the base query's fused generator EMITS the
+    function fields itself (per-shard ranged reads of the docs parquet —
+    ``search_df(_emit_fields=...)``), so the docs join disappears and the
+    whole query is one Python stage + TakeOrdered.  Field values are the
+    same parquet cells the join read, and the score rewrite stays the
+    identical JVM column expression.  Restricted to timestamp/integral
+    fields (their NULLs survive the Arrow boundary unambiguously —
+    integral columns can't hold NaN); other shapes keep the join."""
+    import os
+    import re
+
+    from .search import _shard_size_of
+
     fields = sorted(
         {fn.get("field", "ts") for fn in functions if fn["kind"] != "random" and fn["kind"] != "weight"}
     )
+    base_kwargs: dict = {}
+    if fields and _shard_size_of(index_dir) is not None and all(
+        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f) and f not in ("docid", "score")
+        for f in fields
+    ):
+        dschema = {
+            sf.name: sf.dataType.simpleString()
+            for sf in spark.read.parquet(os.path.join(index_dir, "docs")).schema.fields
+        }
+        emit_t = {"timestamp": "timestamp", "bigint": "double", "int": "double",
+                  "smallint": "double", "tinyint": "double"}
+        if all(dschema.get(f) in emit_t for f in fields):
+            base_kwargs = {
+                "_emit_fields": fields,
+                "_emit_types": [emit_t[dschema[f]] for f in fields],
+            }
+    if session is not None:
+        base = session.search(query, k=None, **base_kwargs, **filt)
+    else:
+        base = search_df(spark, index_dir, query, k=None, **base_kwargs, **filt)
     scored = base
-    if fields:
+    if fields and not all(f in base.columns for f in fields):
+        # legacy format / non-fused branch / unsupported field type:
+        # attach the fields with the docid join as before
         if (
             session is not None
             and session.docs is not None

@@ -1695,6 +1695,54 @@ def _resolve_leaf_posts(acc, pos_acc, leaves, kinds) -> dict:
     return leaf_posts
 
 
+def _ranged_fields(
+    docs_dir: str,
+    shard_size: int,
+    docids: np.ndarray,
+    fields: list[str],
+    types: list[str],
+) -> dict:
+    """Per-shard ranged reads of docs columns for a SORTED docid set —
+    the generic-field sibling of the ranged norms/filter fetch.  Returns
+    {field: column} aligned to ``docids``; timestamp fields come back as
+    datetime64[us] (NaT == NULL), numeric fields as float64 (the callers
+    restrict emission to integral/timestamp docs columns, so NaN in the
+    duckdb frame unambiguously means NULL and is re-emitted as None)."""
+    import duckdb
+
+    n = docids.size
+    out: dict = {}
+    for f, t in zip(fields, types):
+        out[f] = (
+            np.full(n, np.datetime64("NaT", "us"))
+            if t == "timestamp"
+            else np.full(n, np.nan, dtype=np.float64)
+        )
+    sel = ", ".join(["docid"] + [f'"{f}"' for f in fields])
+    for s in np.unique(docids // shard_size):
+        lo_d, hi_d = int(s) * shard_size, (int(s) + 1) * shard_size - 1
+        nd = duckdb.sql(
+            f"SELECT {sel} FROM read_parquet('{docs_dir}/*.parquet') "
+            f"WHERE docid >= {lo_d} AND docid <= {hi_d} ORDER BY docid"
+        ).df()
+        fd = nd["docid"].to_numpy()
+        idx = np.searchsorted(docids, fd)
+        okm = (idx < n) & (docids[np.minimum(idx, n - 1)] == fd)
+        for f, t in zip(fields, types):
+            v = nd[f].to_numpy()
+            out[f][idx[okm]] = (
+                v[okm] if t == "timestamp" else v[okm].astype(np.float64)
+            )
+    for f, t in zip(fields, types):
+        if t != "timestamp":
+            nanm = np.isnan(out[f])
+            if nanm.any():
+                o = out[f].astype(object)
+                o[nanm] = None
+                out[f] = o
+    return out
+
+
 def _shard_local_topk(
     spark: SparkSession,
     index_dir: str,
@@ -1710,6 +1758,8 @@ def _shard_local_topk(
     mask_bc,
     exclude_bc=None,
     presplit: bool = False,
+    emit_fields: list[str] | None = None,
+    emit_types: list[str] | None = None,
 ) -> DataFrame:
     """Warm-session evaluation in ONE Python stage (VERDICT r3 items 2/7/8).
 
@@ -1735,7 +1785,13 @@ def _shard_local_topk(
     the broadcast mask or from the same ranged fetch.  Scoring arithmetic
     is the frozen recipe: float32 per-clause scores via bm25.score_tf,
     float64 sum of mult-weighted positive clauses, one final float32
-    round — rank/score-identical to the cold path (tested)."""
+    round — rank/score-identical to the cold path (tested).
+
+    ``emit_fields``/``emit_types`` (r6, k=None only): append docs columns
+    to the match-set output, fetched inside the generator by per-shard
+    ranged reads — the relevance wrappers (function_score) then rewrite
+    scores WITHOUT a docs join; field values are byte-identical to the
+    join's (same parquet, same docids)."""
     any_phrase = any(isinstance(lf, _PHRASELIKE) for lf in leaves)
     kinds = _leaf_eval_kinds(leaves)
     term_clauses = kinds["term_clauses"]
@@ -1752,6 +1808,11 @@ def _shard_local_topk(
         raise ValueError(
             f"sharded warm query needs shard_size from {index_dir}/_build.json; "
             "missing or unreadable — use the cold path or broadcast mode"
+        )
+    if emit_fields and (k is not None or shard_size is None):
+        raise ValueError(
+            "emit_fields needs k=None and the r2 shard geometry "
+            "(ranged field reads group by docid shard)"
         )
     need_fetch_filters = filters is not None and mask_bc is None
     if need_fetch_filters and norms_bc is not None:
@@ -1811,7 +1872,17 @@ def _shard_local_topk(
     # is a linear dataclass-equality scan — O(clauses^2) per partition
     # for a wide wildcard expansion
     leaf_index = {lf: ci for ci, lf in enumerate(leaves)}
-    empty = pd.DataFrame({"docid": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
+    out_schema = "docid long, score float"
+    empty_cols = {"docid": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+    if emit_fields:
+        out_schema += ", " + ", ".join(
+            f"{f} {t}" for f, t in zip(emit_fields, emit_types)
+        )
+        for f, t in zip(emit_fields, emit_types):
+            empty_cols[f] = pd.Series(
+                dtype="datetime64[us]" if t == "timestamp" else "float64"
+            )
+    empty = pd.DataFrame(empty_cols)
 
     def gen(batches):
         import duckdb
@@ -1924,12 +1995,17 @@ def _shard_local_topk(
         s_sel = tot[sel_m].astype(np.float32)
         if k is None:
             # full match set: no per-partition cut, no global order
-            yield pd.DataFrame({"docid": d_sel, "score": s_sel})
+            cols_out = {"docid": d_sel, "score": s_sel}
+            if emit_fields:
+                cols_out.update(_ranged_fields(
+                    docs_dir, shard_size, d_sel, emit_fields, emit_types
+                ))
+            yield pd.DataFrame(cols_out)
             return
         order = np.lexsort((d_sel, -s_sel.astype(np.float64)))[:k]
         yield pd.DataFrame({"docid": d_sel[order], "score": s_sel[order]})
 
-    out = parts.mapInPandas(gen, schema="docid long, score float")
+    out = parts.mapInPandas(gen, schema=out_schema)
     if k is None:
         return out
     return out.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
@@ -2429,8 +2505,16 @@ def search_df(
     _norms_bc=None,
     _filter_mask_bc=None,
     _expand_memo: dict | None = None,
+    _emit_fields: list[str] | None = None,
+    _emit_types: list[str] | None = None,
 ) -> DataFrame:
     """Distributed BM25 top-k; returns DataFrame(docid long, score float).
+
+    ``_emit_fields``/``_emit_types`` (k=None + r2 format only): append the
+    named docs columns to the match-set output from inside the fused
+    generator (per-shard ranged reads) so relevance wrappers skip their
+    docs join; when the fused branch is not taken the columns are simply
+    absent and the caller joins as before.
 
     ``k=None`` skips the final sort+limit and returns every matching
     doc's score (unordered) — used by function_score / rescore, which
@@ -2626,6 +2710,7 @@ def search_df(
 
     if (
         collapse is None
+        and not _emit_fields
         and isinstance(ast, Term)
         and len(leaves) == 1
         and (
@@ -2678,6 +2763,8 @@ def search_df(
             postings, prune, filters_d, _norms_bc, _filter_mask_bc,
             exclude_bc=_exclude_bc if _exclude_dir is not None else None,
             presplit=_presplit,
+            emit_fields=_emit_fields if k is None else None,
+            emit_types=_emit_types if k is None else None,
         )
     else:
         decoded, has_phrase = _decode_postings_df(postings, leaves, prune=prune)
@@ -4835,6 +4922,8 @@ class QuerySession:
         minimum_should_match: int | None = None,
         collapse: str | None = None,
         _exclude_dir: str | None = None,
+        _emit_fields: list[str] | None = None,
+        _emit_types: list[str] | None = None,
     ) -> DataFrame:
         # DQL field filters must reach the broadcast mask, so extract them
         # here as well (search_df re-extracts; the merge is idempotent)
@@ -4876,6 +4965,8 @@ class QuerySession:
             _norms_bc=self.norms_bc,
             _filter_mask_bc=self._filter_mask_bc(filt),
             _expand_memo=self._expand_memo,
+            _emit_fields=_emit_fields,
+            _emit_types=_emit_types,
         )
 
     def msearch(self, queries: dict[str, str], k: int | None = 10) -> DataFrame:

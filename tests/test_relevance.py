@@ -124,6 +124,45 @@ class TestScoreAll:
 
 
 class TestRescore:
+    def test_field_emission_bit_identical_to_join(self, spark, tiny_index):
+        """The r6 fused base emits the function fields from the generator
+        (per-shard ranged reads); scores must be BIT-identical (unrounded
+        float32) to the docs-join attach, and the fused plan must carry
+        no Join node."""
+        from siem_on_amazon_opensearch_service_spark.operators import search as s
+
+        cases = [
+            (dict(functions=[{"kind": "gauss", "field": "ts", "origin": ORIGIN,
+                              "scale": WEEK, "offset": 86400.0, "decay": 0.5}]),
+             "error OR timeout"),
+            (dict(functions=[{"kind": "field_value_factor", "field": "turn_idx",
+                              "factor": 0.5, "modifier": "sqrt", "missing": 1.0}],
+                  boost_mode="sum"),
+             "error AND timeout"),
+            # single-term base: emission must reroute off the zero-exchange
+            # fast path onto the shard-local generator
+            (dict(functions=[{"kind": "exp", "field": "ts", "origin": ORIGIN,
+                              "scale": WEEK, "decay": 0.5}]),
+             "timeout"),
+        ]
+        for kw, q in cases:
+            fused = rel.function_score_df(spark, tiny_index[0], q, k=2000, **kw)
+            plan = fused._jdf.queryExecution().executedPlan().toString()
+            assert "Join" not in plan, (q, plan)
+            fused_rows = [(int(r["docid"]), float(r["score"])) for r in fused.collect()]
+            # hide the shard geometry: the emission gate falls back to
+            # the docs join (and the base to its legacy plan — also
+            # score-identical by the r5 path-equality tests)
+            orig = s._shard_size_of
+            s._shard_size_of = lambda _d: None
+            try:
+                joined = rel.function_score_df(spark, tiny_index[0], q, k=2000, **kw)
+                assert "Join" in joined._jdf.queryExecution().executedPlan().toString()
+                join_rows = [(int(r["docid"]), float(r["score"])) for r in joined.collect()]
+            finally:
+                s._shard_size_of = orig
+            assert fused_rows == join_rows, (q, kw)
+
     def test_rescore_matches_oracle(self, spark, tiny_index, parquet):
         got = _engine_pairs(rel.rescore_df(
             spark, tiny_index[0], "error", '"connection reset"',
