@@ -62,12 +62,25 @@ def main() -> None:
     dump("wildcard_wide_cold", search_df(spark, idx, "w000*", k=10))
     dump("and_cold", search_df(spark, idx, "error AND timeout", k=10))
 
+    from siem_on_amazon_opensearch_service_spark.operators import relevance as _rel
+
+    _FS_FNS = [{"kind": "gauss", "field": "ts", "origin": "2025-06-15T00:00:00",
+                "scale": 7 * 86400.0, "offset": 86400.0, "decay": 0.5}]
+    _DM_QS = ["error", "timeout AND refused", '"connection reset"']
+    dump("dis_max_cold", _rel.dis_max_df(spark, idx, _DM_QS, k=10, tie_breaker=0.3))
+    dump("function_score_cold", _rel.function_score_df(
+        spark, idx, "error OR timeout", k=10, functions=_FS_FNS))
+
     qs = QuerySession(spark, idx)
     try:
         qs.search("error AND timeout", k=10).collect()
         dump("and_warm", qs.search("error AND timeout", k=10))
         dump("fuzzy_wide_warm", qs.search("w00042~2", k=10))
         dump("msearch8_warm", qs.msearch(_MS_BATCH, k=10))
+        dump("dis_max_warm", _rel.dis_max_df(
+            spark, idx, _DM_QS, k=10, tie_breaker=0.3, session=qs))
+        dump("function_score_warm", _rel.function_score_df(
+            spark, idx, "error OR timeout", k=10, functions=_FS_FNS, session=qs))
     finally:
         qs.close()
 
