@@ -151,15 +151,9 @@ def _write_grams(uni: DataFrame, bi: DataFrame, uni_p: str, bi_p: str, nb: int) 
     from . import build as b
 
     if nb:
-        # r6: hash on (bucket, word) instead of bucket alone — a 16-bucket
-        # store otherwise caps the write at 16 tasks regardless of cores.
-        # Multiple term-sorted files per bucket dir are fine (the postings
-        # store has the same layout): readers glob bucket=*/*.parquet and
-        # the append path swaps whole bucket dirs.
-        wp = max(nb, uni.sparkSession.sparkContext.defaultParallelism)
         (
             uni.withColumn("bucket", b.postings_bucket_col(nb))
-            .repartition(wp, "bucket", "term")
+            .repartition(nb, "bucket")
             .sortWithinPartitions("bucket", "term")
             .write.mode("overwrite")
             .partitionBy("bucket")
@@ -170,7 +164,7 @@ def _write_grams(uni: DataFrame, bi: DataFrame, uni_p: str, bi_p: str, nb: int) 
                 "bucket",
                 F.pmod(F.crc32(F.encode(F.col("w1"), "UTF-8")), F.lit(nb)).cast("int"),
             )
-            .repartition(wp, "bucket", "w1")
+            .repartition(nb, "bucket")
             .sortWithinPartitions("bucket", "w1", "w2")
             .write.mode("overwrite")
             .partitionBy("bucket")
