@@ -200,7 +200,15 @@ def search_live_df(
     anti-join plan over the session's pinned postings/stats (the
     shard-local warm plan gates itself off under exclusions — its
     per-partition top-k would run before the anti-join — and falls back
-    to the decode+join shape, still warm)."""
+    to the decode+join shape, still warm).
+
+    r6: the COLD path now ships the tombstone log as the same broadcast
+    sorted int64 array the warm session builds (r5), so multi-clause
+    live queries keep the fused shard-local plan — the generator drops
+    tombstoned candidates before its per-partition top-k instead of
+    falling back to the decode+join+anti-join shape.  Past
+    EXCLUDE_BROADCAST_CAP the broadcast is skipped and the anti-join
+    plan engages exactly as before."""
     dels = deleted_docids(spark, index_dir)
     if dels is None:
         if session is not None:
@@ -210,8 +218,17 @@ def search_live_df(
         return session.search(
             query, k=k, _exclude_dir=_deletes_path(index_dir), **filt
         )
+    from .search import EXCLUDE_BROADCAST_CAP, _load_tombstone_array
+
+    arr = _load_tombstone_array(_deletes_path(index_dir))
+    bc = (
+        spark.sparkContext.broadcast(arr)
+        if arr.size <= EXCLUDE_BROADCAST_CAP
+        else None
+    )
     return search_df(
-        spark, index_dir, query, k=k, _exclude_dir=_deletes_path(index_dir), **filt
+        spark, index_dir, query, k=k, _exclude_dir=_deletes_path(index_dir),
+        _exclude_bc=bc, **filt,
     )
 
 

@@ -248,6 +248,33 @@ class TestLiveSearch:
         finally:
             sess.close()
 
+    def test_cold_live_multiclause_stays_shard_local(
+        self, spark, del_index, monkeypatch
+    ):
+        """r6: the COLD live path broadcasts the tombstone array too, so
+        multi-clause live queries keep the fused shard-local plan (no
+        LeftAnti, one Exchange) — and the results equal the anti-join
+        plan (forced via EXCLUDE_BROADCAST_CAP=0)."""
+        from siem_on_amazon_opensearch_service_spark.operators import search as se
+
+        idx, _ = del_index
+        for q in [Q, "error AND refused", '"connection reset"',
+                  "(error AND NOT refused) OR denied"]:
+            df = dl.search_live_df(spark, idx, q, k=10)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "LeftAnti" not in plan, q
+            assert plan.count("Exchange") == 1, (q, plan)
+            fused = _pairs(df)
+            monkeypatch.setattr(se, "EXCLUDE_BROADCAST_CAP", -1)
+            try:
+                anti = dl.search_live_df(spark, idx, q, k=10)
+                assert "LeftAnti" in anti._jdf.queryExecution().executedPlan().toString()
+                assert fused == _pairs(anti), q
+            finally:
+                monkeypatch.setattr(
+                    se, "EXCLUDE_BROADCAST_CAP", 10_000_000
+                )
+
     def test_warm_live_sharded_mode(self, spark, del_index):
         """Past the norms broadcast cap (broadcast_cap=0) the tombstone
         broadcast is independent: warm live multi-clause still runs and
