@@ -154,16 +154,34 @@ def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> dict:
     postings lookup — the same reason OpenSearch accepts bool/must_not
     in ``_delete_by_query``.  Only docids not already tombstoned are
     appended, so repeated deletes are byte-level no-ops.  Returns
-    ``{"deleted": new, "total_tombstones": all}``."""
+    ``{"deleted": new, "total_tombstones": all}``.
+
+    r6 EXECUTION change (semantics unchanged): the match set resolves
+    from the POSTINGS (``match_docids_df`` — O(Σ df) postings decode)
+    instead of tokenizing the whole docs text, for every shape the
+    posting algebra covers; docs text and postings cannot diverge (text
+    updates are refused — ``updates.py``), so the sets are identical
+    (tested per shape).  ``compile_predicate`` still runs FIRST so the
+    percolator's loud refusals (spans/intervals) refuse exactly as
+    before, and shapes the algebra rejects (pure-negative, NOT outside
+    AND) keep the one-scan predicate path."""
     pred = compile_predicate(query, index_dir)
-    fields = filter_fields(query)
-    cols = ["docid"] + [f for f in ("role", "tool", "ts") if f in fields] + ["text"]
-    docs = with_tokens(
-        spark.read.parquet(os.path.join(index_dir, "docs")).select(*cols)
-    )
-    matches = docs.filter(
-        pred(F.col("__toks"), F.col("role"), F.col("tool"), F.col("ts"))
-    ).select("docid")
+    matches = None
+    try:
+        from .search import match_docids_df
+
+        matches = match_docids_df(spark, index_dir, query).select("docid")
+    except (ValueError, TypeError, NotImplementedError):
+        matches = None
+    if matches is None:
+        fields = filter_fields(query)
+        cols = ["docid"] + [f for f in ("role", "tool", "ts") if f in fields] + ["text"]
+        docs = with_tokens(
+            spark.read.parquet(os.path.join(index_dir, "docs")).select(*cols)
+        )
+        matches = docs.filter(
+            pred(F.col("__toks"), F.col("role"), F.col("tool"), F.col("ts"))
+        ).select("docid")
     existing = deleted_docids(spark, index_dir)
     # count BEFORE the append: the tombstone relation is a lazy dir scan,
     # so counting it after the write would see the new files too

@@ -58,6 +58,56 @@ def _pairs(df):
     return [(int(r["docid"]), float(r["s"])) for r in rows]
 
 
+class TestDeleteByQueryIndexPath:
+    """r6: delete_by_query resolves its match set from the postings
+    (match_docids_df) instead of a full docs-text scan.  The tombstone
+    SET and counts must be identical to the percolator scan for every
+    shape the posting algebra covers, and the uncovered shapes
+    (pure-negative, NOT outside AND) must still work via the scan."""
+
+    SHAPES = [
+        "timeout",
+        "error AND timeout",
+        "error OR refused",
+        "error AND NOT timeout",
+        "error AND role:assistant",
+        '"connection reset"',
+        "w0004*",
+        "NOT error",           # pure-negative: algebra refuses -> scan
+        "error OR NOT timeout",  # NOT outside AND: algebra refuses -> scan
+    ]
+
+    @pytest.mark.parametrize("q", SHAPES)
+    def test_index_path_matches_scan_path(
+        self, spark, tiny_index, tmp_path_factory, q, monkeypatch
+    ):
+        src, _ = tiny_index
+        a = str(tmp_path_factory.mktemp("dqa") / "index")
+        b = str(tmp_path_factory.mktemp("dqb") / "index")
+        shutil.copytree(src, a)
+        shutil.copytree(src, b)
+        try:
+            ia = dl.delete_by_query(spark, a, q)
+            from siem_on_amazon_opensearch_service_spark.operators import search as se
+
+            def _refuse(*args, **kwargs):
+                raise ValueError("forced scan path")
+
+            monkeypatch.setattr(se, "match_docids_df", _refuse)
+            ib = dl.delete_by_query(spark, b, q)
+            assert ia == ib, q
+            ta = set() if dl.deleted_docids(spark, a) is None else {
+                r["docid"] for r in dl.deleted_docids(spark, a).collect()
+            }
+            tb = set() if dl.deleted_docids(spark, b) is None else {
+                r["docid"] for r in dl.deleted_docids(spark, b).collect()
+            }
+            assert ta == tb, q
+        finally:
+            shutil.rmtree(a, ignore_errors=True)
+            shutil.rmtree(b, ignore_errors=True)
+
+
 def _files(d):
     return sorted(
         os.path.join(r, f)
