@@ -4543,8 +4543,19 @@ _DRIVER_PRIORITY = [
     # (b) canaries — two long-attested rows as cross-round anchors
     "bm25_term",
     "bm25_bool_and",
+    # (b2) rows whose EXECUTION PATH changed in this round's second
+    # optimization pass (fused dis_max, generator-emitted function_score
+    # fields, cold live tombstone broadcast, postings-path
+    # delete_by_query) — re-attested on the new code even though all
+    # were green in earlier rounds
+    "bm25_dis_max",
+    "bm25_function_score_recency",
+    "bm25_function_score_warm",
+    "bm25_live_after_delete",
+    "bm25_after_expunge",
+    "bm25_after_update",
     # (c) never-driver-attested backlog, registry order (101 remained
-    # after r5; this window draws the next 42)
+    # after r5; this window draws the next 36)
     "doc_decontamination",
     "doc_lm_score",
     "doc_dedup_clusters",
