@@ -400,11 +400,22 @@ def minhash_lsh_pairs(
     # jaccard modulo 48-bit collisions, mirrored exactly in the oracle,
     # and the verify shuffle carries ints instead of ~60-char strings
     # (shingle rows from the Arrow pass, r6 — same rows as the exploded
-    # column expression, minus the JVM tokenizer)
-    sh = _shingle_rows_arrow(df, id_col, text_col, k).distinct()
+    # column expression, minus the JVM tokenizer).
+    # r6b: shingles roll up to ONE sorted distinct-hash array per doc
+    # (collect_set == the old global (id, s) distinct, since id is in the
+    # key), so verification is two doc-volume joins + a JVM
+    # array_intersect per candidate pair instead of an explode to
+    # shingle-row volume, a pair×shingle equi-join, a count groupBy and
+    # two size joins — |sa ∩ sb| and the sizes are the same numbers by
+    # construction, and the jaccard arithmetic below is untouched.
+    doc_sh = (
+        _shingle_rows_arrow(df, id_col, text_col, k)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("s")).alias("arr"))
+    )
     if persist_intermediates:
         banded = banded.localCheckpoint(eager=True)
-        sh = sh.localCheckpoint(eager=True)
+        doc_sh = doc_sh.localCheckpoint(eager=True)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
@@ -413,19 +424,24 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verification on CANDIDATE pairs only (never all-pairs:
     # at scale the shared-shingle self-join explodes quadratically on
-    # common shingles; LSH exists precisely to avoid it)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a_sh = sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
-    b_sh = sh.select(F.col("id").alias("idb2"), F.col("s").alias("sb"))
-    inter = (
-        cand.join(a_sh, "id_a")
-        .join(b_sh, (F.col("id_b") == F.col("idb2")) & (F.col("sa") == F.col("sb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    # common shingles; LSH exists precisely to avoid it).  The inner joins
+    # drop ids with no shingles (empty/null text), like the old explode
+    # path did; the inter > 0 filter reproduces the old INNER
+    # shingle-equality join, which never emitted zero-overlap pairs (it
+    # only matters for jaccard_min <= 0).
+    a_arr = doc_sh.select(F.col("id").alias("id_a"), F.col("arr").alias("aa"))
+    b_arr = doc_sh.select(F.col("id").alias("id_b"), F.col("arr").alias("ab"))
     verified = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        cand.join(a_arr, "id_a")
+        .join(b_arr, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("aa", "ab")).alias("inter"),
+            F.size("aa").alias("na"),
+            F.size("ab").alias("nb"),
+        )
+        .filter(F.col("inter") > 0)
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .select("id_a", "id_b", "jaccard")
     )
@@ -642,12 +658,23 @@ def simhash_pairs(
     if persist_intermediates:
         banded = banded.localCheckpoint(eager=True)
     l, r = banded.alias("l"), banded.alias("r")
+    # the hamming predicate rides IN the join condition (r6b): candidates
+    # failing it are dropped inside the join instead of surviving into the
+    # dedup shuffle — filter/distinct commute (hamming is a deterministic
+    # function of the pair), so the result set is identical while the
+    # distinct exchange carries only qualifying pairs (the band join emits
+    # every same-band collision; on the Zipf-heavy bench sample most fail
+    # the <= max_hamming cut)
     cand = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & (
+                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+                <= F.lit(max_hamming)
+            ),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
@@ -656,7 +683,7 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
+    return cand.orderBy("id_a", "id_b")
 
 
 def simhash_pairs_allpairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 6, bits: int = 48) -> DataFrame:
