@@ -46,10 +46,12 @@ MAX_SEQUENCES = 10_000
 # ---------------------------------------------------------------------------
 # model build
 
-def _count_grams(docs: DataFrame) -> DataFrame:
-    """(w1, w2, cnt) gram counts over a docs frame: unigram rows carry
+def _partial_gram_counts(docs: DataFrame) -> DataFrame:
+    """Per-map-task partial (w1, w2, cnt) gram counts: unigram rows carry
     w2 = NULL.  numpy partial counts per Arrow batch (map-side combine);
-    the groupBy shuffle carries distinct gram keys, not token instances."""
+    rows are distinct within each flush but NOT globally — callers must
+    sum per gram (groupBy in :func:`_count_grams`, or the bucket-aligned
+    per-partition fold in :func:`build_suggest_model`)."""
 
     # r6 measured rework (sf0.1 sample, 19k docs / 560k tokens): np.unique
     # over OBJECT strings (0.56 s) + pandas string-pair groupby (0.17 s)
@@ -111,12 +113,60 @@ def _count_grams(docs: DataFrame) -> DataFrame:
         if flats:
             yield flush()
 
+    return docs.select("text").mapInPandas(
+        count_batches, schema="w1 string, w2 string, cnt long"
+    )
+
+
+def _count_grams(docs: DataFrame) -> DataFrame:
+    """(w1, w2, cnt) global gram counts (generic layout-agnostic shape,
+    used by the streaming append path)."""
     return (
-        docs.select("text")
-        .mapInPandas(count_batches, schema="w1 string, w2 string, cnt long")
+        _partial_gram_counts(docs)
         .groupBy("w1", "w2")
         .agg({"cnt": "sum"})
         .withColumnRenamed("sum(cnt)", "cnt")
+    )
+
+
+def _bucketed_gram_counts(docs: DataFrame, nb: int) -> DataFrame:
+    """(bucket, w1, w2, cnt) final gram counts clustered so partition ==
+    repartition(nb, bucket) — ONE exchange for the whole model build
+    (r6b).  The old pipeline shuffled the distinct grams THREE times
+    (groupBy(w1, w2), then repartition(nb, bucket) once per table write);
+    but bucket is a pure function of w1, so hash-partitioning the partial
+    counts by bucket already co-locates every (w1, w2) group, and the
+    final sums fold per partition in pandas with no further exchange.
+    The bucketed writes then need no repartition either: the frame is
+    already bucket-clustered, so partitionBy("bucket") emits one file per
+    bucket per holding task (same file geometry as before).  Memory: a
+    partition holds its buckets' distinct grams (vocabulary/nb-scale —
+    Heaps-sublinear in the corpus, and nb scales with the corpus), the
+    same per-task working set the old sorted bucket write held."""
+    parts = _partial_gram_counts(docs).withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.encode(F.col("w1"), "UTF-8")), F.lit(nb)).cast("int"),
+    )
+
+    def fold(batches):
+        acc = []
+        for pdf in batches:
+            acc.append(pdf)
+        if not acc:
+            return
+        allp = pd.concat(acc, ignore_index=True) if len(acc) > 1 else acc[0]
+        g = (
+            allp.groupby(["bucket", "w1", "w2"], dropna=False, sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        # pandas renders the NULL-w2 key as NaN in an object column;
+        # restore None so Arrow writes a proper string NULL
+        g["w2"] = g["w2"].where(pd.notna(g["w2"]), None)
+        yield g
+
+    return parts.repartition(nb, "bucket").mapInPandas(
+        fold, schema="bucket int, w1 string, w2 string, cnt long"
     )
 
 
@@ -191,22 +241,47 @@ def build_suggest_model(spark: SparkSession, index_dir: str) -> str:
         return out
 
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    counted = _count_grams(docs)
-    counted.persist()
     nb = _index_buckets(index_dir)
-    _write_grams(
-        counted.filter("w2 IS NULL").selectExpr("w1 AS term", "cnt AS ttf"),
-        counted.filter("w2 IS NOT NULL"),
-        uni_p,
-        bi_p,
-        nb,
-    )
-    import duckdb
-
-    total = duckdb.sql(
-        f"SELECT CAST(sum(ttf) AS BIGINT) FROM {_gram_sources(out, 'unigrams')}"
-    ).fetchone()[0]
-    counted.unpersist()
+    if nb:
+        # single-exchange build (r6b): bucket-clustered final counts feed
+        # both table writes with NO further shuffle, and the meta total
+        # sums the same cached rows instead of re-reading the written
+        # parquet through DuckDB.  Values are identical: same gram
+        # counts, same bucket hash, same in-file sort order.
+        final = _bucketed_gram_counts(docs, nb).localCheckpoint(eager=True)
+        (
+            final.filter("w2 IS NULL")
+            .selectExpr("w1 AS term", "cnt AS ttf", "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(uni_p)
+        )
+        (
+            final.filter("w2 IS NOT NULL")
+            .select("w1", "w2", "cnt", "bucket")
+            .sortWithinPartitions("bucket", "w1", "w2")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(bi_p)
+        )
+        total = (
+            final.filter("w2 IS NULL").agg(F.sum("cnt")).collect()[0][0] or 0
+        )
+    else:
+        counted = _count_grams(docs)
+        counted.persist()
+        _write_grams(
+            counted.filter("w2 IS NULL").selectExpr("w1 AS term", "cnt AS ttf"),
+            counted.filter("w2 IS NOT NULL"),
+            uni_p,
+            bi_p,
+            0,
+        )
+        total = (
+            counted.filter("w2 IS NULL").agg(F.sum("cnt")).collect()[0][0] or 0
+        )
+        counted.unpersist()
     with open(meta_p, "w") as f:
         json.dump({"total_tokens": int(total)}, f)
     open(os.path.join(uni_p, "_SUCCESS"), "a").close()
