@@ -235,28 +235,90 @@ def _facts_arrow(
         F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
     )
 
+    # vectorized facts (r6b): dl and per-term tf come from COUNTING regex
+    # passes over the lowered text — token strings are never materialized
+    # for pure term/SpanOr queries.  Identities: the number of
+    # non-overlapping TOKEN_RE matches equals len(split-minus-empties)
+    # (same maximal [A-Za-z0-9_]+ runs), and a token equals `term` iff
+    # `term` occurs as a maximal run, which the boundary lookarounds
+    # assert exactly.  Positional leaves (phrase/span_first/span_not)
+    # still walk tokens per row, but only over rows whose anchor term is
+    # present — absent-anchor rows score 0 by the same arithmetic the
+    # per-row path used.  The reference per-row formulation survives as
+    # impl="column"; tests assert row identity between the two.
+    tok_count_re = _re.compile(_analysis.TOKEN_RE.pattern)
+    term_res = {
+        t: _re.compile(
+            r"(?<![A-Za-z0-9_])" + _re.escape(t) + r"(?![A-Za-z0-9_])"
+        )
+        for t in terms
+    }
+    anchors: list[str] = []
+    for _, leaf in nonterm:
+        if isinstance(leaf, Phrase):
+            anchors.append(leaf.terms[0])
+        elif isinstance(leaf, SpanFirst):
+            anchors.append(leaf.term)
+        elif isinstance(leaf, SpanNot):
+            anchors.append(leaf.include)
+        else:  # SpanOr: membership counts only — vectorized below
+            anchors.append("")
+    anchor_res = {
+        a: _re.compile(
+            r"(?<![A-Za-z0-9_])" + _re.escape(a) + r"(?![A-Za-z0-9_])"
+        )
+        for a in set(anchors) - {""}
+    }
+    term_idx = {t: i for i, t in enumerate(terms)}
+
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for t in pdf["__text"].values:
-                if len(t) > tb:
-                    t = t[:tk] + tm
-                toks = [x for x in split.split(t.lower()) if x]
-                cnt: dict[str, int] = {}
-                for x in toks:
-                    cnt[x] = cnt.get(x, 0) + 1
-                facts = [len(toks)] + [cnt.get(term, 0) for term in terms]
-                if nonterm:
-                    pos: dict[str, list[int]] = {}
-                    if need_pos:
+            s = pdf["__text"]
+            long_mask = s.str.len() > tb
+            if long_mask.any():
+                s = s.where(~long_mask, s.str.slice(0, tk) + tm)
+            low = s.str.lower()
+            n = len(pdf)
+            nfacts = 1 + len(terms) + len(nonterm)
+            facts = np.zeros((n, nfacts), dtype=np.int64)
+            facts[:, 0] = low.str.count(tok_count_re).to_numpy(dtype=np.int64)
+            for t, i in term_idx.items():
+                facts[:, 1 + i] = low.str.count(term_res[t]).to_numpy(
+                    dtype=np.int64
+                )
+            if nonterm:
+                cand = np.zeros(n, dtype=bool)
+                row_anchor_hit = {}
+                for a, rx in anchor_res.items():
+                    hit = low.str.contains(rx).to_numpy(dtype=bool)
+                    row_anchor_hit[a] = hit
+                    cand |= hit
+                for j, (_, leaf) in enumerate(nonterm):
+                    if isinstance(leaf, SpanOr):
+                        col = len(terms) + 1 + j
+                        for t in set(leaf.terms):
+                            facts[:, col] += facts[:, 1 + term_idx[t]]
+                if cand.any():
+                    vals = low.values
+                    pos_leaves = [
+                        (len(terms) + 1 + j, a, leaf)
+                        for j, ((_, leaf), a) in enumerate(zip(nonterm, anchors))
+                        if a
+                    ]
+                    for ri in np.nonzero(cand)[0]:
+                        toks = [x for x in split.split(vals[ri]) if x]
+                        pos: dict[str, list[int]] = {}
                         for i, x in enumerate(toks):
                             if x in need_pos:
                                 pos.setdefault(x, []).append(i)
-                    facts += [leaf_tf(leaf, cnt, pos) for _, leaf in nonterm]
-                rows.append(facts)
-            yield pd.DataFrame({"__id": pdf["__id"].values, "__facts": rows})
+                        for col, a, leaf in pos_leaves:
+                            if row_anchor_hit[a][ri]:
+                                facts[ri, col] = leaf_tf(leaf, {}, pos)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"].values, "__facts": list(facts)}
+            )
 
     return src.mapInPandas(gen, schema)
 
