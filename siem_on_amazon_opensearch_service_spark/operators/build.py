@@ -418,11 +418,15 @@ def _build_index_inner(
         # persisted per shard; a resumed build appends only missing shards.
         subset = docs if not done_shards else docs.filter(F.col("shard").isin(todo))
         seg = _partials_stage(subset, positions, n_salts)
-        (
-            seg.repartition(max(8, spark.sparkContext.defaultParallelism), "term", "salt")
-            .write.mode("append")
-            .parquet(partials_path)
-        )
+        # r6b: write partials STRAIGHT from the per-shard encode tasks.
+        # The (term, salt) repartition that used to sit here was a full
+        # exchange of every compressed partial row that bought nothing:
+        # parquet re-reads lose the partitioning, so _merge_stage always
+        # re-shuffles by (bucket, salt) anyway, and no partials consumer
+        # (merge, append recovery, expunge decode) needs term clustering
+        # — they either re-shuffle or stream row-at-a-time.  Encode tasks
+        # are shard-balanced, so the direct write is balanced too.
+        seg.write.mode("append").parquet(partials_path)
         t0 = _mark("partials", t0)
         # lineage/metrics per shard — the resume unit (north_rule)
         manifest = (

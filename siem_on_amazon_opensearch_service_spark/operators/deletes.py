@@ -384,10 +384,12 @@ def _survivor_partials(
             if frames:
                 yield pd.concat(frames, ignore_index=True)[seg_cols]
 
-    # True: the input partials are already (term, salt)-clustered from the
-    # original build's write and mapInPandas preserves partitioning, so the
-    # caller can skip its (term, salt) repartition — a full shuffle of the
-    # partials bytes that bought nothing on this path
+    # True: the caller can skip its (term, salt) repartition — a full
+    # shuffle of the partials bytes that buys nothing on this path (no
+    # partials consumer needs term clustering: the postings merge always
+    # re-shuffles by (bucket, salt), and this decode streams row-at-a-time
+    # whatever the file clustering — since r6b the build writes partials
+    # shard-clustered for the same reason)
     return (
         spark.read.parquet(partials_path).mapInPandas(
             filt, schema=segments.SEGMENT_SCHEMA
