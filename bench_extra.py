@@ -94,6 +94,26 @@ def main() -> None:
     if not os.path.exists(os.path.join(idx_dir, "_build.json")):
         build_index(spark, tdf, idx_dir, n_salts=8)
 
+    # --- local WAND latency (bench.py specs verbatim: one warm call, one
+    # timed call per query) --------------------------------------------------
+    if pick("wand"):
+        from siem_on_amazon_opensearch_service_spark.operators.search import LocalIndex
+
+        local = LocalIndex(idx_dir)
+        for name, q in {
+            "wand_or": "timeout OR refused OR denied",
+            "wand_and": "error AND timeout",
+            "wand_mixed": "(error AND NOT timeout) OR refused",
+        }.items():
+            local.search_wand(q, k=10)  # warm (segment cache)
+            ts = []
+            for _ in range(REPEAT):
+                t0 = time.perf_counter()
+                local.search_wand(q, k=10)
+                ts.append(round(time.perf_counter() - t0, 4))
+            out[name] = {"min": min(ts), "all": ts}
+            print(f"  {name}: min={min(ts)} all={ts}", file=sys.stderr)
+
     # --- cold searches ------------------------------------------------------
     timed("cold_and", lambda: search_df(spark, idx_dir, "error AND timeout", k=10).collect())
     timed("cold_term", lambda: search_df(spark, idx_dir, "error", k=10).collect())

@@ -111,6 +111,12 @@ _LEAF = (Term, Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot,
 _PHRASELIKE = (Phrase, MultiPhrase, SpanNear, SpanOr, SpanFirst, SpanNot,
                SpanContaining, SpanWithin, Intervals)
 
+#: elementary intervals per chunk in the chunked WAND walkers (r6b): the
+#: running k-th score refreshes once per chunk, so larger chunks trade a
+#: slightly staler (always conservative) skip threshold for fewer Python
+#: iterations — 128 intervals ≈ one chunk per 16k docs per term.
+_WAND_CHUNK = 128
+
 
 def _leaf_terms(leaf: Node) -> list[str]:
     """Flat term list of a scoring leaf (MultiPhrase slots flattened)."""
@@ -4389,114 +4395,108 @@ class LocalIndex:
         return self._wand_tree(ast, k)
 
     def _wand_or_terms(self, terms: list[str], k: int) -> list[tuple[int, np.float32]]:
-        """Classic block-max WAND over a disjunction of terms.
+        """Block-max WAND over a disjunction of terms, CHUNKED (r6b).
 
-        Document-at-a-time over 128-entry blocks, vectorized: the pivot is
-        chosen with term-level upper bounds (WAND), then the candidate
-        docid range [cursor..range_end] is either skipped wholesale when
-        the sum of the overlapping blocks' bounds is STRICTLY below the
-        running k-th score (strictness keeps equal-score/docid tie-breaks
-        exact) or scored exactly with numpy.  A global cursor guarantees
-        each doc is scored at most once."""
+        The docid space partitions into elementary intervals (boundaries =
+        the union of every term's block lasts), each fully covered by at
+        most one block per term, so per-interval score upper bounds are a
+        pure array computation.  Intervals are then processed in chunks of
+        ``_WAND_CHUNK``: a chunk skips every interval whose bound falls
+        STRICTLY below the running k-th score at chunk entry (theta only
+        grows, so the stale theta is conservative — never skips a doc the
+        classic per-range walk would have scored into the top-k), decodes
+        the surviving blocks once, and scores all surviving entries with
+        ONE score_tf call per term.  Final top-k by (-score, docid) is
+        identical to the classic pivot walk: every doc is scored at most
+        once (intervals are disjoint), skipped docs are provably below
+        theta_final, and per-doc float64 sums of same-magnitude float32
+        clause scores are exact (order-free).  The chunking removes the
+        per-block Python iteration that dominated hot-term ORs."""
         dfs = _load_dfs(self.dir, terms)
         tbs = [
             _TermBlocks(self, t, bm25.clause_weight([dfs.get(t, 0)], self.stats["doc_count"]))
             for t in terms
         ]
         tbs = [t for t in tbs if t.n_blocks]
+        if not tbs:
+            return []
+        ends = np.unique(np.concatenate([t.lasts for t in tbs]))
+        starts = np.empty_like(ends)
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+        m = ends.size
+        bound = np.zeros(m, dtype=np.float64)
+        infos = []
+        for t in tbs:
+            idx = np.searchsorted(t.lasts, starts, side="left")
+            idxc = np.minimum(idx, t.n_blocks - 1)
+            ov = (idx < t.n_blocks) & (t.firsts[idxc] <= ends)
+            bound += np.where(ov, t.ubs[idxc], 0.0)
+            infos.append((idxc, ov))
+
         top_d = np.empty(0, dtype=np.int64)
         top_s = np.empty(0, dtype=np.float32)
-        cursor = 0
-        MAXID = np.iinfo(np.int64).max
-
-        while True:
-            active = [t for t in tbs if not t.exhausted]
-            if not active:
-                break
-            active.sort(key=lambda t: t.cur_first)
-            full = top_d.size >= k
+        j = 0
+        while j < m:
+            je = min(j + _WAND_CHUNK, m)
+            full = top_d.size >= k and top_s.size > 0
             theta = float(top_s[-1]) if full else -np.inf
-
-            cum, pivot = 0.0, None
-            for i, t in enumerate(active):
-                cum += t.term_ub
-                if not full or cum >= theta:
-                    pivot = i
-                    break
-            if pivot is None:
-                break  # even all terms together fall strictly below theta
-
-            pivot_first = max(active[pivot].cur_first, cursor)
-            moved = False
-            for t in active[: pivot + 1]:
-                if t.cur_last < pivot_first:
-                    t.advance_to(pivot_first)
-                    moved = True
-            if moved:
-                continue
-            cursor = max(cursor, pivot_first)
-
-            # stable candidate range: shrink until every involved term's
-            # current block covers it entirely
-            range_end = active[pivot].cur_last
-            while True:
-                involved = [t for t in active if t.cur_first <= range_end and not t.exhausted]
-                new_end = min((t.cur_last for t in involved), default=range_end)
-                if new_end == range_end:
-                    break
-                range_end = new_end
-            if not involved:
-                cursor = range_end + 1
-                continue
-
-            bound = sum(t.cur_ub for t in involved)
-            if full and bound < theta:
-                cursor = range_end + 1
-                for t in involved:
-                    t.advance_to(cursor)
-                continue
-
-            parts_d, parts_s = [], []
-            for t in involved:
-                d, tf = t.block_entries()
-                j0 = int(np.searchsorted(d, cursor, side="left"))
-                j1 = int(np.searchsorted(d, range_end, side="right"))
-                if j1 > j0:
-                    dd = d[j0:j1]
-                    ss = bm25.score_tf(tf[j0:j1], self.norms[dd], t.weight, self.cache)
-                    parts_d.append(dd)
-                    parts_s.append(ss.astype(np.float64))
-            if parts_d:
-                alld = np.concatenate(parts_d)
-                alls = np.concatenate(parts_s)
-                ud, inv = np.unique(alld, return_inverse=True)
-                tot = np.zeros(ud.size, dtype=np.float64)
-                np.add.at(tot, inv, alls)
-                md = np.concatenate([top_d, ud])
-                ms = np.concatenate([top_s, tot.astype(np.float32)])
-                order = np.lexsort((md, -ms.astype(np.float64)))[:k]
-                top_d, top_s = md[order], ms[order]
-
-            cursor = range_end + 1
-            for t in involved:
-                t.advance_to(cursor)
+            do = bound[j:je] >= theta if full else np.ones(je - j, dtype=bool)
+            if do.any():
+                parts_d, parts_s = [], []
+                for t, (idxc, ov) in zip(tbs, infos):
+                    sel = ov[j:je] & do
+                    if not sel.any():
+                        continue
+                    dd_parts, tf_parts = [], []
+                    for bi in np.unique(idxc[j:je][sel]):
+                        d, tf = t.entries(int(bi))
+                        iv = np.searchsorted(ends, d, side="left")
+                        keep = (iv >= j) & (iv < je)
+                        keep[keep] = do[iv[keep] - j]
+                        if keep.any():
+                            dd_parts.append(d[keep])
+                            tf_parts.append(tf[keep])
+                    if dd_parts:
+                        dd = np.concatenate(dd_parts)
+                        ss = bm25.score_tf(
+                            np.concatenate(tf_parts), self.norms[dd], t.weight, self.cache
+                        )
+                        parts_d.append(dd)
+                        parts_s.append(ss.astype(np.float64))
+                if parts_d:
+                    alld = np.concatenate(parts_d)
+                    alls = np.concatenate(parts_s)
+                    ud, inv = np.unique(alld, return_inverse=True)
+                    tot = np.zeros(ud.size, dtype=np.float64)
+                    np.add.at(tot, inv, alls)
+                    md = np.concatenate([top_d, ud])
+                    ms = np.concatenate([top_s, tot.astype(np.float32)])
+                    order = np.lexsort((md, -ms.astype(np.float64)))[:k]
+                    top_d, top_s = md[order], ms[order]
+            j = je
 
         return [(int(d), np.float32(s)) for d, s in zip(top_d, top_s)]
 
     def _wand_tree(self, ast: Node, k: int) -> list[tuple[int, np.float32]]:
-        """General block-max evaluator for And/Or/Not trees of Terms.
+        """General block-max evaluator for And/Or/Not trees of Terms,
+        CHUNKED like :meth:`_wand_or_terms` (r6b).
 
-        Per iteration: (1) a tree-structural lower bound on the next
-        possible matching docid (And = max over required children, Or =
-        min, Not = anywhere) jumps the cursor; (2) the candidate range
-        shrinks until every overlapping term's current block covers it;
-        (3) the range is skipped when the tree is unmatchable there or the
-        summed positive block upper bounds fall STRICTLY below the running
-        k-th score; (4) otherwise all overlapping blocks decode once and
-        the tree evaluates vectorized over the range's candidate docids
-        (candidates = union of positive-term postings — valid because
+        Per elementary interval (boundaries = union of all terms' block
+        lasts), three precomputed arrays decide skipping: the per-term
+        overlap mask, the positively-weighted bound sum, and the
+        structural matchability of the tree (Term -> overlap, Not ->
+        anywhere, And = all, Or = any — the same recursion the per-range
+        walk evaluated, now vectorized over all intervals at once).  A
+        chunk skips unmatchable intervals (no matching doc exists there —
+        exact) and intervals whose bound is STRICTLY below theta at chunk
+        entry (conservative: theta only grows), then decodes the
+        surviving blocks and evaluates the tree once over the chunk's
+        candidate union (candidates = positive-term postings —
         _require_positive_coverage holds).  Scores = float64 sum of the
-        positive-path term float32 scores, like every other path."""
+        positive-path term float32 scores in fixed term order, like the
+        per-range walk (its in_range dict iterated in the same term
+        insertion order)."""
         leaves = _leaves(ast)
         if any(isinstance(lf, _PHRASELIKE) for lf in leaves):
             raise ValueError("WAND handles term trees; phrases use search()")
@@ -4505,8 +4505,8 @@ class LocalIndex:
         # repeatedly in Lucene bool semantics; boosts accumulate the
         # same way)
         positive: dict[str, float] = {}
-        for lf, m in _positive_multiplicity(ast).items():
-            positive[lf.term] = positive.get(lf.term, 0.0) + m
+        for lf, mult in _positive_multiplicity(ast).items():
+            positive[lf.term] = positive.get(lf.term, 0.0) + mult
         terms = [lf.term for lf in leaves]
         dfs = _load_dfs(self.dir, terms)
         tbs: dict[str, _TermBlocks] = {}
@@ -4514,124 +4514,104 @@ class LocalIndex:
             tb = _TermBlocks(self, t, bm25.clause_weight([dfs.get(t, 0)], self.stats["doc_count"]))
             if tb.n_blocks:
                 tbs[t] = tb
-        INF = np.iinfo(np.int64).max
+        if not tbs:
+            return []
+        ends = np.unique(np.concatenate([tb.lasts for tb in tbs.values()]))
+        starts = np.empty_like(ends)
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+        m = ends.size
+        bound = np.zeros(m, dtype=np.float64)
+        ov_map: dict[str, np.ndarray] = {}
+        idx_map: dict[str, np.ndarray] = {}
+        for t, tb in tbs.items():
+            idx = np.searchsorted(tb.lasts, starts, side="left")
+            idxc = np.minimum(idx, tb.n_blocks - 1)
+            ov = (idx < tb.n_blocks) & (tb.firsts[idxc] <= ends)
+            ov_map[t] = ov
+            idx_map[t] = idxc
+            if t in positive:
+                bound += positive[t] * np.where(ov, tb.ubs[idxc], 0.0)
 
-        def next_candidate(n: Node, cursor: int) -> int:
+        def matchable_vec(n: Node) -> np.ndarray:
             if isinstance(n, Term):
-                tb = tbs.get(n.term)
-                return INF if tb is None or tb.exhausted else max(cursor, tb.cur_first)
+                ovn = ov_map.get(n.term)
+                return ovn if ovn is not None else np.zeros(m, dtype=bool)
             if isinstance(n, Not):
-                return cursor  # complement can match anywhere
+                return np.ones(m, dtype=bool)
             if isinstance(n, And):
-                return max(next_candidate(c, cursor) for c in n.children)
+                return np.logical_and.reduce([matchable_vec(c) for c in n.children])
             if isinstance(n, Or):
-                return min(next_candidate(c, cursor) for c in n.children)
+                return np.logical_or.reduce([matchable_vec(c) for c in n.children])
             raise TypeError(n)
 
-        def matchable(n: Node, range_end: int) -> bool:
-            if isinstance(n, Term):
-                tb = tbs.get(n.term)
-                return tb is not None and not tb.exhausted and tb.cur_first <= range_end
-            if isinstance(n, Not):
-                return True
-            if isinstance(n, And):
-                return all(matchable(c, range_end) for c in n.children)
-            if isinstance(n, Or):
-                return any(matchable(c, range_end) for c in n.children)
-            raise TypeError(n)
+        mv = matchable_vec(ast)
 
         top_d = np.empty(0, dtype=np.int64)
         top_s = np.empty(0, dtype=np.float32)
-        cursor = 0
-        while True:
-            nd = next_candidate(ast, cursor)
-            if nd >= INF:
-                break
-            for tb in tbs.values():
-                tb.advance_to(nd)
-            active = [tb for tb in tbs.values() if not tb.exhausted]
-            # stable candidate range: every term whose current block
-            # overlaps it must cover it entirely
-            range_end = min(
-                (tb.cur_last for tb in active if tb.cur_first <= nd), default=INF
-            )
-            if range_end >= INF:
-                range_end = min((tb.cur_first for tb in active), default=INF)
-                if range_end >= INF:
-                    break
-            while True:
-                involved = [tb for tb in active if tb.cur_first <= range_end]
-                new_end = min((tb.cur_last for tb in involved), default=range_end)
-                if new_end == range_end:
-                    break
-                range_end = new_end
-            if not involved:
-                cursor = nd + 1
-                continue
-
-            full = top_d.size >= k
+        j = 0
+        while j < m:
+            je = min(j + _WAND_CHUNK, m)
+            full = top_d.size >= k and top_s.size > 0
             theta = float(top_s[-1]) if full else -np.inf
-            bound = sum(
-                positive[t] * tb.cur_ub
-                for t, tb in tbs.items()
-                if t in positive and not tb.exhausted and tb.cur_first <= range_end
-            )
-            if not matchable(ast, range_end) or (full and bound < theta):
-                cursor = range_end + 1
-                for tb in involved:
-                    tb.advance_to(cursor)
-                continue
+            do = mv[j:je] & (bound[j:je] >= theta) if full else mv[j:je].copy()
+            if do.any():
+                gathered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+                for t, tb in tbs.items():
+                    sel = ov_map[t][j:je] & do
+                    if not sel.any():
+                        continue
+                    dd_parts, tf_parts = [], []
+                    for bi in np.unique(idx_map[t][j:je][sel]):
+                        d, tf = tb.entries(int(bi))
+                        iv = np.searchsorted(ends, d, side="left")
+                        keep = (iv >= j) & (iv < je)
+                        keep[keep] = do[iv[keep] - j]
+                        if keep.any():
+                            dd_parts.append(d[keep])
+                            tf_parts.append(tf[keep])
+                    if dd_parts:
+                        gathered[t] = (
+                            np.concatenate(dd_parts),
+                            np.concatenate(tf_parts),
+                        )
+                pos_parts = [gathered[t][0] for t in gathered if t in positive]
+                if pos_parts:
+                    ud = np.unique(np.concatenate(pos_parts))
+                    acc = np.zeros(ud.size, dtype=np.float64)
+                    present: dict[str, np.ndarray] = {}
+                    for t, (dd, tf) in gathered.items():
+                        idx = np.searchsorted(ud, dd)
+                        # negative-only terms may carry docids outside the
+                        # positive-union candidate set — keep only hits
+                        ok = (idx < ud.size) & (ud[np.minimum(idx, ud.size - 1)] == dd)
+                        mk = np.zeros(ud.size, dtype=bool)
+                        mk[idx[ok]] = True
+                        present[t] = mk
+                        if t in positive:
+                            s = bm25.score_tf(tf, self.norms[dd], tbs[t].weight, self.cache)
+                            acc[idx] += positive[t] * s.astype(np.float64)
 
-            # exact eval over [nd, range_end]
-            in_range: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-            for t, tb in tbs.items():
-                if tb.exhausted or tb.cur_first > range_end:
-                    continue
-                d, tf = tb.block_entries()
-                j0 = int(np.searchsorted(d, nd, side="left"))
-                j1 = int(np.searchsorted(d, range_end, side="right"))
-                if j1 > j0:
-                    in_range[t] = (d[j0:j1], tf[j0:j1])
-            pos_parts = [in_range[t][0] for t in in_range if t in positive]
-            if pos_parts:
-                ud = np.unique(np.concatenate(pos_parts))
-                acc = np.zeros(ud.size, dtype=np.float64)
-                present: dict[str, np.ndarray] = {}
-                for t, (dd, tf) in in_range.items():
-                    idx = np.searchsorted(ud, dd)
-                    # negative-only terms may carry docids outside the
-                    # positive-union candidate set — keep only hits
-                    ok = (idx < ud.size) & (ud[np.minimum(idx, ud.size - 1)] == dd)
-                    m = np.zeros(ud.size, dtype=bool)
-                    m[idx[ok]] = True
-                    present[t] = m
-                    if t in positive:
-                        s = bm25.score_tf(tf, self.norms[dd], tbs[t].weight, self.cache)
-                        acc[idx] += positive[t] * s.astype(np.float64)
+                    def ev(n: Node) -> np.ndarray:
+                        if isinstance(n, Term):
+                            return present.get(n.term, np.zeros(ud.size, dtype=bool))
+                        if isinstance(n, Not):
+                            return ~ev(n.child)
+                        if isinstance(n, And):
+                            return np.logical_and.reduce([ev(c) for c in n.children])
+                        if isinstance(n, Or):
+                            return np.logical_or.reduce([ev(c) for c in n.children])
+                        if isinstance(n, AtLeast):
+                            return np.sum([ev(c) for c in n.children], axis=0) >= n.m
+                        raise TypeError(n)
 
-                def ev(n: Node) -> np.ndarray:
-                    if isinstance(n, Term):
-                        return present.get(n.term, np.zeros(ud.size, dtype=bool))
-                    if isinstance(n, Not):
-                        return ~ev(n.child)
-                    if isinstance(n, And):
-                        return np.logical_and.reduce([ev(c) for c in n.children])
-                    if isinstance(n, Or):
-                        return np.logical_or.reduce([ev(c) for c in n.children])
-                    if isinstance(n, AtLeast):
-                        return np.sum([ev(c) for c in n.children], axis=0) >= n.m
-                    raise TypeError(n)
-
-                sel = ev(ast)
-                if sel.any():
-                    md = np.concatenate([top_d, ud[sel]])
-                    ms = np.concatenate([top_s, acc[sel].astype(np.float32)])
-                    order = np.lexsort((md, -ms.astype(np.float64)))[:k]
-                    top_d, top_s = md[order], ms[order]
-
-            cursor = range_end + 1
-            for tb in involved:
-                tb.advance_to(cursor)
+                    sel = ev(ast)
+                    if sel.any():
+                        md = np.concatenate([top_d, ud[sel]])
+                        ms = np.concatenate([top_s, acc[sel].astype(np.float32)])
+                        order = np.lexsort((md, -ms.astype(np.float64)))[:k]
+                        top_d, top_s = md[order], ms[order]
+            j = je
 
         return [(int(d), np.float32(s)) for d, s in zip(top_d, top_s)]
 
@@ -4696,7 +4676,9 @@ class _TermBlocks:
         self.bi = max(self.bi, j)
 
     def block_entries(self) -> tuple[np.ndarray, np.ndarray]:
-        bi = self.bi
+        return self.entries(self.bi)
+
+    def entries(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
         hit = self._cache.get(bi)
         if hit is None:
             dbuf, tbuf = self.bufs[bi]
