@@ -130,44 +130,22 @@ def _count_grams(docs: DataFrame) -> DataFrame:
 
 
 def _bucketed_gram_counts(docs: DataFrame, nb: int) -> DataFrame:
-    """(bucket, w1, w2, cnt) final gram counts clustered so partition ==
-    repartition(nb, bucket) — ONE exchange for the whole model build
-    (r6b).  The old pipeline shuffled the distinct grams THREE times
-    (groupBy(w1, w2), then repartition(nb, bucket) once per table write);
-    but bucket is a pure function of w1, so hash-partitioning the partial
-    counts by bucket already co-locates every (w1, w2) group, and the
-    final sums fold per partition in pandas with no further exchange.
-    The bucketed writes then need no repartition either: the frame is
-    already bucket-clustered, so partitionBy("bucket") emits one file per
-    bucket per holding task (same file geometry as before).  Memory: a
-    partition holds its buckets' distinct grams (vocabulary/nb-scale —
-    Heaps-sublinear in the corpus, and nb scales with the corpus), the
-    same per-task working set the old sorted bucket write held."""
-    parts = _partial_gram_counts(docs).withColumn(
+    """(w1, w2, cnt, bucket) final gram counts clustered so partition ==
+    repartition(nb, bucket) — TWO exchanges for the whole model build
+    (r6b).  The old pipeline shuffled the distinct grams THREE times:
+    groupBy(w1, w2), then repartition(nb, bucket) once per table write.
+    The JVM groupBy stays (its map-side partial aggregation combines the
+    per-flush partial rows across a whole task — a raw bucket
+    repartition of the partials measured SLOWER at sf1 because it ships
+    every per-flush duplicate), but both bucketed writes now share ONE
+    bucket-clustering exchange: bucket is a pure function of w1, so the
+    clustered frame feeds both partitionBy("bucket") writes with no
+    further shuffle and the same one-file-per-bucket geometry."""
+    counted = _count_grams(docs).withColumn(
         "bucket",
         F.pmod(F.crc32(F.encode(F.col("w1"), "UTF-8")), F.lit(nb)).cast("int"),
     )
-
-    def fold(batches):
-        acc = []
-        for pdf in batches:
-            acc.append(pdf)
-        if not acc:
-            return
-        allp = pd.concat(acc, ignore_index=True) if len(acc) > 1 else acc[0]
-        g = (
-            allp.groupby(["bucket", "w1", "w2"], dropna=False, sort=False)["cnt"]
-            .sum()
-            .reset_index()
-        )
-        # pandas renders the NULL-w2 key as NaN in an object column;
-        # restore None so Arrow writes a proper string NULL
-        g["w2"] = g["w2"].where(pd.notna(g["w2"]), None)
-        yield g
-
-    return parts.repartition(nb, "bucket").mapInPandas(
-        fold, schema="bucket int, w1 string, w2 string, cnt long"
-    )
+    return counted.repartition(nb, "bucket")
 
 
 def _index_buckets(index_dir: str) -> int:
@@ -243,12 +221,14 @@ def build_suggest_model(spark: SparkSession, index_dir: str) -> str:
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     nb = _index_buckets(index_dir)
     if nb:
-        # single-exchange build (r6b): bucket-clustered final counts feed
+        # shared-exchange build (r6b): bucket-clustered final counts feed
         # both table writes with NO further shuffle, and the meta total
         # sums the same cached rows instead of re-reading the written
         # parquet through DuckDB.  Values are identical: same gram
-        # counts, same bucket hash, same in-file sort order.
-        final = _bucketed_gram_counts(docs, nb).localCheckpoint(eager=True)
+        # counts, same bucket hash, same in-file sort order.  persist()
+        # (lazy) rather than an eager checkpoint: the first write both
+        # computes and caches, like the old pipeline.
+        final = _bucketed_gram_counts(docs, nb).persist()
         (
             final.filter("w2 IS NULL")
             .selectExpr("w1 AS term", "cnt AS ttf", "bucket")
@@ -268,6 +248,7 @@ def build_suggest_model(spark: SparkSession, index_dir: str) -> str:
         total = (
             final.filter("w2 IS NULL").agg(F.sum("cnt")).collect()[0][0] or 0
         )
+        final.unpersist()
     else:
         counted = _count_grams(docs)
         counted.persist()
