@@ -159,6 +159,61 @@ class TestAdhocImplParity:
         with pytest.raises(ValueError, match="impl"):
             bm25_adhoc_df(df, "a", impl="bogus")
 
+    def test_re2_boundary_counts_match_lookarounds(self):
+        """The r6c facts pass counts term occurrences with RE2
+        (pyarrow count/match_substring_regex, pattern \\bterm\\b); it
+        must accept exactly the language of the r6b CPython lookaround
+        pattern (?<![A-Za-z0-9_])term(?![A-Za-z0-9_]) — RE2's \\b is
+        the ASCII [0-9A-Za-z_] word boundary, and terms are \\w-only
+        tokens.  Randomized texts incl. punctuation seams, adjacent
+        repeats, substring-containing words, underscores, long runs,
+        non-ASCII and empty rows."""
+        import re
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        rng = np.random.default_rng(7)
+        vocab = [
+            "error", "errors", "error_", "_error", "timeout", "the",
+            "w00042", "a" * 300, "naïve", "Ünïcode", "x,y", "0err0",
+        ]
+        seps = [" ", ",", "...", "\n\t", "!", ""]
+        texts = [
+            "".join(
+                w + s
+                for w, s in zip(
+                    rng.choice(vocab, size=rng.integers(0, 25)),
+                    rng.choice(seps, size=25),
+                )
+            )
+            for _ in range(4000)
+        ] + ["", "error", "error error", "error,error", "errorerror"]
+        low = pd.Series(texts).str.lower()
+        arr = pa.Array.from_pandas(low)
+        for term in ["error", "the", "w00042", "a" * 300]:
+            py = re.compile(
+                r"(?<![A-Za-z0-9_])" + re.escape(term) + r"(?![A-Za-z0-9_])"
+            )
+            want = low.str.count(py).to_numpy(np.int64)
+            got = (
+                pc.count_substring_regex(
+                    arr, pattern=r"\b" + re.escape(term) + r"\b"
+                )
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            assert np.array_equal(want, got), term
+            want_hit = low.str.contains(py).to_numpy(bool)
+            got_hit = (
+                pc.match_substring_regex(
+                    arr, pattern=r"\b" + re.escape(term) + r"\b"
+                )
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            assert np.array_equal(want_hit, got_hit), term
+
 
 class TestAdhocRejections:
     def test_field_filter_rejected(self, spark):
