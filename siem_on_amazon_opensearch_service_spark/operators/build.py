@@ -426,6 +426,16 @@ def _build_index_inner(
         # (merge, append recovery, expunge decode) needs term clustering
         # — they either re-shuffle or stream row-at-a-time.  Encode tasks
         # are shard-balanced, so the direct write is balanced too.
+        # r6c gate: the direct write emits ~one file per shard group, so
+        # when the batch has FEWER shards than cores the partials scan
+        # would under-split every later consumer (the sf0.1 expunge bar
+        # measured ~+1 s from an 8-way decode on 32 cores).  Below that
+        # threshold keep the old (term, salt)-keyed spread — the exchange
+        # is small exactly when it fires, and at scale (shards >= cores,
+        # the 100 TB shape) the direct write stands.
+        par = spark.sparkContext.defaultParallelism
+        if len(todo) < par:
+            seg = seg.repartition(max(8, par), "term", "salt")
         seg.write.mode("append").parquet(partials_path)
         t0 = _mark("partials", t0)
         # lineage/metrics per shard — the resume unit (north_rule)
